@@ -1,0 +1,185 @@
+"""Similarity search over ``embeddings`` (SURVEY.md E24): brute-force
+cosine top-k as the exact baseline, plus an LSH-bucketed approximate path
+for scale.
+
+Bit-parity design: the dot product is a *left fold* over the vector —
+``F.aggregate(zip_with(a,b,*), 0.0, +)`` in Spark and
+``list_reduce(list_transform(list_zip(a,b), ...), +)`` in DuckDB perform the
+identical sequence of IEEE additions (0.0 + p1 ≡ p1), so both engines
+produce bit-identical similarities and identical rankings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import register
+
+#: The fixed probe vector for the top-k demo queries: embedding of vec_id 0.
+QUERY_VEC_ID = 0
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product in double precision (deterministic order)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / (SQRT({_sql_dot(a, a)}) * SQRT({_sql_dot(b, b)})))"
+
+
+Q40_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label, sim, rank FROM (
+  SELECT e.vec_id AS vec_id, e.label AS label,
+         {_sql_cosine('e.embedding', 'q.qv')} AS sim,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY {_sql_cosine('e.embedding', 'q.qv')} DESC, e.vec_id
+         ) AS BIGINT) AS rank
+  FROM embeddings e, q
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+)
+WHERE rank <= 10
+"""
+
+
+@register("q40_cosine_topk", Q40_SQL)
+def q40_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 against a fixed probe vector.
+
+    Scale shape: the probe is a broadcast (1-row cross join); similarity is
+    a codegen'd higher-order-function expression per row; top-k is a
+    per-partition top-k then 10-row merge (TakeOrdered) — no global sort,
+    no driver collect of the corpus. This is the exact-recall baseline the
+    LSH path (q41) trades against.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    sim = cosine(F.col("embedding"), F.col("qv"))
+    scored = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", sim.alias("sim"))
+    )
+    top = scored.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(10)
+    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+Q41_SQL = f"""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label AS label,
+       {_sql_cosine('a.embedding', 'b.embedding')} AS sim
+FROM embeddings a
+JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.5
+"""
+
+
+@register("q41_embedding_neardup", Q41_SQL)
+def q41_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key (label).
+
+    The blocking key bounds the pair blowup (the 100 TB pattern: block by a
+    cheap partition key — cluster id, LSH bucket, shard — then run exact
+    cosine only within blocks). Here label plays the block id.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            F.col("a.label").alias("label"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.5)
+    )
+
+
+@register("q42_ann_lsh_topk")  # rows-only: bucket boundaries are engine-internal
+def q42_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbours via random-hyperplane LSH bucketing.
+
+    Sign-of-projection against ``n_planes`` fixed pseudo-random hyperplanes
+    gives each vector a small integer bucket id; the probe only scans its
+    own bucket. Recall vs. the exact baseline is asserted in
+    tests/test_llm.py. At 100 TB the bucket id becomes the partition key —
+    probe cost is one partition, not the corpus.
+
+    The hyperplanes are generated from a fixed seed on the driver (tiny:
+    n_planes × dim floats) and broadcast into the expression — deterministic
+    across runs, no fit step.
+    """
+    import random
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    n_planes = 6
+    rnd = random.Random(42)
+    planes = [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+    def bucket(col: Column) -> Column:
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        col,
+                        F.array([F.lit(v) for v in plane]),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                1 << i,
+            ).otherwise(0)
+            for i, plane in enumerate(planes)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    probe = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), bucket(F.col("embedding")).alias("qbucket")
+    )
+    cand = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("bucket", bucket(F.col("embedding")))
+        .join(F.broadcast(probe), F.col("bucket") == F.col("qbucket"))
+    )
+    sim = cosine(F.col("embedding"), F.col("qv"))
+    return (
+        cand.select("vec_id", "label", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )

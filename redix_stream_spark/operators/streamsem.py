@@ -1,0 +1,118 @@
+"""Batch-replay formulations of the reference's stream semantics
+(SURVEY.md §2.2 E2, E21, E22) — the DuckDB-checkable faces of operators
+whose production form lives in ``redix_stream_spark.streaming``.
+
+Reference parity map:
+- q23_stream_replay   ≙ R3 ordered scan (consumer.ex:252-281): the log read
+  back in id order, position = row sequence.
+- q24_dedup_first     ≙ E21 stateful exact dedup (dropDuplicates semantics
+  made deterministic: the *first* row per key in log order wins, exactly
+  what a streaming dedup with an ever-growing state would emit).
+- q25_pending_antijoin ≙ R4/R7/R8: pending = delivered ∖ acked
+  (consumer.ex:199-204) replayed as an anti-join against an ack log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import register
+
+Q23_SQL = """
+SELECT
+  event_id,
+  CAST(ROW_NUMBER() OVER (ORDER BY event_id) AS BIGINT) AS seq,
+  user_id,
+  event_type
+FROM events
+"""
+
+
+@register("q23_stream_replay", Q23_SQL)
+def q23_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered log replay: every event with its 1-based read position.
+
+    This is the reference's broadcast-mode scan (XREAD loop,
+    consumer.ex:252-281) as a batch query. The global ROW_NUMBER is the
+    deliberate single-partition case — the reference itself is
+    single-threaded (README.md:124), and SURVEY §7 'hard part 2' documents
+    the relaxation: production consumers get per-key order (see
+    q14_window_analytic) unless strict parity is requested.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    return e.select(
+        "event_id",
+        F.row_number().over(w).cast("long").alias("seq"),
+        "user_id",
+        "event_type",
+    )
+
+
+Q24_SQL = """
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+  SELECT user_id, event_type, event_id, ts, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type ORDER BY event_id
+         ) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("q24_dedup_first", Q24_SQL)
+def q24_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on (user_id, event_type): first occurrence in log order.
+
+    Deterministic replacement for ``dropDuplicates`` (which keeps an
+    arbitrary row). Streaming form: ``dropDuplicatesWithinWatermark`` on the
+    same keys. Scale: one shuffle on the dedup key; at 100 TB this is the
+    canonical exact-dedup (hash-groupBy) from the LLM-pipeline family too.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "ts",
+            "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+Q25_SQL = """
+SELECT e.event_id, e.user_id, e.event_type
+FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM (
+    SELECT event_id FROM events WHERE event_id % 3 <> 0
+  ) ack WHERE ack.event_id = e.event_id
+)
+"""
+
+
+@register("q25_pending_antijoin", Q25_SQL)
+def q25_pending_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-group 'pending' view: produced ∖ acked (R4/R7/R8).
+
+    The reference tracks unacknowledged deliveries server-side and replays
+    them to a restarted consumer (consumer.ex:159-165,199-204); with an
+    ack-log table the same set is a LEFT ANTI join. Here the ack log is
+    simulated as "handler succeeded on ids not divisible by 3".
+    ``streaming.consumer`` maintains a real ack log for deferred acks.
+    """
+    e = load_table(spark, sf_dir, "events")
+    acked = e.filter(F.col("event_id") % 3 != 0).select("event_id")
+    return e.join(acked, "event_id", "left_anti").select(
+        "event_id", "user_id", "event_type"
+    )

@@ -1,0 +1,74 @@
+"""SparkSession construction with scale-aware defaults.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads,
+single JVM); production target is a 1000-executor cluster over ~100 TB.
+Every default below is chosen to survive that scale-up:
+
+- AQE on (runtime shuffle-partition coalescing + skew-join splitting), so
+  the same plan that runs at sf0.1 re-plans itself at 100 TB.
+- ``spark.sql.shuffle.partitions`` sized to the local core count; on a real
+  cluster AQE coalesces from a deliberately-high initial number instead.
+- Arrow enabled for the Pandas-UDF path (the engine's "handler" escape
+  hatch, SURVEY.md E26) — Arrow batches are the only acceptable
+  Python-boundary transport at scale.
+- Session timezone pinned to UTC so event-time semantics are deployment
+  independent (the reference's ids are epoch-millis, consumer.ex:301-313 —
+  wall-clock-zone-free by construction; we keep that property).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "redix_stream_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    On a cluster the ``master`` is supplied by spark-submit; locally we
+    default to ``local[N]``.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # 128 MiB input splits: good parallelism without tiny-task overhead;
+        # holds at 100 TB (≈800k splits, well within scheduler limits).
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_MASTER") and "SPARK_CONNECT_MODE_ENABLED" not in os.environ:
+        builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    tune(spark)
+    return spark
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-built session.
+
+    The correctness driver supplies its own SparkSession; these confs are
+    the subset we depend on for deterministic, oracle-comparable output.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark
