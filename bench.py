@@ -1,0 +1,78 @@
+"""Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is fully materialized through the noop sink (count() would let
+Catalyst prune the very columns we mean to benchmark).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+from redix_stream_spark import registry
+from redix_stream_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Representative spread: scan-agg, star join, range/as-of join, windows,
+#: sessions, ordered replay, dedup (exact + MinHash), text, vectors.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_star_join_revenue",
+    "q06_range_join",
+    "q07_asof_join",
+    "q09_distinct_users",
+    "q13_window_topk_per_group",
+    "q14_window_analytic",
+    "q20_tumbling_window",
+    "q22_session_window",
+    "q23_stream_replay",
+    "q24_dedup_first",
+    "q31_top_tokens",
+    "q36_minhash_lsh_neardup",
+    "q40_cosine_topk",
+    "q41_embedding_neardup",
+]
+
+
+def main() -> None:
+    spark = get_spark("redix-stream-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = registry.all_queries()
+
+    # JVM/codegen warmup on a trivial action so q1 isn't charged for it.
+    queries["q01_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else -1.0
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

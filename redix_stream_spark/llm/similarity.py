@@ -104,11 +104,19 @@ def q41_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The blocking key bounds the pair blowup (the 100 TB pattern: block by a
     cheap partition key — cluster id, LSH bucket, shard — then run exact
     cosine only within blocks). Here label plays the block id.
+
+    Norms are precomputed per vector *before* the join — O(n) instead of
+    O(pairs) norm folds; ``sqrt(dot(v,v))`` is a pure function of the
+    vector, so the value is bit-identical to the oracle's per-pair form.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     a = e.alias("a")
     b = e.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    sim = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
         a.join(
             b,

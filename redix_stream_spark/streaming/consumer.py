@@ -1,0 +1,225 @@
+"""Consumer — supervised, position-tracking log consumption with
+at-least-once acknowledgement (reference consumer.ex, all 352 lines of it,
+re-expressed on Structured Streaming).
+
+Semantics preserved:
+
+- **Ordered apply (R6)**: within a micro-batch, messages reach the handler
+  in (ms, seq) order. ``ordering="strict"`` is the reference's exact
+  single-threaded semantics (README.md:124); ``ordering="by_key"``
+  partitions by a key column and keeps per-key order — the documented
+  scale relaxation (SURVEY.md §7 hard part 2).
+- **Positions (R3/R11)**: the checkpoint directory is the consumer's
+  durable position. ``start_pos`` resolves exactly like the reference's
+  matrix (consumer.ex:71-91): an existing checkpoint dominates (the
+  ``:last_known_message`` column), else start_of_stream replays history,
+  end_of_stream takes only messages produced after attach.
+- **Groups + ack (R4/R7/R8)**: a group is a (checkpoint, ack-log) pair —
+  every group sees every message exactly once on success (checkpoint
+  commit = XACK batch). Handler returning DEFER withholds the ack
+  (consumer.ex:203-204); ``Consumer.ack(id)`` appends it later
+  (consumer.ex:114-124). ``pending()`` is delivered ∖ acked — what a
+  crashed consumer's successor must reprocess (consumer.ex:159-165).
+- **Errors (R9)**: ``raise_errors=True`` (reference default,
+  README.md:118) re-raises → the micro-batch fails → the checkpoint does
+  NOT advance → redelivery on restart (at-least-once, verified by
+  tests/test_streaming.py::test_crash_resume). ``raise_errors=False``
+  records the failure in the dead-letter log and moves on.
+- **Tombstones (R10)**: payloads equal to ``{"": ""}`` are skipped before
+  the handler sees them (consumer.ex:286,295).
+- **Supervision (R13)**: ``run_forever`` is the one-for-one restart loop;
+  ``run_once`` is a drain (Trigger.AvailableNow) used by tests and batch
+  catch-up.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .log import MESSAGE_SCHEMA, TOMBSTONE, EventLog
+
+
+class HandlerResult(Enum):
+    OK = "ok"        # processed → ack (consumer.ex:199-201)
+    DEFER = "defer"  # processed, ack later via Consumer.ack (consumer.ex:203-204)
+
+
+#: handler(id, payload) -> HandlerResult (or raises) — the reference's
+#: 2-arity handler (README.md:38).
+Handler = Callable[[str, dict], HandlerResult]
+
+
+@dataclass
+class Consumer:
+    log: EventLog
+    handler: Handler
+    checkpoint_root: str
+    group_name: str | None = None
+    consumer_name: str | None = None
+    start_pos: str | tuple[int, int] = "start_of_stream"
+    raise_errors: bool = True
+    ordering: str = "strict"  # "strict" | "by_key"
+    _attach_pos: tuple[int, int] | None = field(default=None, repr=False)
+
+    # -- wiring ---------------------------------------------------------
+
+    @property
+    def _name(self) -> str:
+        return self.group_name or self.consumer_name or "default"
+
+    @property
+    def checkpoint_dir(self) -> str:
+        return os.path.join(self.checkpoint_root, f"ckpt-{self._name}")
+
+    @property
+    def ack_dir(self) -> str:
+        return os.path.join(self.checkpoint_root, f"ack-{self._name}")
+
+    @property
+    def dlq_dir(self) -> str:
+        return os.path.join(self.checkpoint_root, f"dlq-{self._name}")
+
+    def attach(self, spark: SparkSession) -> "Consumer":
+        """Record the attach-time end of stream — the moment the reference
+        resolves ``"$"`` (consumer.ex:81-82). Call before producing the
+        messages an end_of_stream consumer is meant to see."""
+        if self.start_pos == "end_of_stream" and self._attach_pos is None:
+            self._attach_pos = self.log.max_position(spark)
+        return self
+
+    def _resolve_start(self, spark: SparkSession) -> tuple[int, int]:
+        """R11 start-position matrix: checkpoint dominates; else the
+        configured position. Returns the exclusive lower bound (ms, seq)."""
+        if os.path.exists(os.path.join(self.checkpoint_dir, "offsets")):
+            return (-1, -1)  # checkpoint replays exactly the uncommitted tail
+        if self.start_pos == "start_of_stream":
+            return (-1, -1)
+        if self.start_pos == "end_of_stream":
+            if self._attach_pos is None:
+                self._attach_pos = self.log.max_position(spark)
+            return self._attach_pos
+        if isinstance(self.start_pos, tuple):
+            return self.start_pos
+        raise ValueError(f"bad start_pos {self.start_pos!r}")
+
+    # -- the R6 ordered apply inside foreachBatch ------------------------
+
+    def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        lo_ms, lo_seq = self._resolved
+        filtered = batch.filter(
+            (F.col("ms") > lo_ms)
+            | ((F.col("ms") == lo_ms) & (F.col("seq") > lo_seq))
+        )
+        if self.ordering == "strict":
+            rows = filtered.orderBy("ms", "seq").collect()
+        else:  # by_key: per-key order, parallel across keys
+            rows = (
+                filtered.repartition(F.col("payload").getItem("key"))
+                .sortWithinPartitions("ms", "seq")
+                .collect()
+            )
+        acks: list[str] = []
+        failures: list[tuple[str, str]] = []
+        for r in rows:
+            payload = dict(r["payload"]) if r["payload"] is not None else {}
+            if payload == TOMBSTONE:  # R10
+                continue
+            try:
+                result = self.handler(r["id"], payload)
+            except Exception as e:  # R9
+                if self.raise_errors:
+                    raise
+                failures.append((r["id"], repr(e)))
+                continue
+            if result is None or result == HandlerResult.OK:
+                acks.append(r["id"])  # R7 auto-ack
+            # DEFER: no ack now; Consumer.ack() later (R8)
+        if acks:
+            self._append_acks(spark, acks)
+        if failures:
+            spark.createDataFrame(failures, "id string, error string").coalesce(
+                1
+            ).write.mode("append").parquet(self.dlq_dir)
+
+    def _append_acks(self, spark: SparkSession, ids: list[str]) -> None:
+        spark.createDataFrame([(i,) for i in ids], "id string").coalesce(1).write.mode(
+            "append"
+        ).parquet(self.ack_dir)
+
+    # -- public API -------------------------------------------------------
+
+    def ack(self, spark: SparkSession, message_id: str) -> int:
+        """Manual ack of a deferred message (R8, consumer.ex:114-124)."""
+        self._append_acks(spark, [message_id])
+        return 1
+
+    def acked(self, spark: SparkSession) -> DataFrame:
+        if not os.path.exists(self.ack_dir):
+            return spark.createDataFrame([], "id string")
+        return spark.read.schema("id string").parquet(self.ack_dir).distinct()
+
+    def pending(self, spark: SparkSession) -> DataFrame:
+        """Delivered-but-unacked messages (E22): log ∖ ack-log anti-join."""
+        return (
+            self.log.read(spark)
+            .join(self.acked(spark), "id", "left_anti")
+            .select("id", "ms", "seq", "payload")
+        )
+
+    def run_once(self, spark: SparkSession) -> None:
+        """Drain everything currently in the log, then stop
+        (Trigger.AvailableNow) — one supervised consumer lifetime."""
+        self._resolved = self._resolve_start(spark)
+        q = (
+            self.log.read_stream(spark)
+            .writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            if q.isActive:
+                q.stop()
+        if q.exception() is not None:
+            raise RuntimeError(f"consumer crashed: {q.exception()}")
+
+    def run_forever(self, spark: SparkSession, poll_seconds: float = 2.0):
+        """The continuous loop (R3's BLOCK-and-re-arm, default 2000 ms —
+        consumer.ex:20). Returns the StreamingQuery; caller owns stop().
+        """
+        self._resolved = self._resolve_start(spark)
+        return (
+            self.log.read_stream(spark)
+            .writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=f"{poll_seconds} seconds")
+            .start()
+        )
+
+    def run_supervised(self, spark: SparkSession, max_restarts: int = 3) -> int:
+        """R13 one-for-one supervision: restart from checkpoint on crash.
+
+        Returns the number of restarts consumed. Each restart resumes from
+        the last committed offset — uncommitted (pending) messages are
+        redelivered, giving the reference's at-least-once guarantee
+        (consumer_test.exs:222-280).
+        """
+        restarts = 0
+        while True:
+            try:
+                self.run_once(spark)
+                return restarts
+            except Exception:
+                restarts += 1
+                if restarts > max_restarts:
+                    raise

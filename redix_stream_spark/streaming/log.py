@@ -1,0 +1,146 @@
+"""EventLog — a named append-only log of key-value messages (the
+reference's only collection type, /root/reference/lib/stream.ex:10).
+
+At rest the log is a directory of parquet files; a message is
+``(id, payload)`` where ``id`` is the server-assigned ``"<millis>-<seq>"``
+(stream.ex:29, id shape asserted in test/redix/stream_test.exs:17) and
+``payload`` is a flat string→string map (stream.ex:16-17 — non-string
+values are stringified, exactly like the reference's ``to_string``
+coercion).
+
+Ordering: ids carry (ms, seq) numeric columns so consumers order by
+``(ms, seq)`` — string comparison on the dashed form would misorder
+(``"100-2" < "99-1"`` lexicographically; Redis compares numerically).
+
+Scale notes: one parquet file per produce batch is the single-writer
+append model (the reference's Redis server is a single-writer log too).
+At 100 TB the log would be a date/hour-partitioned table with the same
+(ms, seq) ordering contract and compaction — the consumer contract
+(read ids > position, ordered) is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: The wire schema of a log message (SURVEY.md §1.1).
+MESSAGE_SCHEMA = StructType(
+    [
+        StructField("ms", LongType(), False),
+        StructField("seq", LongType(), False),
+        StructField("id", StringType(), False),
+        StructField("payload", MapType(StringType(), StringType()), True),
+    ]
+)
+
+#: The tombstone payload the reference silently skips (consumer.ex:286,295).
+TOMBSTONE = {"": ""}
+
+
+def _stringify(payload: dict) -> dict[str, str]:
+    """Reference semantics: every key/value is coerced to a string
+    (stream.ex:16-17,30)."""
+    return {str(k): str(v) for k, v in payload.items()}
+
+
+class EventLog:
+    """A named append-only log backed by a parquet directory."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- produce (R1) --------------------------------------------------
+
+    def produce(self, spark: SparkSession, payload: dict) -> str:
+        """Append one message; returns the server-assigned id (R1).
+
+        Mirrors ``Redix.Stream.produce/3``: value coercion + auto id.
+        """
+        return self.produce_many(spark, [payload])[0]
+
+    def produce_many(self, spark: SparkSession, payloads: list[dict]) -> list[str]:
+        """Append a batch; ids share one millis stamp with consecutive seqs."""
+        ms = int(time.time() * 1000)
+        base = self._next_seq(spark, ms)
+        rows = [
+            (ms, base + i, f"{ms}-{base + i}", _stringify(p))
+            for i, p in enumerate(payloads)
+        ]
+        df = spark.createDataFrame(rows, MESSAGE_SCHEMA)
+        # coalesce(1): a produce batch is one append, like one XADD pipeline.
+        df.coalesce(1).write.mode("append").parquet(self.path)
+        return [r[2] for r in rows]
+
+    def produce_df(self, df: DataFrame) -> None:
+        """Append a prepared message DataFrame (bulk ingest path).
+
+        Ids must already be stamped; this is the high-throughput sink
+        (E3) where the caller controls partitioning.
+        """
+        df.select(*MESSAGE_SCHEMA.fieldNames()).write.mode("append").parquet(self.path)
+
+    def _next_seq(self, spark: SparkSession, ms: int) -> int:
+        """Seq allocation within a millisecond stamp (single-writer log)."""
+        if not self._has_data():
+            return 0
+        row = (
+            spark.read.schema(MESSAGE_SCHEMA)
+            .parquet(self.path)
+            .filter(F.col("ms") == ms)
+            .agg(F.max("seq").alias("m"))
+            .collect()[0]
+        )
+        return 0 if row["m"] is None else row["m"] + 1
+
+    def _has_data(self) -> bool:
+        return any(f.endswith(".parquet") for f in os.listdir(self.path))
+
+    # -- read (R3 batch face) ------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Batch read of the whole log, unordered (order with (ms, seq))."""
+        return spark.read.schema(MESSAGE_SCHEMA).parquet(self.path)
+
+    def read_stream(self, spark: SparkSession) -> DataFrame:
+        """Unbounded read — new files appear as new micro-batch input."""
+        return spark.readStream.schema(MESSAGE_SCHEMA).parquet(self.path)
+
+    def max_position(self, spark: SparkSession) -> tuple[int, int]:
+        """Current end of stream as (ms, seq); (-1, -1) when empty.
+
+        Plays the reference's ``:end_of_stream`` / ``"$"`` position
+        (consumer.ex:81-82).
+        """
+        if not self._has_data():
+            return (-1, -1)
+        row = (
+            self.read(spark)
+            .orderBy(F.col("ms").desc(), F.col("seq").desc())
+            .limit(1)
+            .collect()
+        )
+        return (row[0]["ms"], row[0]["seq"]) if row else (-1, -1)
+
+
+def make_checkpoint_dir(root: str, name: str) -> str:
+    path = os.path.join(root, name)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def temp_log_name() -> str:
+    """Random log names, as the reference's tests use (consumer_test.exs:403-405)."""
+    return f"stream-{uuid.uuid4().hex}"
