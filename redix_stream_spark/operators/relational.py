@@ -726,3 +726,29 @@ def q19_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )
+
+
+Q29_SQL = """
+SELECT
+  event_id,
+  CAST(LEN(json_keys(props)) AS BIGINT) AS n_keys,
+  list_sort(json_keys(props))[1] AS first_key,
+  json_extract_string(props, '$.k') AS k_str
+FROM events
+"""
+
+
+@register("q29_map_ops", Q29_SQL)
+def q29_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic payload as a real MapType: ``from_json`` to
+    map<string,string> then map_keys / element_at — the engine's typed
+    envelope for the reference's schema-less string→string messages
+    (SURVEY §1.2/§1.3)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return e.select(
+        "event_id",
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        F.array_sort(F.map_keys(m)).getItem(0).alias("first_key"),
+        F.element_at(m, "k").alias("k_str"),
+    )

@@ -1,0 +1,80 @@
+"""Physical-plan quality gates — the 100 TB design assertions.
+
+Correctness tests say the operators compute the right answer; these say
+Catalyst produced the plan we designed for: filters pushed to the parquet
+scan, bounded dimensions broadcast, range joins staying equi-keyed (no
+cartesian), global top-k compiling to TakeOrdered, codegen in the hot
+aggregates. A regression here is a scale bug even when results stay right.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from redix_stream_spark import registry
+
+QUERIES = registry.all_queries()
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q01_filter_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(QUERIES["q01_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # Column pruning: only the 7 needed columns reach the scan.
+    assert "l_comment" not in plan
+
+
+def test_q01_scan_prunes_columns(spark, sf_dir):
+    plan = plan_of(QUERIES["q01_pricing_summary"](spark, sf_dir))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, "no ReadSchema in plan"
+    # partkey/suppkey/orderkey are not referenced by Q1 → must not be read.
+    assert "l_partkey" not in read_schema[0]
+    assert "l_orderkey" not in read_schema[0]
+
+
+def test_q03_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(QUERIES["q03_star_join_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # The orders date filter must be pushed to the orders scan.
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q06_range_join_not_cartesian(spark, sf_dir):
+    plan = plan_of(QUERIES["q06_range_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q15_top_global_is_take_ordered(spark, sf_dir):
+    plan = plan_of(QUERIES["q15_top_global"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q37_jaccard_join_is_equi_on_source(spark, sf_dir):
+    plan = plan_of(QUERIES["q37_ngram_jaccard_dup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_q41_neardup_join_is_equi_on_label(spark, sf_dir):
+    plan = plan_of(QUERIES["q41_embedding_neardup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_q04_semi_join_stays_semi(spark, sf_dir):
+    plan = plan_of(QUERIES["q04_semi_join"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q09_distinct_users", "q13_window_topk_per_group", "q24_dedup_first"]
+)
+def test_no_driver_collect_shapes(spark, sf_dir, name):
+    """No plan may route the relation through the driver (collect/local)."""
+    plan = plan_of(QUERIES[name](spark, sf_dir))
+    assert "LocalTableScan" not in plan
