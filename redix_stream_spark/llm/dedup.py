@@ -60,46 +60,58 @@ def _sql_shingle_hash(expr: str) -> str:
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, perm, minhash) — the exploded MinHash signature matrix.
+    """(doc_id, mh0..mhN) — MinHash signatures as pure expressions.
 
-    One shuffle: groupBy (doc_id, perm) with map-side partial min.
+    Shuffle-free by design: the per-permutation minimum is an
+    ``array_min(transform(...))`` over the document's own shingle array, so
+    signature computation is embarrassingly parallel (one pass over each
+    doc, no explode, no groupBy). At 100 TB this is the difference between
+    a map-only stage and shuffling #docs × #shingles × #perms rows.
     """
-    perms = F.array(
-        *[F.struct(F.lit(i).alias("perm"), F.lit(a).alias("a"), F.lit(b).alias("b"))
-          for i, (a, b) in enumerate(PERM_PARAMS)]
-    )
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles(F.col(text_col)))).alias("shingle")
-    ).select("doc_id", shingle_hash(F.col("shingle")).alias("x"))
-    return (
-        sh.select("doc_id", "x", F.explode(perms).alias("p"))
-        .select(
-            "doc_id",
-            F.col("p.perm").alias("perm"),
-            ((F.col("p.a") * F.col("x") + F.col("p.b")) % MERSENNE_P).alias("h"),
-        )
-        .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("minhash"))
-    )
+    sh = F.array_distinct(shingles(F.col(text_col)))
+    xs = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MERSENNE_P)
+    # Materialize the hashed-shingle array ONCE as a column: 16 min-perm
+    # expressions read it. (Inlining xs into each would re-shingle and
+    # re-md5 the document 16× — Catalyst's CollapseProject keeps a
+    # non-cheap multi-referenced projection separate, so this stays one
+    # evaluation per row.)
+    hashed = docs.select("doc_id", xs.alias("xs"))
+    cols = [
+        F.array_min(
+            F.transform(F.col("xs"), lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P)
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(PERM_PARAMS)
+    ]
+    return hashed.select("doc_id", *cols)
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Band the signature matrix and self-join band buckets → candidate pairs."""
+    """Band the signatures and self-join band buckets → candidate pairs.
+
+    The only shuffle in the LSH pipeline: (band, band_key) is the join key,
+    so co-bucketed docs — and nothing else — meet.
+    """
     rows_per_band = N_PERMS // N_BANDS
-    banded = (
-        sig.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(
-            F.concat_ws(":", F.col("perm"), F.col("minhash"))
-        )))).alias("band_key"))
+    bands = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(j),
+                *[F.col(f"mh{j * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"band{j}")
+        for j in range(N_BANDS)
+    ]
+    banded = sig.select(
+        "doc_id",
+        F.explode(F.array(*bands)).alias("band_key"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
+            (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -130,10 +142,21 @@ def exact_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def _gen_minhash_oracle_sql() -> str:
-    """Generate the DuckDB oracle mirroring the exact MinHash+LSH pipeline."""
-    params_rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(PERM_PARAMS))
+    """Generate the DuckDB oracle mirroring the exact MinHash+LSH pipeline
+    (same md5-derived shingle hashes, same permutation parameters, same
+    band-key construction — stage-for-stage parity with the Spark plan)."""
     rows_per_band = N_PERMS // N_BANDS
-    sh = _sql_shingle_hash("shingle")
+    mh_cols = ",\n         ".join(
+        f"list_min(list_transform(xs, x -> ({a} * x + {b}) % {MERSENNE_P})) AS mh{i}"
+        for i, (a, b) in enumerate(PERM_PARAMS)
+    )
+    band_exprs = ", ".join(
+        "md5(concat_ws(',', {j}, {cols}))".format(
+            j=j,
+            cols=", ".join(f"mh{j * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for j in range(N_BANDS)
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -143,25 +166,25 @@ sh AS (
          array_to_string(t[i:i+{SHINGLE_K - 1}], ' ') AS shingle
   FROM (SELECT doc_id, t, UNNEST(range(1, GREATEST(LEN(t) - {SHINGLE_K - 1}, 1) + 1)) AS i FROM toks)
 ),
-hx AS (SELECT doc_id, {sh} AS x FROM sh),
-params(perm, a, b) AS (VALUES {params_rows}),
+sets AS (SELECT doc_id, list(shingle) AS sset FROM sh GROUP BY doc_id),
+hx AS (
+  SELECT doc_id, sset,
+         list_transform(sset, s -> {_sql_shingle_hash('s')}) AS xs
+  FROM sets
+),
 sig AS (
-  SELECT doc_id, perm, MIN((a * x + b) % {MERSENNE_P}) AS minhash
-  FROM hx, params
-  GROUP BY doc_id, perm
+  SELECT doc_id,
+         {mh_cols}
+  FROM hx
 ),
 banded AS (
-  SELECT doc_id, CAST(FLOOR(perm / {rows_per_band}) AS INT) AS band,
-         md5(array_to_string(list_sort(list(CAST(perm AS VARCHAR) || ':' || CAST(minhash AS VARCHAR))), ',')) AS band_key
-  FROM sig
-  GROUP BY doc_id, CAST(FLOOR(perm / {rows_per_band}) AS INT)
+  SELECT doc_id, UNNEST([{band_exprs}]) AS band_key FROM sig
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
   FROM banded a JOIN banded b
-    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
-sets AS (SELECT doc_id, list_distinct(list(shingle)) AS sset FROM sh GROUP BY doc_id)
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
 SELECT doc_id_a, doc_id_b,
        CAST(LEN(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
          / (LEN(sa.sset) + LEN(sb.sset) - LEN(list_intersect(sa.sset, sb.sset))) AS jaccard

@@ -133,57 +133,89 @@ def q41_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q42_ann_lsh_topk")  # rows-only: bucket boundaries are engine-internal
-def q42_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbours via random-hyperplane LSH bucketing.
+#: Multi-table LSH parameters: L independent tables of k hyperplane bits.
+#: Recall for a neighbour at angle θ is 1 − (1 − (1 − θ/π)^k)^L — k trades
+#: bucket selectivity, L buys recall back. (k=5, L=6 → ≥95 % recall for
+#: cosine ≥ 0.85 neighbours while scanning a few % of the corpus.)
+LSH_TABLES = 6
+LSH_BITS = 5
 
-    Sign-of-projection against ``n_planes`` fixed pseudo-random hyperplanes
-    gives each vector a small integer bucket id; the probe only scans its
-    own bucket. Recall vs. the exact baseline is asserted in
-    tests/test_llm.py. At 100 TB the bucket id becomes the partition key —
-    probe cost is one partition, not the corpus.
 
-    The hyperplanes are generated from a fixed seed on the driver (tiny:
-    n_planes × dim floats) and broadcast into the expression — deterministic
-    across runs, no fit step.
-    """
+def _hyperplanes(dim: int = 64, seed: int = 42) -> list[list[float]]:
     import random
 
-    e = load_table(spark, sf_dir, "embeddings")
-    dim = 64
-    n_planes = 6
-    rnd = random.Random(42)
-    planes = [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    rnd = random.Random(seed)
+    return [
+        [rnd.gauss(0.0, 1.0) for _ in range(dim)]
+        for _ in range(LSH_TABLES * LSH_BITS)
+    ]
 
-    def bucket(col: Column) -> Column:
+
+def lsh_table_buckets(col: Column, planes: list[list[float]]) -> list[Column]:
+    """One bucket id per table: sign bits of the k projections, packed."""
+    def proj(plane: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                col,
+                F.array([F.lit(v) for v in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    buckets = []
+    for t in range(LSH_TABLES):
         bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        col,
-                        F.array([F.lit(v) for v in plane]),
-                        lambda x, y: x.cast("double") * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                > 0,
-                1 << i,
-            ).otherwise(0)
-            for i, plane in enumerate(planes)
+            F.when(proj(planes[t * LSH_BITS + i]) > 0, 1 << i).otherwise(0)
+            for i in range(LSH_BITS)
         ]
         out = bits[0]
         for b in bits[1:]:
             out = out + b
-        return out
+        buckets.append(out.alias(f"bucket{t}"))
+    return buckets
 
-    probe = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv"), bucket(F.col("embedding")).alias("qbucket")
+
+@register("q42_ann_lsh_topk")  # rows-only: bucket boundaries are engine-internal
+def q42_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbours via multi-table random-hyperplane LSH.
+
+    Each vector lands in one bucket per table; the probe unions its L
+    buckets and runs exact cosine only on those candidates. Recall vs. the
+    exact baseline (q40) is asserted in tests/test_llm.py. At 100 TB
+    (table, bucket) is the partition key — probe cost is L partitions, not
+    the corpus — and the hyperplane matrix (L·k·dim floats, seeded on the
+    driver) broadcasts into the expression with no fit step.
+    """
+    planes = _hyperplanes()
+    e = load_table(spark, sf_dir, "embeddings")
+    tagged = e.select("vec_id", "label", "embedding", *lsh_table_buckets(F.col("embedding"), planes))
+    # (vec, table, bucket) — explode the L bucket ids.
+    entries = tagged.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.posexplode(F.array(*[F.col(f"bucket{t}") for t in range(LSH_TABLES)])).alias(
+            "table", "bucket"
+        ),
+    )
+    probe = (
+        entries.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(
+            F.col("table").alias("qtable"),
+            F.col("bucket").alias("qbucket"),
+            F.col("embedding").alias("qv"),
+        )
     )
     cand = (
-        e.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .withColumn("bucket", bucket(F.col("embedding")))
-        .join(F.broadcast(probe), F.col("bucket") == F.col("qbucket"))
+        entries.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(
+            F.broadcast(probe),
+            (F.col("table") == F.col("qtable")) & (F.col("bucket") == F.col("qbucket")),
+        )
+        .select("vec_id", "label", "embedding", "qv")
+        .dropDuplicates(["vec_id"])
     )
     sim = cosine(F.col("embedding"), F.col("qv"))
     return (

@@ -141,6 +141,19 @@ def test_error_routing_to_dlq_when_not_raising(spark, log, ckpt):
     assert pend == ["bad"]
 
 
+def test_by_key_ordering_preserves_per_key_order(spark, log, ckpt):
+    # SURVEY §7 hard part 2: the documented scale relaxation — per-key
+    # order (like per-partition Kafka ordering) instead of global order.
+    rec = Recorder()
+    msgs = [{"key": f"k{i % 3}", "n": i} for i in range(12)]
+    log.produce_many(spark, msgs)
+    Consumer(log, rec, ckpt, ordering="by_key").run_once(spark)
+    assert len(rec.seen) == 12
+    for k in ("k0", "k1", "k2"):
+        ns = [int(p["n"]) for _, p in rec.seen if p["key"] == k]
+        assert ns == sorted(ns), f"per-key order broken for {k}: {ns}"
+
+
 def test_eventlog_datasource_incremental(spark):
     # R3 as a custom source: bounded micro-batches by id range
     from redix_stream_spark.sources.eventlog_source import EventLogDataSource
