@@ -59,6 +59,24 @@ def dsum(col: Column, alias: str) -> Column:
     return F.sum(col).cast("double").alias(alias)
 
 
+def dsum_big(col: Column, alias: str) -> Column:
+    """Exact decimal SUM surfaced as a bit-stable DOUBLE even when the
+    sum's scaled integer exceeds 2^53.
+
+    A plain decimal→double cast of such a value is itself a rounding step,
+    and the engines round differently (Spark: one correctly-rounded
+    BigDecimal→double; DuckDB: int128→double then /10^scale — two
+    roundings). Splitting into FLOOR(s) + (s − FLOOR(s)) makes both casts
+    exact (whole part < 2^53 units, fraction < 1 at bounded scale), and the
+    single IEEE addition then yields the correctly-rounded double of the
+    true sum — identically in both engines. Holds while the *whole* part
+    stays below 2^53 (9×10^15 units — far past the sf0.1 bench scale).
+    """
+    s = F.sum(col)
+    w = F.floor(s)
+    return (w.cast("double") + (s - w).cast("double")).alias(alias)
+
+
 def davg(col: Column, alias: str) -> Column:
     """Exact decimal SUM / COUNT surfaced as DOUBLE.
 
@@ -85,6 +103,13 @@ def sql_one_plus(expr: str) -> str:
 
 def sql_dsum(inner: str, alias: str) -> str:
     return f"CAST(SUM({inner}) AS DOUBLE) AS {alias}"
+
+
+def sql_dsum_big(inner: str, alias: str) -> str:
+    s = f"SUM({inner})"
+    return (
+        f"(CAST(FLOOR({s}) AS DOUBLE) + CAST({s} - FLOOR({s}) AS DOUBLE)) AS {alias}"
+    )
 
 
 def sql_davg(inner: str, alias: str) -> str:

@@ -1,0 +1,180 @@
+"""Second wave of operator coverage: window frames, extended string
+functions with explicit null ordering, array functions, and correlation —
+rounding out SURVEY.md E12–E16.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..numeric import dsum_big, money
+from ..registry import register
+
+Q44_SQL = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  o_totalprice,
+  first_value(o_totalprice) OVER w AS first_price,
+  last_value(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+  nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price,
+  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cdist,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("q44_window_frames", Q44_SQL)
+def q44_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames: first/last/nth value, ntile, percent_rank, cume_dist,
+    and a 3-row moving sum (decimal-exact). Frames are partition-local —
+    the shuffle is on o_custkey only, at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wmov = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.sum(money("o_totalprice")).over(wmov).cast("double").alias("moving_sum3"),
+    )
+
+
+Q45_SQL = """
+SELECT
+  c_custkey,
+  lpad(c_name, 22, '*') AS name_lpad,
+  rpad(c_mktsegment, 12, '.') AS seg_rpad,
+  trim(lpad(c_name, 22, ' ')) AS name_trimmed,
+  reverse(c_mktsegment) AS seg_rev,
+  repeat(c_mktsegment, 2) AS seg_twice,
+  CAST(strpos(c_name, '1') AS BIGINT) AS pos_one,
+  CAST(ROW_NUMBER() OVER (
+    ORDER BY NULLIF(c_mktsegment, 'BUILDING') NULLS LAST, c_custkey
+  ) AS BIGINT) AS rn_nulls_last
+FROM customer
+"""
+
+
+@register("q45_string_null_fns", Q45_SQL)
+def q45_string_null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string functions + explicit NULLS LAST ordering (rank
+    column makes the null-ordering observable to the value hash)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).asc_nulls_last(),
+        F.col("c_custkey"),
+    )
+    return c.select(
+        "c_custkey",
+        F.lpad("c_name", 22, "*").alias("name_lpad"),
+        F.rpad("c_mktsegment", 12, ".").alias("seg_rpad"),
+        F.trim(F.lpad("c_name", 22, " ")).alias("name_trimmed"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.repeat("c_mktsegment", 2).alias("seg_twice"),
+        F.instr("c_name", "1").cast("long").alias("pos_one"),
+        F.row_number().over(w).cast("long").alias("rn_nulls_last"),
+    )
+
+
+Q46_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT
+  doc_id,
+  CAST(LEN(toks) AS BIGINT) AS n_tokens,
+  array_to_string(toks[1:3], '|') AS first3,
+  toks[-1] AS last_token,
+  CAST(COALESCE(list_position(toks, 'spark'), 0) AS BIGINT) AS spark_pos,
+  CAST(list_contains(toks, 'table') AS BIGINT) AS has_table,
+  array_to_string(list_sort(list_distinct(toks[1:5])), ',') AS head_sorted
+FROM t
+"""
+
+
+@register("q46_array_ops", Q46_SQL)
+def q46_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family over tokenized text; array-valued results are
+    serialized to strings so the cross-engine hash sees scalar columns.
+
+    Note the position-semantics bridge: Spark ``array_position`` returns 0
+    for a miss where DuckDB's ``list_position`` returns NULL.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.concat_ws("|", F.slice("toks", 1, 3)).alias("first3"),
+        F.element_at("toks", -1).alias("last_token"),
+        F.array_position("toks", "spark").cast("long").alias("spark_pos"),
+        F.array_contains("toks", "table").cast("long").alias("has_table"),
+        F.concat_ws(",", F.array_sort(F.array_distinct(F.slice("toks", 1, 5)))).alias(
+            "head_sorted"
+        ),
+    )
+
+
+Q47_SQL = """
+WITH s AS (
+  SELECT
+    l_returnflag,
+    COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+    (CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))) AS DOUBLE) + CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) - FLOOR(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))) AS DOUBLE)) AS sxx,
+    (CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)))) AS DOUBLE) + CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) - FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)))) AS DOUBLE)) AS syy,
+    (CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)))) AS DOUBLE) + CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) - FLOOR(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)))) AS DOUBLE)) AS sxy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT
+  l_returnflag,
+  n,
+  (sxy - sx * sy / n) / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)) AS corr_qty_price
+FROM s
+"""
+
+
+@register("q47_correlation", Q47_SQL)
+def q47_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from exact decimal power sums — same bit-parity
+    rationale as q27: native corr() accumulates floats in partition order;
+    power sums are associative and exact.
+
+    Formula shape matters: ``sxy - sx*sy/n`` (multiply feeding a divide)
+    instead of ``n*sxy - sx*sy`` — the latter is an FMA-contraction site
+    (DuckDB's compiler fuses mul+sub, Spark's JIT doesn't), which costs a
+    ulp and breaks the cross-engine hash."""
+    l = load_table(spark, sf_dir, "lineitem")
+    x = money("l_quantity")
+    y = money("l_extendedprice")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        dsum_big(x * x, "sxx"),
+        dsum_big(y * y, "syy"),
+        dsum_big(x * y, "sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy"))
+    corr = (sxy - sx * sy / n) / (
+        F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
+    )
+    return s.select("l_returnflag", "n", corr.alias("corr_qty_price"))

@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..numeric import dsum_big
 from ..registry import register
 
 Q26_SQL = """
@@ -70,7 +71,7 @@ WITH s AS (
     o_orderstatus,
     COUNT(*) AS n,
     CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+    (CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2)))) AS DOUBLE) + CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) - FLOOR(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2)))) AS DOUBLE)) AS sxx
   FROM orders
   GROUP BY o_orderstatus
 )
@@ -97,7 +98,7 @@ def q27_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = o.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).cast("double").alias("sx"),
-        F.sum(x * x).cast("double").alias("sxx"),
+        dsum_big(x * x, "sxx"),
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     var = (sxx - sx * sx / n) / (n - 1)
