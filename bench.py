@@ -35,7 +35,10 @@ HEADLINE = [
     "q22_session_window",
     "q23_stream_replay",
     "q24_dedup_first",
+    "q28_pivot_events",
     "q31_top_tokens",
+    "q44_window_frames",
+    "q47_correlation",
     "q36_minhash_lsh_neardup",
     "q40_cosine_topk",
     "q41_embedding_neardup",

@@ -15,8 +15,17 @@ SF_DIR_MID = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("redix-stream-spark-tests", cpus=8, shuffle_partitions=8)
+def spark(tmp_path_factory):
+    s = get_spark(
+        "redix-stream-spark-tests",
+        cpus=8,
+        shuffle_partitions=8,
+        extra_conf={
+            # static conf — must be set at session creation (bucketing tests
+            # create catalog tables and must not litter the repo).
+            "spark.sql.warehouse.dir": str(tmp_path_factory.mktemp("warehouse")),
+        },
+    )
     yield s
     s.stop()
 

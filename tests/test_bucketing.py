@@ -1,0 +1,49 @@
+"""Bucketed co-located joins and salted skew joins — the scale knobs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from redix_stream_spark.catalog import load_table
+from redix_stream_spark.plans import formatted_plan, salted_join, write_bucketed
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        write_bucketed(li, "b_lineitem", "l_orderkey", n_buckets=4)
+        write_bucketed(od, "b_orders", "o_orderkey", n_buckets=4)
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = formatted_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # and it computes the same thing as the unbucketed join
+        plain = li.join(od, F.col("l_orderkey") == F.col("o_orderkey")).count()
+        assert j.count() == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    plain = e.join(c, "user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+    ).collect()[0]
+    salted = salted_join(e, c, "user_id", n_salts=8).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+    ).collect()[0]
+    assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])

@@ -186,3 +186,60 @@ def test_eventlog_datasource_incremental(spark):
     assert sum(seen_batches) == 1000          # full log served exactly once
     assert len(seen_batches) >= 3             # backpressure bounded batches
     assert max(seen_batches) <= 400
+
+
+def test_pipeline_log_to_log_transform(spark, tmp_path):
+    # Pure-handler path (SURVEY §1.1): consume log A, transform, produce log B.
+    from pyspark.sql import functions as F
+
+    from redix_stream_spark.streaming.pipeline import Pipeline
+
+    src = EventLog(str(tmp_path / "src"))
+    dst = EventLog(str(tmp_path / "dst"))
+    src.produce_many(spark, [{"key": f"v{i}", "n": i} for i in range(5)])
+
+    def double_n(df):
+        return df.select(
+            "ms", "seq", "id",
+            F.map_from_arrays(
+                F.array(F.lit("key"), F.lit("n2"), F.lit("src_id")),
+                F.array(
+                    F.element_at("payload", "key"),
+                    (F.element_at("payload", "n").cast("long") * 2).cast("string"),
+                    F.col("id"),
+                ),
+            ).alias("payload"),
+        )
+
+    p = Pipeline(src, dst, double_n, str(tmp_path / "ck"))
+    p.run_once(spark)
+    rows = sorted(dst.read(spark).collect(), key=lambda r: (r["ms"], r["seq"]))
+    assert [r["payload"]["n2"] for r in rows] == ["0", "2", "4", "6", "8"]
+    # lineage: sink messages carry their source ids
+    assert all(r["payload"]["src_id"] == r["id"] for r in rows)
+    # incremental: a second drain after more produces only appends the delta
+    src.produce_many(spark, [{"key": "late", "n": 10}])
+    p.run_once(spark)
+    assert dst.read(spark).count() == 6
+
+
+def test_run_forever_processes_live_appends(spark, tmp_path):
+    # R3's blocking re-arm loop: messages produced while the consumer is
+    # running are picked up by subsequent micro-batches.
+    import time as _t
+
+    log2 = EventLog(str(tmp_path / "live"))
+    rec = Recorder()
+    log2.produce(spark, {"key": "first"})
+    c = Consumer(log2, rec, str(tmp_path / "ck-live"))
+    q = c.run_forever(spark, poll_seconds=1.0)
+    try:
+        deadline = _t.time() + 60
+        while len(rec.seen) < 1 and _t.time() < deadline:
+            _t.sleep(0.5)
+        log2.produce(spark, {"key": "second"})
+        while len(rec.seen) < 2 and _t.time() < deadline:
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+    assert [p["key"] for _, p in rec.seen] == ["first", "second"]
