@@ -178,3 +178,58 @@ def q47_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)
     )
     return s.select("l_returnflag", "n", corr.alias("corr_qty_price"))
+
+
+Q48_SQL = """
+SELECT
+  c_mktsegment,
+  string_agg(c_name, ',' ORDER BY c_name) AS names_sorted,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT c_mktsegment, c_name FROM customer WHERE c_custkey % 50 = 0)
+GROUP BY c_mktsegment
+"""
+
+
+@register("q48_string_agg", Q48_SQL)
+def q48_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): collect_list is
+    partition-order-nondeterministic, so the engine sorts before joining —
+    which is also what makes it oracle-comparable."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 50 == 0)
+    return c.groupBy("c_mktsegment").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("c_name"))).alias("names_sorted"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+Q49_SQL = """
+SELECT
+  event_id,
+  event_id & 255 AS lo_byte,
+  event_id | 4096 AS with_flag,
+  xor(event_id, 1365) AS xored,
+  event_id << 2 AS shl2,
+  event_id >> 3 AS shr3,
+  CAST(ascii(substr(event_type, 1, 1)) AS BIGINT) AS first_char_code,
+  translate(event_type, 'aeiou', 'AEIOU') AS vowels_up,
+  regexp_replace(event_type, '[aeiou]', '_', 'g') AS vowels_gone
+FROM events
+"""
+
+
+@register("q49_bitwise_misc", Q49_SQL)
+def q49_bitwise_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operators and miscellaneous scalar functions."""
+    e = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    return e.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).alias("lo_byte"),
+        eid.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        eid.bitwiseXOR(F.lit(1365)).alias("xored"),
+        F.shiftleft(eid, 2).alias("shl2"),
+        F.shiftright(eid, 3).alias("shr3"),
+        F.ascii(F.substring("event_type", 1, 1)).cast("long").alias("first_char_code"),
+        F.translate("event_type", "aeiou", "AEIOU").alias("vowels_up"),
+        F.regexp_replace("event_type", "[aeiou]", "_").alias("vowels_gone"),
+    )
