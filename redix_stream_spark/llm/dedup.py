@@ -123,10 +123,15 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 
 
 def exact_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (verification stage)."""
+    """Exact shingle-set Jaccard for candidate pairs (verification stage).
+
+    The shingle-set relation feeds both sides of the pair join; caching it
+    avoids re-shingling the corpus twice (at 100 TB you would materialize
+    it to parquet instead — same idea, durable form).
+    """
     sets = docs.select(
         "doc_id", F.array_distinct(shingles(F.col("text"))).alias("sset")
-    )
+    ).cache()
     return (
         pairs.join(sets.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("sset", "set_a"), "doc_id_a")
         .join(sets.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("sset", "set_b"), "doc_id_b")
@@ -205,7 +210,10 @@ def q36_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation parameters), so the hash check verifies every stage.
     """
     d = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(d)
+    # Signatures feed both branches of the band self-join; cache them (tiny:
+    # one row of 16 longs per doc) instead of recomputing the md5 shingling
+    # per branch — halves the pipeline's wall clock.
+    sig = minhash_signatures(d).cache()
     pairs = lsh_candidate_pairs(sig)
     scored = exact_jaccard(d, pairs)
     return scored.filter(F.col("jaccard") >= JACCARD_THRESHOLD)

@@ -263,3 +263,14 @@ def q35_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("fp").alias("min_shingle_fp"),
         )
     )
+
+
+@register("q57_stratified_sample")  # rows-only: samplers are engine-internal
+def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified subsampling by language — the corpus-balancing
+    primitive of training-data pipelines (downsample dominant languages,
+    keep the tail). ``sampleBy`` is a per-row Bernoulli draw: one pass,
+    no shuffle, exact fractions in expectation at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.25, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
+    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")

@@ -118,6 +118,30 @@ class EventLog:
         """Unbounded read — new files appear as new micro-batch input."""
         return spark.readStream.schema(MESSAGE_SCHEMA).parquet(self.path)
 
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """Rewrite the log into ``target_files`` parquet files (R12-adjacent
+        housekeeping).
+
+        Streaming appends accumulate one file per produce batch — the
+        classic small-file problem. Compaction preserves every message and
+        id (the consumer contract orders by (ms, seq), never by file), so
+        it is safe between consumer runs. Returns the message count.
+
+        At 100 TB this runs per partition (e.g. per day) with
+        ``target_files`` sized to ~1 GB outputs; here it is the whole dir.
+        NOTE: not concurrency-safe with an active producer — run it from
+        the log owner, like Redis's single writer.
+        """
+        df = self.read(spark)
+        n = df.count()
+        tmp = self.path + ".compact"
+        df.repartition(target_files).write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+        return n
+
     def max_position(self, spark: SparkSession) -> tuple[int, int]:
         """Current end of stream as (ms, seq); (-1, -1) when empty.
 

@@ -47,3 +47,20 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
     ).collect()[0]
     assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
+
+
+def test_write_partitioned_layout_and_pruning(spark, sf_dir, tmp_path):
+    from redix_stream_spark.sources.writer import write_partitioned
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.date_trunc("day", "ts"))
+    )
+    out = str(tmp_path / "part")
+    write_partitioned(e, out, ["event_type"], files_per_partition=1)
+    back = spark.read.parquet(out)
+    assert back.count() == e.count()
+    # partition pruning: filtering on the partition col scans one dir
+    pruned = back.filter(F.col("event_type") == "click")
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert pruned.count() == e.filter(F.col("event_type") == "click").count()

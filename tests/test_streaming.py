@@ -243,3 +243,20 @@ def test_run_forever_processes_live_appends(spark, tmp_path):
     finally:
         q.stop()
     assert [p["key"] for _, p in rec.seen] == ["first", "second"]
+
+
+def test_log_compaction_preserves_messages_and_positions(spark, log, ckpt):
+    import os as _os
+
+    ids = []
+    for i in range(6):  # 6 produce calls -> >= 6 files
+        ids += log.produce_many(spark, [{"key": f"v{i}"}])
+    files_before = sum(1 for f in _os.listdir(log.path) if f.endswith(".parquet"))
+    assert files_before >= 6
+    n = log.compact(spark, target_files=1)
+    files_after = sum(1 for f in _os.listdir(log.path) if f.endswith(".parquet"))
+    assert n == 6 and files_after == 1
+    # consumer semantics unchanged: full ordered replay
+    rec = Recorder()
+    Consumer(log, rec, ckpt).run_once(spark)
+    assert [i for i, _ in rec.seen] == ids
