@@ -752,3 +752,36 @@ def q29_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.map_keys(m)).getItem(0).alias("first_key"),
         F.element_at(m, "k").alias("k_str"),
     )
+
+
+Q50_SQL = """
+SELECT
+  c.c_custkey AS custkey,
+  e.event_id AS event_id,
+  CAST(c.c_custkey IS NULL AS BIGINT) AS customer_missing,
+  CAST(e.event_id IS NULL AS BIGINT) AS event_missing,
+  COALESCE(e.event_type, 'none') AS etype
+FROM customer c
+FULL OUTER JOIN (SELECT * FROM events WHERE value > 180.0) e
+  ON c.c_custkey = e.user_id
+"""
+
+
+@register("q50_full_outer_join", Q50_SQL)
+def q50_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join completing the join family (E6): unmatched rows on
+    both sides survive with nulls, made hash-observable via missing-side
+    flags. Scale note: full outer cannot broadcast — it is always a
+    shuffle join on the key; skew tooling (plans.skew) applies."""
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") > 180.0)
+    return (
+        c.join(e, c.c_custkey == e.user_id, "full_outer")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("event_id"),
+            F.col("c_custkey").isNull().cast("long").alias("customer_missing"),
+            F.col("event_id").isNull().cast("long").alias("event_missing"),
+            F.coalesce("event_type", F.lit("none")).alias("etype"),
+        )
+    )

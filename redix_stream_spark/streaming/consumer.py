@@ -66,6 +66,10 @@ class Consumer:
     start_pos: str | tuple[int, int] = "start_of_stream"
     raise_errors: bool = True
     ordering: str = "strict"  # "strict" | "by_key"
+    #: Backpressure: bound each micro-batch to this many log files (the
+    #: reference reads unbounded batches — no COUNT argument,
+    #: consumer.ex:146-156; SURVEY §4 flags that as a gap worth closing).
+    max_files_per_trigger: int | None = None
     _attach_pos: tuple[int, int] | None = field(default=None, repr=False)
 
     # -- wiring ---------------------------------------------------------
@@ -174,12 +178,20 @@ class Consumer:
             .select("id", "ms", "seq", "payload")
         )
 
+    def _stream(self, spark: SparkSession):
+        reader = spark.readStream.schema(MESSAGE_SCHEMA)
+        if self.max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(self.max_files_per_trigger)
+            )
+        return reader.parquet(self.log.path)
+
     def run_once(self, spark: SparkSession) -> None:
         """Drain everything currently in the log, then stop
         (Trigger.AvailableNow) — one supervised consumer lifetime."""
         self._resolved = self._resolve_start(spark)
         q = (
-            self.log.read_stream(spark)
+            self._stream(spark)
             .writeStream.foreachBatch(self._apply_batch)
             .option("checkpointLocation", self.checkpoint_dir)
             .trigger(availableNow=True)
@@ -199,7 +211,7 @@ class Consumer:
         """
         self._resolved = self._resolve_start(spark)
         return (
-            self.log.read_stream(spark)
+            self._stream(spark)
             .writeStream.foreachBatch(self._apply_batch)
             .option("checkpointLocation", self.checkpoint_dir)
             .trigger(processingTime=f"{poll_seconds} seconds")

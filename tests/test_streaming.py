@@ -260,3 +260,91 @@ def test_log_compaction_preserves_messages_and_positions(spark, log, ckpt):
     rec = Recorder()
     Consumer(log, rec, ckpt).run_once(spark)
     assert [i for i, _ in rec.seen] == ids
+
+
+def test_group_exclusive_delivery_across_consumers(spark, log, ckpt):
+    # consumer_test.exs:167-220 — within one group, each message is
+    # processed by exactly one consumer. Group position is the shared
+    # checkpoint; consumers attach to it in turn (Spark's unit of
+    # intra-group parallelism is the task, not the process — SURVEY §1.1).
+    ra, rb = Recorder(), Recorder()
+    ids1 = log.produce_many(spark, [{"key": f"a{i}"} for i in range(3)])
+    Consumer(log, ra, ckpt, group_name="g", consumer_name="c1").run_once(spark)
+    ids2 = log.produce_many(spark, [{"key": f"b{i}"} for i in range(2)])
+    Consumer(log, rb, ckpt, group_name="g", consumer_name="c2").run_once(spark)
+    got_a = {i for i, _ in ra.seen}
+    got_b = {i for i, _ in rb.seen}
+    assert got_a | got_b == set(ids1 + ids2)  # group saw everything
+    assert not (got_a & got_b)                # each message exactly one consumer
+
+
+def test_start_pos_matrix(spark, log, tmp_path):
+    # SURVEY §7 hard part 4 — the R11 resolution matrix (consumer.ex:71-91):
+    # explicit position skips everything at or before it; an existing
+    # checkpoint DOMINATES any configured start_pos.
+    ids = log.produce_many(spark, [{"key": f"v{i}"} for i in range(4)])
+    ms, seq = map(int, ids[1].split("-"))
+
+    # explicit position: start strictly after the 2nd message
+    r1 = Recorder()
+    Consumer(log, r1, str(tmp_path / "ck-exp"), start_pos=(ms, seq)).run_once(spark)
+    assert [i for i, _ in r1.seen] == ids[2:]
+
+    # checkpoint dominates: same checkpoint, now configured end_of_stream —
+    # must resume from the committed position, not skip to the end
+    log.produce_many(spark, [{"key": "tail"}])
+    r2 = Recorder()
+    c2 = Consumer(
+        log, r2, str(tmp_path / "ck-exp"), start_pos="end_of_stream"
+    ).attach(spark)
+    c2.run_once(spark)
+    assert [p["key"] for _, p in r2.seen] == ["tail"]
+
+    # bad start_pos rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        Consumer(log, r2, str(tmp_path / "ck-bad"), start_pos="nonsense").run_once(spark)
+
+
+def test_backpressure_bounds_batches(spark, log, tmp_path):
+    # max_files_per_trigger bounds each micro-batch (R3 + COUNT, the knob
+    # the reference lacks): 4 produce batches -> 4 files -> 4 micro-batches.
+    batches: list[int] = []
+
+    class Counting(Recorder):
+        def __call__(self, i, p):
+            return super().__call__(i, p)
+
+    rec = Counting()
+    for i in range(4):
+        log.produce_many(spark, [{"key": f"v{i}a"}, {"key": f"v{i}b"}])
+    seen_per_batch = []
+    c = Consumer(log, rec, str(tmp_path / "ck-bp"), max_files_per_trigger=1)
+    orig = c._apply_batch
+
+    def counting_apply(batch, epoch):
+        n0 = len(rec.seen)
+        orig(batch, epoch)
+        seen_per_batch.append(len(rec.seen) - n0)
+
+    c._apply_batch = counting_apply
+    c.run_once(spark)
+    assert len(rec.seen) == 8
+    assert len([b for b in seen_per_batch if b]) == 4
+    assert max(seen_per_batch) <= 2
+
+
+def test_idempotent_sink_replay_is_noop(spark, log, tmp_path):
+    # at-least-once + idempotent epoch writes = effective exactly-once
+    from redix_stream_spark.streaming.sinks import idempotent_parquet_sink, read_sink
+
+    sink_path = str(tmp_path / "sink")
+    write = idempotent_parquet_sink(sink_path)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    write(df, 7)
+    write(df, 7)  # replayed epoch (simulated crash-redelivery)
+    out = read_sink(spark, sink_path)
+    assert out.count() == 2  # no duplication
+    write(spark.createDataFrame([(3, "c")], "id long, v string"), 8)
+    assert read_sink(spark, sink_path).count() == 3
