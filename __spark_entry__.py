@@ -11,9 +11,17 @@ for the operator inventory each name maps to.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Import insurance: make the engine package importable regardless of the
+# caller's working directory.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from redix_stream_spark import registry
 from redix_stream_spark.session import tune

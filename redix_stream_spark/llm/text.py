@@ -274,3 +274,35 @@ def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     fractions = {"en": 0.25, "de": 1.0, "fr": 1.0, "es": 1.0, "zh": 1.0}
     return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")
+
+
+Q58_SQL = r"""
+SELECT
+  doc_id,
+  regexp_replace(
+    regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+    '\d{3}[-.]?\d{3}[-.]?\d{4}', '<PHONE>', 'g'
+  ) AS scrubbed,
+  CAST(LEN(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) AS BIGINT) AS n_emails,
+  CAST(LEN(regexp_extract_all(text, '\d+')) AS BIGINT) AS n_numbers
+FROM documents
+"""
+
+
+@register("q58_pii_scrub", Q58_SQL)
+def q58_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email/phone redaction + counts — the standard
+    pre-training cleaning pass, all JVM-side regex (one scan, no shuffle,
+    linear at 100 TB)."""
+    d = load_table(spark, sf_dir, "documents")
+    email = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
+    phone = r"\d{3}[-.]?\d{3}[-.]?\d{4}"
+    scrub = F.regexp_replace(
+        F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        scrub.alias("scrubbed"),
+        F.size(F.expr(f"regexp_extract_all(text, '{email}')")).cast("long").alias("n_emails"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\d+')")).cast("long").alias("n_numbers"),
+    )
