@@ -87,6 +87,11 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload") -> DataF
             out.insert(1, "n_bytes", [len(p) for p in pdf[payload_col]])
             yield out[[f.name for f in IMAGE_FEATURES_SCHEMA.fields]]
 
+    from ..session import ship_package
+
+    # ``run`` closes over module-level symbols (decode_image_stub, the
+    # schema) that executors import by reference — ship the package.
+    ship_package(df.sparkSession)
     return df.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 

@@ -19,6 +19,7 @@ Every default below is chosen to survive that scale-up:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -71,4 +72,41 @@ def tune(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    ship_package(spark)
     return spark
+
+
+_shipped_contexts: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``redix_stream_spark`` importable on executor Python workers.
+
+    Closures that reference module-level engine objects (HandlerResult,
+    decode stubs, …) pickle those by *reference*; workers then import the
+    module — which fails whenever the driver process found the package via
+    a sys.path entry the workers don't share (e.g. the correctness driver
+    running from another cwd). Shipping a zip via ``addPyFile`` makes the
+    import self-contained; on a real cluster this is also exactly how the
+    engine reaches 1000 executors without any image baking.
+    """
+    import zipfile
+
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _shipped_contexts:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"redix_stream_spark-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    _shipped_contexts.add(key)

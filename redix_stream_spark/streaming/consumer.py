@@ -43,6 +43,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import ship_package
 from .log import MESSAGE_SCHEMA, TOMBSTONE, EventLog
 
 
@@ -123,13 +124,15 @@ class Consumer:
             | ((F.col("ms") == lo_ms) & (F.col("seq") > lo_seq))
         )
         if self.ordering == "strict":
-            rows = filtered.orderBy("ms", "seq").collect()
-        else:  # by_key: per-key order, parallel across keys
-            rows = (
-                filtered.repartition(F.col("payload").getItem("key"))
-                .sortWithinPartitions("ms", "seq")
-                .collect()
-            )
+            self._apply_strict(spark, filtered)
+        else:
+            self._apply_by_key(spark, filtered)
+
+    def _apply_strict(self, spark: SparkSession, filtered: DataFrame) -> None:
+        """Parity mode: global (ms, seq) order, driver-side apply — exactly
+        the reference's single-process sequential loop (README.md:124).
+        Inherently single-stream; use by_key for scale."""
+        rows = filtered.orderBy("ms", "seq").collect()
         acks: list[str] = []
         failures: list[tuple[str, str]] = []
         for r in rows:
@@ -152,6 +155,58 @@ class Consumer:
             spark.createDataFrame(failures, "id string, error string").coalesce(
                 1
             ).write.mode("append").parquet(self.dlq_dir)
+
+    def _apply_by_key(self, spark: SparkSession, filtered: DataFrame) -> None:
+        """Scale mode: handlers run ON THE EXECUTORS, per-key ordered.
+
+        Messages are hash-partitioned by ``payload['key']`` and sorted by
+        (ms, seq) within each partition, so every key sees its messages in
+        log order while keys process in parallel (SURVEY §7 hard part 2 —
+        the Kafka-style relaxation). The handler must be serializable and
+        its side effects executor-safe; only (id, status) tuples flow back,
+        never payloads — no driver bottleneck at any batch size.
+        A handler raise fails the task → Spark retries the task → the
+        micro-batch is at-least-once at task granularity.
+        """
+        handler = self.handler
+        raise_errors = self.raise_errors
+
+        def run_partition(rows):
+            for r in rows:
+                payload = dict(r["payload"]) if r["payload"] is not None else {}
+                if payload == TOMBSTONE:  # R10
+                    continue
+                try:
+                    result = handler(r["id"], payload)
+                except Exception as e:  # R9
+                    if raise_errors:
+                        raise
+                    yield (r["id"], "error", repr(e))
+                    continue
+                if result is None or result == HandlerResult.OK:
+                    yield (r["id"], "ok", None)
+                else:
+                    yield (r["id"], "defer", None)
+
+        prepared = (
+            filtered.withColumn(
+                "__k", F.coalesce(F.col("payload").getItem("key"), F.lit(""))
+            )
+            .repartition(F.col("__k"))
+            .sortWithinPartitions("ms", "seq")
+        )
+        results = spark.createDataFrame(
+            prepared.rdd.mapPartitions(run_partition),
+            "id string, status string, error string",
+        ).cache()
+        try:
+            acks = results.filter(F.col("status") == "ok").select("id")
+            acks.write.mode("append").parquet(self.ack_dir)
+            failures = results.filter(F.col("status") == "error").select("id", "error")
+            if failures.limit(1).count():
+                failures.write.mode("append").parquet(self.dlq_dir)
+        finally:
+            results.unpersist()
 
     def _append_acks(self, spark: SparkSession, ids: list[str]) -> None:
         spark.createDataFrame([(i,) for i in ids], "id string").coalesce(1).write.mode(
@@ -189,6 +244,7 @@ class Consumer:
     def run_once(self, spark: SparkSession) -> None:
         """Drain everything currently in the log, then stop
         (Trigger.AvailableNow) — one supervised consumer lifetime."""
+        ship_package(spark)  # executor workers must import engine modules
         self._resolved = self._resolve_start(spark)
         q = (
             self._stream(spark)
@@ -209,6 +265,7 @@ class Consumer:
         """The continuous loop (R3's BLOCK-and-re-arm, default 2000 ms —
         consumer.ex:20). Returns the StreamingQuery; caller owns stop().
         """
+        ship_package(spark)  # executor workers must import engine modules
         self._resolved = self._resolve_start(spark)
         return (
             self._stream(spark)

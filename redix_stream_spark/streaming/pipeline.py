@@ -26,6 +26,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import ship_package
 from .log import MESSAGE_SCHEMA, EventLog
 
 #: A pure handler: DataFrame of messages in → DataFrame of messages out.
@@ -49,6 +50,7 @@ class Pipeline:
 
     def run_once(self, spark: SparkSession) -> None:
         """Drain the source through the transform into the sink."""
+        ship_package(spark)
         q = (
             self.source.read_stream(spark)
             .writeStream.foreachBatch(self._apply)
@@ -62,6 +64,7 @@ class Pipeline:
 
     def run_forever(self, spark: SparkSession, poll_seconds: float = 2.0):
         """Continuous log→log processing; caller owns the returned query."""
+        ship_package(spark)
         return (
             self.source.read_stream(spark)
             .writeStream.foreachBatch(self._apply)

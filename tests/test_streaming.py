@@ -144,14 +144,27 @@ def test_error_routing_to_dlq_when_not_raising(spark, log, ckpt):
 def test_by_key_ordering_preserves_per_key_order(spark, log, ckpt):
     # SURVEY §7 hard part 2: the documented scale relaxation — per-key
     # order (like per-partition Kafka ordering) instead of global order.
-    rec = Recorder()
+    # by_key handlers run ON THE EXECUTORS, so the test observes through
+    # accumulators (order violations counted where the handler runs) and
+    # the ack log (completion), never driver-side state.
+    processed = spark.sparkContext.accumulator(0)
+    violations = spark.sparkContext.accumulator(0)
+
+    def handler(mid, payload, _last={}):  # noqa: B006 — worker-local memory
+        k, n = payload["key"], int(payload["n"])
+        if k in _last and _last[k] >= n:
+            violations.add(1)
+        _last[k] = n
+        processed.add(1)
+        return HandlerResult.OK
+
     msgs = [{"key": f"k{i % 3}", "n": i} for i in range(12)]
     log.produce_many(spark, msgs)
-    Consumer(log, rec, ckpt, ordering="by_key").run_once(spark)
-    assert len(rec.seen) == 12
-    for k in ("k0", "k1", "k2"):
-        ns = [int(p["n"]) for _, p in rec.seen if p["key"] == k]
-        assert ns == sorted(ns), f"per-key order broken for {k}: {ns}"
+    c = Consumer(log, handler, ckpt, consumer_name="bk", ordering="by_key")
+    c.run_once(spark)
+    assert processed.value == 12
+    assert violations.value == 0
+    assert c.pending(spark).count() == 0  # every message acked
 
 
 def test_eventlog_datasource_incremental(spark):
@@ -348,3 +361,22 @@ def test_idempotent_sink_replay_is_noop(spark, log, tmp_path):
     assert out.count() == 2  # no duplication
     write(spark.createDataFrame([(3, "c")], "id long, v string"), 8)
     assert read_sink(spark, sink_path).count() == 3
+
+
+def test_by_key_dlq_and_pending(spark, log, ckpt):
+    # executor-side error routing: failures land in the DLQ distributedly
+    # and stay unacked (pending), successes ack — no driver involvement.
+    def handler(mid, payload):
+        if payload["key"] == "bad":
+            raise RuntimeError("handler failure")
+        return HandlerResult.OK
+
+    log.produce_many(spark, [{"key": "good"}, {"key": "bad"}, {"key": "also_good"}])
+    c = Consumer(
+        log, handler, ckpt, consumer_name="bkd", ordering="by_key", raise_errors=False
+    )
+    c.run_once(spark)
+    pend = sorted(r["payload"]["key"] for r in c.pending(spark).collect())
+    assert pend == ["bad"]
+    dlq = spark.read.parquet(c.dlq_dir)
+    assert dlq.count() == 1 and "handler failure" in dlq.collect()[0]["error"]
