@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis) for the engine's pure kernels —
+the invariants the example-based suites can't sweep."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from redix_stream_spark.llm.dedup import MERSENNE_P, N_BANDS, N_PERMS, PERM_PARAMS
+from redix_stream_spark.streaming.log import TOMBSTONE, _stringify
+
+from .oracle_check import canon_rows, compare
+
+import pandas as pd
+
+payloads = st.dictionaries(
+    st.text(min_size=0, max_size=8),
+    st.one_of(st.text(max_size=12), st.integers(), st.floats(allow_nan=False)),
+    max_size=6,
+)
+
+
+@given(payloads)
+def test_stringify_matches_reference_coercion(payload):
+    # stream.ex:16-17,30 — every key/value becomes a string; idempotent.
+    out = _stringify(payload)
+    assert all(isinstance(k, str) and isinstance(v, str) for k, v in out.items())
+    assert _stringify(out) == out
+    assert set(out) == {str(k) for k in payload}
+
+
+def test_tombstone_is_its_own_stringification():
+    assert _stringify(TOMBSTONE) == TOMBSTONE
+
+
+def test_minhash_parameters_well_formed():
+    # a ∈ [1, p): the permutation must be a bijection mod p (a ≠ 0);
+    # fixed length and bands dividing perms keep banding total.
+    assert len(PERM_PARAMS) == N_PERMS
+    assert N_PERMS % N_BANDS == 0
+    for a, b in PERM_PARAMS:
+        assert 1 <= a < MERSENNE_P
+        assert 0 <= b < MERSENNE_P
+
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(max_size=6),
+    ),
+    max_size=8,
+)
+
+
+@given(rows)
+@settings(max_examples=50)
+def test_compare_is_order_and_column_order_insensitive(data):
+    # The local oracle harness must treat row order and column order as
+    # irrelevant — exactly like the driver's order-insensitive hash.
+    df1 = pd.DataFrame(data, columns=["a", "b", "c"])
+    df2 = df1.iloc[::-1][["c", "a", "b"]]
+    assert canon_rows(df1) == canon_rows(df2[["a", "b", "c"]])
+    assert compare(df1, df2) == []
+
+
+@given(rows, st.integers(min_value=0, max_value=7))
+@settings(max_examples=50)
+def test_compare_detects_any_single_cell_change(data, seed):
+    if not data:
+        return
+    df1 = pd.DataFrame(data, columns=["a", "b", "c"])
+    df2 = df1.copy()
+    i = seed % len(df2)
+    df2.loc[i, "a"] = df2.loc[i, "a"] + 1
+    assert compare(df1, df2) != []
