@@ -223,3 +223,51 @@ def q42_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@register("q43b_ann_ivf_topk")  # rows-only: quantizer cells are engine-internal
+def q43b_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize with seeded k-means, probe the
+    nearest cells only.
+
+    The inverted-file pattern: fit a small k-means codebook (k=8, fixed
+    seed — deterministic across runs), assign every vector to its cell,
+    and search only the ``nprobe`` cells whose centroids are most similar
+    to the probe. At 100 TB the cell id is the partition key (the probe
+    reads nprobe/k of the corpus) and the codebook is a broadcast; the
+    fit runs on a sample, not the corpus. Recall vs the exact baseline is
+    asserted in tests/test_llm.py; the fit-free alternative is q42 (LSH).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    k, nprobe = 8, 3
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.withColumn("features", array_to_vector("embedding"))
+    model = KMeans(k=k, seed=42, maxIter=10).fit(vecs.select("features"))
+    assigned = model.transform(vecs).withColumnRenamed("prediction", "cell")
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    probe = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    cells = (
+        centroids.crossJoin(F.broadcast(probe))
+        .select("cell", cosine(F.col("centroid"), F.col("qv")).alias("csim"))
+        .orderBy(F.col("csim").desc())
+        .limit(nprobe)
+        .select("cell")
+    )
+    cand = (
+        assigned.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(cells), "cell")
+        .crossJoin(F.broadcast(probe))
+    )
+    sim = cosine(F.col("embedding"), F.col("qv"))
+    return (
+        cand.select("vec_id", "label", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )

@@ -303,6 +303,38 @@ def q58_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         scrub.alias("scrubbed"),
-        F.size(F.expr(f"regexp_extract_all(text, '{email}')")).cast("long").alias("n_emails"),
-        F.size(F.expr(r"regexp_extract_all(text, '\\d+')")).cast("long").alias("n_numbers"),
+        F.size(F.regexp_extract_all("text", F.lit(email), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\d+"), 0)).cast("long").alias("n_numbers"),
+    )
+
+
+Q59_SQL = r"""
+SELECT
+  doc_id,
+  CAST(LEN(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+  CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_ish_tokens,
+  CAST(LEN(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS numeric_tokens,
+  CAST(CEIL(LEN(text) / 4.0) AS BIGINT) AS byte_len_estimate
+FROM documents
+"""
+
+
+@register("q59_token_counting", Q59_SQL)
+def q59_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex
+    (words / numbers / single punctuation — the pre-tokenizer split every
+    BPE vocabulary refines), plus the chars/4 budget estimate. One scan,
+    all JVM regex — the canonical corpus-sizing pass at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return d.select(
+        "doc_id",
+        F.size(tokens()).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(bpe), 0)).cast("long").alias(
+            "bpe_ish_tokens"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).cast("long").alias(
+            "numeric_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("byte_len_estimate"),
     )

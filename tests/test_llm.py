@@ -160,3 +160,15 @@ def test_decode_stub_raises_without_fake_flag():
 
     with _pytest.raises(NotImplementedError):
         decode_image_stub(b"bytes")
+
+
+def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
+    from redix_stream_spark.registry import all_queries
+
+    Q = all_queries()
+    exact = [r["vec_id"] for r in Q["q40_cosine_topk"](spark, sf_dir).collect()]
+    ivf = [r["vec_id"] for r in Q["q43b_ann_ivf_topk"](spark, sf_dir).collect()]
+    # clustered embeddings: the true neighbours live in the probe's own
+    # cell (plus runner-up), so 2-cell IVF should recall most of top-10
+    overlap = len(set(exact) & set(ivf))
+    assert overlap >= 5, (exact, ivf)
