@@ -61,6 +61,12 @@ class EventLog:
     def __init__(self, path: str):
         self.path = path
         os.makedirs(path, exist_ok=True)
+        # Single-writer id cursor (ms, seq): the log owner assigns ids like
+        # the reference's Redis server does. Initialized lazily from the
+        # files once, then advanced in memory — produce is O(batch), not
+        # O(log). A second writer process would need to re-scan (same
+        # constraint as Redis: one server owns the id sequence).
+        self._cursor: tuple[int, int] | None = None
 
     # -- produce (R1) --------------------------------------------------
 
@@ -72,9 +78,16 @@ class EventLog:
         return self.produce_many(spark, [payload])[0]
 
     def produce_many(self, spark: SparkSession, payloads: list[dict]) -> list[str]:
-        """Append a batch; ids share one millis stamp with consecutive seqs."""
-        ms = int(time.time() * 1000)
-        base = self._next_seq(spark, ms)
+        """Append a batch; ids share one millis stamp with consecutive seqs.
+
+        Id monotonicity mirrors Redis XADD: the stamp never goes backwards
+        even if the clock does, and seq increments within a stamp.
+        """
+        if self._cursor is None:
+            self._cursor = self.max_position(spark)
+        last_ms, last_seq = self._cursor
+        ms = max(int(time.time() * 1000), last_ms)
+        base = last_seq + 1 if ms == last_ms else 0
         rows = [
             (ms, base + i, f"{ms}-{base + i}", _stringify(p))
             for i, p in enumerate(payloads)
@@ -82,6 +95,7 @@ class EventLog:
         df = spark.createDataFrame(rows, MESSAGE_SCHEMA)
         # coalesce(1): a produce batch is one append, like one XADD pipeline.
         df.coalesce(1).write.mode("append").parquet(self.path)
+        self._cursor = (ms, base + len(payloads) - 1)
         return [r[2] for r in rows]
 
     def produce_df(self, df: DataFrame) -> None:
@@ -91,19 +105,6 @@ class EventLog:
         (E3) where the caller controls partitioning.
         """
         df.select(*MESSAGE_SCHEMA.fieldNames()).write.mode("append").parquet(self.path)
-
-    def _next_seq(self, spark: SparkSession, ms: int) -> int:
-        """Seq allocation within a millisecond stamp (single-writer log)."""
-        if not self._has_data():
-            return 0
-        row = (
-            spark.read.schema(MESSAGE_SCHEMA)
-            .parquet(self.path)
-            .filter(F.col("ms") == ms)
-            .agg(F.max("seq").alias("m"))
-            .collect()[0]
-        )
-        return 0 if row["m"] is None else row["m"] + 1
 
     def _has_data(self) -> bool:
         return any(f.endswith(".parquet") for f in os.listdir(self.path))

@@ -380,3 +380,48 @@ def test_by_key_dlq_and_pending(spark, log, ckpt):
     assert pend == ["bad"]
     dlq = spark.read.parquet(c.dlq_dir)
     assert dlq.count() == 1 and "handler failure" in dlq.collect()[0]["error"]
+
+
+def test_slow_handler_backlog_delivers_all_in_order(spark, log, ckpt):
+    # consumer_test.exs:135-165 — a slow handler (sleep) still delivers the
+    # whole backlog in order, just late.
+    import time as _t
+
+    class Slow(Recorder):
+        def __call__(self, i, p):
+            _t.sleep(0.05)
+            return super().__call__(i, p)
+
+    rec = Slow()
+    ids = log.produce_many(spark, [{"key": f"v{i}"} for i in range(10)])
+    Consumer(log, rec, ckpt).run_once(spark)
+    assert [i for i, _ in rec.seen] == ids
+
+
+def test_graceful_stop_leaves_unprocessed_pending(spark, log, ckpt):
+    # consumer_test.exs:324-401 — stopping a consumer leaves unacked
+    # messages pending; a successor picks them up, already-acked ones are
+    # not redelivered *after* an epoch committed.
+    import time as _t
+
+    rec = Recorder()
+    log.produce_many(spark, [{"key": "m1"}])
+    c = Consumer(log, rec, ckpt, group_name="gs")
+    c.run_once(spark)  # epoch committed: m1 processed + acked
+    q = c.run_forever(spark, poll_seconds=0.5)
+    try:
+        log.produce_many(spark, [{"key": "m2"}, {"key": "m3"}])
+        deadline = _t.time() + 60
+        while len(rec.seen) < 3 and _t.time() < deadline:
+            _t.sleep(0.2)
+    finally:
+        q.stop()  # graceful: in-flight batch completes or is uncommitted
+    # whatever was not acked at stop time is pending for the successor
+    successor = Recorder()
+    c2 = Consumer(log, successor, ckpt, group_name="gs")
+    c2.run_once(spark)
+    all_keys = {p["key"] for _, p in rec.seen} | {p["key"] for _, p in successor.seen}
+    assert all_keys == {"m1", "m2", "m3"}
+    assert c2.pending(spark).count() == 0
+    # m1's epoch was committed before the second consumer ran — never redelivered
+    assert "m1" not in {p["key"] for _, p in successor.seen}
