@@ -119,6 +119,27 @@ class EventLog:
         """Unbounded read — new files appear as new micro-batch input."""
         return spark.readStream.schema(MESSAGE_SCHEMA).parquet(self.path)
 
+    @staticmethod
+    def union_read_stream(spark: SparkSession, logs: list["EventLog"]) -> DataFrame:
+        """One unbounded stream over several logs, each row tagged with its
+        source log path.
+
+        The reference documents multi-stream consumption ("the given topic
+        or topics", stream.ex:41-42) but implements exactly one stream per
+        consumer (consumer.ex:168,269 pins the single name); Spark's
+        streaming union makes the multi-log case native. Ordering holds
+        per log (ids are per-log); cross-log order is arrival order, as in
+        any multi-topic consumer.
+        """
+        streams = [
+            log.read_stream(spark).withColumn("stream", F.lit(log.path))
+            for log in logs
+        ]
+        out = streams[0]
+        for s in streams[1:]:
+            out = out.unionByName(s)
+        return out
+
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
         """Rewrite the log into ``target_files`` parquet files (R12-adjacent
         housekeeping).

@@ -425,3 +425,32 @@ def test_graceful_stop_leaves_unprocessed_pending(spark, log, ckpt):
     assert c2.pending(spark).count() == 0
     # m1's epoch was committed before the second consumer ran — never redelivered
     assert "m1" not in {p["key"] for _, p in successor.seen}
+
+
+def test_union_read_stream_consumes_multiple_logs(spark, tmp_path):
+    # Beyond the reference (stream.ex:41-42 hints multi-topic, implements
+    # one): a single query drains several logs, rows tagged by source.
+    la, lb = EventLog(str(tmp_path / "la")), EventLog(str(tmp_path / "lb"))
+    la.produce_many(spark, [{"k": "a1"}, {"k": "a2"}])
+    lb.produce_many(spark, [{"k": "b1"}])
+    seen: list[tuple[str, str]] = []
+
+    def sink(df, epoch):
+        seen.extend(
+            (r["stream"], r["payload"]["k"])
+            for r in df.orderBy("ms", "seq").collect()
+        )
+
+    q = (
+        EventLog.union_read_stream(spark, [la, lb])
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    by_log = {}
+    for stream, k in seen:
+        by_log.setdefault(stream, []).append(k)
+    assert by_log[la.path] == ["a1", "a2"]   # per-log order preserved
+    assert by_log[lb.path] == ["b1"]
