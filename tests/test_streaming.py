@@ -454,3 +454,29 @@ def test_union_read_stream_consumes_multiple_logs(spark, tmp_path):
         by_log.setdefault(stream, []).append(k)
     assert by_log[la.path] == ["a1", "a2"]   # per-log order preserved
     assert by_log[lb.path] == ["b1"]
+
+
+def test_metrics_listener_captures_progress(spark, log, ckpt, tmp_path):
+    import json as _json
+
+    from redix_stream_spark.streaming.metrics import MetricsListener
+
+    jsonl = str(tmp_path / "metrics.jsonl")
+    listener = MetricsListener(jsonl_path=jsonl)
+    spark.streams.addListener(listener)
+    try:
+        log.produce_many(spark, [{"key": f"v{i}"} for i in range(4)])
+        Consumer(log, Recorder(), ckpt).run_once(spark)
+        import time as _t
+
+        deadline = _t.time() + 30
+        while listener.total_input_rows() < 4 and _t.time() < deadline:
+            _t.sleep(0.3)
+    finally:
+        spark.streams.removeListener(listener)
+    assert listener.total_input_rows() >= 4
+    events = {r["event"] for r in listener.records}
+    assert "started" in events and "progress" in events
+    with open(jsonl) as f:
+        lines = [_json.loads(l) for l in f]
+    assert any(r["event"] == "progress" and r["numInputRows"] for r in lines)
