@@ -90,6 +90,7 @@ def ship_package(spark: SparkSession) -> None:
     import self-contained; on a real cluster this is also exactly how the
     engine reaches 1000 executors without any image baking.
     """
+    import hashlib
     import zipfile
 
     sc = spark.sparkContext
@@ -98,15 +99,26 @@ def ship_package(spark: SparkSession) -> None:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
+    sources = []
+    for dirpath, _, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(dirpath, f)
+                sources.append((os.path.relpath(full, root), full))
+    sources.sort()
+    # Content-addressed zip name: a changed package gets a fresh file
+    # (pid-based names collide with stale zips when pids recycle).
+    digest = hashlib.md5()
+    for rel, full in sources:
+        digest.update(rel.encode())
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
     zpath = os.path.join(
-        tempfile.gettempdir(), f"redix_stream_spark-{os.getpid()}.zip"
+        tempfile.gettempdir(), f"redix_stream_spark-{digest.hexdigest()[:16]}.zip"
     )
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath, "w") as z:
-            for dirpath, _, files in os.walk(pkg_dir):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(dirpath, f)
-                        z.write(full, os.path.relpath(full, root))
+            for rel, full in sources:
+                z.write(full, rel)
     sc.addPyFile(zpath)
     _shipped_contexts.add(key)

@@ -29,7 +29,9 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -59,6 +61,11 @@ class EventLogDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> "EventLogStreamReader":
         return EventLogStreamReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "EventLogWriter":
+        if overwrite:
+            raise ValueError("eventlog is append-only (reference R1: XADD)")
+        return EventLogWriter(self.options)
 
 
 class EventLogStreamReader(DataSourceStreamReader):
@@ -146,3 +153,59 @@ class EventLogStreamReader(DataSourceStreamReader):
         for batch in pa.table(dict(zip(names, cols))).to_batches():
             for r in batch.to_pylist():
                 yield tuple(r[c] for c in names)
+
+
+# ---------------------------------------------------------------------------
+# Writer half: format("eventlog") as a sink (E3 through the connector API).
+# ---------------------------------------------------------------------------
+
+
+class EventLogWriteCommit(WriterCommitMessage):
+    def __init__(self, files: list[str]):
+        self.files = files
+
+
+class EventLogWriter(DataSourceWriter):
+    """Append-only writer: each task writes one parquet part file of
+    message rows; commit is rename-free (parquet files are immutable and
+    readers key on row content, not file names), abort removes the task's
+    files. Ids must be pre-assigned by the producer — the single-writer
+    id authority lives in EventLog, exactly like the reference's Redis
+    server owns XADD ids (stream.ex:29)."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("eventlog sink requires option 'path'")
+
+    def write(self, iterator) -> EventLogWriteCommit:
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(iterator)
+        if not rows:
+            return EventLogWriteCommit([])
+        cols = rows[0].__fields__
+        table = pa.table(
+            {c: [getattr(r, c) for r in rows] for c in cols}
+        )
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, fname)
+        return EventLogWriteCommit([fname])
+
+    def commit(self, messages) -> None:
+        pass  # files are already durable and self-contained
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            for f in m.files:
+                if os.path.exists(f):
+                    os.remove(f)

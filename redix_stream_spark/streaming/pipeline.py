@@ -50,6 +50,8 @@ class Pipeline:
 
     def run_once(self, spark: SparkSession) -> None:
         """Drain the source through the transform into the sink."""
+        from pyspark.errors.exceptions.captured import StreamingQueryException
+
         ship_package(spark)
         q = (
             self.source.read_stream(spark)
@@ -58,7 +60,12 @@ class Pipeline:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        try:
+            q.awaitTermination()
+        except StreamingQueryException as e:
+            # Normalize: the failed epoch stays uncommitted; a rerun
+            # replays it (at-least-once, reference parity).
+            raise RuntimeError(f"pipeline crashed: {e}") from e
         if q.exception() is not None:
             raise RuntimeError(f"pipeline crashed: {q.exception()}")
 

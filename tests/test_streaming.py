@@ -169,9 +169,9 @@ def test_by_key_ordering_preserves_per_key_order(spark, log, ckpt):
 
 def test_eventlog_datasource_incremental(spark):
     # R3 as a custom source: bounded micro-batches by id range
-    from redix_stream_spark.sources.eventlog_source import EventLogDataSource
+    from redix_stream_spark.sources import register_eventlog_source
 
-    spark.dataSource.register(EventLogDataSource)
+    register_eventlog_source(spark)
     seen_batches: list[int] = []
 
     def sink(df, epoch):
@@ -480,3 +480,52 @@ def test_metrics_listener_captures_progress(spark, log, ckpt, tmp_path):
     with open(jsonl) as f:
         lines = [_json.loads(l) for l in f]
     assert any(r["event"] == "progress" and r["numInputRows"] for r in lines)
+
+
+def test_eventlog_datasource_writer_roundtrip(spark, tmp_path):
+    # The connector's sink half: write through format("eventlog"), read
+    # back with the batch reader — append-only, overwrite rejected.
+    from redix_stream_spark.sources import register_eventlog_source
+
+    register_eventlog_source(spark)
+    out = str(tmp_path / "sink-log")
+    df = spark.createDataFrame(
+        [(1, 100, "a"), (2, 200, "b")], "event_id long, user_id long, event_type string"
+    )
+    df.write.format("eventlog").option("path", out).mode("append").save()
+    df.write.format("eventlog").option("path", out).mode("append").save()
+    back = spark.read.parquet(out)
+    assert back.count() == 4
+    assert {r["event_type"] for r in back.collect()} == {"a", "b"}
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        df.write.format("eventlog").option("path", out).mode("overwrite").save()
+
+
+def test_pipeline_crash_resume(spark, tmp_path):
+    # A transform that fails once mid-stream: the checkpoint replays the
+    # failed epoch on restart; the sink ends up complete.
+    from pyspark.sql import functions as F
+
+    from redix_stream_spark.streaming.pipeline import Pipeline
+
+    src = EventLog(str(tmp_path / "psrc"))
+    dst = EventLog(str(tmp_path / "pdst"))
+    src.produce_many(spark, [{"k": str(i)} for i in range(3)])
+    state = {"fail": True}
+
+    def flaky(df):
+        if state["fail"]:
+            state["fail"] = False
+            raise RuntimeError("transform crash")
+        return df
+
+    p = Pipeline(src, dst, flaky, str(tmp_path / "pck"))
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        p.run_once(spark)
+    assert dst.read(spark).count() == 0  # nothing committed
+    p.run_once(spark)  # restart: uncommitted epoch replayed
+    assert dst.read(spark).count() == 3

@@ -20,9 +20,9 @@ def test_eventlog_source_feeds_windowed_aggregation(spark):
     the events log incrementally and aggregate per hour; totals must match
     the batch answer exactly once the stream drains."""
     from redix_stream_spark.catalog import load_table
-    from redix_stream_spark.sources.eventlog_source import EventLogDataSource
+    from redix_stream_spark.sources import register_eventlog_source
 
-    spark.dataSource.register(EventLogDataSource)
+    register_eventlog_source(spark)
     agg_state: dict = {}  # latest emitted count per (window, type)
 
     def sink(df, epoch):
