@@ -64,3 +64,32 @@ def test_write_partitioned_layout_and_pruning(spark, sf_dir, tmp_path):
     plan = formatted_plan(pruned)
     assert "PartitionFilters: [isnotnull(event_type" in plan
     assert pruned.count() == e.filter(F.col("event_type") == "click").count()
+
+
+def test_multi_format_ingest_roundtrip(spark, sf_dir, tmp_path):
+    from redix_stream_spark.sources.ingest import convert, read_any
+
+    src = load_table(spark, sf_dir, "nation")
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    # land the same relation in three foreign formats, read each back
+    csv_p, json_p, orc_p = (str(tmp_path / x) for x in ("c", "j", "o"))
+    src.write.mode("overwrite").option("header", "true").csv(csv_p)
+    src.write.mode("overwrite").json(json_p)
+    src.write.mode("overwrite").orc(orc_p)
+    for fmt, path in [("csv", csv_p), ("json", json_p), ("orc", orc_p)]:
+        back = read_any(spark, path, fmt, schema=schema)
+        assert back.count() == 25, fmt
+        assert {r["n_name"] for r in back.collect()} == {
+            r["n_name"] for r in src.collect()
+        }, fmt
+    # convert: foreign format -> partitioned parquet
+    n = convert(
+        spark, csv_p, "csv", str(tmp_path / "landed"),
+        schema=schema, partition_cols=["n_regionkey"],
+    )
+    assert n == 25
+    # schema-less structured ingest is rejected (scale rule)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_any(spark, csv_p, "csv")
