@@ -149,3 +149,84 @@ def q43_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(
         documents_as_blobs(spark, sf_dir).select("doc_id", "payload")
     )
+
+
+def resize_image_stub(
+    payload: bytes, width: int, height: int, *, deterministic_fake: bool = False
+) -> bytes:
+    """Resize an image payload to (width, height).
+
+    STUB: real resizing needs an imaging library. The deterministic fake
+    re-derives bytes from (payload digest, target dims) so the output is
+    stable and size-plausible — enough to exercise the binary-in /
+    binary-out UDF plumbing for real.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image resizing requires an imaging library; "
+            "run with deterministic_fake=True for pipeline tests"
+        )
+    seed = hashlib.md5(payload + f"{width}x{height}".encode()).digest()
+    size = max(1, (width * height) // 512)
+    return (seed * (size // len(seed) + 1))[:size]
+
+
+def sample_frames_stub(
+    payload: bytes, n_frames: int, *, deterministic_fake: bool = False
+) -> list[dict]:
+    """Sample ``n_frames`` evenly from a video payload → per-frame records.
+
+    STUB: real demuxing needs a video library. The fake derives one
+    digest per frame index — deterministic, so downstream dedup/embedding
+    stages are testable.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "video decoding requires a media library; "
+            "run with deterministic_fake=True for pipeline tests"
+        )
+    return [
+        {
+            "frame_idx": i,
+            "phash": hashlib.md5(payload + bytes([i])).hexdigest()[:16],
+        }
+        for i in range(n_frames)
+    ]
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("phash", StringType()),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame, n_frames: int = 4, payload_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas frame sampling: one input row (video) → n_frames rows.
+
+    The row-expanding shape matters: frame extraction multiplies rows, and
+    doing it inside mapInPandas keeps the expansion streaming through
+    Arrow batches instead of materializing per-video frame lists in a
+    single row.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                for fr in sample_frames_stub(
+                    payload, n_frames, deterministic_fake=True
+                ):
+                    out.append(
+                        {"doc_id": doc_id, "frame_idx": fr["frame_idx"], "phash": fr["phash"]}
+                    )
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "phash"])
+
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
+    return df.mapInPandas(run, FRAME_SCHEMA)

@@ -53,15 +53,14 @@ def q23_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q24_SQL = """
-SELECT user_id, event_type, event_id, ts, value
-FROM (
-  SELECT user_id, event_type, event_id, ts, value,
-         ROW_NUMBER() OVER (
-           PARTITION BY user_id, event_type ORDER BY event_id
-         ) AS rn
-  FROM events
-)
-WHERE rn = 1
+SELECT
+  user_id,
+  event_type,
+  MIN(event_id) AS event_id,
+  arg_min(ts, event_id) AS ts,
+  arg_min(value, event_id) AS value
+FROM events
+GROUP BY user_id, event_type
 """
 
 
@@ -70,23 +69,18 @@ def q24_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on (user_id, event_type): first occurrence in log order.
 
     Deterministic replacement for ``dropDuplicates`` (which keeps an
-    arbitrary row). Streaming form: ``dropDuplicatesWithinWatermark`` on the
-    same keys. Scale: one shuffle on the dedup key; at 100 TB this is the
-    canonical exact-dedup (hash-groupBy) from the LLM-pipeline family too.
+    arbitrary row). Streaming form: ``dropDuplicatesWithinWatermark`` on
+    the same keys. Implementation is min/min_by aggregation — one shuffle
+    with map-side partial aggregation and NO per-partition sort; measured
+    3.3× faster than the window-row_number formulation at 10M rows
+    (SCALING.md), and the gap widens with data since sort is the
+    super-linear component.
     """
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
-    return (
-        e.select(
-            "user_id",
-            "event_type",
-            "event_id",
-            "ts",
-            "value",
-            F.row_number().over(w).alias("rn"),
-        )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    return e.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("event_id"),
+        F.min_by("ts", "event_id").alias("ts"),
+        F.min_by("value", "event_id").alias("value"),
     )
 
 
