@@ -785,3 +785,119 @@ def q50_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("event_type", F.lit("none")).alias("etype"),
         )
     )
+
+
+Q62_SQL = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24.0
+"""
+
+
+@register("q62_forecast_revenue", Q62_SQL)
+def q62_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter-and-sum — every predicate pushes to the
+    parquet scan, the aggregate is a single map-side-combined global sum.
+    The simplest possible 100 TB query: storage bandwidth is the bound."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            F.sum(money("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q63_SQL = """
+SELECT
+  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+       THEN CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))
+       ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE) * 100.0
+    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+    AS promo_revenue_pct,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
+@register("q63_promo_ratio", Q63_SQL)
+def q63_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio over a fact⋈dim join
+    (part broadcasts). The ratio divides two exact decimal sums cast to
+    double — one multiply and one divide in IEEE, bit-stable."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    rev = money("l_extendedprice") * one_minus("l_discount")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(17,4)")
+    )
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    return j.agg(
+        (
+            F.sum(promo).cast("double") * F.lit(100.0)
+            / F.sum(rev).cast("double")
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q64_SQL = """
+SELECT c_custkey, c_name, n_name, revenue, rank FROM (
+  SELECT
+    c_custkey, c_name, n_name,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+    CAST(ROW_NUMBER() OVER (
+      ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) DESC,
+               c_custkey
+    ) AS BIGINT) AS rank
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, n_name
+)
+WHERE rank <= 20
+"""
+
+
+@register("q64_returned_items", Q64_SQL)
+def q64_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost revenue from returned items, top-20 customers.
+    Filter → star join (nation broadcast) → aggregate → top-k; the rank
+    window runs over the aggregated (customer-sized) relation only."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    rev = money("l_extendedprice") * one_minus("l_discount")
+    agg = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+    )
