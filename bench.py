@@ -36,6 +36,9 @@ HEADLINE = [
     "q23_stream_replay",
     "q24_dedup_first",
     "q28_pivot_events",
+    "q62_forecast_revenue",
+    "q63_promo_ratio",
+    "q64_returned_items",
     "q31_top_tokens",
     "q44_window_frames",
     "q47_correlation",
