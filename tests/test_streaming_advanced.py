@@ -119,3 +119,42 @@ def test_apply_in_pandas_with_state_running_count(spark, tmp_path):
     for uid, total in emitted:
         finals[uid] = max(finals.get(uid, 0), total)
     assert finals == {1: 3, 2: 1, 3: 1}, emitted
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """E21's streaming face: exact dedup state bounded by the watermark —
+    a duplicate id arriving in a later batch (within the watermark) is
+    dropped; only distinct events flow downstream."""
+    src = str(tmp_path / "dd")
+    sch = "event_id long, ts timestamp, user_id long"
+    import datetime
+
+    ts = lambda s: datetime.datetime.fromisoformat(f"2024-01-01 {s}")  # noqa: E731
+    spark.createDataFrame(
+        [(1, ts("10:00:00"), 7), (2, ts("10:01:00"), 7)], sch
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.2)
+    # batch 2: a duplicate of event 2 plus a new event
+    spark.createDataFrame(
+        [(2, ts("10:01:00"), 7), (3, ts("10:02:00"), 7)], sch
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    seen: list[int] = []
+
+    def sink(df, epoch):
+        seen.extend(r["event_id"] for r in df.collect())
+
+    q = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(seen) == [1, 2, 3], seen  # the duplicate never re-emits
