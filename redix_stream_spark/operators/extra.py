@@ -233,3 +233,71 @@ def q49_bitwise_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.translate("event_type", "aeiou", "AEIOU").alias("vowels_up"),
         F.regexp_replace("event_type", "[aeiou]", "_").alias("vowels_gone"),
     )
+
+
+Q65_SQL = """
+WITH wide AS (
+  SELECT
+    user_id,
+    CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+    CAST(COUNT(*) FILTER (WHERE event_type = 'view')  AS BIGINT) AS view,
+    CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+  FROM events GROUP BY user_id
+)
+SELECT user_id, etype, n FROM (
+  SELECT user_id, 'click' AS etype, click AS n FROM wide
+  UNION ALL SELECT user_id, 'view', view FROM wide
+  UNION ALL SELECT user_id, 'error', error FROM wide
+)
+WHERE n > 0
+"""
+
+
+@register("q65_unpivot", Q65_SQL)
+def q65_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-type counts back to long form — the
+    inverse of q28's pivot, via Spark's native ``unpivot`` operator."""
+    e = load_table(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "error"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+              for t in ("click", "view", "error")],
+        )
+    )
+    return wide.unpivot(
+        "user_id", ["click", "view", "error"], "etype", "n"
+    ).filter(F.col("n") > 0)
+
+
+Q66_SQL = """
+WITH a AS (SELECT event_type FROM events WHERE user_id % 2 = 0),
+     b AS (SELECT event_type FROM events WHERE value > 100.0)
+SELECT 'intersect_all' AS op, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT event_type FROM a INTERSECT ALL SELECT event_type FROM b)
+GROUP BY event_type
+UNION ALL
+SELECT 'except_all' AS op, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT event_type FROM a EXCEPT ALL SELECT event_type FROM b)
+GROUP BY event_type
+"""
+
+
+@register("q66_multiset_ops", Q66_SQL)
+def q66_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-operations (INTERSECT ALL / EXCEPT ALL) — duplicate-
+    preserving variants completing E15 (q16 covers the distinct forms)."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("user_id") % 2 == 0).select("event_type")
+    b = e.filter(F.col("value") > 100.0).select("event_type")
+    tag = lambda df, op: (  # noqa: E731
+        df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(op).alias("op"), "event_type", "n")
+    )
+    return tag(a.intersectAll(b), "intersect_all").unionByName(
+        tag(a.exceptAll(b), "except_all")
+    )
