@@ -67,11 +67,13 @@ SELECT token, cnt, rank FROM (
 
 @register("q31_top_tokens", Q31_SQL)
 def q31_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-20 vocabulary: explode → count → rank.
+    """Global top-20 vocabulary: explode → count → top-k.
 
     Scale: the explode fans out rows but the count is a map-side-combined
-    aggregation on token; the final top-k ranks a vocabulary-sized (small)
-    relation, so the single-partition window is safe at any corpus size.
+    aggregation on token; the top-k is orderBy+limit, which compiles to
+    TakeOrderedAndProject (per-partition top-20, 20-row k-merge) — a
+    100 TB corpus vocabulary is 10^8+ tokens, so no full-vocabulary
+    single-partition rank window. Rank is stamped on the 20-row result.
     """
     d = load_table(spark, sf_dir, "documents")
     counts = (
@@ -79,11 +81,9 @@ def q31_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token")).limit(20)
     w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 _EN_STOPS_SQL = "('the','a','of','and','to','in','is')"

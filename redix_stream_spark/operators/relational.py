@@ -882,8 +882,10 @@ WHERE rank <= 20
 @register("q64_returned_items", Q64_SQL)
 def q64_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: lost revenue from returned items, top-20 customers.
-    Filter → star join (nation broadcast) → aggregate → top-k; the rank
-    window runs over the aggregated (customer-sized) relation only."""
+    Filter → star join (nation broadcast) → aggregate → top-k via
+    orderBy+limit (TakeOrderedAndProject: per-partition top-k, k-merge);
+    rank is stamped on the 20-row result, never windowed over the full
+    customer-cardinality relation."""
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -896,8 +898,6 @@ def q64_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
+    top = agg.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
     w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -52,12 +52,20 @@ def q26_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q52_approx_percentiles")  # rows-only: sketch internals differ
 def q52_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (KLL-style sketch) — the constant-memory scale path."""
+    """approx_percentile (KLL-style sketch) — the constant-memory scale path.
+
+    Results are unpacked to scalar ``p50_price``/``p95_price`` columns
+    (array-valued outputs are unhashable for the driver's canonicalizer —
+    same serialization rule as q46's array results).
+    """
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").alias(
-            "approx_price_q"
-        )
+    q = l.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").alias("_q")
+    )
+    return q.select(
+        "l_returnflag",
+        F.element_at("_q", 1).alias("p50_price"),
+        F.element_at("_q", 2).alias("p95_price"),
     )
 
 

@@ -56,6 +56,15 @@ def test_q15_top_global_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+@pytest.mark.parametrize("name", ["q64_returned_items", "q31_top_tokens"])
+def test_global_topk_is_take_ordered_not_full_rank(spark, sf_dir, name):
+    """Top-k over an unbounded relation must be TakeOrderedAndProject
+    (per-partition top-k + k-merge), never a single-partition rank window
+    over the full aggregate — that plan dies at 100× cardinality."""
+    plan = plan_of(QUERIES[name](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_q37_jaccard_join_is_equi_on_source(spark, sf_dir):
     plan = plan_of(QUERIES["q37_ngram_jaccard_dup"](spark, sf_dir))
     assert "CartesianProduct" not in plan

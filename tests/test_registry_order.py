@@ -1,0 +1,60 @@
+"""Driver correctness-window ordering guard.
+
+The round driver hash-checks only the first 50 entries of ``queries()``.
+These tests pin the contract: every query that has never received a driver
+correctness row (or changed this round) must be inside that window, the
+priority list must reference real queries, and oracles must track queries.
+"""
+
+from __future__ import annotations
+
+from redix_stream_spark import registry
+
+MUST_BE_IN_WINDOW = {
+    # E23/E24/E26 surface, never driver-checked in round 1 (VERDICT r01 #1).
+    "q35_shingle_fingerprint",
+    "q36_minhash_lsh_neardup",
+    "q37_ngram_jaccard_dup",
+    "q38_simhash",
+    "q39_multimodal_meta",
+    "q40_cosine_topk",
+    "q41_embedding_neardup",
+    "q42_ann_lsh_topk",
+    "q43_image_features",
+    "q43b_ann_ivf_topk",
+    "q54_pandas_udf_tokens",
+    "q55_rowwise_udf_tokens",
+    "q56_grouped_map_zscore",
+    "q57_stratified_sample",
+    "q58_pii_scrub",
+    "q59_token_counting",
+    # Fixed / re-implemented in round 2.
+    "q52_approx_percentiles",
+    "q64_returned_items",
+    "q31_top_tokens",
+}
+
+
+def test_priority_names_all_exist():
+    names = set(registry.all_queries())
+    missing = set(registry.DRIVER_WINDOW_PRIORITY) - names
+    assert not missing, f"priority list references unknown queries: {missing}"
+
+
+def test_priority_list_has_no_duplicates():
+    prio = registry.DRIVER_WINDOW_PRIORITY
+    assert len(prio) == len(set(prio))
+
+
+def test_must_check_queries_inside_driver_window():
+    window = list(registry.all_queries())[:50]
+    out = MUST_BE_IN_WINDOW - set(window)
+    assert not out, f"queries outside the driver's 50-entry window: {out}"
+
+
+def test_oracles_are_subset_of_queries_and_ordered_consistently():
+    q = list(registry.all_queries())
+    o = list(registry.all_oracle_sql())
+    assert set(o) <= set(q)
+    pos = {n: i for i, n in enumerate(q)}
+    assert o == sorted(o, key=pos.__getitem__)
