@@ -34,6 +34,7 @@ HEADLINE = [
     "q20_tumbling_window",
     "q22_session_window",
     "q23_stream_replay",
+    "q23b_replay_scaled",
     "q24_dedup_first",
     "q28_pivot_events",
     "q62_forecast_revenue",

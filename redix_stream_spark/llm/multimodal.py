@@ -48,20 +48,92 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
+def parse_image_meta(payload: bytes) -> dict | None:
+    """REAL header-level decode: (format, width, height) from raw bytes.
+
+    Pure stdlib — container formats carry their dimensions in fixed header
+    fields, so no imaging library is needed for metadata:
+
+    - PNG: 8-byte signature, then the IHDR chunk holds width/height as
+      big-endian uint32 at byte offsets 16/20.
+    - JPEG: SOI ``FF D8`` then a marker walk; any SOFn frame header
+      (C0–CF except C4/C8/CC) holds height/width as big-endian uint16
+      at offsets +5/+7 from the marker.
+    - GIF: ``GIF87a``/``GIF89a``, logical-screen width/height as
+      little-endian uint16 at offsets 6/8.
+    - BMP: ``BM``, BITMAPINFOHEADER width/height as little-endian int32
+      at offsets 18/22.
+
+    Returns None for unrecognized payloads (caller decides fake vs raise).
+    """
+    n = len(payload)
+    if n >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return {
+            "format": "png",
+            "width": int.from_bytes(payload[16:20], "big"),
+            "height": int.from_bytes(payload[20:24], "big"),
+        }
+    if n >= 4 and payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < n:
+            if payload[i] != 0xFF:  # resync on stray fill bytes
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return {
+                    "format": "jpeg",
+                    "height": int.from_bytes(payload[i + 5 : i + 7], "big"),
+                    "width": int.from_bytes(payload[i + 7 : i + 9], "big"),
+                }
+            if seg_len < 2:
+                break
+            i += 2 + seg_len
+        return None
+    if n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        return {
+            "format": "gif",
+            "width": int.from_bytes(payload[6:8], "little"),
+            "height": int.from_bytes(payload[8:10], "little"),
+        }
+    if n >= 26 and payload[:2] == b"BM":
+        return {
+            "format": "bmp",
+            "width": int.from_bytes(payload[18:22], "little", signed=True),
+            "height": abs(int.from_bytes(payload[22:26], "little", signed=True)),
+        }
+    return None
+
+
 def decode_image_stub(payload: bytes, *, deterministic_fake: bool = False) -> dict:
     """Decode an image payload → (format, width, height, phash).
 
-    STUB: real decoding needs an image library this container lacks.
-    With ``deterministic_fake`` the dimensions derive from the payload's
-    md5 — stable across runs/engines, good enough to exercise the
-    pipeline's schema, batching, and partitioning for real.
+    Metadata (format/width/height) is REAL for PNG/JPEG/GIF/BMP payloads
+    via ``parse_image_meta`` — parsed from header bytes, no imaging
+    library. The phash is an md5-prefix content hash (a true *perceptual*
+    hash needs pixel decode, which the container cannot do). Unrecognized
+    payloads fall back to md5-seeded fake dimensions when
+    ``deterministic_fake=True`` (stable across runs/engines — exercises
+    the pipeline on synthetic text-byte payloads), else raise.
     """
+    digest = hashlib.md5(payload).hexdigest()
+    meta = parse_image_meta(payload)
+    if meta is not None:
+        return {**meta, "phash": digest[:16]}
     if not deterministic_fake:
         raise NotImplementedError(
-            "image decoding requires an imaging library; "
+            "unrecognized image format: header parsing covers PNG/JPEG/GIF/BMP; "
             "run with deterministic_fake=True for pipeline tests"
         )
-    digest = hashlib.md5(payload).hexdigest()
     return {
         "format": "fake",
         "width": int(digest[:4], 16) % 1920 + 1,

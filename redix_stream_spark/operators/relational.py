@@ -787,6 +787,66 @@ def q50_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q67_SQL = """
+SELECT
+  c.c_custkey AS custkey,
+  c.c_mktsegment AS segment,
+  o.o_orderkey AS orderkey,
+  CAST(o.o_orderkey IS NULL AS BIGINT) AS no_order,
+  COALESCE(o.o_orderstatus, 'none') AS status
+FROM customer c
+LEFT OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 250000.0) o
+  ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("q67_left_outer_join", Q67_SQL)
+def q67_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER equi-join (E6): every customer survives; customers with
+    no qualifying order carry nulls, made hash-observable via a
+    missing-side flag. Scale note: left outer CAN broadcast the build
+    (right) side when bounded — Catalyst picks BroadcastHashJoin here
+    since the filtered orders side is small; at 100 TB the same shape
+    degrades gracefully to a shuffle join on the key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_outer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderkey").isNull().cast("long").alias("no_order"),
+        F.coalesce("o_orderstatus", F.lit("none")).alias("status"),
+    )
+
+
+Q68_SQL = """
+SELECT
+  o.o_orderkey AS orderkey,
+  c.c_custkey AS custkey,
+  CAST(c.c_custkey IS NULL AS BIGINT) AS no_customer,
+  COALESCE(c.c_mktsegment, 'none') AS segment
+FROM (SELECT * FROM customer WHERE c_acctbal > 9000.0) c
+RIGHT OUTER JOIN orders o
+  ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("q68_right_outer_join", Q68_SQL)
+def q68_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER equi-join (E6): every order survives; orders whose
+    customer fails the balance filter carry nulls. Scale note: right
+    outer can broadcast the LEFT (stream) side only — here the filtered
+    customer side is the small one, so Catalyst builds on it."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000.0)
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "right_outer").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_custkey").isNull().cast("long").alias("no_customer"),
+        F.coalesce("c_mktsegment", F.lit("none")).alias("segment"),
+    )
+
+
 Q62_SQL = """
 SELECT
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,

@@ -52,6 +52,54 @@ def q23_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q23B_SQL = Q23_SQL  # same semantics, scale-safe physical strategy
+
+
+@register("q23b_replay_scaled", Q23B_SQL)
+def q23b_replay_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered log replay, scale-safe: global sequence without a global sort.
+
+    Same result as q23_stream_replay, but the single-partition ROW_NUMBER
+    window is replaced by the partition-offset formulation:
+
+    1. range-bucket each event by id value (``floor(event_id / W)``) — a
+       pure projection, no shuffle;
+    2. count rows per bucket (map-side combined aggregate on a
+       bucket-cardinality relation);
+    3. cumulative-sum the counts in bucket order to get each bucket's
+       global start offset — the only single-partition window, over
+       n_buckets rows (10^6 buckets at 10^12 events), never the log;
+    4. broadcast the offsets back and stamp
+       ``seq = offset + row_number() OVER (PARTITION BY bucket ORDER BY id)``
+       — per-bucket local sorts, shuffled by bucket, no global Exchange.
+
+    q23 remains the strict-parity single-threaded face (reference
+    README.md:124); this is the plan you run at 100×.
+    """
+    bucket_width = 4096
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    # Integer `div`, not floor(double): ids are non-negative log offsets and
+    # a double cast would lose exactness past 2^53.
+    b = e.withColumn("_bucket", F.expr(f"event_id div {bucket_width}"))
+    counts = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bucket", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset")
+    )
+    w_local = Window.partitionBy("_bucket").orderBy("event_id")
+    return (
+        b.join(F.broadcast(offsets), "_bucket")
+        .select(
+            "event_id",
+            (F.col("_offset") + F.row_number().over(w_local)).cast("long").alias("seq"),
+            "user_id",
+            "event_type",
+        )
+    )
+
+
 Q24_SQL = """
 SELECT
   user_id,

@@ -35,3 +35,64 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def ensure_bucketed_facts(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> tuple[str, str]:
+    """Land lineitem and orders as catalog tables bucketed by order key.
+
+    Idempotent per (sf_dir, n_buckets): skips the write when both tables
+    already exist. This is the 100 TB layout decision for the fact⋈fact
+    edge — pay the bucketed write once at ingest, then every
+    lineitem⋈orders join is Exchange-free on l_orderkey=o_orderkey
+    (see star_revenue_bucketed / tests/test_bucketing.py).
+    """
+    from ..catalog import load_table
+
+    li_tbl, od_tbl = "bucketed_lineitem", "bucketed_orders"
+    have = {t.name for t in spark.catalog.listTables()}
+    if li_tbl not in have or od_tbl not in have:
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem"), li_tbl, "l_orderkey", n_buckets
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "orders"), od_tbl, "o_orderkey", n_buckets
+        )
+    return li_tbl, od_tbl
+
+
+def star_revenue_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q03's star join with the fact⋈fact edge running on bucketed tables.
+
+    Same result as q03_star_join_revenue; the physical difference is that
+    lineitem⋈orders needs NO Exchange on the join key — each task reads
+    the matching bucket pair. Dimensions stay broadcast. The only shuffle
+    left in the whole plan is the final group-by aggregation.
+    """
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..numeric import money, one_minus
+
+    li_tbl, od_tbl = ensure_bucketed_facts(spark, sf_dir)
+    l = spark.table(li_tbl)
+    o = spark.table(od_tbl).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    revenue = money("l_extendedprice") * one_minus("l_discount")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

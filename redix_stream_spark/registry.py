@@ -81,6 +81,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q52_approx_percentiles",
     "q64_returned_items",
     "q31_top_tokens",
+    # -- new in round 2 --
+    "q23b_replay_scaled",
+    "q67_left_outer_join",
+    "q68_right_outer_join",
     # -- core operator coverage (one representative per SURVEY §2.2 op) --
     "q01_pricing_summary",
     "q02_filter_project",

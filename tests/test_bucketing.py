@@ -35,6 +35,46 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         )
 
 
+def test_bucketed_star_join_no_exchange_on_fact_edge(spark, sf_dir):
+    """q03's star join on bucketed facts: the lineitem⋈orders edge must be
+    Exchange-free (bucket-pair reads), dims broadcast, and the ONLY
+    shuffle in the plan is the final group-by aggregation. Result must be
+    bit-identical to the unbucketed q03."""
+    from redix_stream_spark.plans.bucketing import star_revenue_bucketed
+    from redix_stream_spark.registry import all_queries
+
+    # At test SF the filtered orders side fits under the auto-broadcast
+    # threshold, which would hide the bucket layout; at 100 TB it never
+    # would. Disable auto-broadcast — the dims stay broadcast via their
+    # explicit hints — so the fact edge exercises the bucketed SMJ path.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = star_revenue_bucketed(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "SortMergeJoin" in plan
+        assert "BroadcastHashJoin" in plan
+        # No Exchange on either fact join key — the bucket layout carries it.
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+        assert len(exchanges) <= 1, exchanges  # only the final aggregation
+        plain = {
+            (r["r_name"], r["n_name"]): (r["revenue"], r["n_items"])
+            for r in all_queries()["q03_star_join_revenue"](spark, sf_dir).collect()
+        }
+        bucketed = {
+            (r["r_name"], r["n_name"]): (r["revenue"], r["n_items"])
+            for r in df.collect()
+        }
+        assert plain == bucketed
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bucketed_orders")
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
     c = load_table(spark, sf_dir, "customer").select(

@@ -153,6 +153,62 @@ def test_multimodal_pipeline_schema_and_determinism(spark):
     assert rows[1]["phash"] == again[1]["phash"]
 
 
+def _png(w, h):
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00"
+    )
+
+
+def _jpeg(w, h):
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0
+
+
+def _gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00\x00\x00"
+
+
+def _bmp(w, h):
+    return b"BM" + bytes(16) + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+
+
+def test_real_image_header_decode_through_pipeline(spark):
+    """Real byte fixtures (PNG IHDR / JPEG SOF0 / GIF screen / BMP info
+    header) must decode to their true format and dimensions through the
+    full mapInPandas pipeline — not the deterministic-fake fallback."""
+    fixtures = [
+        (1, _png(320, 240), "png", 320, 240),
+        (2, _jpeg(640, 480), "jpeg", 640, 480),
+        (3, _gif(100, 50), "gif", 100, 50),
+        (4, _bmp(64, 32), "bmp", 64, 32),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p, *_ in fixtures], "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r for r in extract_image_features(df).collect()}
+    for doc_id, payload, fmt, w, h in fixtures:
+        r = rows[doc_id]
+        assert (r["format"], r["width"], r["height"]) == (fmt, w, h)
+        assert r["n_bytes"] == len(payload)
+
+
+def test_parse_image_meta_rejects_garbage():
+    from redix_stream_spark.llm.multimodal import parse_image_meta
+
+    assert parse_image_meta(b"not an image at all") is None
+    assert parse_image_meta(b"") is None
+    # Truncated PNG signature only — too short for IHDR.
+    assert parse_image_meta(b"\x89PNG\r\n\x1a\n") is None
+    # JPEG SOI with no SOF frame before EOI.
+    assert parse_image_meta(b"\xff\xd8\xff\xd9") is None
+
+
 def test_decode_stub_raises_without_fake_flag():
     import pytest as _pytest
 

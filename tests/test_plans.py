@@ -65,6 +65,26 @@ def test_global_topk_is_take_ordered_not_full_rank(spark, sf_dir, name):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_q23b_replay_scaled_no_global_sort_of_log(spark, sf_dir):
+    """The scale-safe replay sequence must not single-partition the log:
+    the only SinglePartition exchange allowed is the cumulative-offset
+    window over the bucket-count aggregate (n_buckets rows), and the log
+    itself may shuffle only by bucket hash."""
+    df = QUERIES["q23b_replay_scaled"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            below = "\n".join(lines[i + 1 : i + 3])
+            assert "HashAggregate" in below, (
+                "SinglePartition exchange not over the bucket-count "
+                f"aggregate:\n{plan}"
+            )
+    assert "rangepartitioning" not in plan  # no global sort of the log
+
+
 def test_q37_jaccard_join_is_equi_on_source(spark, sf_dir):
     plan = plan_of(QUERIES["q37_ngram_jaccard_dup"](spark, sf_dir))
     assert "CartesianProduct" not in plan
