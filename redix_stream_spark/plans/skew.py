@@ -35,7 +35,17 @@ def salted_join(
     row lands in — every salt joins against a full replica of the small
     side, so the result set is exactly the plain join's regardless of the
     random draw.
+
+    ``how`` is restricted to large-side-preserving joins: under
+    right/full-outer, every *unmatched* small-side row would surface once
+    per salt replica (n_salts duplicates). Salt the other way around (or
+    dedup unmatched rows) for those shapes.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}: the "
+            "replicated small side would emit unmatched rows once per salt"
+        )
     salted_large = large.withColumn(
         SALT_COL, (F.rand(seed=7) * n_salts).cast("int")
     )

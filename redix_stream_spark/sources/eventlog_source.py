@@ -85,15 +85,35 @@ class EventLogStreamReader(DataSourceStreamReader):
         return {"last_id": self._start}
 
     def _max_id(self) -> int:
-        import pyarrow.dataset as ds
+        """Metadata-only max over the id column, from parquet row-group
+        statistics — O(row groups) footer reads per trigger, never a data
+        read of the column (which would be O(rows) driver work on every
+        poll). Falls back to scanning only for stats-less files."""
         import pyarrow.compute as pc
+        import pyarrow.dataset as ds
 
         dataset = ds.dataset(self.path, format="parquet")
-        # Metadata-only max over the id column.
-        table = dataset.to_table(columns=[self.id_col])
-        if table.num_rows == 0:
-            return -1
-        return pc.max(table.column(self.id_col)).as_py()
+        best = -1
+        need_scan = []
+        for frag in dataset.get_fragments():
+            frag.ensure_complete_metadata()
+            frag_best, frag_ok = -1, True
+            for rg in frag.row_groups:
+                stats = rg.statistics or {}
+                mx = stats.get(self.id_col, {}).get("max")
+                if mx is None:
+                    frag_ok = False
+                    break
+                frag_best = max(frag_best, mx)
+            if frag_ok and frag_best >= 0:
+                best = max(best, frag_best)
+            else:
+                need_scan.append(frag)
+        for frag in need_scan:  # parquet writers without stats (rare)
+            t = frag.to_table(columns=[self.id_col])
+            if t.num_rows:
+                best = max(best, pc.max(t.column(self.id_col)).as_py())
+        return best
 
     def latestOffset(self) -> dict:
         # Advance at most max_rows per trigger — bounded micro-batches

@@ -90,6 +90,38 @@ class Consumer:
     def dlq_dir(self) -> str:
         return os.path.join(self.checkpoint_root, f"dlq-{self._name}")
 
+    @property
+    def pos_file(self) -> str:
+        """Durable delivered-position low-watermark (highest (ms, seq) whose
+        batch fully applied). Spark's checkpoint tracks *files*, so this
+        (ms, seq) watermark is what makes positions survive compaction —
+        compact() rewrites every file under new names and the file-stream
+        source re-lists them all, but rows at or below the watermark are
+        filtered out on replay. Also the basis of ``pending()``'s
+        delivered ∖ acked semantics (reference XPENDING,
+        consumer.ex:159-165)."""
+        return os.path.join(self.checkpoint_root, f"pos-{self._name}.json")
+
+    def delivered_position(self) -> tuple[int, int]:
+        """Highest delivered (ms, seq); (-1, -1) when nothing delivered."""
+        import json
+
+        if not os.path.exists(self.pos_file):
+            return (-1, -1)
+        with open(self.pos_file) as f:
+            d = json.load(f)
+        return (d["ms"], d["seq"])
+
+    def _advance_delivered(self, ms: int, seq: int) -> None:
+        import json
+
+        if (ms, seq) <= self.delivered_position():
+            return
+        tmp = self.pos_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"ms": ms, "seq": seq}, f)
+        os.replace(tmp, self.pos_file)  # atomic on POSIX
+
     def attach(self, spark: SparkSession) -> "Consumer":
         """Record the attach-time end of stream — the moment the reference
         resolves ``"$"`` (consumer.ex:81-82). Call before producing the
@@ -102,7 +134,10 @@ class Consumer:
         """R11 start-position matrix: checkpoint dominates; else the
         configured position. Returns the exclusive lower bound (ms, seq)."""
         if os.path.exists(os.path.join(self.checkpoint_dir, "offsets")):
-            return (-1, -1)  # checkpoint replays exactly the uncommitted tail
+            # Checkpoint replays the uncommitted tail — and, after a
+            # compaction rewrote the files, the WHOLE log. The delivered
+            # watermark filters already-applied rows out of that replay.
+            return self.delivered_position()
         if self.start_pos == "start_of_stream":
             return (-1, -1)
         if self.start_pos == "end_of_stream":
@@ -126,6 +161,14 @@ class Consumer:
             self._apply_strict(spark, filtered)
         else:
             self._apply_by_key(spark, filtered)
+        # Batch fully applied (acks/DLQ written) → advance the delivered
+        # watermark. On a crash above, this never runs and the batch
+        # redelivers — at-least-once, same commit point as the ack write.
+        top = filtered.agg(
+            F.max(F.struct("ms", "seq")).alias("top")
+        ).collect()[0]["top"]
+        if top is not None:
+            self._advance_delivered(top["ms"], top["seq"])
 
     def _apply_strict(self, spark: SparkSession, filtered: DataFrame) -> None:
         """Parity mode: global (ms, seq) order, driver-side apply — exactly
@@ -225,12 +268,30 @@ class Consumer:
         return spark.read.schema("id string").parquet(self.ack_dir).distinct()
 
     def pending(self, spark: SparkSession) -> DataFrame:
-        """Delivered-but-unacked messages (E22): log ∖ ack-log anti-join."""
+        """Delivered-but-unacked messages (E22, reference XPENDING,
+        consumer.ex:159-165): delivered ∖ acked. The delivered set is the
+        log up to the durable delivered watermark — messages beyond it
+        (e.g. produced after the last drain, or before an end_of_stream
+        attach position) were never handed to a handler and are NOT
+        pending."""
+        ms, seq = self.delivered_position()
+        delivered = self.log.read(spark).filter(
+            (F.col("ms") < ms) | ((F.col("ms") == ms) & (F.col("seq") <= seq))
+        )
         return (
-            self.log.read(spark)
-            .join(self.acked(spark), "id", "left_anti")
+            delivered.join(self.acked(spark), "id", "left_anti")
             .select("id", "ms", "seq", "payload")
         )
+
+    def dead_letters(self, spark: SparkSession) -> DataFrame:
+        """The dead-letter log, deduplicated by message id (first error
+        wins). foreachBatch replays after a crash can append the same
+        failure twice — at-least-once applies to the DLQ write too — so
+        reads dedup, exactly like ``acked()`` does for acks."""
+        if not os.path.exists(self.dlq_dir):
+            return spark.createDataFrame([], "id string, error string")
+        raw = spark.read.schema("id string, error string").parquet(self.dlq_dir)
+        return raw.groupBy("id").agg(F.min("error").alias("error"))
 
     def _stream(self, spark: SparkSession):
         reader = spark.readStream.schema(MESSAGE_SCHEMA)
@@ -274,20 +335,72 @@ class Consumer:
             .start()
         )
 
-    def run_supervised(self, spark: SparkSession, max_restarts: int = 3) -> int:
+    def run_supervised(
+        self,
+        spark: SparkSession,
+        max_restarts: int = 3,
+        restart: str = "transient",
+        max_runs: int | None = None,
+    ) -> int:
         """R13 one-for-one supervision: restart from checkpoint on crash.
 
-        Returns the number of restarts consumed. Each restart resumes from
-        the last committed offset — uncommitted (pending) messages are
-        redelivered, giving the reference's at-least-once guarantee
-        (consumer_test.exs:222-280).
+        ``restart`` mirrors the reference supervisor's policy knob
+        (consumer_sup.ex:12-40, OTP restart types) translated to the
+        drain-loop model, where ``run_once`` exiting cleanly = the OTP
+        "normal exit":
+
+        - ``"transient"`` (default, = old behavior): restart on crash up
+          to ``max_restarts``; a clean drain ends supervision.
+        - ``"permanent"``: also restart after *clean* completion — the
+          consumer keeps draining (bounded by ``max_runs`` drains so a
+          batch test terminates; None = loop forever like the reference's
+          always-restart supervisor).
+        - ``"temporary"``: never restart — the first crash propagates and
+          the first clean drain ends supervision.
+
+        Returns the number of crash-restarts consumed. Each restart
+        resumes from the last committed offset — uncommitted (pending)
+        messages are redelivered, giving the reference's at-least-once
+        guarantee (consumer_test.exs:222-280).
         """
+        if restart not in ("permanent", "transient", "temporary"):
+            raise ValueError(f"bad restart policy {restart!r}")
         restarts = 0
+        runs = 0
         while True:
             try:
                 self.run_once(spark)
-                return restarts
+                runs += 1
+                if restart != "permanent":
+                    return restarts
+                if max_runs is not None and runs >= max_runs:
+                    return restarts
             except Exception:
+                if restart == "temporary":
+                    raise
                 restarts += 1
                 if restarts > max_restarts:
                     raise
+
+    @staticmethod
+    def stop_gracefully(query, sup_timeout: float = 5.0) -> bool:
+        """Graceful shutdown with the reference's ``sup_timeout`` window
+        (consumer_sup.ex:33, default 5000 ms): give the in-flight
+        micro-batch up to ``sup_timeout`` seconds to commit, then stop.
+        An interrupted batch is simply uncommitted — its messages stay
+        pending and redeliver to the next consumer (R13 + at-least-once).
+        Returns True when the query went idle within the window (clean
+        stop), False when the window expired and the stop was forced.
+        """
+        import time
+
+        deadline = time.monotonic() + sup_timeout
+        clean = False
+        while time.monotonic() < deadline:
+            status = query.status
+            if not status["isDataAvailable"] and not status["isTriggerActive"]:
+                clean = True
+                break
+            time.sleep(0.1)
+        query.stop()
+        return clean

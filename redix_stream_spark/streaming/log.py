@@ -146,8 +146,19 @@ class EventLog:
 
         Streaming appends accumulate one file per produce batch — the
         classic small-file problem. Compaction preserves every message and
-        id (the consumer contract orders by (ms, seq), never by file), so
-        it is safe between consumer runs. Returns the message count.
+        id (the consumer contract orders by (ms, seq), never by file).
+        Returns the message count.
+
+        Checkpoint interaction: Spark's file-stream checkpoint tracks
+        *file names*, and compaction rewrites every file under a new name
+        — so a consumer with an existing checkpoint sees the whole
+        compacted log as "new" and replays it. ``Consumer`` filters that
+        replay with its durable delivered watermark (``pos_file``), so
+        compaction between checkpointed runs does NOT re-deliver applied
+        messages (tests/test_streaming.py::
+        test_compact_after_checkpointed_run_no_redelivery). Consumers
+        from other runtimes tracking positions by file would need the
+        same (ms, seq) watermark discipline.
 
         At 100 TB this runs per partition (e.g. per day) with
         ``target_files`` sized to ~1 GB outputs; here it is the whole dir.

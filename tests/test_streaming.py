@@ -275,6 +275,51 @@ def test_log_compaction_preserves_messages_and_positions(spark, log, ckpt):
     assert [i for i, _ in rec.seen] == ids
 
 
+def test_compact_after_checkpointed_run_no_redelivery(spark, log, ckpt):
+    # Compaction rewrites every file under a new name, so the file-stream
+    # checkpoint sees the whole log as new input and replays it. The
+    # consumer's delivered watermark must filter that replay: no message
+    # applied before the compaction is handed to the handler again.
+    rec = Recorder()
+    ids = log.produce_many(spark, [{"key": f"v{i}"} for i in range(4)])
+    c = Consumer(log, rec, ckpt)
+    c.run_once(spark)
+    assert len(rec.seen) == 4
+    log.compact(spark, target_files=1)
+    late = log.produce_many(spark, [{"key": "late"}])
+    c.run_once(spark)  # same checkpoint — replay of compacted files
+    assert [i for i, _ in rec.seen] == ids + late  # no duplicates
+    assert c.pending(spark).count() == 0
+
+
+def test_pending_excludes_never_delivered(spark, log, ckpt):
+    # reference XPENDING semantics: pending = delivered ∖ acked. Messages
+    # produced but never handed to a handler are not pending.
+    rec = Recorder(result=HandlerResult.DEFER)
+    first = log.produce_many(spark, [{"key": "seen"}])
+    c = Consumer(log, rec, ckpt)
+    c.run_once(spark)
+    log.produce_many(spark, [{"key": "not-yet-delivered"}])
+    pend = [r["id"] for r in c.pending(spark).collect()]
+    assert pend == first  # deferred → pending; undelivered → absent
+
+
+def test_dead_letters_dedup_by_id(spark, log, ckpt):
+    # DLQ writes are at-least-once (foreachBatch replays append again);
+    # dead_letters() must dedup by message id like acked() does.
+    rec = Recorder(fail_on={"bad": 99})
+    log.produce_many(spark, [{"key": "bad"}, {"key": "good"}])
+    c = Consumer(log, rec, ckpt, raise_errors=False)
+    c.run_once(spark)
+    # simulate a replayed DLQ append for the same failure
+    first = spark.read.parquet(c.dlq_dir).collect()
+    assert len(first) == 1
+    spark.createDataFrame(first).write.mode("append").parquet(c.dlq_dir)
+    assert spark.read.parquet(c.dlq_dir).count() == 2  # raw is duplicated
+    dl = c.dead_letters(spark).collect()
+    assert len(dl) == 1 and "bad" not in dl[0]["id"]  # one row per id
+
+
 def test_group_exclusive_delivery_across_consumers(spark, log, ckpt):
     # consumer_test.exs:167-220 — within one group, each message is
     # processed by exactly one consumer. Group position is the shared
@@ -318,6 +363,77 @@ def test_start_pos_matrix(spark, log, tmp_path):
 
     with _pytest.raises(ValueError):
         Consumer(log, r2, str(tmp_path / "ck-bad"), start_pos="nonsense").run_once(spark)
+
+
+def test_restart_policy_matrix(spark, log, tmp_path):
+    # R13 restart-type knob (consumer_sup.ex:12-40) translated to the
+    # drain-loop model: clean drain = OTP normal exit.
+    log.produce_many(spark, [{"key": f"v{i}"} for i in range(3)])
+
+    # transient (default): crash → restart from checkpoint, clean → done.
+    rec = Recorder(fail_on={"v1": 1})
+    n = Consumer(log, rec, str(tmp_path / "ck-tr")).run_supervised(
+        spark, restart="transient"
+    )
+    assert n == 1  # one crash consumed
+    # at-least-once: v0 was applied in the crashed (uncommitted) batch and
+    # legitimately redelivers on restart — require full coverage, allow dups
+    assert {p["key"] for _, p in rec.seen} == {"v0", "v1", "v2"}
+
+    # temporary: the first crash propagates, nothing is retried.
+    rec2 = Recorder(fail_on={"v1": 1})
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        Consumer(log, rec2, str(tmp_path / "ck-te")).run_supervised(
+            spark, restart="temporary"
+        )
+    # ...but a crash-free temporary run completes the single drain.
+    rec3 = Recorder()
+    assert (
+        Consumer(log, rec3, str(tmp_path / "ck-te2")).run_supervised(
+            spark, restart="temporary"
+        )
+        == 0
+    )
+    assert len(rec3.seen) == 3
+
+    # permanent: clean drains keep the consumer alive — a message produced
+    # after the first drain is picked up by the next one (max_runs bounds
+    # the loop for the test).
+    rec4 = Recorder()
+    c4 = Consumer(log, rec4, str(tmp_path / "ck-pe"))
+    assert c4.run_supervised(spark, restart="permanent", max_runs=1) == 0
+    log.produce_many(spark, [{"key": "late"}])
+    assert c4.run_supervised(spark, restart="permanent", max_runs=1) == 0
+    assert [p["key"] for _, p in rec4.seen][-1] == "late"
+    assert len(rec4.seen) == 4
+
+    # invalid policy rejected
+    with _pytest.raises(ValueError):
+        Consumer(log, rec4, str(tmp_path / "ck-x")).run_supervised(
+            spark, restart="sometimes"
+        )
+
+
+def test_graceful_stop_window_reports_clean(spark, log, tmp_path):
+    # sup_timeout grace (consumer_sup.ex:33): an idle query stops cleanly
+    # inside the window.
+    rec = Recorder()
+    log.produce_many(spark, [{"key": "a"}])
+    c = Consumer(log, rec, str(tmp_path / "ck-gr"))
+    q = c.run_forever(spark, poll_seconds=0.5)
+    try:
+        import time
+
+        deadline = time.monotonic() + 20
+        while len(rec.seen) < 1 and time.monotonic() < deadline:
+            time.sleep(0.2)
+        assert len(rec.seen) == 1
+        assert Consumer.stop_gracefully(q, sup_timeout=10.0) is True
+    finally:
+        if q.isActive:
+            q.stop()
 
 
 def test_backpressure_bounds_batches(spark, log, tmp_path):
