@@ -40,6 +40,9 @@ HEADLINE = [
     "q62_forecast_revenue",
     "q63_promo_ratio",
     "q64_returned_items",
+    "q70_shipping_priority",
+    "q74_order_distribution",
+    "q76_large_orders",
     "q31_top_tokens",
     "q44_window_frames",
     "q47_correlation",

@@ -1,0 +1,525 @@
+"""TPC-H query shapes (breadth face of SURVEY.md §2.2 E6/E9/E14).
+
+The reference implements no relational operators (SURVEY §2.1) — these
+shapes exist so a user of a general analytics engine can run the classic
+decision-support workload on this one. Each is adapted to the driver's
+TPC-H-ish schema (TESTDATA.md: no partsupp/commitdate/receiptdate/phone)
+and follows the cross-engine float discipline in ``numeric``: exact
+decimal sums cast to double, fixed IEEE sequences for derived ratios,
+BIGINT-normalized integer outputs.
+
+Scale notes apply per query; the common rules: bounded dims broadcast,
+date/brand/segment filters pushed to scans, aggregates map-side combined,
+global top-k via orderBy+limit (TakeOrderedAndProject), never a
+full-relation rank window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..numeric import money, one_minus
+from ..registry import register
+
+
+def _rev() -> F.Column:
+    return money("l_extendedprice") * one_minus("l_discount")
+
+
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))"
+
+
+Q70_SQL = f"""
+SELECT l_orderkey, revenue, o_orderdate, rank FROM (
+  SELECT
+    l_orderkey,
+    CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+    o_orderdate,
+    CAST(ROW_NUMBER() OVER (
+      ORDER BY CAST(SUM({_REV_SQL}) AS DOUBLE) DESC, l_orderkey
+    ) AS BIGINT) AS rank
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1995-03-15'
+    AND l_shipdate  > TIMESTAMP '1995-03-15'
+  GROUP BY l_orderkey, o_orderdate
+) WHERE rank <= 10
+"""
+
+
+@register("q70_shipping_priority", Q70_SQL)
+def q70_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue.
+
+    Segment filter pushed to the customer scan, date filters to both fact
+    scans; the aggregate is per-orderkey (map-side combined); top-10 via
+    orderBy+limit with rank stamped on the 10-row result.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    agg = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+    top = agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    return top.select(
+        "l_orderkey",
+        "revenue",
+        "o_orderdate",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
+Q71_SQL = f"""
+SELECT
+  n_name,
+  CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
+GROUP BY n_name
+"""
+
+
+@register("q71_local_supplier_volume", Q71_SQL)
+def q71_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue where customer and supplier share a nation.
+
+    The co-nationality predicate rides the supplier join (composite equi
+    key — still hashable, no theta join); supplier/nation/region broadcast
+    (bounded dims); date filter pushed to the orders scan.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(
+            s,
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+Q72_SQL = f"""
+SELECT
+  supp_nation, cust_nation, l_year,
+  CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT
+    n1.n_name AS supp_nation,
+    n2.n_name AS cust_nation,
+    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+    {_REV_SQL} AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q72_volume_shipping", Q72_SQL)
+def q72_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations by year.
+
+    Both nation aliases broadcast; the nation-pair disjunction is applied
+    after the joins (it references both sides) but prunes to 2×2 name
+    pairs immediately. Decimal volumes summed exactly, cast once.
+    """
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        s.join(l, s.s_suppkey == l.l_suppkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+Q73_SQL = f"""
+SELECT
+  o_year,
+  CAST(SUM(CASE WHEN nat = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT
+    CAST(year(o_orderdate) AS BIGINT) AS o_year,
+    {_REV_SQL} AS volume,
+    n2.n_name AS nat
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type LIKE 'PRO%'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@register("q73_market_share", Q73_SQL)
+def q73_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share by year.
+
+    The share is a ratio of two exact decimal sums, each cast to double
+    before one IEEE divide — reproducible at any partial-agg tree. The
+    conditional numerator keeps DECIMAL type on both branches so the sum
+    stays exact (a double 0 would poison exactness).
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type").like("PRO%"))
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_reg")
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nat")
+        )
+    )
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    vol = _rev().cast("decimal(18,4)")
+    num = F.when(F.col("nat") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        p.join(l, p.p_partkey == l.l_partkey)
+        .join(s, s.s_suppkey == l.l_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(r, F.col("n1_reg") == F.col("r_regionkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .filter(F.col("r_name") == "AMERICA")
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(num).cast("double") / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+Q74_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@register("q74_order_distribution", Q74_SQL)
+def q74_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders per customer.
+
+    Two-level aggregation: count per customer (left outer keeps the
+    zero-order customers), then count per count. The second groupBy keys
+    on tiny cardinality (distinct order counts) — cheap shuffle.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+Q75_SQL = """
+WITH part_avg AS (
+  SELECT l_partkey AS avg_partkey,
+         0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) AS qty_threshold
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+  CAST(COUNT(*) AS BIGINT) AS n_small
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN part_avg ON avg_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < qty_threshold
+"""
+
+
+@register("q75_small_qty_revenue", Q75_SQL)
+def q75_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders.
+
+    The correlated scalar subquery (per-part average) becomes a
+    pre-aggregated relation joined back on partkey — one extra shuffle
+    instead of a per-row subquery. The 0.2×avg threshold is computed with
+    the same IEEE sequence in both engines (exact decimal sum → double ÷
+    bigint count → ×0.2).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    part_avg = l.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum(money("l_quantity")).cast("double") / F.count(F.lit(1)))
+        ).alias("qty_threshold")
+    )
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(part_avg, l.l_partkey == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_small"),
+        )
+    )
+
+
+Q76_SQL = """
+SELECT
+  c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+"""
+
+
+@register("q76_large_orders", Q76_SQL)
+def q76_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers with very large orders.
+
+    Aggregate-then-filter (HAVING on an exact decimal sum — the compare
+    happens in decimal on both engines, no float boundary flakiness).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    qty = F.sum(money("l_quantity"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(qty.cast("double").alias("sum_qty"), qty.alias("_q"))
+        .filter(F.col("_q") > 250)
+        .drop("_q")
+    )
+
+
+Q77_SQL = f"""
+SELECT
+  CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1.0 AND l_quantity <= 11.0)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10.0 AND l_quantity <= 20.0)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20.0 AND l_quantity <= 30.0)
+"""
+
+
+@register("q77_bracket_revenue", Q77_SQL)
+def q77_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs bracket predicate across the join.
+
+    Catalyst pushes the derivable single-side conjuncts (brand/size
+    disjunction to the part scan, quantity range to lineitem) and keeps
+    the cross-table residual on the join — the pattern that separates
+    engines that can only push simple conjunctions.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(p, l.l_partkey == p.p_partkey)
+    qty = F.col("l_quantity")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & (qty >= 1.0)
+            & (qty <= 11.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & (qty >= 10.0)
+            & (qty <= 20.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & (qty >= 20.0)
+            & (qty <= 30.0)
+        )
+    )
+    return j.filter(bracket).agg(
+        F.sum(_rev()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+
+
+Q78_SQL = """
+WITH threshold AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT
+  c_mktsegment AS segment,
+  CAST(COUNT(*) AS BIGINT) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer, threshold
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_totalprice > 300000.0
+  )
+GROUP BY c_mktsegment
+"""
+
+
+@register("q78_dormant_customers", Q78_SQL)
+def q78_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no premium order.
+
+    The global average is a 1-row aggregate broadcast into the filter (a
+    cross join with a single row — not a driver collect); the NOT EXISTS
+    is a left anti join on custkey against the premium-order set. Grouped
+    by market segment (the schema has no phone country code; the
+    synthetic data gives every customer at least one order, so "dormant"
+    = no order above the premium threshold).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000.0)
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(money("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_bal"
+        )
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(money("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+Q79_SQL = f"""
+WITH revenue_view AS (
+  SELECT l_suppkey AS supplier_no, CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue_view ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue_view)
+"""
+
+
+@register("q79_top_supplier", Q79_SQL)
+def q79_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarter revenue.
+
+    The scalar-max subquery becomes a 1-row aggregate broadcast into an
+    equality filter — ties all surface (unlike top-1 LIMIT). Exact
+    decimal revenue makes the equality compare safe across engines.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        s.join(rev, s.s_suppkey == F.col("supplier_no"))
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

@@ -45,7 +45,7 @@ def _load() -> None:
     if _loaded:
         return
     # Imports are for their registration side effects.
-    from .operators import analytics, extra, relational, stats, streamsem, windows  # noqa: F401
+    from .operators import analytics, extra, relational, stats, streamsem, tpch, windows  # noqa: F401
     from .llm import dedup, multimodal, similarity, text  # noqa: F401
     from .functions import udfs  # noqa: F401
 

@@ -56,6 +56,23 @@ def test_q15_top_global_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_q77_bracket_disjunction_pushed_to_both_scans(spark, sf_dir):
+    """TPC-H Q19 shape: Catalyst must derive per-side residuals of the
+    OR-of-ANDs predicate and push them into BOTH parquet scans — the
+    brand/size disjunction to part, the quantity ranges to lineitem."""
+    plan = plan_of(QUERIES["q77_bracket_revenue"](spark, sf_dir))
+    assert "Or(Or(And(EqualTo(p_brand,Brand#12)" in plan  # part scan
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan  # lineitem scan
+
+
+def test_q70_shipping_priority_is_take_ordered(spark, sf_dir):
+    plan = plan_of(QUERIES["q70_shipping_priority"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # segment + date filters pushed to their scans
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate,1995-03-15" in plan
+
+
 @pytest.mark.parametrize("name", ["q64_returned_items", "q31_top_tokens"])
 def test_global_topk_is_take_ordered_not_full_rank(spark, sf_dir, name):
     """Top-k over an unbounded relation must be TakeOrderedAndProject
