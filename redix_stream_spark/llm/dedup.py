@@ -290,3 +290,114 @@ def q38_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.shiftleft(bit, i)
         sim = term if sim is None else sim + term
     return votes.select("doc_id", sim.alias("simhash"))
+
+
+def _gen_cluster_oracle_sql() -> str:
+    """Oracle for near-dup clustering: the q36 pair pipeline feeds a
+    recursive transitive closure; a component's id is its minimum doc_id.
+    (DuckDB's WITH RECURSIVE converges because UNION deduplicates.)"""
+    pair_sql = _gen_minhash_oracle_sql().strip().rstrip(";")
+    return f"""
+WITH RECURSIVE pairs AS (
+  {pair_sql}
+),
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+),
+conn(src, dst) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT conn.src, e.dst FROM conn JOIN edges e ON conn.dst = e.src
+)
+SELECT
+  src AS doc_id,
+  MIN(dst) AS cluster_id,
+  CAST(src = MIN(dst) AS BIGINT) AS is_canonical
+FROM conn
+GROUP BY src
+"""
+
+
+@register("q80_neardup_clusters", _gen_cluster_oracle_sql())
+def q80_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash pair
+    graph, canonical doc = the component's minimum doc_id.
+
+    This is the step a training-data pipeline runs after pair detection —
+    transitive near-dups (A~B, B~C) must collapse into ONE cluster so
+    exactly one representative survives, not one per pair.
+
+    Algorithm: iterative min-label propagation to a fixed point. Each
+    round is one shuffle (edges ⋈ labels, then min per vertex); rounds
+    needed = the component diameter, and near-dup components are
+    star-like (tiny diameter), so 2-3 rounds in practice. The driver-side
+    loop only inspects a 1-row convergence aggregate — labels never leave
+    the cluster. At 10^9-vertex graph scale you would switch to the
+    large-star/small-star variant (O(log n) rounds on high-diameter
+    graphs) — same join-per-round skeleton.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return neardup_clusters(d)
+
+
+def neardup_clusters(d: DataFrame) -> DataFrame:
+    """Connected components over ``d``'s MinHash near-dup pairs (see
+    q80_neardup_clusters for the algorithm and scale notes)."""
+    sig = minhash_signatures(d).cache()
+    pairs = (
+        exact_jaccard(d, lsh_candidate_pairs(sig))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_id_a", "doc_id_b")
+    )
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
+            )
+        )
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(20):
+        # label candidates: own label + the minimum neighbor label
+        from_neighbors = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(from_neighbors, "doc_id", "left_outer")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("label propagation did not converge in 20 rounds")
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).cast("long").alias("is_canonical"),
+    )

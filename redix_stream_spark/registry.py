@@ -85,6 +85,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q23b_replay_scaled",
     "q67_left_outer_join",
     "q68_right_outer_join",
+    "q80_neardup_clusters",
     # -- core operator coverage (one representative per SURVEY §2.2 op) --
     "q01_pricing_summary",
     "q02_filter_project",

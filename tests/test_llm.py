@@ -45,6 +45,26 @@ def test_minhash_lsh_finds_planted_near_duplicates(spark):
     assert got == {(1, 2)}
 
 
+def test_neardup_clusters_collapse_transitively(spark):
+    # A~B and B~C must land in ONE cluster (canonical = min doc_id) even
+    # when A and C differ more than either does from B; an unrelated
+    # near-dup pair forms its own cluster.
+    from redix_stream_spark.llm.dedup import neardup_clusters
+
+    b_doc = BASE.replace("acknowledge", "ack")
+    c_doc = b_doc.replace("positions", "offsets")
+    other = (
+        "completely different content about query optimizers join "
+        "reordering predicate pushdown and columnar execution engines today"
+    )
+    other2 = other.replace("today", "tomorrow")
+    docs = _docs(spark, [(1, BASE), (2, b_doc), (3, c_doc), (4, other), (5, other2)])
+    rows = {r["doc_id"]: r for r in neardup_clusters(docs).collect()}
+    assert {rows[i]["cluster_id"] for i in (1, 2, 3)} == {1}
+    assert rows[4]["cluster_id"] == rows[5]["cluster_id"] == 4
+    assert sorted(i for i, r in rows.items() if r["is_canonical"]) == [1, 4]
+
+
 def test_minhash_candidates_recall_against_exact(spark, sf_dir):
     """On real documents: every exact-Jaccard-≥-threshold pair that LSH
     surfaces is genuine (precision of the verified output is 1 by

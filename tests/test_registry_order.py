@@ -32,6 +32,11 @@ MUST_BE_IN_WINDOW = {
     "q52_approx_percentiles",
     "q64_returned_items",
     "q31_top_tokens",
+    # New in round 2.
+    "q23b_replay_scaled",
+    "q67_left_outer_join",
+    "q68_right_outer_join",
+    "q80_neardup_clusters",
 }
 
 
