@@ -66,6 +66,7 @@ SELECT
   repeat(c_mktsegment, 2) AS seg_twice,
   CAST(strpos(c_name, '1') AS BIGINT) AS pos_one,
   CAST(ROW_NUMBER() OVER (
+    PARTITION BY c_custkey % 16
     ORDER BY NULLIF(c_mktsegment, 'BUILDING') NULLS LAST, c_custkey
   ) AS BIGINT) AS rn_nulls_last
 FROM customer
@@ -75,9 +76,13 @@ FROM customer
 @register("q45_string_null_fns", Q45_SQL)
 def q45_string_null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extended string functions + explicit NULLS LAST ordering (rank
-    column makes the null-ordering observable to the value hash)."""
+    column makes the null-ordering observable to the value hash).
+
+    The rank window is hash-partitioned (custkey mod 16) — null ordering
+    is equally observable within partitions, and the plan never
+    single-partitions the customer relation (the q64/q31 scale rule)."""
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(
+    w = Window.partitionBy(F.col("c_custkey") % 16).orderBy(
         F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).asc_nulls_last(),
         F.col("c_custkey"),
     )

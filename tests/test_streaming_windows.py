@@ -107,3 +107,55 @@ def test_session_window_streaming_matches_batch(spark, tmp_path):
     q.awaitTermination(180)
     sessions = sorted((r["n"] for r in out))
     assert sessions == [1, 2]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with an event-time interval constraint:
+    each purchase joins clicks by the same user within the preceding
+    hour. Both sides carry watermarks so Spark can bound the join state
+    (clicks older than watermark - 1h are evicted) — the stateful-join
+    capability that pairs with the batch range/as-of joins (q06/q07)."""
+    import datetime
+
+    ts = lambda s: datetime.datetime.fromisoformat(f"2024-01-01 {s}")  # noqa: E731
+    clicks_p, buys_p = str(tmp_path / "clicks"), str(tmp_path / "buys")
+    csch = "user_id long, click_id long, cts timestamp"
+    bsch = "user_id long, buy_id long, bts timestamp"
+    spark.createDataFrame(
+        [(1, 100, ts("10:00:00")), (1, 101, ts("10:40:00")), (2, 200, ts("10:05:00"))],
+        csch,
+    ).coalesce(1).write.mode("append").parquet(clicks_p)
+    spark.createDataFrame(
+        # u1 buys at 10:50 (both clicks within 1h); u2 buys at 11:30
+        # (click at 10:05 is 85 min earlier — outside the interval)
+        [(1, 900, ts("10:50:00")), (2, 901, ts("11:30:00"))],
+        bsch,
+    ).coalesce(1).write.mode("append").parquet(buys_p)
+
+    clicks = (
+        spark.readStream.schema(csch).parquet(clicks_p).withWatermark("cts", "2 hours")
+    )
+    buys = (
+        spark.readStream.schema(bsch).parquet(buys_p).withWatermark("bts", "2 hours")
+    )
+    joined = clicks.alias("c").join(
+        buys.alias("b"),
+        F.expr(
+            "c.user_id = b.user_id AND "
+            "b.bts >= c.cts AND b.bts <= c.cts + INTERVAL 1 HOUR"
+        ),
+    )
+    got: list[tuple[int, int]] = []
+
+    def sink(df, epoch):
+        got.extend((r["click_id"], r["buy_id"]) for r in df.collect())
+
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(got) == [(100, 900), (101, 900)]
