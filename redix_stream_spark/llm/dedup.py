@@ -401,3 +401,86 @@ def neardup_clusters(d: DataFrame) -> DataFrame:
         F.col("label").alias("cluster_id"),
         (F.col("doc_id") == F.col("label")).cast("long").alias("is_canonical"),
     )
+
+
+def _gen_clean_corpus_sql() -> str:
+    """Oracle for the end-to-end corpus-cleaning pipeline: quality filter
+    (q32's criteria) ∘ near-dup collapse (q80's clusters, canonical-only).
+    The cluster query nests as a plain CTE (its own WITH RECURSIVE scope).
+    """
+    cluster_sql = _gen_cluster_oracle_sql().strip().rstrip(";")
+    return f"""
+WITH clusters AS (
+  {cluster_sql}
+),
+quality AS (
+  SELECT doc_id,
+         CASE
+           WHEN LEN(string_split(text, ' ')) >= 40
+                AND CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / LEN(string_split(text, ' ')) >= 0.5 THEN 'high'
+           WHEN LEN(string_split(text, ' ')) >= 15 THEN 'medium'
+           ELSE 'low'
+         END AS quality
+  FROM documents
+)
+SELECT
+  d.doc_id,
+  d.source,
+  q.quality,
+  CASE WHEN c.doc_id IS NOT NULL THEN 'canonical' ELSE 'unique' END AS dedup_status
+FROM documents d
+JOIN quality q ON q.doc_id = d.doc_id
+LEFT JOIN clusters c ON c.doc_id = d.doc_id AND c.is_canonical = 1
+WHERE q.quality <> 'low'
+  AND NOT EXISTS (
+    SELECT 1 FROM clusters c2 WHERE c2.doc_id = d.doc_id AND c2.is_canonical = 0
+  )
+"""
+
+
+@register("q81_clean_corpus", _gen_clean_corpus_sql())
+def q81_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning: quality filter ∘ near-dup
+    collapse — the composition a pre-training data pipeline actually runs.
+
+    Keeps a document iff (a) its quality bucket (q32 criteria: length +
+    type-token ratio) is not 'low', and (b) it is either outside every
+    near-dup cluster ('unique') or its cluster's canonical representative
+    ('canonical' — the minimum doc_id, from q80's connected components).
+
+    Scale: the quality scores are per-row expressions (no shuffle); the
+    cluster side reuses the q80 pipeline; the exclusion of non-canonical
+    dupes is a broadcast-able anti-join because the near-dup set is a
+    vanishing fraction of the corpus (pairs, not documents, explode).
+    """
+    from .text import tokens as _tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    quality = (
+        F.when((n >= 40) & (ttr >= 0.5), "high")
+        .when(n >= 15, "medium")
+        .otherwise("low")
+    )
+    scored = d.select("doc_id", "source", quality.alias("quality"))
+    clusters = neardup_clusters(d).cache()
+    canonical = clusters.filter(F.col("is_canonical") == 1).select("doc_id")
+    non_canonical = clusters.filter(F.col("is_canonical") == 0).select("doc_id")
+    return (
+        scored.filter(F.col("quality") != "low")
+        .join(non_canonical, "doc_id", "left_anti")
+        .join(
+            canonical.withColumn("_canon", F.lit(1)), "doc_id", "left_outer"
+        )
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            F.when(F.col("_canon") == 1, "canonical")
+            .otherwise("unique")
+            .alias("dedup_status"),
+        )
+    )

@@ -37,6 +37,7 @@ MUST_BE_IN_WINDOW = {
     "q67_left_outer_join",
     "q68_right_outer_join",
     "q80_neardup_clusters",
+    "q81_clean_corpus",
 }
 
 
