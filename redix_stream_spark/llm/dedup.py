@@ -132,6 +132,12 @@ def exact_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     sets = docs.select(
         "doc_id", F.array_distinct(shingles(F.col("text"))).alias("sset")
     ).cache()
+    # shuffle_hash, never broadcast: the shingle-set relation is one fat
+    # string array per document, and Spark's size estimate badly
+    # undercounts array columns — at 10× docs AQE would pick a broadcast
+    # of the sets side and blow driver memory (measured in SCALING.md).
+    # A shuffled hash join keys on doc_id and streams the arrays.
+    sets = sets.hint("shuffle_hash")
     return (
         pairs.join(sets.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed("sset", "set_a"), "doc_id_a")
         .join(sets.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed("sset", "set_b"), "doc_id_b")
