@@ -76,27 +76,33 @@ def q23b_replay_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     q23 remains the strict-parity single-threaded face (reference
     README.md:124); this is the plan you run at 100×.
     """
-    bucket_width = 4096
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type"
     )
-    # Integer `div`, not floor(double): ids are non-negative log offsets and
-    # a double cast would lose exactness past 2^53.
-    b = e.withColumn("_bucket", F.expr(f"event_id div {bucket_width}"))
+    return global_sequence(e, "event_id").select(
+        "event_id", "seq", "user_id", "event_type"
+    )
+
+
+def global_sequence(
+    df: DataFrame, id_col: str, bucket_width: int = 4096
+) -> DataFrame:
+    """Stamp ``seq`` = the 1-based rank of ``id_col`` without a global sort
+    (the q23b partition-offset formulation; ids must be unique and
+    non-negative — integer ``div`` bucketing, no double cast past 2^53)."""
+    b = df.withColumn("_bucket", F.expr(f"{id_col} div {bucket_width}"))
     counts = b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
     w_off = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "_bucket", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_offset")
     )
-    w_local = Window.partitionBy("_bucket").orderBy("event_id")
+    w_local = Window.partitionBy("_bucket").orderBy(id_col)
     return (
         b.join(F.broadcast(offsets), "_bucket")
-        .select(
-            "event_id",
-            (F.col("_offset") + F.row_number().over(w_local)).cast("long").alias("seq"),
-            "user_id",
-            "event_type",
+        .withColumn(
+            "seq", (F.col("_offset") + F.row_number().over(w_local)).cast("long")
         )
+        .drop("_bucket", "_offset")
     )
 
 

@@ -102,6 +102,21 @@ def test_q23b_replay_scaled_no_global_sort_of_log(spark, sf_dir):
     assert "rangepartitioning" not in plan  # no global sort of the log
 
 
+def test_q36_jaccard_sets_never_broadcast(spark, sf_dir):
+    """The shingle-set relation (one fat string array per doc) must join
+    via shuffle hash, never broadcast: Spark's size estimator undercounts
+    array columns, and at 10× docs the auto-broadcast OOM'd the driver
+    (SCALING.md round-2 measurement)."""
+    plan = plan_of(QUERIES["q36_minhash_lsh_neardup"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    # The only remaining broadcast candidates would be the sets side;
+    # banded candidate pairs may broadcast (thin rows) — but the fat
+    # array join must not.
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line and "sset" in line:
+            raise AssertionError(f"sets relation broadcast: {line}")
+
+
 def test_q37_jaccard_join_is_equi_on_source(spark, sf_dir):
     plan = plan_of(QUERIES["q37_ngram_jaccard_dup"](spark, sf_dir))
     assert "CartesianProduct" not in plan

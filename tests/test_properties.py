@@ -74,3 +74,24 @@ def test_compare_detects_any_single_cell_change(data, seed):
     i = seed % len(df2)
     df2.loc[i, "a"] = df2.loc[i, "a"] + 1
     assert compare(df1, df2) != []
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=1, max_size=60, unique=True
+    ),
+    st.sampled_from([1, 7, 4096]),
+)
+def test_global_sequence_matches_sorted_rank(spark, ids, width):
+    """q23b's partition-offset sequence must equal the rank a global sort
+    would assign, for any unique non-negative ids and any bucket width."""
+    from redix_stream_spark.operators.streamsem import global_sequence
+
+    df = spark.createDataFrame([(i,) for i in ids], "event_id long")
+    got = {
+        r["event_id"]: r["seq"]
+        for r in global_sequence(df, "event_id", bucket_width=width).collect()
+    }
+    expected = {v: i + 1 for i, v in enumerate(sorted(ids))}
+    assert got == expected
