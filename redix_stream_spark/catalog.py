@@ -19,6 +19,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -64,6 +65,12 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
+    # Convert only when the file really carries INT64 nano ticks. A log
+    # materialized by this engine (compaction, scale replicas) stores a
+    # true timestamp column — converting that would either fail or shear
+    # the values.
+    if not isinstance(df.schema["ts"].dataType, LongType):
+        return df
     return df.withColumn(
         "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
     )

@@ -25,6 +25,19 @@ from ..numeric import money, one_minus
 from ..registry import register
 
 
+def _fact(df: DataFrame) -> DataFrame:
+    """Pin sort-merge for joins touching a growing fact relation.
+
+    Catalyst's size estimate can auto-broadcast a filtered fact side at
+    test SF — a plan that OOMs the moment data grows (measured: q70/q76
+    died at 10x with "not enough memory to build and broadcast"). SMJ
+    shuffles on the join key and spills — the only strategy that
+    survives 100 TB facts. Bounded dims stay broadcast via their own
+    hints; see also the shuffle_hash rule for array-fat relations.
+    """
+    return df.hint("merge")
+
+
 def _rev() -> F.Column:
     return money("l_extendedprice") * one_minus("l_discount")
 
@@ -63,11 +76,15 @@ def q70_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1995-03-15")
+    o = _fact(
+        load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderdate") < F.lit("1995-03-15")
+        )
     )
-    l = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1995-03-15")
+    l = _fact(
+        load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") > F.lit("1995-03-15")
+        )
     )
     agg = (
         c.join(o, c.c_custkey == o.o_custkey)
@@ -111,11 +128,13 @@ def q71_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded dims); date filter pushed to the orders scan.
     """
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1995-01-01"))
-        & (F.col("o_orderdate") < F.lit("1996-01-01"))
+    o = _fact(
+        load_table(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01"))
+        )
     )
-    l = load_table(spark, sf_dir, "lineitem")
+    l = _fact(load_table(spark, sf_dir, "lineitem"))
     s = F.broadcast(load_table(spark, sf_dir, "supplier"))
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
     r = F.broadcast(load_table(spark, sf_dir, "region"))
@@ -166,8 +185,8 @@ def q72_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs immediately. Decimal volumes summed exactly, cast once.
     """
     s = load_table(spark, sf_dir, "supplier")
-    l = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
+    l = _fact(load_table(spark, sf_dir, "lineitem"))
+    o = _fact(load_table(spark, sf_dir, "orders"))
     c = load_table(spark, sf_dir, "customer")
     n1 = F.broadcast(
         load_table(spark, sf_dir, "nation").select(
@@ -232,9 +251,9 @@ def q73_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays exact (a double 0 would poison exactness).
     """
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type").like("PRO%"))
-    l = load_table(spark, sf_dir, "lineitem")
+    l = _fact(load_table(spark, sf_dir, "lineitem"))
     s = load_table(spark, sf_dir, "supplier")
-    o = load_table(spark, sf_dir, "orders")
+    o = _fact(load_table(spark, sf_dir, "orders"))
     c = load_table(spark, sf_dir, "customer")
     n1 = F.broadcast(
         load_table(spark, sf_dir, "nation").select(
@@ -289,7 +308,7 @@ def q74_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     on tiny cardinality (distinct order counts) — cheap shuffle.
     """
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = _fact(load_table(spark, sf_dir, "orders"))
     per_cust = (
         c.join(o, c.c_custkey == o.o_custkey, "left_outer")
         .groupBy(c.c_custkey)
@@ -328,7 +347,7 @@ def q75_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same IEEE sequence in both engines (exact decimal sum → double ÷
     bigint count → ×0.2).
     """
-    l = load_table(spark, sf_dir, "lineitem")
+    l = _fact(load_table(spark, sf_dir, "lineitem"))
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     part_avg = l.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
         (
@@ -369,8 +388,8 @@ def q76_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens in decimal on both engines, no float boundary flakiness).
     """
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    l = load_table(spark, sf_dir, "lineitem")
+    o = _fact(load_table(spark, sf_dir, "orders"))
+    l = _fact(load_table(spark, sf_dir, "lineitem"))
     qty = F.sum(money("l_quantity"))
     return (
         c.join(o, c.c_custkey == o.o_custkey)
@@ -403,7 +422,7 @@ def q77_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cross-table residual on the join — the pattern that separates
     engines that can only push simple conjunctions.
     """
-    l = load_table(spark, sf_dir, "lineitem")
+    l = _fact(load_table(spark, sf_dir, "lineitem"))
     p = load_table(spark, sf_dir, "part")
     j = l.join(p, l.l_partkey == p.p_partkey)
     qty = F.col("l_quantity")
@@ -464,7 +483,7 @@ def q78_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     = no order above the premium threshold).
     """
     c = load_table(spark, sf_dir, "customer")
-    o = (
+    o = _fact(
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice") > 300000.0)
         .select("o_custkey")
@@ -513,8 +532,10 @@ def q79_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
     s = load_table(spark, sf_dir, "supplier")
-    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_rev()).cast("double").alias("total_revenue")
+    rev = _fact(
+        l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            F.sum(_rev()).cast("double").alias("total_revenue")
+        )
     )
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     return (
