@@ -302,3 +302,137 @@ def sample_video_frames(
 
     ship_package(df.sparkSession)
     return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+# -- real audio/video container metadata (pure stdlib, header-level) --------
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("format", StringType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("bits_per_sample", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def parse_audio_meta(payload: bytes) -> dict | None:
+    """REAL WAV (RIFF) header decode: sample rate / channels / bit depth /
+    duration from the fmt and data chunks — no audio library needed for
+    container metadata. Returns None for non-WAV payloads."""
+    n = len(payload)
+    if n < 36 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    data_size = None
+    while i + 8 <= n:
+        chunk_id = payload[i : i + 4]
+        chunk_size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + chunk_size]
+        if chunk_id == b"fmt " and len(body) >= 16:
+            fmt = {
+                "channels": int.from_bytes(body[2:4], "little"),
+                "sample_rate": int.from_bytes(body[4:8], "little"),
+                "byte_rate": int.from_bytes(body[8:12], "little"),
+                "bits_per_sample": int.from_bytes(body[14:16], "little"),
+            }
+        elif chunk_id == b"data":
+            data_size = chunk_size
+        i += 8 + chunk_size + (chunk_size & 1)  # chunks are word-aligned
+    if fmt is None:
+        return None
+    duration_ms = (
+        data_size * 1000 // fmt["byte_rate"]
+        if data_size is not None and fmt["byte_rate"]
+        else None
+    )
+    return {
+        "format": "wav",
+        "sample_rate": fmt["sample_rate"],
+        "channels": fmt["channels"],
+        "bits_per_sample": fmt["bits_per_sample"],
+        "duration_ms": duration_ms,
+    }
+
+
+def parse_video_meta(payload: bytes) -> dict | None:
+    """REAL MP4/ISO-BMFF header decode: walk the box tree to moov/mvhd and
+    read timescale + duration. Returns None for non-MP4 payloads."""
+    n = len(payload)
+    if n < 12 or payload[4:8] != b"ftyp":
+        return None
+
+    def walk(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(payload[i : i + 4], "big")
+            box = payload[i + 4 : i + 8]
+            if size == 1:  # 64-bit largesize
+                size = int.from_bytes(payload[i + 8 : i + 16], "big")
+                body_off = i + 16
+            else:
+                body_off = i + 8
+            if size < 8:
+                return None
+            if box == b"moov":
+                r = walk(body_off, min(i + size, hi))
+                if r is not None:
+                    return r
+            elif box == b"mvhd":
+                version = payload[body_off]
+                if version == 1:
+                    ts = int.from_bytes(payload[body_off + 20 : body_off + 24], "big")
+                    dur = int.from_bytes(payload[body_off + 24 : body_off + 32], "big")
+                else:
+                    ts = int.from_bytes(payload[body_off + 12 : body_off + 16], "big")
+                    dur = int.from_bytes(payload[body_off + 16 : body_off + 20], "big")
+                return {"timescale": ts, "duration": dur}
+            i += size
+        return None
+
+    mvhd = walk(0, n)
+    if mvhd is None or not mvhd["timescale"]:
+        return None
+    return {
+        "format": "mp4",
+        "duration_ms": mvhd["duration"] * 1000 // mvhd["timescale"],
+    }
+
+
+def extract_audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas audio-metadata extraction over a binary payload column.
+
+    WAV metadata is real (parse_audio_meta); unknown formats get
+    deterministic md5-seeded fakes, mirroring the image pipeline's
+    contract so synthetic payloads still flow end to end.
+    """
+
+    def decode(p: bytes) -> dict:
+        meta = parse_audio_meta(p)
+        if meta is not None:
+            return meta
+        digest = hashlib.md5(p).hexdigest()
+        return {
+            "format": "fake",
+            "sample_rate": 8000 + int(digest[:4], 16) % 40000,
+            "channels": 1 + int(digest[4:6], 16) % 2,
+            "bits_per_sample": 16,
+            "duration_ms": int(digest[6:10], 16) % 60000,
+        }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out.insert(1, "n_bytes", [len(p) for p in pdf[payload_col]])
+            yield out[[f.name for f in AUDIO_FEATURES_SCHEMA.fields]]
+
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
+    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)

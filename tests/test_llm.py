@@ -279,3 +279,58 @@ def test_video_frame_sampling_plumbing(spark):
 
     with _pytest.raises(NotImplementedError):
         resize_image_stub(b"img", 64, 32)
+
+
+def _wav(rate=16000, channels=2, bits=16, n_samples=16000):
+    import struct
+
+    block = channels * bits // 8
+    data_size = n_samples * block
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + data_size) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", data_size) + bytes(min(data_size, 64))
+    )
+
+
+def _mp4(timescale=1000, duration=2500):
+    def box(name, body):
+        return (8 + len(body)).to_bytes(4, "big") + name + body
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    mvhd_body = bytes(4) + bytes(8) + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big") + bytes(80)
+    moov = box(b"moov", box(b"mvhd", mvhd_body))
+    return ftyp + moov
+
+
+def test_real_audio_video_header_decode(spark):
+    from redix_stream_spark.llm.multimodal import (
+        extract_audio_features,
+        parse_audio_meta,
+        parse_video_meta,
+    )
+
+    wav = _wav(rate=16000, channels=2, bits=16, n_samples=16000)  # 1 s stereo
+    meta = parse_audio_meta(wav)
+    assert meta == {
+        "format": "wav",
+        "sample_rate": 16000,
+        "channels": 2,
+        "bits_per_sample": 16,
+        "duration_ms": 1000,
+    }
+    assert parse_audio_meta(b"not audio") is None
+
+    v = parse_video_meta(_mp4(timescale=1000, duration=2500))
+    assert v == {"format": "mp4", "duration_ms": 2500}
+    assert parse_video_meta(b"junk" * 10) is None
+
+    # through the Arrow pipeline: real WAV decodes, junk falls back to fake
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"opaque bytes"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_audio_features(df).collect()}
+    assert rows[1]["format"] == "wav" and rows[1]["sample_rate"] == 16000
+    assert rows[2]["format"] == "fake" and rows[2]["n_bytes"] == 12
