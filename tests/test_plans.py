@@ -65,6 +65,21 @@ def test_q77_bracket_disjunction_pushed_to_both_scans(spark, sf_dir):
     assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan  # lineitem scan
 
 
+@pytest.mark.parametrize("name", ["q70_shipping_priority", "q76_large_orders"])
+def test_tpch_fact_joins_never_broadcast(spark, sf_dir, name):
+    """Growing fact relations (orders/lineitem, even filtered) must join
+    sort-merge, never broadcast: the size estimate passes the threshold at
+    test SF and OOMs at 10× (SCALING.md round-2 sweep). The merge hint on
+    every _fact() relation pins this."""
+    plan = plan_of(QUERIES[name](spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line and (
+            "o_orderkey" in line or "l_orderkey" in line
+        ):
+            raise AssertionError(f"fact side broadcast: {line}")
+
+
 def test_q70_shipping_priority_is_take_ordered(spark, sf_dir):
     plan = plan_of(QUERIES["q70_shipping_priority"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
