@@ -645,3 +645,27 @@ def test_pipeline_crash_resume(spark, tmp_path):
     assert dst.read(spark).count() == 0  # nothing committed
     p.run_once(spark)  # restart: uncommitted epoch replayed
     assert dst.read(spark).count() == 3
+
+
+def test_eventlog_source_max_id_from_rowgroup_stats(spark, tmp_path):
+    # _max_id must come from parquet footer statistics (O(row groups) per
+    # poll), across multiple files and row groups, without reading data.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from redix_stream_spark.sources.eventlog_source import EventLogStreamReader
+
+    path = str(tmp_path / "ids")
+    import os as _os
+
+    _os.makedirs(path)
+    # two files; the second has two row groups (row_group_size=2)
+    pq.write_table(pa.table({"event_id": [3, 1, 2]}), f"{path}/a.parquet")
+    pq.write_table(
+        pa.table({"event_id": [10, 4, 7, 9]}), f"{path}/b.parquet", row_group_size=2
+    )
+    r = EventLogStreamReader(None, {"path": path, "idcolumn": "event_id"})
+    assert r._max_id() == 10
+    # stats really are present in the footers (the fast path, not the scan)
+    meta = pq.ParquetFile(f"{path}/b.parquet").metadata
+    assert meta.row_group(0).column(0).statistics.has_min_max
