@@ -64,3 +64,18 @@ def test_oracles_are_subset_of_queries_and_ordered_consistently():
     assert set(o) <= set(q)
     pos = {n: i for i, n in enumerate(q)}
     assert o == sorted(o, key=pos.__getitem__)
+
+
+def test_all_query_outputs_are_scalar_typed(spark, sf_dir):
+    """The driver's canonicalizer hashes result cells; array/map/struct
+    outputs are unhashable and crash it (q52's round-1 failure mode).
+    Every registered query — oracle-backed or rows-only — must emit only
+    scalar columns (serialize arrays to strings, q46-style)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, fn in registry.all_queries().items():
+        for f in fn(spark, sf_dir).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f.name, str(f.dataType)))
+    assert not offenders, offenders
