@@ -338,3 +338,64 @@ def q59_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.ceil(F.length("text") / 4.0).cast("long").alias("byte_len_estimate"),
     )
+
+
+Q82_SQL = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+freq AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+),
+total AS (SELECT COUNT(*) AS n FROM tok)
+SELECT
+  t.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(f.cnt) AS BIGINT) AS sum_corpus_freq,
+  CAST(SUM(f.cnt) AS DOUBLE) / (COUNT(*) * ANY_VALUE(total.n)) AS mean_token_freq,
+  CAST(SUM(CASE WHEN f.cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+FROM tok t
+JOIN freq f ON f.token = t.token
+CROSS JOIN total
+GROUP BY t.doc_id
+"""
+
+
+@register("q82_token_rarity", Q82_SQL)
+def q82_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity scoring per document — the
+    transcendental-free cousin of perplexity filtering (CCNet-style):
+    a document whose tokens are corpus-rare scores low mean frequency and
+    high hapax count; boilerplate scores the opposite.
+
+    Float discipline: per-token frequencies are summed as BIGINTs (exact,
+    order-independent — summing per-token double ratios would be
+    partition-order dependent) with ONE double division at the end; no
+    log/exp (libm last-bit behavior differs across engines, so perplexity
+    proper is not oracle-hashable).
+
+    Scale: token explode → map-side-combined count (vocab-sized), then
+    one shuffle joining tokens to frequencies and one doc-keyed
+    aggregation. The frequency table is vocab-sized — large at 100 TB
+    (10^8+ tokens), so it joins by shuffle, not broadcast.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens()).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tok.join(freq, "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("cnt").cast("long").alias("sum_corpus_freq"),
+            (
+                F.sum("cnt").cast("double")
+                / (F.count(F.lit(1)) * F.any_value("n"))
+            ).alias("mean_token_freq"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+    )

@@ -87,6 +87,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q68_right_outer_join",
     "q80_neardup_clusters",
     "q81_clean_corpus",
+    "q82_token_rarity",
     # -- core operator coverage (one representative per SURVEY §2.2 op) --
     "q01_pricing_summary",
     "q02_filter_project",

@@ -38,6 +38,7 @@ MUST_BE_IN_WINDOW = {
     "q68_right_outer_join",
     "q80_neardup_clusters",
     "q81_clean_corpus",
+    "q82_token_rarity",
 }
 
 
