@@ -375,9 +375,11 @@ def q82_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     proper is not oracle-hashable).
 
     Scale: token explode → map-side-combined count (vocab-sized), then
-    one shuffle joining tokens to frequencies and one doc-keyed
-    aggregation. The frequency table is vocab-sized — large at 100 TB
-    (10^8+ tokens), so it joins by shuffle, not broadcast.
+    a join of tokens to frequencies and one doc-keyed aggregation. The
+    frequency table is scalar-typed, so AQE's runtime stats are accurate:
+    it broadcasts while the vocabulary is genuinely small and switches to
+    a shuffle join at 100 TB vocab sizes (10^8+ tokens) — unlike the
+    array-column relations that must pin shuffle_hash (see CLAUDE.md).
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens()).alias("token"))
