@@ -390,6 +390,38 @@ def q51_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q53_hll_mergeable_rollup")  # rows-only: sketch bytes are engine-specific
+def q53_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-group HLL sketches UNIONED into a
+    coarser grouping without touching the raw data again.
+
+    The pattern that matters at 100 TB: materialize `hll_sketch_agg`
+    per fine-grained group once (here per event_type), then answer every
+    coarser rollup by `hll_union_agg` over the stored sketches — a
+    kilobytes-sized aggregation instead of a second full scan. The test
+    asserts the merged estimate tracks the exact global distinct.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("users_estimate"),
+        F.sum("n_events").alias("n_events"),
+    )
+    per_type_est = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").alias("users_estimate"),
+        "n_events",
+    )
+    return per_type_est.unionByName(
+        merged.select(
+            F.lit("ALL").alias("event_type"), "users_estimate", "n_events"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # E11 — rollup / cube / grouping sets.
 # ---------------------------------------------------------------------------

@@ -95,3 +95,24 @@ def test_global_sequence_matches_sorted_rank(spark, ids, width):
     }
     expected = {v: i + 1 for i, v in enumerate(sorted(ids))}
     assert got == expected
+
+
+def test_hll_mergeable_rollup_tracks_exact(spark, sf_dir):
+    """The unioned per-group sketches must estimate the global distinct
+    within HLL tolerance — the invariant that makes stored sketches
+    reusable for coarser rollups without rescanning."""
+    from redix_stream_spark.catalog import load_table
+    from redix_stream_spark.registry import all_queries
+
+    import pyspark.sql.functions as F
+
+    rows = {
+        r["event_type"]: r["users_estimate"]
+        for r in all_queries()["q53_hll_mergeable_rollup"](spark, sf_dir).collect()
+    }
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert abs(rows["ALL"] - exact) / exact < 0.05, (rows["ALL"], exact)
