@@ -158,3 +158,52 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert sorted(seen) == [1, 2, 3], seen  # the duplicate never re-emits
+
+
+def test_transform_with_state_monotonic_delivery(spark, tmp_path):
+    """Custom stateful operator face of R3's 'position only moves
+    forward' (consumer.ex:276-278): per-key last-delivered (ms, seq)
+    persists across micro-batches; redelivered or position-regressing
+    rows are suppressed, and ordering (not just uniqueness) is enforced —
+    a fresh id at an old position is dropped too."""
+    from redix_stream_spark.session import ship_package
+    from redix_stream_spark.streaming.stateful import monotonic_delivery
+
+    ship_package(spark)
+    src = str(tmp_path / "mono")
+    sch = "user string, ms long, seq long, id string"
+    # batch 1: u1 advances to (100, 2); u2 to (100, 1)
+    spark.createDataFrame(
+        [("u1", 100, 1, "a"), ("u1", 100, 2, "b"), ("u2", 100, 1, "c")], sch
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.2)
+    # batch 2: replay of u1 (100,2) [dup], regression (100,1) with NEW id
+    # [must drop: old position], and a genuine advance (101,0)
+    spark.createDataFrame(
+        [("u1", 100, 2, "b"), ("u1", 100, 1, "zz-new-id"), ("u1", 101, 0, "d")],
+        sch,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    got: list[tuple] = []
+
+    def sink(df, epoch):
+        got.extend((r["key"], r["ms"], r["seq"], r["id"]) for r in df.collect())
+
+    q = (
+        monotonic_delivery(
+            "user",
+            spark.readStream.schema(sch).option("maxFilesPerTrigger", "1").parquet(src),
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert sorted(got) == [
+        ("u1", 100, 1, "a"),
+        ("u1", 100, 2, "b"),
+        ("u1", 101, 0, "d"),
+        ("u2", 100, 1, "c"),
+    ], got
