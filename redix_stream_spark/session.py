@@ -71,7 +71,15 @@ def tune(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # A vanilla session keeps Spark's default 200 shuffle partitions —
+    # pure tiny-task overhead at local test scale (measured: q80's
+    # iterative joins 15 s → ~5 s). Override only the untouched default;
+    # an explicitly configured value (cluster deployments) is respected.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        cores = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(8, cores)))
     ship_package(spark)
     return spark
 
