@@ -490,3 +490,75 @@ def q81_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dedup_status"),
         )
     )
+
+
+Q84_SQL = f"""
+WITH eval_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0
+),
+eval_grams AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT array_to_string(t[i:i+{SHINGLE_K - 1}], ' ') AS shingle
+    FROM (
+      SELECT string_split(text, ' ') AS t,
+             UNNEST(range(1, GREATEST(LEN(string_split(text, ' ')) - {SHINGLE_K - 1}, 1) + 1)) AS i
+      FROM eval_docs
+    )
+  )
+),
+corpus AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 100 <> 0
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{SHINGLE_K - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, t, UNNEST(range(1, GREATEST(LEN(t) - {SHINGLE_K - 1}, 1) + 1)) AS i FROM corpus)
+)
+SELECT
+  g.doc_id,
+  CAST(COUNT(e.shingle) AS BIGINT) AS n_overlap,
+  CAST(COUNT(e.shingle) > 0 AS BIGINT) AS is_contaminated
+FROM grams g
+LEFT JOIN eval_grams e ON g.shingle = e.shingle
+GROUP BY g.doc_id
+"""
+
+
+@register("q84_decontamination", Q84_SQL)
+def q84_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing k-gram
+    overlap with a held-out eval set (here: every 100th doc plays the
+    benchmark).
+
+    The standard pre-training hygiene pass — training documents that
+    contain eval-set n-grams leak the benchmark. Per corpus doc: the
+    count of its distinct shingles that appear in the eval set's shingle
+    inventory, and a contamination flag.
+
+    Scale: the eval-gram inventory is benchmark-sized (thousands of docs,
+    not the corpus) — broadcast it; the corpus side explodes to distinct
+    (doc, shingle) pairs, map-side combined. One broadcast join, one
+    doc-keyed aggregation; corpus never self-joins.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    eval_docs = d.filter(F.col("doc_id") % 100 == 0)
+    corpus = d.filter(F.col("doc_id") % 100 != 0)
+    eval_grams = (
+        eval_docs.select(F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"))
+        .distinct()
+    )
+    grams = corpus.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle")
+    )
+    hit = F.count(F.col("e_shingle"))
+    return (
+        grams.join(
+            F.broadcast(eval_grams.withColumnRenamed("shingle", "e_shingle")),
+            grams.shingle == F.col("e_shingle"),
+            "left_outer",
+        )
+        .groupBy("doc_id")
+        .agg(
+            hit.cast("long").alias("n_overlap"),
+            (hit > 0).cast("long").alias("is_contaminated"),
+        )
+    )

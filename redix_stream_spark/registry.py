@@ -88,6 +88,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q80_neardup_clusters",
     "q81_clean_corpus",
     "q82_token_rarity",
+    "q84_decontamination",
     # -- core operator coverage (one representative per SURVEY §2.2 op) --
     "q01_pricing_summary",
     "q02_filter_project",

@@ -39,6 +39,7 @@ MUST_BE_IN_WINDOW = {
     "q80_neardup_clusters",
     "q81_clean_corpus",
     "q82_token_rarity",
+    "q84_decontamination",
 }
 
 
