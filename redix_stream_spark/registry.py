@@ -110,7 +110,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q18_scalar_datetime",
     "q19_json_props",
     "q20_tumbling_window",
-    "q21_sliding_window",
+    # q21_sliding_window intentionally unlisted: E18's driver face is q20
+    # (tumbling); the sliding variant rotates out of the 50-query window
+    # to keep one face per E-op inside (q25 = E22's only face).
     "q22_session_window",
     "q23_stream_replay",
     "q24_dedup_first",
