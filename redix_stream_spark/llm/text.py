@@ -401,3 +401,226 @@ def q82_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_hapax"),
         )
     )
+
+
+Q83_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, UNNEST(toks) AS token FROM t),
+tc AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token),
+ta AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+         CAST(MAX(c) AS BIGINT) AS top_token_count
+  FROM tc GROUP BY doc_id
+),
+bgx AS (
+  SELECT doc_id, toks, UNNEST(range(1, GREATEST(LEN(toks) - 1, 1) + 1)) AS i FROM t
+),
+bga AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(DISTINCT array_to_string(toks[i:i+1], ' ')) AS BIGINT)
+           AS n_distinct_bigrams
+  FROM bgx GROUP BY doc_id
+)
+SELECT
+  ta.doc_id,
+  ta.n_tokens,
+  ta.n_distinct_tokens,
+  ta.top_token_count,
+  CAST(ta.top_token_count AS DOUBLE) / ta.n_tokens AS top_token_frac,
+  CAST(bga.n_bigrams - bga.n_distinct_bigrams AS DOUBLE) / bga.n_bigrams
+    AS dup_bigram_frac,
+  CAST(CAST(ta.top_token_count AS DOUBLE) / ta.n_tokens <= 0.12
+       AND CAST(bga.n_bigrams - bga.n_distinct_bigrams AS DOUBLE) / bga.n_bigrams
+           <= 0.08 AS BIGINT) AS keep
+FROM ta JOIN bga ON ta.doc_id = bga.doc_id
+"""
+
+
+@register("q83_repetition_quality", Q83_SQL)
+def q83_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition heuristics per document: most-frequent-
+    token fraction and duplicate-bigram fraction, plus a keep flag — the
+    boilerplate/spam filter every pretraining pipeline runs before dedup.
+
+    Float discipline: both fractions are a single BIGINT/BIGINT double
+    division (correctly rounded, identical cross-engine); the keep flag is
+    BIGINT 0/1 (no BOOLEAN output — the driver canonicalizer hashes scalar
+    cells). Token counts come from the explode→(doc_id, token) groupBy —
+    map-side combined, well-distributed shuffle key — rather than a
+    per-row O(distinct×len) higher-order scan, which degrades quadratically
+    on long documents at 100 TB. Bigram distinctness IS per-row
+    (array_distinct over the doc's own bigram array): linear in doc length,
+    map-only, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    tc = (
+        d.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ta = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+        F.max("c").cast("long").alias("top_token_count"),
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    # Materialized once; size/array_distinct read the column (dedup.py's
+    # multi-reference pattern — avoids re-splitting the text per reference).
+    bga = d.select("doc_id", bigrams.alias("bg")).select(
+        "doc_id",
+        F.size("bg").cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct("bg")).cast("long").alias("n_distinct_bigrams"),
+    )
+    top_frac = F.col("top_token_count").cast("double") / F.col("n_tokens")
+    dup_frac = (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast(
+        "double"
+    ) / F.col("n_bigrams")
+    return ta.join(bga, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "top_token_count",
+        top_frac.alias("top_token_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        F.when((top_frac <= 0.12) & (dup_frac <= 0.08), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+Q85_SQL = """
+WITH b AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10
+           AS bucket
+  FROM documents
+)
+SELECT
+  CASE WHEN bucket < 8 THEN 'train'
+       WHEN bucket = 8 THEN 'valid'
+       ELSE 'test' END AS split,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+  CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM b
+GROUP BY 1
+"""
+
+
+@register("q85_hash_split", Q85_SQL)
+def q85_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment by content-stable hash —
+    the reproducible-split primitive of training pipelines (never rand():
+    re-runs, backfills, and cross-engine re-reads must agree on every
+    row's split). Bucket = md5(doc_id) first 24 bits mod 10 → 80/10/10.
+
+    Scale: pure map-side expression per row plus a 3-group aggregate with
+    map-side combine — no join, no skew, trivially 100 TB-safe. The same
+    bucket expression filters any downstream read (predicate on a
+    deterministic function pushes to the scan's row level).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "valid").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "doc_id", "lang", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+    )
+
+
+Q86_SQL = """
+WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY token
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS tfidf_lin
+  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf_lin DESC, token
+  ) AS rk FROM scored
+)
+SELECT doc_id, token, tf, df, tfidf_lin, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+@register("q86_tfidf_keywords", Q86_SQL)
+def q86_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document — the keyword-extraction /
+    topic-tagging primitive. Uses linear IDF (tf·N/df) instead of
+    tf·ln(N/df): the ranking is identical (ln is monotone) and the score
+    is ONE correctly-rounded double division of exact BIGINTs, so it
+    hash-matches cross-engine where libm's ln would not (see numeric.py).
+    tf·N stays exact while tf·N < 2^53 — beyond that (≳10⁹-doc corpora
+    with high-tf docs), switch the sort key to the (tf, N/df) pair or
+    dsum_big's floor-split; ties break on token for determinism.
+
+    Scale: tf is a (doc_id, token)-keyed map-side-combined aggregate; df
+    is vocabulary-sized with scalar columns, so AQE broadcasts it while
+    small and shuffle-joins at 10⁸⁺-token vocabularies (q82's note); the
+    rank window partitions BY DOC — thousands of tiny sorts, never a
+    single-partition global window.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "tfidf_lin"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_lin"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", "df", "tfidf_lin", "rk")
+    )

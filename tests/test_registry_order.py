@@ -40,7 +40,19 @@ MUST_BE_IN_WINDOW = {
     "q81_clean_corpus",
     "q82_token_rarity",
     "q84_decontamination",
+    "q83_repetition_quality",
+    "q85_hash_split",
+    "q86_tfidf_keywords",
 }
+
+
+def test_driver_window_is_exactly_pinned():
+    """All 50 driver-checked slots are explicit in DRIVER_WINDOW_PRIORITY —
+    no slot is filled by registration-order accident."""
+    assert len(registry.DRIVER_WINDOW_PRIORITY) == 50
+    assert list(registry.all_queries())[:50] == list(
+        registry.DRIVER_WINDOW_PRIORITY
+    )
 
 
 def test_priority_names_all_exist():
