@@ -154,3 +154,21 @@ def test_no_driver_collect_shapes(spark, sf_dir, name):
     """No plan may route the relation through the driver (collect/local)."""
     plan = plan_of(QUERIES[name](spark, sf_dir))
     assert "LocalTableScan" not in plan
+
+
+def test_q86_per_doc_topk_uses_window_group_limit(spark, sf_dir):
+    """The per-document rank<=3 filter must push into the window as a
+    group-limit (partial top-3 per partition before the doc_id shuffle,
+    final top-3 after) — without it every (doc, token) score row survives
+    to the window sort, which at 100 TB is the whole tf relation."""
+    plan = plan_of(QUERIES["q86_tfidf_keywords"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "rangepartitioning" not in plan  # window is doc-keyed, not global
+
+
+def test_q83_no_cartesian_and_no_global_exchange(spark, sf_dir):
+    """Repetition-quality joins two doc-keyed relations: the join must be
+    keyed (never cartesian) and nothing may single-partition the corpus."""
+    plan = plan_of(QUERIES["q83_repetition_quality"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
