@@ -34,11 +34,22 @@ JACCARD_THRESHOLD = 0.5
 # the Spark pipeline and the generated oracle SQL.
 import random as _random
 
-_rnd = _random.Random(1234)
-PERM_PARAMS = [
-    (_rnd.randrange(1, MERSENNE_P), _rnd.randrange(0, MERSENNE_P))
-    for _ in range(N_PERMS)
-]
+
+def perm_params(n: int, seed: int = 1234) -> list[tuple[int, int]]:
+    """Seeded (a, b) universal-hash parameters for n permutations.
+
+    The first ``N_PERMS`` draws with the default seed are exactly the
+    parameters baked into q36's oracle SQL — larger n extends the same
+    stream, so production-sized configurations (64/16, 128/32 …) share a
+    prefix with the verified demo configuration."""
+    rnd = _random.Random(seed)
+    return [
+        (rnd.randrange(1, MERSENNE_P), rnd.randrange(0, MERSENNE_P))
+        for _ in range(n)
+    ]
+
+
+PERM_PARAMS = perm_params(N_PERMS)
 
 
 def shingles(col: Column, k: int = SHINGLE_K) -> Column:
@@ -59,7 +70,11 @@ def _sql_shingle_hash(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT) % {MERSENNE_P}"
 
 
-def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    params: list[tuple[int, int]] | None = None,
+) -> DataFrame:
     """(doc_id, mh0..mhN) — MinHash signatures as pure expressions.
 
     Shuffle-free by design: the per-permutation minimum is an
@@ -67,12 +82,18 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     signature computation is embarrassingly parallel (one pass over each
     doc, no explode, no groupBy). At 100 TB this is the difference between
     a map-only stage and shuffling #docs × #shingles × #perms rows.
+
+    ``params`` sizes the signature (default: the verified 16-perm demo
+    configuration; production corpora want ``perm_params(128)`` — cost is
+    linear in #perms and stays map-only, measured in SCALING.md).
     """
+    if params is None:
+        params = PERM_PARAMS
     sh = F.array_distinct(shingles(F.col(text_col)))
     xs = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MERSENNE_P)
-    # Materialize the hashed-shingle array ONCE as a column: 16 min-perm
-    # expressions read it. (Inlining xs into each would re-shingle and
-    # re-md5 the document 16× — Catalyst's CollapseProject keeps a
+    # Materialize the hashed-shingle array ONCE as a column: every min-perm
+    # expression reads it. (Inlining xs into each would re-shingle and
+    # re-md5 the document #perms× — Catalyst's CollapseProject keeps a
     # non-cheap multi-referenced projection separate, so this stays one
     # evaluation per row.)
     hashed = docs.select("doc_id", xs.alias("xs"))
@@ -80,18 +101,23 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.array_min(
             F.transform(F.col("xs"), lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P)
         ).alias(f"mh{i}")
-        for i, (a, b) in enumerate(PERM_PARAMS)
+        for i, (a, b) in enumerate(params)
     ]
     return hashed.select("doc_id", *cols)
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(sig: DataFrame, n_bands: int | None = None) -> DataFrame:
     """Band the signatures and self-join band buckets → candidate pairs.
 
     The only shuffle in the LSH pipeline: (band, band_key) is the join key,
-    so co-bucketed docs — and nothing else — meet.
+    so co-bucketed docs — and nothing else — meet. The signature width is
+    read off the frame's mh columns; ``n_bands`` defaults to the demo
+    configuration's band count.
     """
-    rows_per_band = N_PERMS // N_BANDS
+    n_perms = sum(1 for c in sig.columns if c.startswith("mh"))
+    if n_bands is None:
+        n_bands = N_BANDS
+    rows_per_band = n_perms // n_bands
     bands = [
         F.md5(
             F.concat_ws(
@@ -100,7 +126,7 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
                 *[F.col(f"mh{j * rows_per_band + r}") for r in range(rows_per_band)],
             )
         ).alias(f"band{j}")
-        for j in range(N_BANDS)
+        for j in range(n_bands)
     ]
     banded = sig.select(
         "doc_id",

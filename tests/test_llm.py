@@ -45,6 +45,29 @@ def test_minhash_lsh_finds_planted_near_duplicates(spark):
     assert got == {(1, 2)}
 
 
+def test_minhash_production_params_find_planted_dups(spark):
+    """The parameterized pipeline (perm_params(64), 16 bands — a
+    production-shaped configuration with a sharper s-curve than the
+    16/4 demo default) must catch the same planted near-dup and reject
+    the unrelated doc; also guards that perm_params extends the default
+    parameter stream rather than reseeding it."""
+    from redix_stream_spark.llm.dedup import PERM_PARAMS, perm_params
+
+    assert perm_params(64)[: len(PERM_PARAMS)] == PERM_PARAMS
+    edited = BASE.replace("acknowledge", "ack")
+    other = (
+        "completely different content about query optimizers join "
+        "reordering predicate pushdown and columnar execution engines today"
+    )
+    docs = _docs(spark, [(1, BASE), (2, edited), (3, other)])
+    sig = minhash_signatures(docs, params=perm_params(64))
+    pairs = exact_jaccard(docs, lsh_candidate_pairs(sig, n_bands=16)).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
+    got = {(r["doc_id_a"], r["doc_id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}
+
+
 def test_neardup_clusters_collapse_transitively(spark):
     # A~B and B~C must land in ONE cluster (canonical = min doc_id) even
     # when A and C differ more than either does from B; an unrelated
