@@ -46,7 +46,7 @@ def _load() -> None:
         return
     # Imports are for their registration side effects.
     from .operators import analytics, extra, relational, stats, streamsem, tpch, windows  # noqa: F401
-    from .llm import dedup, multimodal, similarity, text  # noqa: F401
+    from .llm import dedup, multimodal, packing, similarity, text  # noqa: F401
     from .functions import udfs  # noqa: F401
 
     _loaded = True
@@ -92,6 +92,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q83_repetition_quality",
     "q85_hash_split",
     "q86_tfidf_keywords",
+    "q87_sequence_packing",
     # -- core operator coverage: exactly ONE driver face per SURVEY §2.2 op.
     # Rotated-out second faces (q08 E9→q01, q11 E11→q10/q12, q18 E16→q17,
     # q21 E18→q20, q26/q27 stats→q52, q28 E11-family, q29 E17→q19,
@@ -105,8 +106,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q06_range_join",  # E8
     "q07_asof_join",  # E8
     "q09_distinct_users",  # E10
-    "q10_rollup_orders",  # E11
-    "q12_grouping_sets",  # E11 (cube q11 is a grouping-sets special case)
+    # q10_rollup_orders rotates out: E11 keeps q12 (grouping sets is the
+    # general form; rollup/cube are its special cases).
+    "q12_grouping_sets",  # E11
     "q13_window_topk_per_group",  # E12
     "q14_window_analytic",  # E13
     "q15_top_global",  # E14

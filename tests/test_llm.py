@@ -357,3 +357,28 @@ def test_real_audio_video_header_decode(spark):
     rows = {r["doc_id"]: r for r in extract_audio_features(df).collect()}
     assert rows[1]["format"] == "wav" and rows[1]["sample_rate"] == 16000
     assert rows[2]["format"] == "fake" and rows[2]["n_bytes"] == 12
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    """Every doc lands in exactly one pack; no pack exceeds the budget
+    unless it holds a single over-budget doc; pack ids are dense per
+    shard; re-running yields the identical assignment (determinism)."""
+    from redix_stream_spark.llm.packing import TOKEN_BUDGET, pack_sequences
+    from redix_stream_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    a = pack_sequences(d).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(a) == d.count() and a["doc_id"].is_unique
+
+    packs = a.groupby(["shard", "pack_id"]).agg(
+        total=("n_tokens", "sum"), n=("n_tokens", "count")
+    )
+    over = packs[packs["total"] > TOKEN_BUDGET]
+    assert (over["n"] == 1).all(), "multi-doc pack exceeds the budget"
+
+    for _, grp in a.groupby("shard"):
+        ids = sorted(grp["pack_id"].unique())
+        assert ids == list(range(1, len(ids) + 1)), "pack ids not dense"
+
+    b = pack_sequences(d).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)

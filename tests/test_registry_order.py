@@ -43,6 +43,7 @@ MUST_BE_IN_WINDOW = {
     "q83_repetition_quality",
     "q85_hash_split",
     "q86_tfidf_keywords",
+    "q87_sequence_packing",
 }
 
 
