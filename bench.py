@@ -49,6 +49,10 @@ HEADLINE = [
     "q36_minhash_lsh_neardup",
     "q40_cosine_topk",
     "q41_embedding_neardup",
+    "q83_repetition_quality",
+    "q84_decontamination",
+    "q86_tfidf_keywords",
+    "q87_sequence_packing",
 ]
 
 
