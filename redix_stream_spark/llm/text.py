@@ -265,6 +265,47 @@ def q35_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q88_SQL = """
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 25
+"""
+
+
+@register("q88_quota_sample", Q88_SQL)
+def q88_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sample: exactly 25 docs per
+    stratum, chosen by md5(doc_id) order — the reproducible corpus-
+    balancing primitive (q57's Bernoulli sampler draws *approximate*
+    fractions and is engine-internal; this one is exact-quota and
+    hash-verifiable cross-engine, so a re-run or a different engine
+    selects the identical sample).
+
+    Scale: languages are a low-cardinality, highly skewed partition key —
+    naively windowing by lang would sort whole-language partitions. The
+    rank<=k filter compiles to WindowGroupLimit (plan-asserted): each
+    input partition forwards at most k rows per language, so the shuffle
+    carries ≤ k × #partitions rows per language no matter how large the
+    corpus — the low-cardinality skew never materializes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("lang", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 25)
+    )
+
+
 @register("q57_stratified_sample")  # rows-only: samplers are engine-internal
 def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified subsampling by language — the corpus-balancing

@@ -84,7 +84,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new in round 2 --
     "q23b_replay_scaled",
     "q67_left_outer_join",
-    "q68_right_outer_join",
+    # q68_right_outer_join rotates out: VERDICT r01 item 6 asked for one
+    # explicit outer-join row and q67 provides it; the right-outer mirror
+    # stays locally oracle-swept.
     "q80_neardup_clusters",
     "q81_clean_corpus",
     "q82_token_rarity",
@@ -93,6 +95,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q85_hash_split",
     "q86_tfidf_keywords",
     "q87_sequence_packing",
+    "q88_quota_sample",
     # -- core operator coverage: exactly ONE driver face per SURVEY §2.2 op.
     # Rotated-out second faces (q08 E9→q01, q11 E11→q10/q12, q18 E16→q17,
     # q21 E18→q20, q26/q27 stats→q52, q28 E11-family, q29 E17→q19,

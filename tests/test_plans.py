@@ -172,3 +172,11 @@ def test_q83_no_cartesian_and_no_global_exchange(spark, sf_dir):
     plan = plan_of(QUERIES["q83_repetition_quality"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_q88_quota_sample_uses_window_group_limit(spark, sf_dir):
+    """Language is a low-cardinality skewed partition key; the rank<=25
+    filter must push into the window as a group-limit so each input
+    partition forwards at most 25 rows per language to the shuffle."""
+    plan = plan_of(QUERIES["q88_quota_sample"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan

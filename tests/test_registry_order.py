@@ -35,7 +35,8 @@ MUST_BE_IN_WINDOW = {
     # New in round 2.
     "q23b_replay_scaled",
     "q67_left_outer_join",
-    "q68_right_outer_join",
+    # q68_right_outer_join rotated out in favor of q88 (VERDICT r01 item 6
+    # asked for one explicit outer-join row; q67 is it).
     "q80_neardup_clusters",
     "q81_clean_corpus",
     "q82_token_rarity",
@@ -44,6 +45,7 @@ MUST_BE_IN_WINDOW = {
     "q85_hash_split",
     "q86_tfidf_keywords",
     "q87_sequence_packing",
+    "q88_quota_sample",
 }
 
 
