@@ -56,6 +56,16 @@ def get_spark(
     )
     if not os.environ.get("SPARK_MASTER") and "SPARK_CONNECT_MODE_ENABLED" not in os.environ:
         builder = builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        # local[N] shares ONE JVM between driver and all N task slots; the
+        # 1g spark.driver.memory default gives 32 concurrent tasks ~32 MB
+        # each and OOMs on multi-10M-row aggregations (q86 at the 100×
+        # documents replica died exactly this way). Size the heap for the
+        # slot count; on a cluster spark-submit owns this setting and this
+        # branch never runs. Only effective at JVM launch — first
+        # get_spark() in the process wins, like the master itself.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
