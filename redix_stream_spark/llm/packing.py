@@ -3,7 +3,7 @@ sequences (the batch-construction primitive of every pretraining pipeline;
 the reference has no analog, this is part of the LLM-data surface the
 build contract adds on top of SURVEY.md §2.2).
 
-Algorithm: documents are sharded by a content-stable md5 bucket (so the
+Algorithm: documents are sharded by an id-stable md5 bucket (so the
 packing is embarrassingly parallel and reproducible — same property as
 q85's hash split), then greedily next-fit packed in doc_id order within
 each shard: a document joins the current pack unless that would exceed
@@ -108,7 +108,7 @@ SELECT shard, doc_id, n_tokens, pack_id FROM r
 def q87_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget sequence packing (budget 256, 16 md5 shards) —
     assignment is integer-exact and oracle-verified against a
-    recursive-CTE replay of the same fold (content-stable shard = q85's
+    recursive-CTE replay of the same fold (id-stable shard = q85's
     split idiom)."""
     d = load_table(spark, sf_dir, "documents")
     return pack_sequences(d)

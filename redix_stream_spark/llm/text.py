@@ -560,7 +560,7 @@ GROUP BY 1
 
 @register("q85_hash_split", Q85_SQL)
 def q85_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/valid/test assignment by content-stable hash —
+    """Deterministic train/valid/test assignment by id-stable hash —
     the reproducible-split primitive of training pipelines (never rand():
     re-runs, backfills, and cross-engine re-reads must agree on every
     row's split). Bucket = md5(doc_id) first 24 bits mod 10 → 80/10/10.
