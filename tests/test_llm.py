@@ -382,3 +382,48 @@ def test_sequence_packing_invariants(spark, sf_dir):
 
     b = pack_sequences(d).toPandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_sequence_packing_overbudget_doc_gets_own_pack(spark):
+    """A document longer than the whole budget must open (and close) its
+    own pack — never dropped, never merged; neighbors pack normally."""
+    from redix_stream_spark.llm.packing import pack_sequences
+
+    docs = _docs(
+        spark,
+        [
+            (1, "a " * 9 + "a"),      # 10 tokens
+            (2, "b " * 499 + "b"),    # 500 tokens > budget 256
+            (3, "c " * 9 + "c"),      # 10 tokens
+        ],
+    )
+    out = pack_sequences(docs, budget=256, n_shards=1).toPandas()
+    by_doc = out.set_index("doc_id")
+    assert by_doc.loc[2, "n_tokens"] == 500
+    # doc 2 shares its pack with nobody
+    assert (out["pack_id"] == by_doc.loc[2, "pack_id"]).sum() == 1
+    # all docs present exactly once
+    assert sorted(out["doc_id"]) == [1, 2, 3]
+
+
+def test_repetition_quality_single_token_doc(spark, sf_dir):
+    """The bigram clamp (GREATEST(len-1, 1)) must not error or emit zero
+    bigrams for a 1-token document — it degrades to one 1-token 'bigram',
+    matching the oracle's formulation exactly."""
+    from redix_stream_spark.llm import text as t
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, [(1, "solo"), (2, "two tokens")])
+    toks = t.tokens()
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    rows = {
+        r["doc_id"]: (r["n"], r["bg"])
+        for r in docs.select(
+            "doc_id", F.size(bigrams).alias("n"), bigrams.alias("bg")
+        ).collect()
+    }
+    assert rows[1] == (1, ["solo"])
+    assert rows[2] == (1, ["two tokens"])
