@@ -544,3 +544,176 @@ def q79_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_revenue") == F.col("_mx"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+Q89_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+@register("q89_priority_late_orders", Q89_SQL)
+def q89_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts for one quarter's orders that
+    contain at least one late line (the schema has no commit/receipt
+    dates — lateness = shipped >60 days after the order date).
+
+    The correlated EXISTS compiles to a LEFT SEMI join keyed on orderkey
+    with the date comparison as a residual condition — one fact⋈fact
+    shuffle, then a 5-group map-side-combined count.
+    """
+    o = _fact(
+        load_table(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01"))
+        )
+    )
+    l = _fact(load_table(spark, sf_dir, "lineitem"))
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+Q90_SQL = """
+SELECT
+  l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
+@register("q90_late_lines_by_status", Q90_SQL)
+def q90_late_lines_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-linestatus counts of high- vs low-priority
+    lines shipped in one year (the schema has no shipmode; linestatus is
+    the grouping stand-in).
+
+    Ship-year range pushed to the lineitem scan; one orderkey shuffle;
+    the conditional counts are map-side-combined integer sums.
+    """
+    l = _fact(
+        load_table(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+    )
+    o = _fact(load_table(spark, sf_dir, "orders"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+Q91_SQL = """
+WITH fo AS (
+  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+),
+fl AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > fo.o_orderdate + INTERVAL 60 DAY AS is_late
+  FROM lineitem l JOIN fo ON l.l_orderkey = fo.o_orderkey
+),
+waiting AS (
+  SELECT l1.l_orderkey, l1.l_suppkey
+  FROM fl l1
+  WHERE l1.is_late
+    AND EXISTS (
+      SELECT 1 FROM fl l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM fl l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.is_late
+    )
+)
+SELECT s_name, numwait, rank FROM (
+  SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait,
+         CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, s_name) AS BIGINT)
+           AS rank
+  FROM waiting JOIN supplier ON s_suppkey = l_suppkey
+  GROUP BY s_name
+) WHERE rank <= 10
+"""
+
+
+@register("q91_waiting_suppliers", Q91_SQL)
+def q91_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: top-10 suppliers who were the SOLE late supplier
+    on finished multi-supplier orders (lateness as in q89).
+
+    The EXISTS/NOT EXISTS pair becomes LEFT SEMI + LEFT ANTI joins, all
+    keyed on orderkey — the late-line relation is built once and feeds
+    l1/l2/l3; supplier is a broadcast dim; top-10 is orderBy+limit with
+    rank stamped on the 10-row result.
+    """
+    o = _fact(
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = _fact(load_table(spark, sf_dir, "lineitem"))
+    fl = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("is_late"),
+        )
+    )
+    late = fl.filter(F.col("is_late"))
+    l2 = fl.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        late.join(
+            _fact(l2),
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        ).join(
+            _fact(l3),
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    counts = waiting.join(s, F.col("s_suppkey") == F.col("l_suppkey")).groupBy(
+        "s_name"
+    ).agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    top = counts.orderBy(F.col("numwait").desc(), F.col("s_name")).limit(10)
+    w = Window.orderBy(F.col("numwait").desc(), F.col("s_name"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -180,3 +180,13 @@ def test_q88_quota_sample_uses_window_group_limit(spark, sf_dir):
     partition forwards at most 25 rows per language to the shuffle."""
     plan = plan_of(QUERIES["q88_quota_sample"](spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_q91_exists_pair_is_keyed_semi_anti(spark, sf_dir):
+    """Q21's EXISTS/NOT EXISTS must compile to orderkey-keyed LEFT SEMI +
+    LEFT ANTI joins (supplier inequality as residual) — never a cartesian
+    — and the top-10 must be TakeOrdered, not a full rank window."""
+    plan = plan_of(QUERIES["q91_waiting_suppliers"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
