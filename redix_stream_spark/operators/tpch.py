@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..numeric import money, one_minus
+from ..numeric import dsum_big, money, one_minus
 from ..registry import register
 
 
@@ -717,3 +717,377 @@ def q91_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.col("numwait").desc(), F.col("s_name")).limit(10)
     w = Window.orderBy(F.col("numwait").desc(), F.col("s_name"))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+Q92_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q92_forecast_revenue", Q92_SQL)
+def q92_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue increase from dropping small-qty discounts.
+
+    The cheapest query in the suite and the purest pushdown test: every
+    predicate (ship year, discount band, quantity) reaches the parquet
+    scan, no join, one global decimal sum — map-side combined into a
+    single-row aggregate. At 100 TB this is a scan-bound query and the
+    plan must show exactly that.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.sum(money("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+Q93_SQL = f"""
+SELECT CAST(100 AS DOUBLE)
+       * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} END) AS DOUBLE)
+       / CAST(SUM({_REV_SQL}) AS DOUBLE) AS promo_revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate <  TIMESTAMP '1997-10-01'
+"""
+
+
+@register("q93_promo_revenue", Q93_SQL)
+def q93_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: % of one month's revenue from promo parts.
+
+    part is a bounded dim (broadcast); ship-month filter pushed to the
+    fact scan. Both sums are exact decimals; the ratio is a fixed IEEE
+    sequence (100 * num / den, left-assoc) so the double matches the
+    oracle bit for bit. The conditional sum skips NULLs rather than
+    adding a typed zero — same null-skipping semantics in both engines.
+    """
+    l = _fact(
+        load_table(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1997-09-01"))
+            & (F.col("l_shipdate") < F.lit("1997-10-01"))
+        )
+    )
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    j = l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", _rev())).cast("double").alias("_n"),
+        F.sum(_rev()).cast("double").alias("_d"),
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("_n") / F.col("_d")).alias("promo_revenue")
+    )
+
+
+_COST_SQL = (
+    "CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.60 AS DECIMAL(4,2))"
+    " * CAST(l_quantity AS DECIMAL(12,2))"
+)
+
+Q94_SQL = f"""
+SELECT
+  n_name AS nation,
+  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+  (CAST(FLOOR(SUM({_REV_SQL} - {_COST_SQL})) AS DOUBLE)
+   + CAST(SUM({_REV_SQL} - {_COST_SQL})
+          - FLOOR(SUM({_REV_SQL} - {_COST_SQL})) AS DOUBLE)) AS sum_profit
+FROM lineitem
+JOIN orders   ON o_orderkey  = l_orderkey
+JOIN supplier ON s_suppkey   = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN part     ON p_partkey   = l_partkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+"""
+
+
+@register("q94_product_profit", Q94_SQL)
+def q94_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year.
+
+    The schema has no partsupp, so unit cost is modeled as 60% of the
+    part's retail price — the join/agg shape (5-way join, two fact
+    relations, widget name filter on the part dim) is Q9's. All
+    arithmetic is exact decimal ((12,2)x(4,2)x(12,2) stays within
+    precision 38 in both engines); the sum is floor-split (dsum_big)
+    because a profit sum can exceed 2^53 scaled units at scale 6.
+    part/supplier/nation broadcast; the only big shuffle is
+    lineitem join orders on orderkey.
+    """
+    l = _fact(load_table(spark, sf_dir, "lineitem"))
+    o = _fact(load_table(spark, sf_dir, "orders"))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    )
+    amount = _rev() - money("p_retailprice") * F.lit(0.60).cast(
+        "decimal(4,2)"
+    ) * money("l_quantity")
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum_big(amount, "sum_profit"))
+    )
+
+
+Q95_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN supplier ON s_suppkey   = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey, l_suppkey
+),
+best AS (
+  SELECT l_partkey, l_suppkey, unit_cost,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_partkey ORDER BY unit_cost, l_suppkey
+         ) AS rn
+  FROM cost
+)
+SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_name, unit_cost
+FROM best
+JOIN part     ON p_partkey   = l_partkey
+JOIN supplier ON s_suppkey   = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE rn = 1 AND p_type = 'LARGE' AND p_size <= 25
+"""
+
+
+@register("q95_min_cost_supplier", Q95_SQL)
+def q95_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest EUROPE supplier for each qualifying part.
+
+    The schema has no partsupp, so a supplier's offer price is the
+    minimum observed unit price (extendedprice/quantity) in lineitem —
+    the correlated min-cost subquery shape survives. The per-part argmin
+    is a window partitioned by partkey (high-cardinality key — hash
+    partitions, no global sort), with suppkey as the deterministic tie
+    break. Supplier/nation/region dims broadcast; the region filter
+    prunes the pair aggregation before the window.
+    """
+    l = _fact(load_table(spark, sf_dir, "lineitem"))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    cost = (
+        l.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(r, F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = cost.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(
+            (F.col("p_type") == "LARGE") & (F.col("p_size") <= 25)
+        )
+    )
+    return (
+        best.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_name",
+            "unit_cost",
+        )
+    )
+
+
+Q96_SQL = """
+WITH val AS (
+  SELECT l_partkey AS partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON s_suppkey   = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey
+)
+SELECT partkey, CAST(value_dec AS DOUBLE) AS value
+FROM val
+WHERE CAST(value_dec AS DECIMAL(18,2)) * CAST((SELECT COUNT(*) FROM val) AS DECIMAL(10,0)) * 2
+      > CAST((SELECT SUM(value_dec) FROM val) AS DECIMAL(20,2)) * 3
+"""
+
+
+@register("q96_important_parts", Q96_SQL)
+def q96_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value from one region's
+    suppliers exceeds 1.5x the average part value (no partsupp — shipped
+    extendedprice stands in for availqty*supplycost; a relative
+    threshold keeps the query discriminating at every scale factor,
+    where Q11's absolute fraction would go empty as parts multiply).
+
+    The scalar (total, count) is a 1-row aggregate broadcast into the
+    filter — never a window over the whole relation. The 1.5x compare is
+    cross-multiplied (value*cnt*2 > total*3) so it stays in exact
+    decimal on BOTH sides — no decimal division, whose scale rules
+    differ between engines; the down-casts keep every product within
+    precision 38 in both. Output value cast to double only at the end.
+    """
+    l = _fact(load_table(spark, sf_dir, "lineitem"))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    val = (
+        l.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(r, F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(money("l_extendedprice")).alias("value_dec"))
+    )
+    total = val.agg(
+        F.sum("value_dec").alias("_tot"), F.count(F.lit(1)).alias("_cnt")
+    )
+    return (
+        val.join(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("decimal(18,2)")
+            * F.col("_cnt").cast("decimal(10,0)")
+            * 2
+            > F.col("_tot").cast("decimal(20,2)") * 3
+        )
+        .select("partkey", F.col("value_dec").cast("double").alias("value"))
+    )
+
+
+Q97_SQL = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type  <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("q97_supplier_variety", Q97_SQL)
+def q97_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many suppliers can ship each surviving
+    (brand, type, size) combination (no partsupp — observed lineitem
+    supply stands in; no comment column — low acctbal is the
+    "complaints" exclusion analog).
+
+    Part filters prune the broadcast dim before the fact join; the
+    excluded-supplier set is a broadcast anti join (NOT IN on a
+    non-null key == anti join); COUNT(DISTINCT) is Spark's two-phase
+    exact distinct — partial per partition, merged on the group key.
+    """
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        )
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1000
+    ).select("s_suppkey")
+    l = _fact(load_table(spark, sf_dir, "lineitem")).join(
+        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("long").alias("supplier_cnt"))
+    )
+
+
+Q98_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'blue%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 50
+  )
+"""
+
+
+@register("q98_promo_part_suppliers", Q98_SQL)
+def q98_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: ASIA suppliers who shipped a meaningful volume of
+    blue parts in 1997 (no partsupp availqty — the shipped-quantity sum
+    over lineitem is the stock-level stand-in).
+
+    The IN-subquery is a LEFT SEMI join against a grouped fact — the
+    group-by shrinks lineitem to supplier cardinality BEFORE the semi
+    join, so the join probe side is tiny. Part dim filtered+broadcast;
+    the quantity threshold compares exact decimals.
+    """
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_name").like("blue%"))
+    )
+    l = _fact(
+        load_table(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+    )
+    qualifying = (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(money("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > F.lit(50).cast("decimal(12,2)"))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        s.join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(r, F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(
+            qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name", "s_acctbal")
+    )
