@@ -3,11 +3,23 @@ image/audio/video payloads as opaque ``binary`` columns with typed
 metadata, and run decode / feature-extraction as Arrow-batched Pandas UDFs
 over ``mapInPandas``.
 
-The container has no image/audio libraries, so the decode step is STUBBED:
-``decode_image_stub`` raises ``NotImplementedError`` unless
-``deterministic_fake=True``, in which case it produces seeded fake features
-from the payload bytes. Everything Spark-side — schema, batch iteration,
-partitioning, UDF signatures — is real and tested (tests/test_llm.py).
+The container has no imaging libraries, but most of this module is real
+anyway, in two tiers:
+
+- **Header metadata** (format/width/height, WAV sample rate, MP4
+  duration): parsed from container bytes for PNG/JPEG/GIF/BMP/WAV/MP4 —
+  pure stdlib.
+- **Pixels**: PNG is zlib (stdlib) over filtered scanlines and
+  uncompressed BMP is raw bytes, so pixel decode, nearest-neighbor
+  resize, 8x8 aHash perceptual hashing, and PNG re-encode are REAL for
+  those formats (``decode_pixels`` / ``resize_nearest`` /
+  ``average_hash`` / ``png_encode``).
+
+Only entropy-coded codecs (JPEG pixels, video frames) are stubbed: those
+paths raise ``NotImplementedError`` unless ``deterministic_fake=True``,
+which produces seeded fake features from the payload bytes. Everything
+Spark-side — schema, batch iteration, partitioning, UDF signatures — is
+real and tested (tests/test_llm.py).
 
 Scale notes: binary payloads ride in parquet as plain byte arrays;
 ``mapInPandas`` streams Arrow record batches, so executor memory is bounded
@@ -19,8 +31,11 @@ shuffles.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -114,21 +129,196 @@ def parse_image_meta(payload: bytes) -> dict | None:
     return None
 
 
+# -- real pixel codecs (pure stdlib + numpy) --------------------------------
+#
+# The container has no imaging library, but PNG is just zlib (stdlib) over
+# filtered scanlines and uncompressed BMP is raw bytes — so pixel-level
+# decode, resize, perceptual hash, and PNG re-encode are implementable for
+# real. Coverage: PNG 8-bit gray/gray+alpha/RGB/RGBA non-interlaced;
+# BMP 24-bit BI_RGB. Everything else returns None and callers fall back to
+# the deterministic-fake path (or raise).
+
+
+def _png_decode_pixels(payload: bytes) -> np.ndarray | None:
+    """PNG → (H, W, C) uint8 array, or None if not a decodable PNG.
+
+    8-bit, non-interlaced, color types 0/2/4/6. All five scanline filters
+    are implemented; None/Up are vectorized and Sub is a per-channel
+    cumulative sum, so images written by common encoders (and by
+    ``_png_encode`` below, filter 0) decode at numpy speed — only
+    Average/Paeth rows fall back to a scalar loop (sequential data
+    dependency).
+    """
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i, n = 8, len(payload)
+    ihdr: bytes | None = None
+    idat = bytearray()
+    while i + 8 <= n:
+        ln = int.from_bytes(payload[i : i + 4], "big")
+        typ = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + body + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if bit_depth != 8 or interlace != 0 or channels is None or not (w and h):
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    rows = np.frombuffer(raw[: h * (stride + 1)], dtype=np.uint8).reshape(
+        h, stride + 1
+    )
+    filters = rows[:, 0]
+    data = rows[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(filters[y])
+        line = data[y].astype(np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = line + prior
+        elif f == 1:  # Sub: per-channel prefix sum mod 256
+            rec = np.cumsum(line.reshape(w, bpp), axis=0, dtype=np.int64).reshape(
+                stride
+            )
+        else:  # Average (3) / Paeth (4): sequential dependency
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(rec[x - bpp]) & 0xFF if x >= bpp else 0
+                b = int(prior[x]) & 0xFF
+                if f == 3:
+                    pred = (a + b) >> 1
+                elif f == 4:
+                    c = int(prior[x - bpp]) & 0xFF if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    return None  # unknown filter byte
+                rec[x] = line[x] + pred
+        out[y] = rec & 0xFF
+        prior = out[y].astype(np.int32)
+    return out.reshape(h, w, channels)
+
+
+def _bmp_decode_pixels(payload: bytes) -> np.ndarray | None:
+    """BMP (24-bit uncompressed BI_RGB) → (H, W, 3) uint8 RGB, else None."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h_raw = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0 or w <= 0 or h_raw == 0:
+        return None
+    h = abs(h_raw)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    px = payload[data_off : data_off + stride * h]
+    if len(px) < stride * h:
+        return None
+    arr = (
+        np.frombuffer(px, dtype=np.uint8)
+        .reshape(h, stride)[:, : w * 3]
+        .reshape(h, w, 3)
+    )
+    if h_raw > 0:  # positive height = bottom-up row order
+        arr = arr[::-1]
+    return arr[..., ::-1].copy()  # BGR → RGB
+
+
+def decode_pixels(payload: bytes) -> np.ndarray | None:
+    """Real pixel decode → (H, W, C) uint8, or None if format unsupported."""
+    if payload[:2] == b"BM":
+        return _bmp_decode_pixels(payload)
+    return _png_decode_pixels(payload)
+
+
+def png_encode(img: np.ndarray) -> bytes:
+    """(H, W[, C]) uint8 → PNG bytes (filter 0, stdlib zlib). Round-trips
+    through ``_png_decode_pixels`` bit-exactly."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + typ
+            + body
+            + zlib.crc32(typ + body).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize by integer index sampling — deterministic
+    (pure integer source-index math, no float rounding ambiguity)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return img[ys][:, xs]
+
+
+def average_hash(img: np.ndarray) -> str:
+    """64-bit aHash as 16 hex chars: downsample to 8x8 grayscale, threshold
+    each cell against the mean. A true *perceptual* hash (stable under
+    re-encode and resize), unlike the md5 content hash."""
+    g = img.mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
+    small = resize_nearest(g, 8, 8)
+    bits = (small >= small.mean()).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return f"{v:016x}"
+
+
 def decode_image_stub(payload: bytes, *, deterministic_fake: bool = False) -> dict:
     """Decode an image payload → (format, width, height, phash).
 
     Metadata (format/width/height) is REAL for PNG/JPEG/GIF/BMP payloads
     via ``parse_image_meta`` — parsed from header bytes, no imaging
-    library. The phash is an md5-prefix content hash (a true *perceptual*
-    hash needs pixel decode, which the container cannot do). Unrecognized
-    payloads fall back to md5-seeded fake dimensions when
-    ``deterministic_fake=True`` (stable across runs/engines — exercises
-    the pipeline on synthetic text-byte payloads), else raise.
+    library. When the pixels themselves decode (PNG 8-bit / BMP 24-bit,
+    ``decode_pixels``) the phash is a REAL perceptual hash (8x8 aHash);
+    for header-only formats (JPEG/GIF — entropy coding needs a codec) it
+    falls back to an md5-prefix content hash. Unrecognized payloads fall
+    back to md5-seeded fake dimensions when ``deterministic_fake=True``
+    (stable across runs/engines — exercises the pipeline on synthetic
+    text-byte payloads), else raise.
     """
     digest = hashlib.md5(payload).hexdigest()
     meta = parse_image_meta(payload)
     if meta is not None:
-        return {**meta, "phash": digest[:16]}
+        px = decode_pixels(payload)
+        phash = average_hash(px) if px is not None else digest[:16]
+        return {**meta, "phash": phash}
     if not deterministic_fake:
         raise NotImplementedError(
             "unrecognized image format: header parsing covers PNG/JPEG/GIF/BMP; "
@@ -226,17 +416,22 @@ def q43_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def resize_image_stub(
     payload: bytes, width: int, height: int, *, deterministic_fake: bool = False
 ) -> bytes:
-    """Resize an image payload to (width, height).
+    """Resize an image payload to (width, height) → PNG bytes.
 
-    STUB: real resizing needs an imaging library. The deterministic fake
-    re-derives bytes from (payload digest, target dims) so the output is
-    stable and size-plausible — enough to exercise the binary-in /
-    binary-out UDF plumbing for real.
+    REAL for payloads ``decode_pixels`` understands (PNG 8-bit,
+    BMP 24-bit): nearest-neighbor resample + stdlib-zlib PNG re-encode —
+    no imaging library. Other formats need a codec the container lacks;
+    they get deterministic md5-seeded fake bytes under
+    ``deterministic_fake=True`` (stable — exercises the binary-in /
+    binary-out UDF plumbing), else raise.
     """
+    px = decode_pixels(payload)
+    if px is not None:
+        return png_encode(resize_nearest(px, width, height))
     if not deterministic_fake:
         raise NotImplementedError(
-            "image resizing requires an imaging library; "
-            "run with deterministic_fake=True for pipeline tests"
+            "pixel decode covers PNG/BMP; other formats need an imaging "
+            "library — run with deterministic_fake=True for pipeline tests"
         )
     seed = hashlib.md5(payload + f"{width}x{height}".encode()).digest()
     size = max(1, (width * height) // 512)
