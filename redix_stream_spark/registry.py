@@ -59,8 +59,16 @@ def _load() -> None:
 # back (they stay regression-guarded by tests/test_oracle.py, which sweeps
 # ALL oracle-backed queries locally). Names not listed here keep their
 # registration order after the listed ones.
+# Window policy: a query needs ONE green driver row, ever — CORRECTNESS_r01
+# already covers 50 queries (everything from q01 through q34, q44–q52,
+# q60–q66), and those rows are permanent evidence. So the round-2 window
+# spends all 50 slots on queries that have NEVER had a driver row, plus the
+# three the judge explicitly asked to re-check (q52 errored in r1; q64/q31
+# were re-implemented with TakeOrdered plans). Across r1+r2 every registered
+# query then has a driver row. The only two rotated out entirely are
+# q92/q93 — TPC-H Q6/Q14 shape twins of the r1-green q62/q63.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked in round 1 (E23/E24/E26 surface) --
+    # -- E23/E24/E26 surface, never driver-checked in round 1 --
     "q35_shingle_fingerprint",
     "q36_minhash_lsh_neardup",
     "q37_ngram_jaccard_dup",
@@ -77,16 +85,15 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q57_stratified_sample",
     "q58_pii_scrub",
     "q59_token_counting",
-    # -- fixed or re-implemented this round (need fresh driver rows) --
+    # -- fixed or re-implemented this round (VERDICT r01 items 2–3) --
     "q52_approx_percentiles",
     "q64_returned_items",
     "q31_top_tokens",
-    # -- new in round 2 --
+    # -- new in round 2: streaming/join faces --
     "q23b_replay_scaled",
     "q67_left_outer_join",
-    # q68_right_outer_join rotates out: VERDICT r01 item 6 asked for one
-    # explicit outer-join row and q67 provides it; the right-outer mirror
-    # stays locally oracle-swept.
+    "q68_right_outer_join",
+    # -- new in round 2: LLM-pipeline surface --
     "q80_neardup_clusters",
     "q81_clean_corpus",
     "q82_token_rarity",
@@ -96,33 +103,26 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q86_tfidf_keywords",
     "q87_sequence_packing",
     "q88_quota_sample",
-    # -- core operator coverage: exactly ONE driver face per SURVEY §2.2 op.
-    # Rotated-out second faces (q08 E9→q01, q11 E11→q10/q12, q18 E16→q17,
-    # q21 E18→q20, q26/q27 stats→q52, q28 E11-family, q29 E17→q19,
-    # q30 E25→q31/q83/q86, q60–q63 analytics) stay green under
-    # tests/test_oracle.py, which sweeps ALL oracle-backed queries locally.
-    "q01_pricing_summary",  # E1 scan + E9 hash agg (TPC-H Q1)
-    "q02_filter_project",  # E4 + E5
-    "q03_star_join_revenue",  # E6 inner star
-    "q04_semi_join",  # E7
-    "q05_anti_join",  # E7
-    "q06_range_join",  # E8
-    "q07_asof_join",  # E8
-    "q09_distinct_users",  # E10
-    # q10_rollup_orders rotates out: E11 keeps q12 (grouping sets is the
-    # general form; rollup/cube are its special cases).
-    "q12_grouping_sets",  # E11
-    "q13_window_topk_per_group",  # E12
-    "q14_window_analytic",  # E13
-    "q15_top_global",  # E14
-    "q16_set_ops",  # E15
-    "q17_scalar_string_math",  # E16
-    "q19_json_props",  # E17
-    "q20_tumbling_window",  # E18
-    "q22_session_window",  # E19
-    "q23_stream_replay",  # E2 stream source face
-    "q24_dedup_first",  # E21
-    "q25_pending_antijoin",  # E22 (only face)
+    "q53_hll_mergeable_rollup",
+    # -- new in round 2: TPC-H breadth (E27) --
+    "q70_shipping_priority",
+    "q71_local_supplier_volume",
+    "q72_volume_shipping",
+    "q73_market_share",
+    "q74_order_distribution",
+    "q75_small_qty_revenue",
+    "q76_large_orders",
+    "q77_bracket_revenue",
+    "q78_dormant_customers",
+    "q79_top_supplier",
+    "q89_priority_late_orders",
+    "q90_late_lines_by_status",
+    "q91_waiting_suppliers",
+    "q94_product_profit",
+    "q95_min_cost_supplier",
+    "q96_important_parts",
+    "q97_supplier_variety",
+    "q98_promo_part_suppliers",
 )
 
 

@@ -35,8 +35,7 @@ MUST_BE_IN_WINDOW = {
     # New in round 2.
     "q23b_replay_scaled",
     "q67_left_outer_join",
-    # q68_right_outer_join rotated out in favor of q88 (VERDICT r01 item 6
-    # asked for one explicit outer-join row; q67 is it).
+    "q68_right_outer_join",
     "q80_neardup_clusters",
     "q81_clean_corpus",
     "q82_token_rarity",
@@ -46,7 +45,57 @@ MUST_BE_IN_WINDOW = {
     "q86_tfidf_keywords",
     "q87_sequence_packing",
     "q88_quota_sample",
+    "q53_hll_mergeable_rollup",
+    # TPC-H breadth (E27) — all new in round 2, no r1 rows exist.
+    "q70_shipping_priority",
+    "q71_local_supplier_volume",
+    "q72_volume_shipping",
+    "q73_market_share",
+    "q74_order_distribution",
+    "q75_small_qty_revenue",
+    "q76_large_orders",
+    "q77_bracket_revenue",
+    "q78_dormant_customers",
+    "q79_top_supplier",
+    "q89_priority_late_orders",
+    "q90_late_lines_by_status",
+    "q91_waiting_suppliers",
+    "q94_product_profit",
+    "q95_min_cost_supplier",
+    "q96_important_parts",
+    "q97_supplier_variety",
+    "q98_promo_part_suppliers",
 }
+
+# Queries with a green CORRECTNESS_r01 row — permanent evidence, safe to
+# rotate behind the window (still swept locally by tests/test_oracle.py).
+R1_GREEN = {
+    "q01_pricing_summary", "q02_filter_project", "q03_star_join_revenue",
+    "q04_semi_join", "q05_anti_join", "q06_range_join", "q07_asof_join",
+    "q08_agg_orders", "q09_distinct_users", "q10_rollup_orders",
+    "q11_cube_events", "q12_grouping_sets", "q13_window_topk_per_group",
+    "q14_window_analytic", "q15_top_global", "q16_set_ops",
+    "q17_scalar_string_math", "q18_scalar_datetime", "q19_json_props",
+    "q20_tumbling_window", "q21_sliding_window", "q22_session_window",
+    "q23_stream_replay", "q24_dedup_first", "q25_pending_antijoin",
+    "q26_percentiles", "q27_moment_stats", "q28_pivot_events",
+    "q29_map_ops", "q30_text_stats", "q32_doc_quality", "q33_lang_id",
+    "q34_fingerprint", "q44_window_frames", "q45_string_null_fns",
+    "q46_array_ops", "q47_correlation", "q48_string_agg",
+    "q49_bitwise_misc", "q50_full_outer_join", "q51_approx_distinct",
+    "q60_funnel", "q61_retention", "q62_forecast_revenue",
+    "q63_promo_ratio", "q65_unpivot", "q66_multiset_ops",
+}
+
+
+def test_every_query_has_a_driver_row_across_rounds():
+    """The r2 window + the r1 green rows + the two documented shape twins
+    (q92/q93 ≡ q62/q63) must cover every registered query, so that after
+    this round no query has ever gone driver-unchecked."""
+    window = set(list(registry.all_queries())[:50])
+    twins = {"q92_forecast_revenue", "q93_promo_revenue"}
+    uncovered = set(registry.all_queries()) - window - R1_GREEN - twins
+    assert not uncovered, f"queries with no driver row in any round: {uncovered}"
 
 
 def test_driver_window_is_exactly_pinned():
