@@ -53,15 +53,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load ``events`` with its nanosecond-precision ``ts`` column.
+    """Load ``events``, normalizing ``ts`` across generator vintages.
 
-    Spark's parquet reader rejects INT64 TIMESTAMP(NANOS) outright
-    (PARQUET_TYPE_ILLEGAL); the supported escape hatch is
-    ``spark.sql.legacy.parquet.nanosAsLong``, which surfaces the raw
-    nanosecond ticks as BIGINT. We floor-divide to microseconds (the data's
-    actual precision — sub-microsecond digits are zero) with *integer*
-    arithmetic (a double division would round 2^62-scale ticks) and expose
-    a TIMESTAMP_NTZ, matching DuckDB's naive reading of the same file.
+    The testdata generator has shipped ``ts`` as both INT64
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds. Spark's parquet
+    reader rejects TIMESTAMP(NANOS) outright (PARQUET_TYPE_ILLEGAL); the
+    supported escape hatch is ``spark.sql.legacy.parquet.nanosAsLong``,
+    which surfaces the raw nanosecond ticks as BIGINT. When that fires we
+    floor-divide to microseconds with *integer* arithmetic (a double
+    division would round 2^62-scale ticks) and expose a TIMESTAMP_NTZ,
+    matching DuckDB's naive reading of the same file. A MICROS file (or an
+    engine-materialized log) already reads as a true timestamp column and
+    passes through untouched.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))

@@ -52,8 +52,9 @@ class EventLogDataSource(DataSource):
         return "eventlog"
 
     def schema(self) -> str:
-        # Default schema of the testdata events log; nanosecond ts is
-        # surfaced as raw ticks (bigint) exactly like catalog._load_events.
+        # Default schema of the testdata events log; ts is surfaced as raw
+        # nanosecond ticks (bigint) regardless of the file's timestamp unit,
+        # exactly like catalog._load_events's nanosAsLong face.
         return (
             "event_id bigint, ts bigint, user_id bigint, "
             "event_type string, value double, props string"
@@ -161,14 +162,17 @@ class EventLogStreamReader(DataSourceStreamReader):
         )
         names = [f.name for f in self.schema.fields]
         table = dataset.to_table(filter=expr, columns=names)
-        # ts arrives as timestamp[ns]; surface raw ticks to match schema.
+        # Timestamp columns surface as raw NANOSECOND ticks (bigint),
+        # whatever unit the file stores (the testdata generator has shipped
+        # both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds) — the
+        # source contract must not silently change with the file's unit.
         import pyarrow as pa
 
         cols = []
         for name in names:
             col = table.column(name)
             if pa.types.is_timestamp(col.type):
-                col = col.cast(pa.int64())
+                col = col.cast(pa.timestamp("ns")).cast(pa.int64())
             cols.append(col)
         for batch in pa.table(dict(zip(names, cols))).to_batches():
             for r in batch.to_pylist():
