@@ -11,5 +11,6 @@ Parity map (reference → here):
 
 from .log import EventLog
 from .consumer import Consumer, HandlerResult
+from .multi import MultiConsumer
 
-__all__ = ["EventLog", "Consumer", "HandlerResult"]
+__all__ = ["EventLog", "Consumer", "HandlerResult", "MultiConsumer"]

@@ -669,3 +669,76 @@ def test_eventlog_source_max_id_from_rowgroup_stats(spark, tmp_path):
     # stats really are present in the footers (the fast path, not the scan)
     meta = pq.ParquetFile(f"{path}/b.parquet").metadata
     assert meta.row_group(0).column(0).statistics.has_min_max
+
+
+# -- MultiConsumer: multi-topic consumption (stream.ex:41-42 doc hint) -----
+
+
+class MultiRecorder:
+    """3-arity handler — the reference's full handler form (README.md:38):
+    (stream name, message id, payload)."""
+
+    def __init__(self, result=HandlerResult.OK):
+        self.seen: list[tuple[str, str, dict]] = []
+        self.result = result
+
+    def __call__(self, stream: str, msg_id: str, payload: dict) -> HandlerResult:
+        self.seen.append((stream, msg_id, payload))
+        return self.result
+
+
+def test_multi_consumer_per_stream_order(spark, tmp_path):
+    from redix_stream_spark.streaming import MultiConsumer
+
+    la, lb = EventLog(str(tmp_path / "la")), EventLog(str(tmp_path / "lb"))
+    ida = la.produce_many(spark, [{"k": "a1"}, {"k": "a2"}])
+    idb = lb.produce_many(spark, [{"k": "b1"}])
+    rec = MultiRecorder()
+    mc = MultiConsumer({"alpha": la, "beta": lb}, rec, str(tmp_path / "ck"))
+    mc.run_once(spark)
+    per_stream: dict[str, list[str]] = {}
+    for stream, mid, _ in rec.seen:
+        per_stream.setdefault(stream, []).append(mid)
+    assert per_stream == {"alpha": ida, "beta": idb}
+
+
+def test_multi_consumer_independent_positions(spark, tmp_path):
+    # Redis XREAD keeps one cursor per stream: draining both then producing
+    # to one must redeliver nothing and deliver only the new message.
+    from redix_stream_spark.streaming import MultiConsumer
+
+    la, lb = EventLog(str(tmp_path / "la")), EventLog(str(tmp_path / "lb"))
+    la.produce(spark, {"k": "a1"})
+    lb.produce(spark, {"k": "b1"})
+    rec = MultiRecorder()
+    mc = MultiConsumer({"alpha": la, "beta": lb}, rec, str(tmp_path / "ck"))
+    mc.run_once(spark)
+    assert len(rec.seen) == 2
+    pos = mc.delivered_positions()
+    new_id = la.produce(spark, {"k": "a2"})
+    mc.run_once(spark)
+    assert [s for s, _, _ in rec.seen].count("alpha") == 2
+    assert rec.seen[-1] == ("alpha", new_id, {"k": "a2"})
+    # beta's cursor did not move; alpha's advanced
+    pos2 = mc.delivered_positions()
+    assert pos2["beta"] == pos["beta"] and pos2["alpha"] > pos["alpha"]
+
+
+def test_multi_consumer_defer_ack_pending_per_stream(spark, tmp_path):
+    from redix_stream_spark.streaming import MultiConsumer
+
+    la, lb = EventLog(str(tmp_path / "la")), EventLog(str(tmp_path / "lb"))
+    ida = la.produce(spark, {"k": "a1"})
+    idb = lb.produce(spark, {"k": "b1"})
+    rec = MultiRecorder(result=HandlerResult.DEFER)
+    mc = MultiConsumer({"alpha": la, "beta": lb}, rec, str(tmp_path / "ck"))
+    mc.run_once(spark)
+    pend = {
+        (r["stream"], r["id"]) for r in mc.pending(spark).collect()
+    }
+    assert pend == {("alpha", ida), ("beta", idb)}
+    mc.ack(spark, "alpha", ida)
+    assert {(r["stream"], r["id"]) for r in mc.pending(spark).collect()} == {
+        ("beta", idb)
+    }
+    assert mc.pending(spark, "beta").count() == 1
