@@ -1,0 +1,206 @@
+"""Streaming near-duplicate filtering: the q36/q80 MinHash pipeline as an
+*incremental* operator over a document stream.
+
+A training-data pipeline rarely gets its corpus at rest: crawl batches
+arrive continuously, and each batch must be deduplicated against
+everything already accepted. This operator runs the batch engine's exact
+MinHash machinery (``llm.dedup`` — same signatures, same band keys) per
+micro-batch against a durable **claimed-bands index**:
+
+per micro-batch
+  1. signature + band keys for the batch's docs (map-only, as in q36);
+  2. any band already claimed by an accepted doc → the doc is a near-dup
+     of earlier data → dropped (one equi-join against the index);
+  3. survivors are clustered *within* the batch over shared bands (the
+     q80 min-label collapse, batch-local) and only each cluster's
+     canonical (min doc_id) is accepted;
+  4. accepted docs claim their bands — an append to the index.
+
+Policy = the batch pipeline's: one canonical survivor per near-dup
+cluster. A drained stream therefore matches the batch q80/q81 collapse up
+to batch-boundary effects (two docs that would share a cluster only
+through a *dropped* third doc can both survive when they arrive in
+different batches — LSH banding is itself an approximation with exactly
+this character, so the boundary effect does not change the contract).
+
+Scale (100 TB): the index is a parquet table keyed by band_key — the join
+in step 2 is an ordinary distributed equi-join (shuffle or bucketed on
+band_key), never a corpus self-join; per-batch state never lives on the
+driver; step 3 touches only the batch. The index grows ~n_bands rows per
+accepted doc and is itself compactable. This is the standard inverted
+band index shape — the same index q36 computes implicitly per run, made
+durable and incremental.
+
+Reference parity note: the reference has no dedup operator at all — this
+is engine surface beyond the reference (SURVEY §2.2 E23 family), composed
+with its R3 stream-consumption semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import lsh_candidate_pairs, minhash_signatures
+
+
+class StreamingNearDupFilter:
+    """Incremental MinHash near-dup filter with a durable band index.
+
+    ``accepted_path`` receives accepted (doc_id, text) rows;
+    ``index_path`` holds claimed (band_key, owner_doc_id) rows. Both are
+    append-only parquet — replays of a failed epoch re-append, so reads
+    dedup by (band_key, min owner) / doc_id, the same at-least-once
+    discipline the consumer's ack log uses.
+    """
+
+    def __init__(self, index_path: str, accepted_path: str):
+        self.index_path = index_path
+        self.accepted_path = accepted_path
+
+    # -- the per-batch step (also usable on a static batch) -------------
+
+    def _claimed(self, spark: SparkSession) -> DataFrame:
+        if not _has_parquet(self.index_path):
+            return spark.createDataFrame([], "band_key string, owner long")
+        return spark.read.schema("band_key string, owner long").parquet(
+            self.index_path
+        )
+
+    def apply_batch(self, batch: DataFrame, epoch_id: int = 0) -> None:
+        """Dedup one (micro-)batch of (doc_id, text) against the index."""
+        spark = batch.sparkSession
+        docs = batch.select("doc_id", "text")
+        sig = minhash_signatures(docs).cache()
+        bands = _band_keys(sig)
+
+        # 2. cross-batch: any claimed band → near-dup of accepted history.
+        hit = (
+            bands.join(self._claimed(spark), "band_key", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        fresh = docs.join(hit, "doc_id", "left_anti").cache()
+
+        # 3. intra-batch: q80's min-label collapse over shared bands,
+        # restricted to the batch (candidate pairs from band equality —
+        # the LSH decision, no O(n²) verify needed to *cluster*).
+        fresh_sig = sig.join(fresh.select("doc_id"), "doc_id")
+        pairs = lsh_candidate_pairs(fresh_sig)
+        non_canonical = _non_canonical(pairs)
+        accepted = fresh.join(non_canonical, "doc_id", "left_anti").cache()
+
+        # 4. accepted rows land, THEN the band claims. Order is
+        # correctness, not style: every write re-evaluates its lineage,
+        # and `accepted`'s lineage reads the index (step 2's anti-join) —
+        # writing the claims first would put the batch's own bands in the
+        # index before the accepted write re-reads it, making every
+        # accepted doc a "duplicate" of itself (zero rows written; found
+        # by the two-batch pytest). With accepted-first, both writes see
+        # the index in its pre-batch state.
+        accepted.write.mode("append").parquet(self.accepted_path)
+        (
+            bands.join(accepted.select("doc_id"), "doc_id")
+            .select("band_key", F.col("doc_id").alias("owner"))
+            .write.mode("append")
+            .parquet(self.index_path)
+        )
+        sig.unpersist()
+        fresh.unpersist()
+        accepted.unpersist()
+
+    # -- streaming face --------------------------------------------------
+
+    def run(self, doc_stream: DataFrame, checkpoint_dir: str, **trigger):
+        """Attach to a streaming (doc_id, text) DataFrame; returns the
+        StreamingQuery. Default trigger drains what is available."""
+        trigger = trigger or {"availableNow": True}
+        return (
+            doc_stream.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(**trigger)
+            .start()
+        )
+
+    def accepted(self, spark: SparkSession) -> DataFrame:
+        """Accepted corpus so far (deduped by doc_id — epoch replays may
+        re-append, exactly like the consumer's ack log)."""
+        if not _has_parquet(self.accepted_path):
+            return spark.createDataFrame([], "doc_id long, text string")
+        raw = spark.read.schema("doc_id long, text string").parquet(
+            self.accepted_path
+        )
+        return raw.dropDuplicates(["doc_id"])
+
+
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_key) rows for a signature frame — the same band
+    construction as ``lsh_candidate_pairs`` (llm/dedup.py), exposed flat."""
+    n_perms = sum(1 for c in sig.columns if c.startswith("mh"))
+    from .dedup import N_BANDS
+
+    rows_per_band = n_perms // N_BANDS
+    bands = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(j),
+                *[F.col(f"mh{j * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"band{j}")
+        for j in range(N_BANDS)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*bands)).alias("band_key"))
+
+
+def _non_canonical(pairs: DataFrame) -> DataFrame:
+    """doc_ids that are NOT their cluster's minimum, per q80's min-label
+    propagation run to a fixed point on the (batch-local) pair graph."""
+    edges = (
+        pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
+            )
+        )
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(20):
+        from_neighbors = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = labels.join(from_neighbors, "doc_id", "left_outer").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
+                "label"
+            ),
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("intra-batch label propagation did not converge")
+    edges.unpersist()
+    return labels.filter(F.col("doc_id") != F.col("label")).select("doc_id")
+
+
+def _has_parquet(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )

@@ -427,3 +427,53 @@ def test_repetition_quality_single_token_doc(spark, sf_dir):
     }
     assert rows[1] == (1, ["solo"])
     assert rows[2] == (1, ["two tokens"])
+
+
+def test_streaming_neardup_filter_cross_and_intra_batch(spark, tmp_path):
+    """Incremental MinHash dedup: intra-batch near-dups collapse to the
+    canonical doc; a later batch's near-dup of *accepted* history is
+    dropped via the durable band index; unique docs always land."""
+    from redix_stream_spark.llm.stream_dedup import StreamingNearDupFilter
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sleepy pandas watch from a bamboo grove near the river delta"
+    )
+    other = (
+        "completely different subject matter entirely about compilers "
+        "register allocation spilling liveness intervals and ssa form"
+    )
+    third = (
+        "unrelated culinary text describing sourdough fermentation "
+        "hydration ratios scoring and oven spring in great detail"
+    )
+    src = str(tmp_path / "docs")
+    f = StreamingNearDupFilter(
+        index_path=str(tmp_path / "bands"),
+        accepted_path=str(tmp_path / "accepted"),
+    )
+
+    def drain():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = f.run(stream, str(tmp_path / "ck"))
+        q.awaitTermination(180)
+
+    # batch 1: d1 and d2 are exact near-dups (identical → every band
+    # collides); d3 is unique. Canonical (min doc_id) survives.
+    spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert sorted(
+        r["doc_id"] for r in f.accepted(spark).collect()
+    ) == [1, 3]
+
+    # batch 2: d4 duplicates ACCEPTED history (dropped by the index);
+    # d5 is fresh.
+    spark.createDataFrame(
+        [(4, base), (5, third)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert sorted(
+        r["doc_id"] for r in f.accepted(spark).collect()
+    ) == [1, 3, 5]
