@@ -134,6 +134,34 @@ class StreamingNearDupFilter:
         )
         return raw.dropDuplicates(["doc_id"])
 
+    def compact_index(self, spark: SparkSession, n_files: int = 8) -> int:
+        """Rewrite the band index: one row per band_key (min owner wins,
+        mirroring the canonical-doc rule), bounded file count.
+
+        Every micro-batch appends one file set; after thousands of
+        batches the index is a small-files swamp and every hit-join pays
+        the listing. Same overwrite discipline as ``EventLog.compact``:
+        stage to a sibling directory, then swap — a reader mid-swap sees
+        either the old or the new complete index. Run between drains
+        (not concurrently with an active stream). Returns the row count.
+        """
+        import shutil
+
+        idx = self._claimed(spark).groupBy("band_key").agg(
+            F.min("owner").alias("owner")
+        )
+        staged = self.index_path.rstrip("/") + ".compact"
+        idx.repartition(n_files).write.mode("overwrite").parquet(staged)
+        n = spark.read.schema("band_key string, owner long").parquet(staged).count()
+        old = self.index_path.rstrip("/") + ".old"
+        os.rename(self.index_path, old)
+        os.rename(staged, self.index_path)
+        shutil.rmtree(old)
+        # Drop the cached file listing for the path — Spark's shared
+        # FileStatusCache still names the pre-swap part files otherwise.
+        spark.catalog.refreshByPath(self.index_path)
+        return n
+
 
 def _band_keys(sig: DataFrame) -> DataFrame:
     """(doc_id, band_key) rows for a signature frame — the same band

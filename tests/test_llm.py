@@ -477,3 +477,43 @@ def test_streaming_neardup_filter_cross_and_intra_batch(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in f.accepted(spark).collect()
     ) == [1, 3, 5]
+
+
+def test_streaming_neardup_index_compaction(spark, tmp_path):
+    """compact_index collapses the append-only band index to one row per
+    band_key (min owner) with a bounded file count, and the filter keeps
+    dropping known near-dups afterwards."""
+    import os
+
+    from redix_stream_spark.llm.stream_dedup import StreamingNearDupFilter
+
+    text_a = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    f = StreamingNearDupFilter(
+        index_path=str(tmp_path / "bands"),
+        accepted_path=str(tmp_path / "accepted"),
+    )
+    for i, docs in enumerate([[(1, text_a)], [(2, text_a)]]):
+        f.apply_batch(
+            spark.createDataFrame(docs, "doc_id long, text string"), i
+        )
+    distinct_before = f._claimed(spark).select("band_key").distinct().count()
+    n_before_files = sum(
+        1 for x in os.listdir(str(tmp_path / "bands")) if x.endswith(".parquet")
+    )
+    n = f.compact_index(spark, n_files=2)
+    assert n == distinct_before
+    after = f._claimed(spark)
+    assert after.count() == n  # one row per band now
+    assert {r["owner"] for r in after.collect()} == {1}
+    n_after_files = sum(
+        1 for x in os.listdir(str(tmp_path / "bands")) if x.endswith(".parquet")
+    )
+    assert n_after_files <= max(2, n_before_files)
+    # the compacted index still drops a near-dup of accepted history
+    f.apply_batch(
+        spark.createDataFrame([(3, text_a)], "doc_id long, text string"), 2
+    )
+    assert sorted(r["doc_id"] for r in f.accepted(spark).collect()) == [1]
