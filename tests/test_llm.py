@@ -517,3 +517,49 @@ def test_streaming_neardup_index_compaction(spark, tmp_path):
         spark.createDataFrame([(3, text_a)], "doc_id long, text string"), 2
     )
     assert sorted(r["doc_id"] for r in f.accepted(spark).collect()) == [1]
+
+
+def test_streaming_ivf_index_ingest_and_query(spark, sf_dir, tmp_path):
+    """Durable IVF: fit once, ingest incrementally (two batches), query
+    with partition-pruned probes; an indexed vector finds itself first and
+    recall vs brute force matches the per-run IVF operator's bar."""
+    from redix_stream_spark.catalog import load_table
+    from redix_stream_spark.llm.similarity import QUERY_VEC_ID, cosine
+    from redix_stream_spark.llm.stream_ann import StreamingIvfIndex
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ivf = StreamingIvfIndex(
+        codebook_path=str(tmp_path / "codebook"),
+        index_path=str(tmp_path / "ivf"),
+    )
+    ivf.fit(e.select("vec_id", "embedding"))
+    # incremental ingest: two disjoint halves
+    ivf.ingest_batch(e.filter(F.col("vec_id") % 2 == 0), 0)
+    ivf.ingest_batch(e.filter(F.col("vec_id") % 2 == 1), 1)
+
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    got = ivf.query(spark, qv, k=10, nprobe=3)
+    # partition pruning: the cell filter must reach the scan's
+    # PartitionFilters, not a post-scan Filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan, plan
+    rows = got.collect()
+    assert rows[0]["vec_id"] == QUERY_VEC_ID  # self-similarity ≈ 1 wins
+    exact = [
+        r["vec_id"]
+        for r in e.select(
+            "vec_id",
+            cosine(F.col("embedding"), F.lit(qv).cast("array<double>")).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    overlap = len({r["vec_id"] for r in rows} & set(exact))
+    assert overlap >= 5, (sorted(r["vec_id"] for r in rows), exact)
