@@ -199,6 +199,7 @@ def _non_canonical(pairs: DataFrame) -> DataFrame:
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
+        .cache()
     )
     for _ in range(20):
         from_neighbors = (
@@ -206,11 +207,17 @@ def _non_canonical(pairs: DataFrame) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = labels.join(from_neighbors, "doc_id", "left_outer").select(
-            "doc_id",
-            F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
-                "label"
-            ),
+        # cache each round (the q80 pattern): without it, round r's
+        # lineage recomputes rounds 1..r-1 from scratch.
+        new_labels = (
+            labels.join(from_neighbors, "doc_id", "left_outer")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .cache()
         )
         changed = (
             new_labels.alias("n")
@@ -219,6 +226,7 @@ def _non_canonical(pairs: DataFrame) -> DataFrame:
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
