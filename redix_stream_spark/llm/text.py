@@ -107,25 +107,19 @@ FROM t
 """
 
 
-@register("q32_doc_quality", Q32_SQL)
-def q32_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality scoring: token counts, type-token ratio,
-    stopword ratio, average token length, and a quality bucket.
-
-    All ratios are int/int IEEE divisions — bit-deterministic, no rounding
-    games needed. This is the standard pre-training quality-filter shape
-    (length + lexical-diversity + stopword heuristics).
-    """
-    d = load_table(spark, sf_dir, "documents")
+def quality_columns() -> list:
+    """The q32 quality expressions over a ``text`` column, as reusable
+    Columns. Stateless, so they apply identically to a batch DataFrame
+    and a streaming one (tests/test_streaming_llm.py drives both and
+    compares) — the Spark-first payoff: one operator definition, two
+    execution modes."""
     toks = tokens()
     n = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
     stops = F.array([F.lit(s) for s in STOPWORDS["en"]])
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stops, x)))
     ttr = n_uniq.cast("double") / n
-    return d.select(
-        "doc_id",
-        "lang",
+    return [
         n.cast("long").alias("n_tokens"),
         n_uniq.cast("long").alias("n_unique"),
         ttr.alias("ttr"),
@@ -137,7 +131,20 @@ def q32_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(n >= 15, "medium")
         .otherwise("low")
         .alias("quality"),
-    )
+    ]
+
+
+@register("q32_doc_quality", Q32_SQL)
+def q32_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: token counts, type-token ratio,
+    stopword ratio, average token length, and a quality bucket.
+
+    All ratios are int/int IEEE divisions — bit-deterministic, no rounding
+    games needed. This is the standard pre-training quality-filter shape
+    (length + lexical-diversity + stopword heuristics).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", *quality_columns())
 
 
 def _hits_sql(lang: str) -> str:

@@ -1,0 +1,103 @@
+"""Batch ⇄ streaming unification of the LLM-pipeline operators.
+
+The Spark-first payoff the engine is built around: a stateless operator
+defined once as Column expressions runs identically over a batch
+DataFrame and a streaming one, and the stream runtime (the reference's
+consumer semantics) composes with the LLM operators (dedup) end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_quality_operator_identical_on_batch_and_stream(spark, sf_dir, tmp_path):
+    """q32's quality expressions over a file stream produce exactly the
+    batch answer once drained — same Column definitions, two modes."""
+    from redix_stream_spark.catalog import load_table
+    from redix_stream_spark.llm.text import quality_columns
+
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", *quality_columns())
+    )
+    expected = {r["doc_id"]: r.asDict() for r in batch.collect()}
+
+    got: dict[int, dict] = {}
+
+    def sink(df, epoch):
+        got.update({r["doc_id"]: r.asDict() for r in df.collect()})
+
+    # the file stream source wants a directory; expose the single-file
+    # table through one
+    import os
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    os.symlink(f"{sf_dir}/documents.parquet", src_dir / "documents.parquet")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+        .select("doc_id", "lang", *quality_columns())
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert got == expected
+
+
+def test_consumer_feeds_streaming_neardup_filter(spark, tmp_path):
+    """End-to-end: documents produced into an EventLog (reference R1)
+    flow through a consumer drain (R3/R6) into the incremental near-dup
+    filter — the reference's runtime carrying the engine's LLM surface."""
+    from redix_stream_spark.llm.stream_dedup import StreamingNearDupFilter
+    from redix_stream_spark.streaming import Consumer, EventLog, HandlerResult
+
+    text_a = (
+        "one fish two fish red fish blue fish black fish blue fish old "
+        "fish new fish this one has a little star this one has a little car"
+    )
+    text_b = (
+        "entirely different prose concerning garbage collection write "
+        "barriers card tables and generational heap promotion policies"
+    )
+    log = EventLog(str(tmp_path / "log"))
+    log.produce_many(
+        spark,
+        [
+            {"doc_id": "1", "text": text_a},
+            {"doc_id": "2", "text": text_a},  # near-dup, same batch
+            {"doc_id": "3", "text": text_b},
+        ],
+    )
+    f = StreamingNearDupFilter(
+        index_path=str(tmp_path / "bands"),
+        accepted_path=str(tmp_path / "accepted"),
+    )
+    staged: list[tuple[int, str]] = []
+
+    def handler(mid: str, payload: dict) -> HandlerResult:
+        staged.append((int(payload["doc_id"]), payload["text"]))
+        return HandlerResult.OK
+
+    Consumer(log, handler, str(tmp_path / "ck")).run_once(spark)
+    f.apply_batch(
+        spark.createDataFrame(staged, "doc_id long, text string"), 0
+    )
+    assert sorted(r["doc_id"] for r in f.accepted(spark).collect()) == [1, 3]
+
+    # a later produce of another near-dup is dropped against history
+    log.produce(spark, {"doc_id": "4", "text": text_a})
+    staged.clear()
+    Consumer(log, handler, str(tmp_path / "ck")).run_once(spark)
+    f.apply_batch(
+        spark.createDataFrame(staged, "doc_id long, text string"), 1
+    )
+    assert sorted(r["doc_id"] for r in f.accepted(spark).collect()) == [1, 3]
