@@ -295,16 +295,15 @@ def q37_ngram_jaccard_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q38_simhash")  # rows-only: bit-mixing constants are engine-internal
-def q38_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document from token md5s.
+SIMHASH_BITS = 60  # usable bits of the md5-derived token hash
 
-    Per-bit majority vote over token hashes: bit_count-style extraction via
-    integer shifts, summed per document — all built-in expressions. Docs
-    whose simhashes agree on most bits are near-dups (Hamming ≤ k); the
-    pytest suite checks SimHash(doc) ≈ SimHash(doc with small edit).
-    """
-    d = load_table(spark, sf_dir, "documents")
+
+def simhash_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 60-bit SimHash per document from token md5s.
+
+    Per-bit majority vote over token hashes: bit extraction via integer
+    shifts, summed per document — all built-in expressions, one shuffle
+    (the doc-keyed vote aggregate, map-side combined)."""
     tok_hash = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
     exploded = d.select(
         "doc_id", F.explode(F.array_distinct(tokens())).alias("token")
@@ -313,15 +312,76 @@ def q38_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the output bit.
     bit_votes = [
         F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
-        for i in range(60)
+        for i in range(SIMHASH_BITS)
     ]
     votes = exploded.groupBy("doc_id").agg(*bit_votes)
     sim = None
-    for i in range(60):
+    for i in range(SIMHASH_BITS):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(0)
         term = F.shiftleft(bit, i)
         sim = term if sim is None else sim + term
     return votes.select("doc_id", sim.alias("simhash"))
+
+
+@register("q38_simhash")  # rows-only: bit-mixing constants are engine-internal
+def q38_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (see simhash_frame). Docs whose
+    simhashes agree on most bits are near-dups (Hamming ≤ k); the pytest
+    suite checks SimHash(doc) ≈ SimHash(doc with small edit), and
+    ``simhash_near_dup_pairs`` turns the hashes into verified pairs."""
+    return simhash_frame(load_table(spark, sf_dir, "documents"))
+
+
+def simhash_near_dup_pairs(d: DataFrame, hamming_max: int = 12) -> DataFrame:
+    """Verified SimHash near-dup pairs: chunk-banded candidate join +
+    exact Hamming filter (the Manku/Jain/Sarma WWW'07 pattern).
+
+    Pigeonhole: split the 60-bit hash into ``hamming_max + 1`` chunks —
+    two hashes within ``hamming_max`` bits of each other must agree on at
+    least one whole chunk, so equality on (chunk_id, chunk_value) is a
+    complete candidate generator (recall 1.0 by construction). The exact
+    Hamming distance (xor + bit_count) then filters false candidates.
+
+    Scale shape — identical to MinHash banding: the only shuffle keys on
+    (chunk_id, chunk_value); the corpus never self-joins unbanded; the
+    verify step touches candidates only and is two integer ops per pair.
+    Smaller ``hamming_max`` → fewer, wider chunks → fewer candidates.
+    """
+    n_chunks = hamming_max + 1
+    bounds = [SIMHASH_BITS * i // n_chunks for i in range(n_chunks + 1)]
+    sh = simhash_frame(d)
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("ci"),
+            F.shiftright("simhash", bounds[i])
+            .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+            .alias("cv"),
+        )
+        for i in range(n_chunks)
+    ]
+    chunks = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "doc_id_a", "doc_id_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= hamming_max)
 
 
 def _gen_cluster_oracle_sql() -> str:

@@ -563,3 +563,32 @@ def test_streaming_ivf_index_ingest_and_query(spark, sf_dir, tmp_path):
     ]
     overlap = len({r["vec_id"] for r in rows} & set(exact))
     assert overlap >= 5, (sorted(r["vec_id"] for r in rows), exact)
+
+
+def test_simhash_near_dup_pairs_banded(spark):
+    """Chunk-banded SimHash pairing: the planted small-edit pair is found
+    with its exact Hamming distance; unrelated docs never pair. The
+    candidate generator is complete by pigeonhole, so the result must
+    equal a brute-force Hamming scan."""
+    from redix_stream_spark.llm.dedup import simhash_frame, simhash_near_dup_pairs
+
+    edited = BASE.replace("order", "sequence")
+    unrelated = (
+        "the quick brown fox jumps over a lazy dog near the river bank today"
+    )
+    docs = _docs(spark, [(1, BASE), (2, edited), (3, unrelated)])
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs, hamming_max=12).collect()
+    }
+    # brute-force ground truth over the same hashes
+    h = {r["doc_id"]: r["simhash"] for r in simhash_frame(docs).collect()}
+    truth = {
+        (x, y): bin(h[x] ^ h[y]).count("1")
+        for x in h
+        for y in h
+        if x < y and bin(h[x] ^ h[y]).count("1") <= 12
+    }
+    assert got == truth
+    assert (1, 2) in got and got[(1, 2)] <= 12
+    assert (1, 3) not in got
