@@ -98,6 +98,18 @@ class MultiConsumer:
             c.run_forever(spark, poll_seconds) for c in self._consumers.values()
         ]
 
+    def run_supervised(self, spark: SparkSession, **policy) -> dict[str, int]:
+        """R13 supervision across all streams: each stream gets its own
+        one-for-one supervisor (restart policy / max_restarts / max_runs
+        pass through to ``Consumer.run_supervised``), mirroring the
+        reference's supervisor-per-consumer tree (consumer_sup.ex:35-39 —
+        one crashing consumer never takes down its siblings). Returns the
+        crash-restart count per stream."""
+        return {
+            n: c.run_supervised(spark, **policy)
+            for n, c in self._consumers.items()
+        }
+
     # -- ack / introspection -------------------------------------------
 
     def ack(self, spark: SparkSession, stream: str, message_id: str) -> int:

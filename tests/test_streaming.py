@@ -742,3 +742,27 @@ def test_multi_consumer_defer_ack_pending_per_stream(spark, tmp_path):
         ("beta", idb)
     }
     assert mc.pending(spark, "beta").count() == 1
+
+
+def test_multi_consumer_supervised_isolated_restarts(spark, tmp_path):
+    # One stream's crashing handler is restarted and recovers; the healthy
+    # sibling stream drains untouched (supervisor-per-consumer, R13).
+    from redix_stream_spark.streaming import MultiConsumer
+
+    la, lb = EventLog(str(tmp_path / "la")), EventLog(str(tmp_path / "lb"))
+    la.produce(spark, {"k": "boom"})
+    lb.produce(spark, {"k": "fine"})
+    crashes = {"left": 1}
+    seen: list[tuple[str, str]] = []
+
+    def handler(stream: str, mid: str, payload: dict) -> HandlerResult:
+        if stream == "alpha" and crashes["left"] > 0:
+            crashes["left"] -= 1
+            raise RuntimeError("alpha crash")
+        seen.append((stream, payload["k"]))
+        return HandlerResult.OK
+
+    mc = MultiConsumer({"alpha": la, "beta": lb}, handler, str(tmp_path / "ck"))
+    restarts = mc.run_supervised(spark, max_restarts=2)
+    assert restarts == {"alpha": 1, "beta": 0}
+    assert sorted(seen) == [("alpha", "boom"), ("beta", "fine")]
