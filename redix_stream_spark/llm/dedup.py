@@ -325,14 +325,16 @@ def simhash_frame(d: DataFrame) -> DataFrame:
 
 @register("q38_simhash")  # rows-only: bit-mixing constants are engine-internal
 def q38_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (see simhash_frame). Docs whose
+    """60-bit SimHash per document (see simhash_frame). Docs whose
     simhashes agree on most bits are near-dups (Hamming ≤ k); the pytest
     suite checks SimHash(doc) ≈ SimHash(doc with small edit), and
     ``simhash_near_dup_pairs`` turns the hashes into verified pairs."""
     return simhash_frame(load_table(spark, sf_dir, "documents"))
 
 
-def simhash_near_dup_pairs(d: DataFrame, hamming_max: int = 12) -> DataFrame:
+def simhash_near_dup_pairs(
+    d: DataFrame, hamming_max: int = 3, allow_narrow_chunks: bool = False
+) -> DataFrame:
     """Verified SimHash near-dup pairs: chunk-banded candidate join +
     exact Hamming filter (the Manku/Jain/Sarma WWW'07 pattern).
 
@@ -342,12 +344,27 @@ def simhash_near_dup_pairs(d: DataFrame, hamming_max: int = 12) -> DataFrame:
     complete candidate generator (recall 1.0 by construction). The exact
     Hamming distance (xor + bit_count) then filters false candidates.
 
-    Scale shape — identical to MinHash banding: the only shuffle keys on
-    (chunk_id, chunk_value); the corpus never self-joins unbanded; the
-    verify step touches candidates only and is two integer ops per pair.
-    Smaller ``hamming_max`` → fewer, wider chunks → fewer candidates.
+    Scale shape — the join keys on (chunk_id, chunk_value) like MinHash
+    banding, but unlike MinHash the key cardinality is FIXED at
+    2^chunk_width, not corpus-dependent: candidate volume is
+    ~n_chunks · n² / 2^chunk_width. The default (hamming_max=3 → four
+    15-bit chunks) keys on 32k values per chunk and stays subquadratic at
+    any realistic corpus; hamming_max=12 (thirteen 4-5 bit chunks, keys
+    of 16-32 values) makes ~45% of ALL doc pairs candidates by chance —
+    effectively O(n²) — so narrow chunks are refused unless explicitly
+    allowed (the Manku fix for large hamming budgets is multi-chunk
+    combination keys, not narrower single chunks).
     """
     n_chunks = hamming_max + 1
+    chunk_width = SIMHASH_BITS // n_chunks
+    if chunk_width < 8 and not allow_narrow_chunks:
+        raise ValueError(
+            f"hamming_max={hamming_max} splits the {SIMHASH_BITS}-bit hash "
+            f"into {n_chunks} chunks of {chunk_width} bits; per-chunk key "
+            f"cardinality 2^{chunk_width} makes the candidate join "
+            f"effectively O(n²). Use hamming_max<=6, or pass "
+            f"allow_narrow_chunks=True for small corpora."
+        )
     bounds = [SIMHASH_BITS * i // n_chunks for i in range(n_chunks + 1)]
     sh = simhash_frame(d)
     chunk_structs = [

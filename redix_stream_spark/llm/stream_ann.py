@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..session import ship_package
 from .similarity import cosine
 
 #: Matches the testdata embeddings table (label is an int cluster id;
@@ -61,7 +62,21 @@ class StreamingIvfIndex:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        vecs = sample.withColumn("features", array_to_vector("embedding"))
+        # L2-normalize before training: ingest assignment and query
+        # ranking are both cosine, so the codebook must be trained in the
+        # same spherical space — Euclidean k-means on unnormalized
+        # vectors would split by magnitude, degrading cell quality.
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform(
+                    "embedding", lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        unit = F.transform("embedding", lambda x: x.cast("double") / nrm)
+        vecs = sample.withColumn("features", array_to_vector(unit))
         model = KMeans(k=k, seed=seed, maxIter=10).fit(vecs.select("features"))
         spark = sample.sparkSession
         centroids = spark.createDataFrame(
@@ -83,6 +98,10 @@ class StreamingIvfIndex:
     def ingest_batch(self, batch: DataFrame, epoch_id: int = 0) -> None:
         """Assign cells and append, partitioned by cell (map-only)."""
         spark = batch.sparkSession
+        # Executor-closure rule (CLAUDE.md): the pandas_udf below runs
+        # worker-side; ship the package so workers resolve imports even
+        # when the driver found it via a cwd-only sys.path entry.
+        ship_package(spark)
         cents = sorted(
             (r["cell"], r["centroid"]) for r in self.centroids(spark).collect()
         )

@@ -98,11 +98,23 @@ class StreamingNearDupFilter:
         # writing the claims first would put the batch's own bands in the
         # index before the accepted write re-reads it, making every
         # accepted doc a "duplicate" of itself (zero rows written; found
-        # by the two-batch pytest). With accepted-first, both writes see
-        # the index in its pre-batch state.
+        # by the two-batch pytest).
         accepted.write.mode("append").parquet(self.accepted_path)
+        # The claims write must NOT recompute `accepted` from lineage:
+        # its anti-join reads the index this very write appends to, and
+        # the .cache() above is evictable — an eviction mid-write would
+        # silently claim zero bands. Read the accepted ids back from the
+        # file just written (durable, lineage-free); `bands` holds only
+        # this batch's docs, so joining against the full accepted set
+        # claims exactly this batch's accepted bands.
+        spark.catalog.refreshByPath(self.accepted_path)
+        accepted_ids = (
+            spark.read.schema("doc_id long, text string")
+            .parquet(self.accepted_path)
+            .select("doc_id")
+        )
         (
-            bands.join(accepted.select("doc_id"), "doc_id")
+            bands.join(accepted_ids, "doc_id", "left_semi")
             .select("band_key", F.col("doc_id").alias("owner"))
             .write.mode("append")
             .parquet(self.index_path)

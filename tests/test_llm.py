@@ -579,7 +579,9 @@ def test_simhash_near_dup_pairs_banded(spark):
     docs = _docs(spark, [(1, BASE), (2, edited), (3, unrelated)])
     got = {
         (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
-        for r in simhash_near_dup_pairs(docs, hamming_max=12).collect()
+        for r in simhash_near_dup_pairs(
+            docs, hamming_max=12, allow_narrow_chunks=True
+        ).collect()
     }
     # brute-force ground truth over the same hashes
     h = {r["doc_id"]: r["simhash"] for r in simhash_frame(docs).collect()}
@@ -592,3 +594,19 @@ def test_simhash_near_dup_pairs_banded(spark):
     assert got == truth
     assert (1, 2) in got and got[(1, 2)] <= 12
     assert (1, 3) not in got
+
+
+def test_simhash_narrow_chunk_guard(spark):
+    """hamming_max that would shatter the hash into <8-bit chunks (an
+    effectively O(n²) candidate join) is refused unless explicitly
+    allowed; the subquadratic default passes the guard."""
+    import pytest
+
+    from redix_stream_spark.llm.dedup import simhash_near_dup_pairs
+
+    docs = _docs(spark, [(1, BASE)])
+    with pytest.raises(ValueError, match="O\\(n²\\)"):
+        simhash_near_dup_pairs(docs, hamming_max=12)
+    # default (3 → 15-bit chunks) builds a plan without raising
+    assert "hamming" in simhash_near_dup_pairs(docs).columns
+
