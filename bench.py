@@ -47,6 +47,8 @@ HEADLINE = [
     "q44_window_frames",
     "q47_correlation",
     "q36_minhash_lsh_neardup",
+    "q80_neardup_clusters",
+    "q81_clean_corpus",
     "q40_cosine_topk",
     "q41_embedding_neardup",
     "q83_repetition_quality",

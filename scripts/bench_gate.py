@@ -22,6 +22,11 @@ import sys
 
 TOLERANCE = 2.0
 BASELINE_PATH = os.path.join(os.path.dirname(__file__), "..", "BENCH_r01.json")
+# Baselines for queries that joined the headline after r01 (e.g. q80/q81,
+# added in round 3 so clustering regressions show on the driver's number).
+EXTRA_BASELINE_PATH = os.path.join(
+    os.path.dirname(__file__), "bench_baseline_extra.json"
+)
 
 
 def load_bench(source: str) -> dict:
@@ -34,15 +39,22 @@ def load_bench(source: str) -> dict:
 def main() -> int:
     with open(BASELINE_PATH) as f:
         baseline = load_bench(f.read())["queries"]
+    if os.path.exists(EXTRA_BASELINE_PATH):
+        with open(EXTRA_BASELINE_PATH) as f:
+            baseline.update(json.load(f)["queries"])
 
     if len(sys.argv) > 1:
         with open(sys.argv[1]) as f:
             raw = f.read()
     else:
         raw = sys.stdin.read()
-    # bench.py output may carry Spark progress noise before the JSON line.
-    line = next(l for l in raw.splitlines() if l.startswith('{"metric"'))
-    current = load_bench(line)["queries"]
+    # A driver recording is a multi-line JSON document; bench.py output is
+    # one JSON line possibly preceded by Spark progress noise.
+    try:
+        current = load_bench(raw)["queries"]
+    except (json.JSONDecodeError, KeyError):
+        line = next(l for l in raw.splitlines() if l.startswith('{"metric"'))
+        current = load_bench(line)["queries"]
 
     failures = []
     for name, sec in sorted(current.items()):
