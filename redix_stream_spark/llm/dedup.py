@@ -178,21 +178,30 @@ def exact_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-def _gen_minhash_oracle_sql() -> str:
+def _gen_minhash_oracle_sql(
+    params: list[tuple[int, int]] | None = None, n_bands: int | None = None
+) -> str:
     """Generate the DuckDB oracle mirroring the exact MinHash+LSH pipeline
     (same md5-derived shingle hashes, same permutation parameters, same
-    band-key construction — stage-for-stage parity with the Spark plan)."""
-    rows_per_band = N_PERMS // N_BANDS
+    band-key construction — stage-for-stage parity with the Spark plan).
+    Parameterized by signature width/band count so the production-sized
+    configuration (q36b, 64/16) is verified by the same generator as the
+    demo configuration (q36, 16/4)."""
+    if params is None:
+        params = PERM_PARAMS
+    if n_bands is None:
+        n_bands = N_BANDS
+    rows_per_band = len(params) // n_bands
     mh_cols = ",\n         ".join(
         f"list_min(list_transform(xs, x -> ({a} * x + {b}) % {MERSENNE_P})) AS mh{i}"
-        for i, (a, b) in enumerate(PERM_PARAMS)
+        for i, (a, b) in enumerate(params)
     )
     band_exprs = ", ".join(
         "md5(concat_ws(',', {j}, {cols}))".format(
             j=j,
             cols=", ".join(f"mh{j * rows_per_band + r}" for r in range(rows_per_band)),
         )
-        for j in range(N_BANDS)
+        for j in range(n_bands)
     )
     return f"""
 WITH toks AS (
@@ -233,6 +242,22 @@ WHERE CAST(LEN(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
 """
 
 
+def _minhash_neardup_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    params: list[tuple[int, int]] | None = None,
+    n_bands: int | None = None,
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # Signatures feed both branches of the band self-join; cache them (tiny:
+    # one row of #perms longs per doc) instead of recomputing the md5
+    # shingling per branch — halves the pipeline's wall clock.
+    sig = minhash_signatures(d, params=params).cache()
+    pairs = lsh_candidate_pairs(sig, n_bands=n_bands)
+    scored = exact_jaccard(d, pairs)
+    return scored.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
 @register("q36_minhash_lsh_neardup", _gen_minhash_oracle_sql())
 def q36_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact shingle Jaccard.
@@ -240,15 +265,34 @@ def q36_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Full shingle→minhash→band→bucket-join→verify pipeline; the oracle SQL
     replays the identical algorithm (same md5-derived hashes, same
     permutation parameters), so the hash check verifies every stage.
+    This is the 16-perm/4-band demo configuration (cheap regression face);
+    q36b is the production-width configuration.
     """
-    d = load_table(spark, sf_dir, "documents")
-    # Signatures feed both branches of the band self-join; cache them (tiny:
-    # one row of 16 longs per doc) instead of recomputing the md5 shingling
-    # per branch — halves the pipeline's wall clock.
-    sig = minhash_signatures(d).cache()
-    pairs = lsh_candidate_pairs(sig)
-    scored = exact_jaccard(d, pairs)
-    return scored.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return _minhash_neardup_pipeline(spark, sf_dir)
+
+
+#: Production MinHash configuration: 64 permutations / 16 bands of 4 rows.
+#: Same ~0.5 Jaccard S-curve midpoint as the demo face ((1/b)^(1/r) with
+#: r=4), but 16 bands drive the miss probability (1 - s^r)^b low enough
+#: for a real corpus: at s=0.7, P(miss) ≈ 0.012 vs the demo's 0.33.
+PROD_PERMS = 64
+PROD_BANDS = 16
+PROD_PERM_PARAMS = perm_params(PROD_PERMS)
+
+
+@register(
+    "q36b_minhash_production",
+    _gen_minhash_oracle_sql(perm_params(PROD_PERMS), PROD_BANDS),
+)
+def q36b_minhash_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs at production width (64 perms / 16
+    bands) — the configuration a real corpus runs, verified stage-for-
+    stage by the same generated oracle as q36 (the width is the only
+    difference; cost is linear in #perms and the signature stage stays
+    map-only, measured in SCALING.md)."""
+    return _minhash_neardup_pipeline(
+        spark, sf_dir, params=PROD_PERM_PARAMS, n_bands=PROD_BANDS
+    )
 
 
 Q37_SQL = """

@@ -43,7 +43,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import lsh_candidate_pairs, minhash_signatures
+from .dedup import (
+    PROD_BANDS,
+    PROD_PERM_PARAMS,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
 
 
 class StreamingNearDupFilter:
@@ -54,11 +59,23 @@ class StreamingNearDupFilter:
     append-only parquet — replays of a failed epoch re-append, so reads
     dedup by (band_key, min owner) / doc_id, the same at-least-once
     discipline the consumer's ack log uses.
+
+    Default MinHash configuration is the production width (64 perms /
+    16 bands — q36b's driver-verified face); pass ``params``/``n_bands``
+    to run the 16/4 demo width (q36) or wider sketches.
     """
 
-    def __init__(self, index_path: str, accepted_path: str):
+    def __init__(
+        self,
+        index_path: str,
+        accepted_path: str,
+        params: list[tuple[int, int]] | None = None,
+        n_bands: int | None = None,
+    ):
         self.index_path = index_path
         self.accepted_path = accepted_path
+        self.params = params if params is not None else PROD_PERM_PARAMS
+        self.n_bands = n_bands if n_bands is not None else PROD_BANDS
 
     # -- the per-batch step (also usable on a static batch) -------------
 
@@ -73,8 +90,8 @@ class StreamingNearDupFilter:
         """Dedup one (micro-)batch of (doc_id, text) against the index."""
         spark = batch.sparkSession
         docs = batch.select("doc_id", "text")
-        sig = minhash_signatures(docs).cache()
-        bands = _band_keys(sig)
+        sig = minhash_signatures(docs, params=self.params).cache()
+        bands = _band_keys(sig, self.n_bands)
 
         # 2. cross-batch: any claimed band → near-dup of accepted history.
         hit = (
@@ -88,7 +105,7 @@ class StreamingNearDupFilter:
         # restricted to the batch (candidate pairs from band equality —
         # the LSH decision, no O(n²) verify needed to *cluster*).
         fresh_sig = sig.join(fresh.select("doc_id"), "doc_id")
-        pairs = lsh_candidate_pairs(fresh_sig)
+        pairs = lsh_candidate_pairs(fresh_sig, n_bands=self.n_bands)
         non_canonical = _non_canonical(pairs)
         accepted = fresh.join(non_canonical, "doc_id", "left_anti").cache()
 
@@ -175,13 +192,11 @@ class StreamingNearDupFilter:
         return n
 
 
-def _band_keys(sig: DataFrame) -> DataFrame:
+def _band_keys(sig: DataFrame, n_bands: int) -> DataFrame:
     """(doc_id, band_key) rows for a signature frame — the same band
     construction as ``lsh_candidate_pairs`` (llm/dedup.py), exposed flat."""
     n_perms = sum(1 for c in sig.columns if c.startswith("mh"))
-    from .dedup import N_BANDS
-
-    rows_per_band = n_perms // N_BANDS
+    rows_per_band = n_perms // n_bands
     bands = [
         F.md5(
             F.concat_ws(
@@ -190,7 +205,7 @@ def _band_keys(sig: DataFrame) -> DataFrame:
                 *[F.col(f"mh{j * rows_per_band + r}") for r in range(rows_per_band)],
             )
         ).alias(f"band{j}")
-        for j in range(N_BANDS)
+        for j in range(n_bands)
     ]
     return sig.select("doc_id", F.explode(F.array(*bands)).alias("band_key"))
 
