@@ -1,9 +1,17 @@
 """Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE JSON line (the round driver parses exactly one):
   {"metric": ..., "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>}
+   "queries": {name: sec, ...}, "sf": <float>,
+   "sf1": {"value": ..., "queries": {...}}}
+
+The ``sf1`` block is the large-scale mode: the most expensive queries
+re-timed against a 10× replica of sf0.1 (6M lineitem / 1M events / 50k
+docs — the scale where plans, not fixed overhead, dominate; SCALING.md's
+own reading is that sf0.1 mostly measures overhead). It lives inside the
+same JSON line because the driver contract is one line. Disable with
+SPARK_GRAFT_BIG=0 (e.g. when iterating on the sf0.1 gate).
 
 Each query is fully materialized through the noop sink (count() would let
 Catalyst prune the very columns we mean to benchmark).
@@ -20,6 +28,23 @@ from redix_stream_spark import registry
 from redix_stream_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Large-scale mode: the ~10 most expensive operators — the LLM-pipeline
+#: composites (clustering, cleaning, MinHash at both widths, embedding
+#: near-dup, decontamination, repetition quality) plus the heaviest
+#: relational shapes (range join, scan-agg, star join).
+BIG_HEADLINE = [
+    "q01_pricing_summary",
+    "q03_star_join_revenue",
+    "q06_range_join",
+    "q36_minhash_lsh_neardup",
+    "q36b_minhash_production",
+    "q41_embedding_neardup",
+    "q80_neardup_clusters",
+    "q81_clean_corpus",
+    "q83_repetition_quality",
+    "q84_decontamination",
+]
 
 #: Representative spread: scan-agg, star join, range/as-of join, windows,
 #: sessions, ordered replay, dedup (exact + MinHash), text, vectors.
@@ -85,17 +110,45 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else -1.0
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    if os.environ.get("SPARK_GRAFT_BIG", "1") != "0":
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+        from build_scale_replica import ensure_replica
+
+        big_dir = ensure_replica(spark)
+        # codegen for queries not in the sf0.1 headline warms at sf0.01
+        # (cheap); data-path timing below is then single-shot like the
+        # r2 10× sweep.
+        for name in BIG_HEADLINE:
+            if name not in HEADLINE:
+                queries[name](spark, "/root/testdata/sf0.01").write.format(
+                    "noop"
+                ).mode("overwrite").save()
+        big_timings: dict[str, float] = {}
+        for name in BIG_HEADLINE:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            queries[name](spark, big_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            big_timings[name] = round(time.perf_counter() - t0, 3)
+        result["sf1"] = {
+            "value": round(sum(big_timings.values()), 3),
+            "unit": "sec",
+            "queries": big_timings,
+            "scale": "sf0.1 x10 replicas",
+        }
+
+    print(json.dumps(result))
     spark.stop()
 
 

@@ -342,15 +342,24 @@ def q37_ngram_jaccard_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BITS = 60  # usable bits of the md5-derived token hash
 
 
-def simhash_frame(d: DataFrame) -> DataFrame:
+def simhash_frame(d: DataFrame, weighted: bool = False) -> DataFrame:
     """(doc_id, simhash): 60-bit SimHash per document from token md5s.
 
     Per-bit majority vote over token hashes: bit extraction via integer
     shifts, summed per document — all built-in expressions, one shuffle
-    (the doc-keyed vote aggregate, map-side combined)."""
+    (the doc-keyed vote aggregate, map-side combined).
+
+    ``weighted=True`` weights each token's bit votes by its in-doc term
+    frequency (Charikar's original weighted construction): every token
+    OCCURRENCE votes, so Σ±1 over occurrences ≡ Σ tf·(±1) over distinct
+    tokens — same plan shape, one explode without the distinct. On
+    templated corpora whose documents share a vocabulary, the unweighted
+    set-profile collapses (near-identical hashes for all docs, measured
+    in SCALING.md) while tf profiles still discriminate."""
+    toks = F.array_distinct(tokens()) if not weighted else tokens()
     tok_hash = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
     exploded = d.select(
-        "doc_id", F.explode(F.array_distinct(tokens())).alias("token")
+        "doc_id", F.explode(toks).alias("token")
     ).select("doc_id", tok_hash.alias("h"))
     # For each of 60 usable bits: +1 when set, −1 when clear; sign of the sum
     # is the output bit.
@@ -377,7 +386,10 @@ def q38_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_dup_pairs(
-    d: DataFrame, hamming_max: int = 3, allow_narrow_chunks: bool = False
+    d: DataFrame,
+    hamming_max: int = 3,
+    allow_narrow_chunks: bool = False,
+    weighted: bool = False,
 ) -> DataFrame:
     """Verified SimHash near-dup pairs: chunk-banded candidate join +
     exact Hamming filter (the Manku/Jain/Sarma WWW'07 pattern).
@@ -410,7 +422,7 @@ def simhash_near_dup_pairs(
             f"allow_narrow_chunks=True for small corpora."
         )
     bounds = [SIMHASH_BITS * i // n_chunks for i in range(n_chunks + 1)]
-    sh = simhash_frame(d)
+    sh = simhash_frame(d, weighted=weighted)
     chunk_structs = [
         F.struct(
             F.lit(i).alias("ci"),

@@ -19,9 +19,10 @@ corpus that grows continuously. This module makes the inverted file a
 
 Scale (100 TB): ingest is embarrassingly parallel; the only data the
 driver ever holds is the k×dim codebook. Queries touch nprobe partitions
-regardless of corpus size. Re-balancing a drifted codebook = fit a new
-one and re-ingest into a fresh index directory (versioned side-by-side),
-the standard offline reindex.
+regardless of corpus size. Under distribution drift, ``cell_skew``
+monitors occupancy balance and ``refresh`` re-fits the codebook from a
+sample of the current index, rewriting only the cell partitions whose
+membership changed (stable cells are renamed, not rewritten).
 
 Cosine convention matches ``similarity.cosine`` (left-fold dot products)
 so exact re-ranking agrees bit-for-bit with the batch operators.
@@ -45,6 +46,54 @@ from .similarity import cosine
 INDEX_SCHEMA = "vec_id long, label int, embedding array<float>, cell int"
 
 
+def _train_centroids(
+    sample: DataFrame, k: int, seed: int
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means centroids from an (…, embedding) sample.
+
+    L2-normalizes before training: ingest assignment and query ranking
+    are both cosine, so the codebook must be trained in the same
+    spherical space — Euclidean k-means on unnormalized vectors would
+    split by magnitude, degrading cell quality.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                "embedding", lambda x: x.cast("double") * x.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    unit = F.transform("embedding", lambda x: x.cast("double") / nrm)
+    vecs = sample.withColumn("features", array_to_vector(unit))
+    model = KMeans(k=k, seed=seed, maxIter=10).fit(vecs.select("features"))
+    return [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+
+
+def _make_assign(cents: list[tuple[int, list[float]]]):
+    """Vectorized nearest-centroid assignment UDF for a driver-side
+    codebook (k × dim, kilobytes — travels in the closure)."""
+    import numpy as np
+
+    mat = np.array([c for _, c in sorted(cents)])
+    mat_norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cell_ids = np.array([i for i, _ in sorted(cents)])
+
+    @pandas_udf("int")
+    def assign(emb: pd.Series) -> pd.Series:
+        v = np.stack(emb.to_numpy())
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        return pd.Series(cell_ids[np.argmax(v @ mat_norm.T, axis=1)])
+
+    return assign
+
+
 class StreamingIvfIndex:
     """A persistent inverted-file ANN index with incremental ingest."""
 
@@ -59,34 +108,15 @@ class StreamingIvfIndex:
         sample. At 100 TB the sample is a tiny fraction of the corpus —
         k-means quality needs thousands of points per cell, not the
         corpus (same rationale as q43b's sample-fit note)."""
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
+        cents = _train_centroids(sample, k, seed)
+        self._write_codebook(sample.sparkSession, cents)
 
-        # L2-normalize before training: ingest assignment and query
-        # ranking are both cosine, so the codebook must be trained in the
-        # same spherical space — Euclidean k-means on unnormalized
-        # vectors would split by magnitude, degrading cell quality.
-        nrm = F.sqrt(
-            F.aggregate(
-                F.transform(
-                    "embedding", lambda x: x.cast("double") * x.cast("double")
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-        unit = F.transform("embedding", lambda x: x.cast("double") / nrm)
-        vecs = sample.withColumn("features", array_to_vector(unit))
-        model = KMeans(k=k, seed=seed, maxIter=10).fit(vecs.select("features"))
-        spark = sample.sparkSession
-        centroids = spark.createDataFrame(
-            [
-                (i, [float(x) for x in c])
-                for i, c in enumerate(model.clusterCenters())
-            ],
-            "cell int, centroid array<double>",
-        )
-        centroids.coalesce(1).write.mode("overwrite").parquet(self.codebook_path)
+    def _write_codebook(
+        self, spark: SparkSession, cents: list[tuple[int, list[float]]]
+    ) -> None:
+        spark.createDataFrame(
+            cents, "cell int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(self.codebook_path)
 
     def centroids(self, spark: SparkSession) -> DataFrame:
         return spark.read.schema("cell int, centroid array<double>").parquet(
@@ -105,18 +135,7 @@ class StreamingIvfIndex:
         cents = sorted(
             (r["cell"], r["centroid"]) for r in self.centroids(spark).collect()
         )
-        import numpy as np
-
-        mat = np.array([c for _, c in cents])  # k × dim, kilobytes
-        mat_norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        cell_ids = np.array([i for i, _ in cents])
-
-        @pandas_udf("int")
-        def assign(emb: pd.Series) -> pd.Series:
-            v = np.stack(emb.to_numpy())
-            v = v / np.linalg.norm(v, axis=1, keepdims=True)
-            return pd.Series(cell_ids[np.argmax(v @ mat_norm.T, axis=1)])
-
+        assign = _make_assign(cents)
         (
             batch.select(
                 "vec_id", "label", "embedding", assign("embedding").alias("cell")
@@ -135,6 +154,125 @@ class StreamingIvfIndex:
             .trigger(**trigger)
             .start()
         )
+
+    def _index(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(INDEX_SCHEMA).option(
+            "basePath", self.index_path
+        ).parquet(self.index_path)
+
+    # -- maintenance: occupancy monitoring + codebook refresh ------------
+
+    def cell_occupancy(self, spark: SparkSession) -> DataFrame:
+        """(cell, n) row counts per inverted-file cell — the health
+        metric to watch under distribution drift. One map-side-combined
+        aggregation over the index's cell column (partition metadata
+        scale, no payload shuffle)."""
+        return self._index(spark).groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    def cell_skew(self, spark: SparkSession) -> float:
+        """max/mean cell occupancy (1.0 = perfectly balanced). A probe
+        reads nprobe/k of the corpus only when cells are balanced; skew
+        S means the worst probe reads ~S× its share — the signal that
+        the codebook no longer matches the distribution and
+        ``refresh`` is due."""
+        row = self.cell_occupancy(spark).agg(
+            (F.max("n") / F.avg("n")).alias("skew")
+        ).collect()[0]
+        return float(row["skew"])
+
+    def refresh(
+        self,
+        spark: SparkSession,
+        sample_fraction: float = 0.1,
+        k: int | None = None,
+        seed: int = 43,
+    ) -> dict:
+        """Re-fit the codebook from a sample of the indexed vectors and
+        remap ONLY the cells whose membership changed.
+
+        Drift response: the frozen codebook keeps assignments comparable
+        across batches, but when the stream's distribution moves, new
+        vectors crowd into few cells (``cell_skew`` rises) and probes of
+        the drifted region lose recall. Refresh = re-fit on a uniform
+        sample of the CURRENT index (old + drifted data), then:
+
+        1. assign every indexed row its new cell (one map-only pass —
+           the same Arrow argmax as ingest);
+        2. collect the set of cells that lost or gained members (driver
+           sees ≤ 2k cell ids, never rows);
+        3. rewrite only those cell partitions (staged next to the index,
+           then swapped in); partitions with no membership change are
+           renamed into the staged layout untouched — zero data rewrite
+           for stable cells.
+
+        Queries between batches see either the old or the new complete
+        index (same swap discipline as ``StreamingNearDupFilter.
+        compact_index``). Run between drains, like compaction. Returns
+        {"n_moved", "cells_rewritten", "cells_kept"}.
+        """
+        import shutil
+
+        ship_package(spark)
+        if k is None:
+            k = self.centroids(spark).count()
+        idx = self._index(spark)
+        sample = idx.select("embedding").sample(
+            fraction=min(1.0, sample_fraction), seed=seed
+        )
+        cents = _train_centroids(sample, k, seed)
+        assign = _make_assign(cents)
+        remapped = idx.select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.col("cell").alias("old_cell"),
+            assign("embedding").alias("cell"),
+        )
+        moved = (
+            remapped.filter(F.col("cell") != F.col("old_cell"))
+            .select("old_cell", "cell")
+            .distinct()
+            .collect()
+        )
+        changed = {r["old_cell"] for r in moved} | {r["cell"] for r in moved}
+        all_cells = {
+            r["cell"] for r in idx.select("cell").distinct().collect()
+        }
+        staged = self.index_path.rstrip("/") + ".refresh"
+        shutil.rmtree(staged, ignore_errors=True)
+        n_moved = 0
+        if changed:
+            # Rewrite = rows leaving OR entering a changed cell; the write
+            # completes (durable) before any old partition is touched.
+            to_write = remapped.filter(
+                F.col("old_cell").isin(changed) | F.col("cell").isin(changed)
+            ).select("vec_id", "label", "embedding", "cell")
+            to_write.write.partitionBy("cell").parquet(staged)
+            n_moved = remapped.filter(
+                F.col("cell") != F.col("old_cell")
+            ).count()
+        else:
+            os.makedirs(staged, exist_ok=True)
+        kept = all_cells - changed
+        for cell in kept:
+            os.rename(
+                os.path.join(self.index_path, f"cell={cell}"),
+                os.path.join(staged, f"cell={cell}"),
+            )
+        old = self.index_path.rstrip("/") + ".old"
+        os.rename(self.index_path, old)
+        os.rename(staged, self.index_path)
+        shutil.rmtree(old)
+        self._write_codebook(spark, cents)
+        spark.catalog.refreshByPath(self.index_path)
+        spark.catalog.refreshByPath(self.codebook_path)
+        return {
+            "n_moved": n_moved,
+            "cells_rewritten": len(changed),
+            "cells_kept": len(kept),
+        }
 
     # -- query ----------------------------------------------------------
 
@@ -160,11 +298,9 @@ class StreamingIvfIndex:
             .limit(nprobe)
             .collect()
         ]
-        idx = spark.read.schema(INDEX_SCHEMA).option(
-            "basePath", self.index_path
-        ).parquet(self.index_path)
         return (
-            idx.filter(F.col("cell").isin(cells))
+            self._index(spark)
+            .filter(F.col("cell").isin(cells))
             .select("vec_id", "label", cosine(F.col("embedding"), qcol).alias("sim"))
             .orderBy(F.col("sim").desc(), "vec_id")
             .limit(k)

@@ -63,6 +63,15 @@ class StreamingNearDupFilter:
     Default MinHash configuration is the production width (64 perms /
     16 bands — q36b's driver-verified face); pass ``params``/``n_bands``
     to run the 16/4 demo width (q36) or wider sketches.
+
+    Index layout: with ``index_table`` set, the claimed-bands index lives
+    as a catalog table **bucketed by band_key** — the per-batch hit-join
+    then shuffles only the (small) batch side into the bucket layout and
+    the index side is read Exchange-free, instead of reshuffling the
+    whole O(accepted-corpus) index every micro-batch. This is the 100 TB
+    deployment layout (claims append into the same bucketing, so the
+    property is durable); the plain ``index_path`` parquet directory
+    remains for small/ephemeral runs.
     """
 
     def __init__(
@@ -71,20 +80,41 @@ class StreamingNearDupFilter:
         accepted_path: str,
         params: list[tuple[int, int]] | None = None,
         n_bands: int | None = None,
+        index_table: str | None = None,
+        n_index_buckets: int = 32,
     ):
         self.index_path = index_path
         self.accepted_path = accepted_path
         self.params = params if params is not None else PROD_PERM_PARAMS
         self.n_bands = n_bands if n_bands is not None else PROD_BANDS
+        self.index_table = index_table
+        self.n_index_buckets = n_index_buckets
 
     # -- the per-batch step (also usable on a static batch) -------------
 
     def _claimed(self, spark: SparkSession) -> DataFrame:
+        if self.index_table is not None:
+            if spark.catalog.tableExists(self.index_table):
+                return spark.table(self.index_table).select("band_key", "owner")
+            return spark.createDataFrame([], "band_key string, owner long")
         if not _has_parquet(self.index_path):
             return spark.createDataFrame([], "band_key string, owner long")
         return spark.read.schema("band_key string, owner long").parquet(
             self.index_path
         )
+
+    def _append_claims(self, claims: DataFrame) -> None:
+        """Append (band_key, owner) rows in the index's layout."""
+        if self.index_table is not None:
+            (
+                claims.write.mode("append")
+                .format("parquet")
+                .bucketBy(self.n_index_buckets, "band_key")
+                .sortBy("band_key")
+                .saveAsTable(self.index_table)
+            )
+        else:
+            claims.write.mode("append").parquet(self.index_path)
 
     def apply_batch(self, batch: DataFrame, epoch_id: int = 0) -> None:
         """Dedup one (micro-)batch of (doc_id, text) against the index."""
@@ -130,11 +160,10 @@ class StreamingNearDupFilter:
             .parquet(self.accepted_path)
             .select("doc_id")
         )
-        (
-            bands.join(accepted_ids, "doc_id", "left_semi")
-            .select("band_key", F.col("doc_id").alias("owner"))
-            .write.mode("append")
-            .parquet(self.index_path)
+        self._append_claims(
+            bands.join(accepted_ids, "doc_id", "left_semi").select(
+                "band_key", F.col("doc_id").alias("owner")
+            )
         )
         sig.unpersist()
         fresh.unpersist()
@@ -170,15 +199,30 @@ class StreamingNearDupFilter:
         Every micro-batch appends one file set; after thousands of
         batches the index is a small-files swamp and every hit-join pays
         the listing. Same overwrite discipline as ``EventLog.compact``:
-        stage to a sibling directory, then swap — a reader mid-swap sees
-        either the old or the new complete index. Run between drains
-        (not concurrently with an active stream). Returns the row count.
+        stage to a sibling directory (or table), then swap — a reader
+        mid-swap sees either the old or the new complete index. Run
+        between drains (not concurrently with an active stream). Returns
+        the row count.
         """
         import shutil
 
         idx = self._claimed(spark).groupBy("band_key").agg(
             F.min("owner").alias("owner")
         )
+        if self.index_table is not None:
+            staged_tbl = self.index_table + "_compact"
+            spark.sql(f"DROP TABLE IF EXISTS {staged_tbl}")
+            (
+                idx.write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(self.n_index_buckets, "band_key")
+                .sortBy("band_key")
+                .saveAsTable(staged_tbl)
+            )
+            n = spark.table(staged_tbl).count()
+            spark.sql(f"DROP TABLE IF EXISTS {self.index_table}")
+            spark.sql(f"ALTER TABLE {staged_tbl} RENAME TO {self.index_table}")
+            return n
         staged = self.index_path.rstrip("/") + ".compact"
         idx.repartition(n_files).write.mode("overwrite").parquet(staged)
         n = spark.read.schema("band_key string, owner long").parquet(staged).count()

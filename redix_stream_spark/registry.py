@@ -59,18 +59,22 @@ def _load() -> None:
 # back (they stay regression-guarded by tests/test_oracle.py, which sweeps
 # ALL oracle-backed queries locally). Names not listed here keep their
 # registration order after the listed ones.
-# Window policy: a query needs ONE green driver row, ever — CORRECTNESS_r01
-# already covers 50 queries (everything from q01 through q34, q44–q52,
-# q60–q66), and those rows are permanent evidence. So the round-2 window
-# spends all 50 slots on queries that have NEVER had a driver row, plus the
-# three the judge explicitly asked to re-check (q52 errored in r1; q64/q31
-# were re-implemented with TakeOrdered plans). Across r1+r2 every registered
-# query then has a driver row. The only two rotated out entirely are
-# q92/q93 — TPC-H Q6/Q14 shape twins of the r1-green q62/q63.
+# Window policy: a query needs ONE green driver row, ever. Across r1+r2,
+# 97/99 queries have rows; the round-3 window leads with the only
+# never-checked names — q92/q93 (the shape twins rotated out in r2) and the
+# new q36b production-width MinHash — plus q36, whose pipeline was
+# refactored this round. The remaining slots re-verify the LLM-pipeline and
+# TPC-H surface (highest-value regression faces); the five rotated out
+# (q94–q98) are r2-green with permanent rows.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- E23/E24/E26 surface, never driver-checked in round 1 --
-    "q35_shingle_fingerprint",
+    # -- never driver-checked (r3 closes the 99/99 sweep) --
+    "q92_forecast_revenue",
+    "q93_promo_revenue",
+    "q36b_minhash_production",
+    # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
+    # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --
+    "q35_shingle_fingerprint",
     "q37_ngram_jaccard_dup",
     "q38_simhash",
     "q39_multimodal_meta",
@@ -85,15 +89,12 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q57_stratified_sample",
     "q58_pii_scrub",
     "q59_token_counting",
-    # -- fixed or re-implemented this round (VERDICT r01 items 2–3) --
     "q52_approx_percentiles",
     "q64_returned_items",
     "q31_top_tokens",
-    # -- new in round 2: streaming/join faces --
     "q23b_replay_scaled",
     "q67_left_outer_join",
     "q68_right_outer_join",
-    # -- new in round 2: LLM-pipeline surface --
     "q80_neardup_clusters",
     "q81_clean_corpus",
     "q82_token_rarity",
@@ -104,7 +105,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q87_sequence_packing",
     "q88_quota_sample",
     "q53_hll_mergeable_rollup",
-    # -- new in round 2: TPC-H breadth (E27) --
+    # -- TPC-H breadth --
     "q70_shipping_priority",
     "q71_local_supplier_volume",
     "q72_volume_shipping",
@@ -120,9 +121,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q91_waiting_suppliers",
     "q94_product_profit",
     "q95_min_cost_supplier",
-    "q96_important_parts",
-    "q97_supplier_variety",
-    "q98_promo_part_suppliers",
 )
 
 

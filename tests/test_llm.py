@@ -519,6 +519,86 @@ def test_streaming_neardup_index_compaction(spark, tmp_path):
     assert sorted(r["doc_id"] for r in f.accepted(spark).collect()) == [1]
 
 
+def test_streaming_neardup_bucketed_index(spark, tmp_path):
+    """Bucketed index layout (the 100 TB deployment shape): same dedup
+    semantics as the path layout, claims append into the bucketing, and
+    the per-batch hit-join reads the index Exchange-free — only the
+    (small) batch side shuffles into the bucket layout."""
+    from redix_stream_spark.llm.stream_dedup import (
+        StreamingNearDupFilter,
+        _band_keys,
+    )
+    from redix_stream_spark.llm.dedup import minhash_signatures
+    from redix_stream_spark.plans import formatted_plan
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sleepy pandas watch from a bamboo grove near the river delta"
+    )
+    other = (
+        "completely different subject matter entirely about compilers "
+        "register allocation spilling liveness intervals and ssa form"
+    )
+    tbl = "nd_band_idx_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_compact")
+    f = StreamingNearDupFilter(
+        index_path=str(tmp_path / "unused"),
+        accepted_path=str(tmp_path / "accepted"),
+        index_table=tbl,
+        n_index_buckets=4,
+    )
+    try:
+        f.apply_batch(
+            spark.createDataFrame(
+                [(1, base), (2, base), (3, other)], "doc_id long, text string"
+            ),
+            0,
+        )
+        assert sorted(r["doc_id"] for r in f.accepted(spark).collect()) == [1, 3]
+        # cross-batch drop via the bucketed index
+        f.apply_batch(
+            spark.createDataFrame([(4, base)], "doc_id long, text string"), 1
+        )
+        assert sorted(r["doc_id"] for r in f.accepted(spark).collect()) == [1, 3]
+
+        # Plan shape of the hit-join at scale (auto-broadcast off — a real
+        # index never broadcasts): the index scan is bucketed, so the only
+        # Exchange on band_key is the batch side entering the layout.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe = spark.createDataFrame(
+                [(9, other)], "doc_id long, text string"
+            )
+            bands = _band_keys(
+                minhash_signatures(probe, params=f.params), f.n_bands
+            )
+            j = bands.join(f._claimed(spark), "band_key", "left_semi")
+            plan = formatted_plan(j)
+            assert "Bucketed: true" in plan, plan
+            exchanges = [
+                l
+                for l in plan.splitlines()
+                if "Exchange hashpartitioning(band_key" in l
+            ]
+            assert len(exchanges) <= 1, plan
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+
+        # compaction keeps the bucketed layout and the dedup behavior
+        n = f.compact_index(spark)
+        assert n == f._claimed(spark).count()
+        f.apply_batch(
+            spark.createDataFrame([(5, base)], "doc_id long, text string"), 2
+        )
+        assert sorted(r["doc_id"] for r in f.accepted(spark).collect()) == [1, 3]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_compact")
+
+
 def test_streaming_ivf_index_ingest_and_query(spark, sf_dir, tmp_path):
     """Durable IVF: fit once, ingest incrementally (two batches), query
     with partition-pruned probes; an indexed vector finds itself first and
@@ -565,6 +645,87 @@ def test_streaming_ivf_index_ingest_and_query(spark, sf_dir, tmp_path):
     assert overlap >= 5, (sorted(r["vec_id"] for r in rows), exact)
 
 
+def test_streaming_ivf_refresh_recovers_drift(spark, tmp_path):
+    """Codebook refresh under distribution drift: a post-fit stream whose
+    cluster straddles a Voronoi boundary of the frozen codebook splits
+    across two cells — nprobe=1 recall degrades and occupancy skews.
+    ``refresh`` (re-fit from a sample of the current index, remap only
+    moved cells) restores recall and bounds the skew."""
+    import numpy as np
+
+    from redix_stream_spark.llm.similarity import cosine
+    from redix_stream_spark.llm.stream_ann import StreamingIvfIndex
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    dim = 8
+
+    def cluster(center, n, start_id, label):
+        pts = center + rng.normal(0, 0.05, size=(n, dim))
+        return [
+            (start_id + i, label, [float(x) for x in p])
+            for i, p in enumerate(pts)
+        ]
+
+    axes = np.eye(dim)
+    phase1 = []
+    for j in range(4):
+        phase1 += cluster(axes[j], 80, 1000 * j, j)
+    ivf = StreamingIvfIndex(
+        codebook_path=str(tmp_path / "cb"), index_path=str(tmp_path / "ivf")
+    )
+    schema = "vec_id long, label int, embedding array<float>"
+    df1 = spark.createDataFrame(phase1, schema)
+    ivf.fit(df1.select("vec_id", "embedding"), k=4, seed=11)
+    ivf.ingest_batch(df1, 0)
+
+    # drift: a new cluster on the e0/e1 Voronoi boundary — its members
+    # split between the two old cells on noise alone.
+    drift_center = (axes[0] + axes[1]) / np.sqrt(2)
+    phase2 = cluster(drift_center, 80, 10_000, 9)
+    df2 = spark.createDataFrame(phase2, schema)
+    ivf.ingest_batch(df2, 1)
+
+    qv = [float(x) for x in drift_center]
+    truth = set(
+        r["vec_id"]
+        for r in spark.createDataFrame(phase1 + phase2, schema)
+        .select(
+            "vec_id",
+            cosine(F.col("embedding"), F.lit(qv).cast("array<double>")).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(20)
+        .collect()
+    )
+
+    def recall():
+        got = {
+            r["vec_id"] for r in ivf.query(spark, qv, k=20, nprobe=1).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    skew_before = ivf.cell_skew(spark)
+    recall_before = recall()
+    assert recall_before < 0.95  # boundary split costs nprobe=1 recall
+
+    # refresh with k=5: capacity tracks the corpus (a fifth natural
+    # cluster arrived), and the re-fit gives the drifted blob its own cell
+    stats = ivf.refresh(spark, sample_fraction=0.5, k=5, seed=23)
+    assert stats["n_moved"] > 0
+
+    recall_after = recall()
+    skew_after = ivf.cell_skew(spark)
+    assert recall_after >= 0.95, (recall_before, recall_after)
+    assert recall_after > recall_before
+    # the drifted blob gets its own centroid: occupancy rebalances
+    assert skew_after <= skew_before, (skew_before, skew_after)
+    # index content is preserved — refresh moves rows, never drops them
+    assert ivf._index(spark).count() == len(phase1) + len(phase2)
+
+
 def test_simhash_near_dup_pairs_banded(spark):
     """Chunk-banded SimHash pairing: the planted small-edit pair is found
     with its exact Hamming distance; unrelated docs never pair. The
@@ -594,6 +755,56 @@ def test_simhash_near_dup_pairs_banded(spark):
     assert got == truth
     assert (1, 2) in got and got[(1, 2)] <= 12
     assert (1, 3) not in got
+
+
+def test_simhash_tf_weighted_beats_unweighted_on_templated_text(spark):
+    """tf-weighted SimHash on a shared-vocabulary (templated) corpus:
+    every doc uses the SAME token set, so the unweighted set-profile
+    hash collapses — all pairs sit at Hamming 0 and every doc pair is a
+    'near-dup'. Weighting bit votes by in-doc tf keeps the planted
+    paraphrases paired while separating docs with different frequency
+    profiles: strictly better pair-precision at the same Hamming
+    budget."""
+    import random
+
+    from redix_stream_spark.llm.dedup import simhash_near_dup_pairs
+
+    rnd = random.Random(99)
+    vocab = [f"w{i:02d}" for i in range(40)]
+    rows = []
+    planted = set()
+    for i in range(8):
+        topic = rnd.sample(vocab, 3)
+        base_words = list(vocab) + topic * 10
+        rnd.shuffle(base_words)
+        rows.append((i, " ".join(base_words)))
+        # paraphrase: same tf profile minus one topic repetition
+        para = list(vocab) + topic * 9
+        rnd.shuffle(para)
+        rows.append((100 + i, " ".join(para)))
+        planted.add((i, 100 + i))
+    docs = _docs(spark, rows)
+
+    def pairs(weighted):
+        return {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in simhash_near_dup_pairs(
+                docs, hamming_max=6, weighted=weighted
+            ).collect()
+        }
+
+    unw, w = pairs(False), pairs(True)
+
+    def precision(found):
+        return len(found & planted) / len(found) if found else 0.0
+
+    # unweighted collapses: identical token sets → identical hashes →
+    # (close to) every doc pair passes the Hamming budget
+    assert len(unw) > 3 * len(planted), len(unw)
+    # weighted keeps every paraphrase pair and drops the spurious mass
+    assert planted <= w
+    assert precision(w) > precision(unw)
+    assert precision(w) >= 0.8, sorted(w)
 
 
 def test_simhash_narrow_chunk_guard(spark):

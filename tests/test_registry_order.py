@@ -11,60 +11,36 @@ from __future__ import annotations
 from redix_stream_spark import registry
 
 MUST_BE_IN_WINDOW = {
-    # E23/E24/E26 surface, never driver-checked in round 1 (VERDICT r01 #1).
-    "q35_shingle_fingerprint",
+    # Never driver-checked before round 3 (VERDICT r02 #2/#3): the two
+    # shape twins rotated out in r2, and the new production-width MinHash.
+    "q92_forecast_revenue",
+    "q93_promo_revenue",
+    "q36b_minhash_production",
+    # Pipeline refactored in round 3 (shared helper with q36b).
     "q36_minhash_lsh_neardup",
-    "q37_ngram_jaccard_dup",
-    "q38_simhash",
-    "q39_multimodal_meta",
-    "q40_cosine_topk",
-    "q41_embedding_neardup",
-    "q42_ann_lsh_topk",
-    "q43_image_features",
-    "q43b_ann_ivf_topk",
-    "q54_pandas_udf_tokens",
-    "q55_rowwise_udf_tokens",
-    "q56_grouped_map_zscore",
-    "q57_stratified_sample",
-    "q58_pii_scrub",
-    "q59_token_counting",
-    # Fixed / re-implemented in round 2.
-    "q52_approx_percentiles",
-    "q64_returned_items",
-    "q31_top_tokens",
-    # New in round 2.
-    "q23b_replay_scaled",
-    "q67_left_outer_join",
-    "q68_right_outer_join",
-    "q80_neardup_clusters",
-    "q81_clean_corpus",
-    "q82_token_rarity",
-    "q84_decontamination",
-    "q83_repetition_quality",
-    "q85_hash_split",
-    "q86_tfidf_keywords",
-    "q87_sequence_packing",
-    "q88_quota_sample",
-    "q53_hll_mergeable_rollup",
-    # TPC-H breadth (E27) — all new in round 2, no r1 rows exist.
-    "q70_shipping_priority",
-    "q71_local_supplier_volume",
-    "q72_volume_shipping",
-    "q73_market_share",
-    "q74_order_distribution",
-    "q75_small_qty_revenue",
-    "q76_large_orders",
-    "q77_bracket_revenue",
-    "q78_dormant_customers",
-    "q79_top_supplier",
-    "q89_priority_late_orders",
-    "q90_late_lines_by_status",
-    "q91_waiting_suppliers",
-    "q94_product_profit",
-    "q95_min_cost_supplier",
-    "q96_important_parts",
-    "q97_supplier_variety",
-    "q98_promo_part_suppliers",
+}
+
+# The 50 queries the r2 driver window checked (CORRECTNESS_r02 rows —
+# permanent evidence, like the r1 rows below).
+R2_CHECKED = {
+    "q35_shingle_fingerprint", "q36_minhash_lsh_neardup",
+    "q37_ngram_jaccard_dup", "q38_simhash", "q39_multimodal_meta",
+    "q40_cosine_topk", "q41_embedding_neardup", "q42_ann_lsh_topk",
+    "q43_image_features", "q43b_ann_ivf_topk", "q54_pandas_udf_tokens",
+    "q55_rowwise_udf_tokens", "q56_grouped_map_zscore",
+    "q57_stratified_sample", "q58_pii_scrub", "q59_token_counting",
+    "q52_approx_percentiles", "q64_returned_items", "q31_top_tokens",
+    "q23b_replay_scaled", "q67_left_outer_join", "q68_right_outer_join",
+    "q80_neardup_clusters", "q81_clean_corpus", "q82_token_rarity",
+    "q84_decontamination", "q83_repetition_quality", "q85_hash_split",
+    "q86_tfidf_keywords", "q87_sequence_packing", "q88_quota_sample",
+    "q53_hll_mergeable_rollup", "q70_shipping_priority",
+    "q71_local_supplier_volume", "q72_volume_shipping", "q73_market_share",
+    "q74_order_distribution", "q75_small_qty_revenue", "q76_large_orders",
+    "q77_bracket_revenue", "q78_dormant_customers", "q79_top_supplier",
+    "q89_priority_late_orders", "q90_late_lines_by_status",
+    "q91_waiting_suppliers", "q94_product_profit", "q95_min_cost_supplier",
+    "q96_important_parts", "q97_supplier_variety", "q98_promo_part_suppliers",
 }
 
 # Queries with a green CORRECTNESS_r01 row — permanent evidence, safe to
@@ -89,12 +65,11 @@ R1_GREEN = {
 
 
 def test_every_query_has_a_driver_row_across_rounds():
-    """The r2 window + the r1 green rows + the two documented shape twins
-    (q92/q93 ≡ q62/q63) must cover every registered query, so that after
-    this round no query has ever gone driver-unchecked."""
+    """The r3 window + the r1/r2 rows must cover every registered query,
+    so that after this round no query has ever gone driver-unchecked
+    (the 99-query sweep becomes 100% with q92/q93/q36b in the window)."""
     window = set(list(registry.all_queries())[:50])
-    twins = {"q92_forecast_revenue", "q93_promo_revenue"}
-    uncovered = set(registry.all_queries()) - window - R1_GREEN - twins
+    uncovered = set(registry.all_queries()) - window - R1_GREEN - R2_CHECKED
     assert not uncovered, f"queries with no driver row in any round: {uncovered}"
 
 
