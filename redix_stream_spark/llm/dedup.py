@@ -376,13 +376,56 @@ def simhash_frame(d: DataFrame, weighted: bool = False) -> DataFrame:
     return votes.select("doc_id", sim.alias("simhash"))
 
 
-@register("q38_simhash")  # rows-only: bit-mixing constants are engine-internal
+def _gen_simhash_oracle_sql(weighted: bool = False) -> str:
+    """DuckDB oracle replaying the exact SimHash construction: the same
+    md5-derived 60-bit token hashes, the same ±1 bit votes (per distinct
+    token, or per occurrence ≡ tf-weighted), the same sign-bit packing —
+    pure integer arithmetic, so the hash check verifies every stage.
+    (Upgraded in round 3 from a rows-only face: nothing in the
+    construction is engine-internal after all.)"""
+    distinct = "" if weighted else "DISTINCT "
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE CAST(0 AS BIGINT) END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT {distinct}doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+),
+h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h FROM tok
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, {packed} AS simhash
+FROM votes
+"""
+
+
+@register("q38_simhash", _gen_simhash_oracle_sql())
 def q38_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (see simhash_frame). Docs whose
     simhashes agree on most bits are near-dups (Hamming ≤ k); the pytest
     suite checks SimHash(doc) ≈ SimHash(doc with small edit), and
     ``simhash_near_dup_pairs`` turns the hashes into verified pairs."""
     return simhash_frame(load_table(spark, sf_dir, "documents"))
+
+
+@register("q38b_simhash_weighted", _gen_simhash_oracle_sql(weighted=True))
+def q38b_simhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-weighted 60-bit SimHash (Charikar's weighted construction —
+    every token occurrence votes, so votes are tf-weighted): the variant
+    that still discriminates on templated shared-vocabulary corpora where
+    the set-profile hash collapses (measured in SCALING.md; pair-precision
+    pytest in tests/test_llm.py)."""
+    return simhash_frame(load_table(spark, sf_dir, "documents"), weighted=True)
 
 
 def simhash_near_dup_pairs(

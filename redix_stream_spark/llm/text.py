@@ -428,6 +428,10 @@ def q82_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     it broadcasts while the vocabulary is genuinely small and switches to
     a shuffle join at 100 TB vocab sizes (10^8+ tokens) — unlike the
     array-column relations that must pin shuffle_hash (see CLAUDE.md).
+    Stopword skew in the shuffle regime is measured in SCALING.md
+    ("stopword skew"): on a 50%-hot-key fixture the salting path
+    (plans.skew.salted_join) beats AQE's runtime skew split 1.75× — use
+    it if a deployment ever outgrows the freq broadcast.
     """
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens()).alias("token"))

@@ -61,16 +61,17 @@ def _load() -> None:
 # registration order after the listed ones.
 # Window policy: a query needs ONE green driver row, ever. Across r1+r2,
 # 97/99 queries have rows; the round-3 window leads with the only
-# never-checked names — q92/q93 (the shape twins rotated out in r2) and the
-# new q36b production-width MinHash — plus q36, whose pipeline was
-# refactored this round. The remaining slots re-verify the LLM-pipeline and
-# TPC-H surface (highest-value regression faces); the five rotated out
-# (q94–q98) are r2-green with permanent rows.
+# never-checked names — q92/q93 (the shape twins rotated out in r2), the
+# new q36b production-width MinHash, and the new q38b weighted SimHash —
+# plus q36, whose pipeline was refactored this round. The remaining slots
+# re-verify the LLM-pipeline and TPC-H surface (highest-value regression
+# faces); the four rotated out (q95–q98) are r2-green with permanent rows.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (r3 closes the 99/99 sweep) --
+    # -- never driver-checked (r3 closes the full sweep) --
     "q92_forecast_revenue",
     "q93_promo_revenue",
     "q36b_minhash_production",
+    "q38b_simhash_weighted",
     # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
     # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --
@@ -120,7 +121,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q90_late_lines_by_status",
     "q91_waiting_suppliers",
     "q94_product_profit",
-    "q95_min_cost_supplier",
 )
 
 

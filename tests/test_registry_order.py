@@ -16,6 +16,7 @@ MUST_BE_IN_WINDOW = {
     "q92_forecast_revenue",
     "q93_promo_revenue",
     "q36b_minhash_production",
+    "q38b_simhash_weighted",
     # Pipeline refactored in round 3 (shared helper with q36b).
     "q36_minhash_lsh_neardup",
 }
