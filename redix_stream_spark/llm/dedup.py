@@ -694,6 +694,155 @@ def q81_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PASSAGE_K = 10  # words per passage (the "line" unit on whitespace corpora)
+
+Q99_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+p AS (
+  SELECT doc_id,
+         CAST((i - 1) // {PASSAGE_K} AS BIGINT) AS pos,
+         array_to_string(toks[i:i+{PASSAGE_K - 1}], ' ') AS passage
+  FROM (
+    SELECT doc_id, toks,
+           UNNEST(range(1, GREATEST(LEN(toks), 1) + 1, {PASSAGE_K})) AS i
+    FROM t
+  )
+),
+keep AS (
+  SELECT passage, MIN(doc_id * 1000000 + pos) AS keeper FROM p GROUP BY passage
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.passage
+  FROM p JOIN keep USING (passage)
+  WHERE p.doc_id * 1000000 + p.pos = keep.keeper
+)
+SELECT
+  a.doc_id,
+  a.n_passages,
+  COALESCE(k.n_kept, 0) AS n_kept,
+  COALESCE(k.cleaned_text, '') AS cleaned_text
+FROM (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages FROM p GROUP BY doc_id
+) a
+LEFT JOIN (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(passage, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+"""
+
+
+@register("q99_passage_dedup", Q99_SQL)
+def q99_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup (the C4 line-dedup pattern, applied to
+    non-overlapping PASSAGE_K-word passages since this corpus has no
+    newlines): a passage appearing in several documents survives only at
+    its first occurrence — (min doc_id, pos) — and every other copy is
+    cut. Returns per doc the passage count, kept count, and the cleaned
+    text reassembled in passage order.
+
+    This is the sub-document dedup a crawl corpus needs beyond q36's
+    whole-document collapse: boilerplate paragraphs (headers, license
+    blocks, navigation) repeat across millions of otherwise-unique pages.
+
+    Scale shape: passages explode ~n_tokens/{PASSAGE_K} rows per doc; the
+    keeper choice is a passage-keyed map-side-combined MIN; the keep
+    filter is an equi-join back on the passage key (never doc×doc); the
+    reassembly groups by doc_id with sort_array for deterministic order.
+    The keeper key packs (doc_id, pos) into one BIGINT so both engines
+    take an identical integer MIN (struct MIN orderings differ).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(PASSAGE_K))
+    passages = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(toks, i, PASSAGE_K))
+    )
+    p = d.select(
+        "doc_id", F.posexplode(passages).alias("pos", "passage")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "passage")
+    pack = F.col("doc_id") * 1000000 + F.col("pos")
+    keep = p.groupBy("passage").agg(F.min(pack).alias("keeper"))
+    kept = (
+        p.join(keep, "passage")
+        .filter(pack == F.col("keeper"))
+        .select("doc_id", "pos", "passage")
+    )
+    n_passages = p.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_passages")
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "passage"))),
+                lambda s: s["passage"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return n_passages.join(reassembled, "doc_id", "left_outer").select(
+        "doc_id",
+        "n_passages",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )
+
+
+Q100_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i:i+{SHINGLE_K - 1}], ' ') AS shingle
+  FROM (
+    SELECT doc_id, t,
+           UNNEST(range(1, GREATEST(LEN(t) - {SHINGLE_K - 1}, 1) + 1)) AS i
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  )
+),
+df AS (SELECT shingle, COUNT(*) AS nd FROM sh GROUP BY shingle)
+SELECT
+  sh.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+  CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+  CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+    AS dup_fraction
+FROM sh JOIN df USING (shingle)
+GROUP BY sh.doc_id
+"""
+
+
+@register("q100_dup_ngram_fraction", Q100_SQL)
+def q100_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram fraction per document (the Gopher/RefinedWeb
+    inter-document repetition signal): the share of a doc's distinct
+    SHINGLE_K-gram shingles that also occur in at least one OTHER
+    document. High-fraction docs are template/boilerplate-heavy even when
+    no single whole-document near-dup exists — the metric that catches
+    what q36's pair detection structurally cannot.
+
+    Since ``sh`` is distinct per (doc, shingle), a shingle's row count in
+    it IS its document frequency, so one map-side-combined count and one
+    shingle-keyed join back suffice; counts are exact BIGINTs with a
+    single final divide (cross-engine float discipline, numeric.py).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle")
+    )
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    shared = F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            shared.cast("long").alias("n_shared"),
+            (shared.cast("double") / F.count(F.lit(1))).alias("dup_fraction"),
+        )
+    )
+
+
 Q84_SQL = f"""
 WITH eval_docs AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 100 = 0

@@ -313,6 +313,61 @@ def q88_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Target language mixture for q101 (weights sum to 1; budget in docs).
+MIXTURE_WEIGHTS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+MIXTURE_BUDGET = 200
+
+_MIX_QUOTAS = {k: int(v * MIXTURE_BUDGET) for k, v in MIXTURE_WEIGHTS.items()}
+
+Q101_SQL = f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+FROM ranked
+WHERE rk <= CASE lang
+  {" ".join(f"WHEN '{k}' THEN {n}" for k, n in _MIX_QUOTAS.items())}
+  ELSE 0 END
+"""
+
+
+@register("q101_mixture_sample", Q101_SQL)
+def q101_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted data-mixture sampling: draw a training subset matching a
+    target language mixture (MIXTURE_WEIGHTS × MIXTURE_BUDGET docs),
+    deterministically by md5(doc_id) order — the curriculum/mixture
+    primitive behind "40% en, 15% each of de/es/fr/zh"-style corpus
+    recipes. Strata short of their quota contribute what they have
+    (rank never exceeds availability); unknown languages contribute 0.
+
+    Same WindowGroupLimit shape as q88: a per-key CASE limit alone
+    defeats InferWindowGroupLimit (the rule needs a literal bound), so
+    the filter carries the constant max-quota bound conjoined with the
+    per-key refinement — the literal drives the pushed group limit (each
+    input partition forwards ≤ max-quota rows per language; the
+    whole-language sort never materializes) and the CASE trims the rest.
+    Plan-asserted in tests/test_plans.py.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    quota = F.lit(0)
+    for k, n in _MIX_QUOTAS.items():
+        quota = F.when(F.col("lang") == k, n).otherwise(quota)
+    max_quota = max(_MIX_QUOTAS.values())
+    return (
+        d.select("lang", "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter((F.col("rk") <= max_quota) & (F.col("rk") <= quota))
+    )
+
+
 @register("q57_stratified_sample")  # rows-only: samplers are engine-internal
 def q57_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified subsampling by language — the corpus-balancing

@@ -62,16 +62,21 @@ def _load() -> None:
 # Window policy: a query needs ONE green driver row, ever. Across r1+r2,
 # 97/99 queries have rows; the round-3 window leads with the only
 # never-checked names — q92/q93 (the shape twins rotated out in r2), the
-# new q36b production-width MinHash, and the new q38b weighted SimHash —
-# plus q36, whose pipeline was refactored this round. The remaining slots
-# re-verify the LLM-pipeline and TPC-H surface (highest-value regression
-# faces); the four rotated out (q95–q98) are r2-green with permanent rows.
+# new q36b production-width MinHash, the new q38b weighted SimHash, and the
+# new round-3 operators (q99 passage dedup, q100 dup-ngram fraction, q101
+# mixture sample) — plus q36, whose pipeline was refactored this round. The
+# remaining slots re-verify the LLM-pipeline and TPC-H surface
+# (highest-value regression faces); the seven rotated out (q90, q91,
+# q94–q98) are r2-green with permanent rows.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked (r3 closes the full sweep) --
     "q92_forecast_revenue",
     "q93_promo_revenue",
     "q36b_minhash_production",
     "q38b_simhash_weighted",
+    "q99_passage_dedup",
+    "q100_dup_ngram_fraction",
+    "q101_mixture_sample",
     # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
     # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --
@@ -118,9 +123,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q78_dormant_customers",
     "q79_top_supplier",
     "q89_priority_late_orders",
-    "q90_late_lines_by_status",
-    "q91_waiting_suppliers",
-    "q94_product_profit",
 )
 
 

@@ -182,6 +182,23 @@ def test_q88_quota_sample_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_q101_mixture_sample_uses_window_group_limit(spark, sf_dir):
+    """The varying per-language quota is a CASE bound that alone defeats
+    InferWindowGroupLimit; the conjoined constant max-quota bound must
+    restore the pushed group limit (same scale argument as q88)."""
+    plan = plan_of(QUERIES["q101_mixture_sample"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_q99_passage_dedup_keyed_joins_only(spark, sf_dir):
+    """Passage dedup joins on the passage key and aggregates per doc —
+    never doc×doc, and nothing single-partitions the corpus."""
+    plan = plan_of(QUERIES["q99_passage_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_q91_exists_pair_is_keyed_semi_anti(spark, sf_dir):
     """Q21's EXISTS/NOT EXISTS must compile to orderkey-keyed LEFT SEMI +
     LEFT ANTI joins (supplier inequality as residual) — never a cartesian

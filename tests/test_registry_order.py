@@ -17,6 +17,9 @@ MUST_BE_IN_WINDOW = {
     "q93_promo_revenue",
     "q36b_minhash_production",
     "q38b_simhash_weighted",
+    "q99_passage_dedup",
+    "q100_dup_ngram_fraction",
+    "q101_mixture_sample",
     # Pipeline refactored in round 3 (shared helper with q36b).
     "q36_minhash_lsh_neardup",
 }
