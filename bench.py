@@ -40,6 +40,7 @@ BIG_HEADLINE = [
     "q36_minhash_lsh_neardup",
     "q36b_minhash_production",
     "q41_embedding_neardup",
+    "q41b_embedding_neardup_fast",
     "q80_neardup_clusters",
     "q81_clean_corpus",
     "q83_repetition_quality",
@@ -102,7 +103,9 @@ def main() -> None:
         # Codegen stays warm (JVM-level), but cached DataFrames must not:
         # queries that .cache() intermediates (q36's MinHash signatures)
         # would otherwise be timed reading the warm pass's cache instead of
-        # doing their work.
+        # doing their work. (A forced System.gc() here was tried and
+        # REVERTED: full collections before each query cost ~25% total —
+        # the collector's own pacing beats forced compaction.)
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -11,6 +11,7 @@ produce bit-identical similarities and identical rankings.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -131,6 +132,64 @@ def q41_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sim") >= 0.5)
     )
+
+
+def embedding_neardup_fast(d: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Throughput face of q41: within-block all-pairs cosine as ONE numpy
+    matmul per block inside a grouped-map ``applyInPandas``.
+
+    q41's per-pair left-fold dot is the oracle-exact face — a
+    deterministic IEEE addition order that DuckDB replays bit-for-bit —
+    but it evaluates interpreted higher-order expressions per pair
+    (~1.3 s per million pairs). A block's similarity matrix is one BLAS
+    ``n @ n.T`` — measured 9× faster end-to-end on the 25M-pair sf1
+    replica (31.6 s → 3.5 s, SCALING.md). SIMD/pairwise summation makes
+    last-bit sums differ from the fold, so this face is rows-only; the
+    pytest pins pair-set equality with q41 away from the threshold
+    boundary.
+
+    Scale contract: a BLOCK (not the corpus) must fit one Arrow frame —
+    exactly the contract q41's blocked join already implies; at 100 TB
+    the block key is an LSH bucket or IVF cell, both bounded. The matmul
+    is O(block²·dim) FLOPs either way — this face just runs them at BLAS
+    speed instead of expression-interpreter speed.
+    """
+    from ..session import ship_package
+
+    ship_package(d.sparkSession)
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        s = v @ v.T
+        ia, ib = np.triu_indices(len(pdf), k=1)
+        keep = s[ia, ib] >= threshold
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "vec_id_a": ids[ia[keep]],
+                "vec_id_b": ids[ib[keep]],
+                "label": pdf["label"].iloc[0],
+                "sim": s[ia[keep], ib[keep]],
+            }
+        )
+
+    return (
+        d.select("vec_id", "label", "embedding")
+        .groupBy("label")
+        .applyInPandas(block, "vec_id_a long, vec_id_b long, label int, sim double")
+    )
+
+
+@register("q41b_embedding_neardup_fast")  # rows-only: BLAS sum order ≠ fold
+def q41b_embedding_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q41's pair set at BLAS speed (see embedding_neardup_fast) — the
+    face a 100 TB corpus actually runs; q41 stays the oracle-exact
+    regression face. Pair-set parity with q41 is pytest-pinned."""
+    return embedding_neardup_fast(load_table(spark, sf_dir, "embeddings"))
 
 
 #: Multi-table LSH parameters: L independent tables of k hyperplane bits.

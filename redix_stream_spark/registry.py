@@ -66,7 +66,7 @@ def _load() -> None:
 # new round-3 operators (q99 passage dedup, q100 dup-ngram fraction, q101
 # mixture sample) — plus q36, whose pipeline was refactored this round. The
 # remaining slots re-verify the LLM-pipeline and TPC-H surface
-# (highest-value regression faces); the seven rotated out (q90, q91,
+# (highest-value regression faces); the eight rotated out (q89–q91,
 # q94–q98) are r2-green with permanent rows.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-checked (r3 closes the full sweep) --
@@ -77,6 +77,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q99_passage_dedup",
     "q100_dup_ngram_fraction",
     "q101_mixture_sample",
+    "q41b_embedding_neardup_fast",
     # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
     # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --
@@ -122,7 +123,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q77_bracket_revenue",
     "q78_dormant_customers",
     "q79_top_supplier",
-    "q89_priority_late_orders",
 )
 
 

@@ -771,6 +771,32 @@ def test_simhash_near_dup_pairs_banded(spark):
     assert (1, 3) not in got
 
 
+def test_embedding_neardup_fast_matches_exact_face(spark, sf_dir):
+    """The BLAS throughput face (q41b) must produce the same pair set as
+    the oracle-exact left-fold face (q41), with per-pair sims equal to
+    float tolerance (BLAS sum order differs only in last bits; no real
+    pair sits within 1e-9 of the 0.5 threshold on this data — asserted,
+    so the set comparison is well-defined). sf0.1: the smaller samples
+    have no pairs above the threshold at all (r2 driver row: 0 = 0)."""
+    from redix_stream_spark.registry import all_queries
+
+    big = "/root/testdata/sf0.1"
+    Q = all_queries()
+    exact = {
+        (r["vec_id_a"], r["vec_id_b"]): r["sim"]
+        for r in Q["q41_embedding_neardup"](spark, big).collect()
+    }
+    fast = {
+        (r["vec_id_a"], r["vec_id_b"]): r["sim"]
+        for r in Q["q41b_embedding_neardup_fast"](spark, big).collect()
+    }
+    assert set(exact) == set(fast)
+    assert exact  # non-vacuous
+    for k, v in exact.items():
+        assert abs(v - fast[k]) < 1e-9, (k, v, fast[k])
+        assert abs(v - 0.5) > 1e-9  # away from the threshold boundary
+
+
 def test_simhash_tf_weighted_beats_unweighted_on_templated_text(spark):
     """tf-weighted SimHash on a shared-vocabulary (templated) corpus:
     every doc uses the SAME token set, so the unweighted set-profile

@@ -20,6 +20,7 @@ MUST_BE_IN_WINDOW = {
     "q99_passage_dedup",
     "q100_dup_ngram_fraction",
     "q101_mixture_sample",
+    "q41b_embedding_neardup_fast",
     # Pipeline refactored in round 3 (shared helper with q36b).
     "q36_minhash_lsh_neardup",
 }
