@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..registry import register
@@ -134,4 +135,195 @@ def q61_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_active"),
             F.count("b_user").alias("n_retained_next_day"),
         )
+    )
+
+
+# --- q103: time-series gap-fill (LOCF + exact linear interpolation) --------
+
+#: Demo subset: every 10th user — bounds spine rows at sf0.01 to ~11k
+#: (15 users × ~720 hours) while exercising every fill path.
+GAPFILL_USER_MOD = 10
+
+Q103_SQL = f"""
+WITH obs AS (
+  SELECT user_id,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+         SUM(CAST(value AS DECIMAL(18,6))) AS obs_dec
+  FROM events
+  WHERE user_id % {GAPFILL_USER_MOD} = 0
+  GROUP BY user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP)
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+  FROM (SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx FROM obs GROUP BY user_id)
+),
+filled AS (
+  SELECT s.user_id AS user_id, s.hr AS hr, o.obs_dec AS obs_dec,
+         last_value(o.obs_dec IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         last_value(CASE WHEN o.obs_dec IS NOT NULL THEN s.hr END IGNORE NULLS)
+           OVER (PARTITION BY s.user_id ORDER BY s.hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+         first_value(o.obs_dec IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.hr
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(CASE WHEN o.obs_dec IS NOT NULL THEN s.hr END IGNORE NULLS)
+           OVER (PARTITION BY s.user_id ORDER BY s.hr
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+  FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.hr = o.hr
+)
+SELECT user_id, hr,
+       CAST(obs_dec AS DOUBLE) AS observed,
+       CAST(prev_v AS DOUBLE) AS filled_locf,
+       CASE WHEN obs_dec IS NOT NULL THEN CAST(obs_dec AS DOUBLE)
+            ELSE CAST(prev_v AS DOUBLE)
+                 + CAST((next_v - prev_v)
+                        * date_diff('hour', prev_h, hr) AS DOUBLE)
+                   / date_diff('hour', prev_h, next_h)
+       END AS interp,
+       (obs_dec IS NULL) AS is_gap
+FROM filled
+"""
+
+
+@register("q103_gapfill", Q103_SQL)
+def q103_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly gap-fill: dense time spine + LOCF + linear interp.
+
+    The timescale-style hypertable pattern on plain DataFrames:
+
+    - ``sequence(min_hr, max_hr, interval 1 hour)`` builds each user's
+      spine *from an aggregate*, map-side after one groupBy — no
+      driver-side calendar, no cross join against a global spine (which
+      at 100 TB would fabricate rows for users outside their active
+      range).
+    - LOCF and the interpolation neighbours are four IGNORE NULLS frame
+      windows, all over the same (user_id, hr) partitioning — one
+      shuffle, partition-local scans.
+    - Cross-engine exactness: observations are DECIMAL(18,6) sums;
+      interpolation is exact-decimal ``(next−prev)·steps`` cast once to
+      DOUBLE (scaled integer < 2^53 ⇒ both engines round identically),
+      then one IEEE divide and one add — no FMA-contractable shape.
+
+    Spine endpoints are each user's first/last observed hour, so LOCF is
+    never NULL and every interior gap has both neighbours.
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % GAPFILL_USER_MOD == 0
+    )
+    obs = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hr")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("obs_dec"))
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hr"),
+        )
+    )
+    j = spine.join(obs, ["user_id", "hr"], "left")
+    back = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fwd = Window.partitionBy("user_id").orderBy("hr").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    obs_hr = F.when(F.col("obs_dec").isNotNull(), F.col("hr"))
+    f = j.select(
+        "user_id",
+        "hr",
+        "obs_dec",
+        F.last("obs_dec", ignorenulls=True).over(back).alias("prev_v"),
+        F.last(obs_hr, ignorenulls=True).over(back).alias("prev_h"),
+        F.first("obs_dec", ignorenulls=True).over(fwd).alias("next_v"),
+        F.first(obs_hr, ignorenulls=True).over(fwd).alias("next_h"),
+    )
+    steps = F.expr("timestampdiff(HOUR, prev_h, hr)")
+    gap = F.expr("timestampdiff(HOUR, prev_h, next_h)")
+    interp = F.when(
+        F.col("obs_dec").isNotNull(), F.col("obs_dec").cast("double")
+    ).otherwise(
+        F.col("prev_v").cast("double")
+        + ((F.col("next_v") - F.col("prev_v")) * steps).cast("double") / gap
+    )
+    return f.select(
+        "user_id",
+        "hr",
+        F.col("obs_dec").cast("double").alias("observed"),
+        F.col("prev_v").cast("double").alias("filled_locf"),
+        interp.alias("interp"),
+        F.col("obs_dec").isNull().alias("is_gap"),
+    )
+
+
+# --- q104: time-decayed average (transcendental-free EWMA face) ------------
+
+#: Decay weight by recency rank: 10^(6−min(age,6)) — a pure integer
+#: weight table, so the weighted sum stays exact decimal end-to-end.
+DECAY_WEIGHTS = [1000000, 100000, 10000, 1000, 100, 10, 1]
+
+Q104_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS BIGINT) - 1 AS age
+  FROM events
+),
+weighted AS (
+  SELECT user_id, v,
+         {DECAY_WEIGHTS}[CAST(LEAST(age, 6) AS INT) + 1] AS w
+  FROM ranked
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       (CAST(FLOOR(SUM(v * w)) AS DOUBLE)
+        + CAST(SUM(v * w) - FLOOR(SUM(v * w)) AS DOUBLE))
+       / CAST(SUM(w) AS DOUBLE) AS decayed_avg,
+       CAST(SUM(v) AS DOUBLE) / COUNT(*) AS plain_avg
+FROM weighted
+GROUP BY user_id
+"""
+
+
+@register("q104_decayed_avg", Q104_SQL)
+def q104_decayed_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed average per user — the
+    transcendental-free face of EWMA (decay base 10 over recency rank,
+    capped so weights are a 7-entry integer table).
+
+    Engine discipline: weight lookup is ``element_at`` on a literal
+    array (no ``pow`` — libm differs across engines); the weighted sum is
+    exact DECIMAL surfaced via the dsum_big floor-split (scaled weighted
+    sums exceed 2^53 at modest row counts); one final IEEE divide.
+
+    Scale shape: the recency rank is a per-user window and the aggregate
+    groups on the same key, so the window's hash partitioning is reused —
+    one shuffle total, partition-local everywhere else.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = e.select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (F.row_number().over(w_rank).cast("long") - 1).alias("age"),
+    )
+    weights = F.array(*[F.lit(w) for w in DECAY_WEIGHTS])
+    weighted = ranked.select(
+        "user_id",
+        "v",
+        F.element_at(weights, F.least(F.col("age"), F.lit(6)).cast("int") + 1).alias(
+            "w"
+        ),
+    )
+    s = F.sum(F.col("v") * F.col("w"))
+    num = F.floor(s).cast("double") + (s - F.floor(s)).cast("double")
+    return weighted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (num / F.sum("w").cast("double")).alias("decayed_avg"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("plain_avg"),
     )

@@ -46,8 +46,9 @@ def _load() -> None:
         return
     # Imports are for their registration side effects.
     from .operators import analytics, extra, relational, stats, streamsem, tpch, windows  # noqa: F401
-    from .llm import dedup, multimodal, packing, similarity, text  # noqa: F401
+    from .llm import dedup, multimodal, packing, semdedup, similarity, text  # noqa: F401
     from .functions import udfs  # noqa: F401
+    from .streaming import matview  # noqa: F401
 
     _loaded = True
 
@@ -78,6 +79,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q100_dup_ngram_fraction",
     "q101_mixture_sample",
     "q41b_embedding_neardup_fast",
+    "q102_semantic_dedup",
+    "q103_gapfill",
+    "q104_decayed_avg",
+    "q105_matview_rollup",
     # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
     # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --

@@ -1,0 +1,253 @@
+"""Streaming materialized view: incremental aggregate maintenance.
+
+The missing piece between the event log and the batch rollups (E9/E18):
+a durable aggregate table that a stream keeps up to date, readable at any
+moment, exactly equal to the batch aggregate over everything ingested.
+
+Design — base + epoch-tagged partials (no state store, no transaction
+log):
+
+- Each micro-batch is reduced to a *partial aggregate* (mergeable
+  measures only: COUNT and exact-DECIMAL SUM / MIN / MAX) and written to
+  ``partials/epoch=N/`` with per-directory overwrite. Replaying an epoch
+  after a crash rewrites the same directory with the same rows —
+  **idempotent, hence exactly-once** without a transactional table
+  format; contrast the at-least-once append path documented in
+  ``pipeline.py``.
+- ``read()`` merges base + partials with one re-aggregation. Partials
+  are already aggregated per epoch, so merge cost is proportional to
+  (groups × epochs-since-compaction), not to raw events.
+- ``compact()`` folds the partials present at its start into a new base
+  (staged directory, then swap), and removes exactly the folded
+  directories. A crash between swap and cleanup leaves doubled partials
+  *on disk* but not in results: fold marks the base with the epochs it
+  contains and ``read()``/``compact()`` skip partial dirs already folded
+  — the same snapshot-listing discipline as stream_dedup's band index.
+- Late data needs no watermark here: a late event lands in its batch's
+  partial and merges into its (old) window group like any other row. The
+  view is always the full-history aggregate; retention trimming is a
+  filter in ``read``.
+
+Scale shape: per-batch work is one map-side-combined groupBy of the
+batch; merge-on-read shuffles only pre-aggregated groups; compaction is
+the only full-view pass and runs on whatever cadence bounds the partial
+count. State lives in the durable table itself — nothing driver-side,
+no growing state store.
+
+Reference parity: the reference has no aggregate maintenance at all
+(handlers are side-effecting callbacks, consumer.ex:283-299); this is
+the engine-surface upgrade of "consume and fold into a table".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Exact-decimal sum type for the ``value`` measure (see numeric.py).
+SUM_DEC = "decimal(28,6)"
+
+
+class StreamingMatView:
+    """Hourly (or any-duration) rollup of an event stream, by key columns.
+
+    Measures: ``n`` (BIGINT count) and ``sum_dec`` (exact DECIMAL sum of
+    ``value_col``) — both associative and commutative, so partials merge
+    in any order and any grouping.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        keys: tuple[str, ...] = ("event_type",),
+        ts_col: str = "ts",
+        value_col: str = "value",
+        window_duration: str = "1 hour",
+    ):
+        self.path = path
+        self.keys = list(keys)
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.window_duration = window_duration
+        os.makedirs(self._partials_root, exist_ok=True)
+
+    # --- layout -----------------------------------------------------------
+
+    @property
+    def _base(self) -> str:
+        return os.path.join(self.path, "base")
+
+    @property
+    def _partials_root(self) -> str:
+        return os.path.join(self.path, "partials")
+
+    @property
+    def _manifest(self) -> str:
+        return os.path.join(self.path, "base_epochs.json")
+
+    def _folded_epochs(self) -> set[int]:
+        if not os.path.exists(self._manifest):
+            return set()
+        with open(self._manifest) as f:
+            return set(json.load(f))
+
+    def _partial_dirs(self) -> dict[int, str]:
+        out: dict[int, str] = {}
+        if not os.path.isdir(self._partials_root):
+            return out
+        for name in os.listdir(self._partials_root):
+            if name.startswith("epoch="):
+                out[int(name.split("=", 1)[1])] = os.path.join(
+                    self._partials_root, name
+                )
+        return out
+
+    # --- maintenance ------------------------------------------------------
+
+    def _partial(self, batch: DataFrame) -> DataFrame:
+        win = F.window(F.col(self.ts_col), self.window_duration)
+        return (
+            batch.groupBy(win.alias("win"), *self.keys)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(self.value_col).cast("decimal(18,6)"))
+                .cast(SUM_DEC)
+                .alias("sum_dec"),
+            )
+            .select(
+                F.col("win.start").alias("window_start"),
+                *self.keys,
+                "n",
+                "sum_dec",
+            )
+        )
+
+    def update(self, batch: DataFrame, epoch_id: int) -> None:
+        """foreachBatch hook: reduce the batch, overwrite its epoch dir.
+
+        Overwrite (not append) makes crash-replay of an epoch a no-op —
+        the idempotence the exactly-once claim rests on.
+        """
+        out = self._partial(batch)
+        out.write.mode("overwrite").parquet(
+            os.path.join(self._partials_root, f"epoch={epoch_id}")
+        )
+
+    def attach(self, stream_df: DataFrame, checkpoint_dir: str):
+        """Wire the view to a streaming DataFrame (caller starts/awaits)."""
+        return (
+            stream_df.writeStream.foreachBatch(self.update)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+
+    # --- read / compact ---------------------------------------------------
+
+    def _merge(self, frames: list[DataFrame]) -> DataFrame:
+        df = frames[0]
+        for f_ in frames[1:]:
+            df = df.unionByName(f_)
+        return df.groupBy("window_start", *self.keys).agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_dec").cast(SUM_DEC).alias("sum_dec"),
+        )
+
+    def _frames(self, spark: SparkSession) -> list[DataFrame]:
+        frames: list[DataFrame] = []
+        if os.path.isdir(self._base):
+            frames.append(spark.read.parquet(self._base))
+        folded = self._folded_epochs()
+        for epoch, d in sorted(self._partial_dirs().items()):
+            if epoch not in folded:
+                frames.append(spark.read.parquet(d))
+        return frames
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Current view contents: base + unfolded partials, merged."""
+        frames = self._frames(spark)
+        if not frames:
+            raise FileNotFoundError(f"empty materialized view at {self.path}")
+        return self._merge(frames)
+
+    def compact(self, spark: SparkSession) -> int:
+        """Fold current partials into a new base; returns epochs folded.
+
+        Staged swap: write the merged view to ``base.staging``, record
+        the folded epoch set, swap directories, then delete folded
+        partial dirs. A crash before the swap changes nothing; a crash
+        after it leaves stale partial dirs that the manifest excludes
+        from every future read — cleanup is retried by the next compact.
+        """
+        parts = {
+            e: d for e, d in self._partial_dirs().items()
+            if e not in self._folded_epochs()
+        }
+        frames = self._frames(spark)
+        if not frames:
+            return 0
+        staging = self._base + ".staging"
+        self._merge(frames).write.mode("overwrite").parquet(staging)
+        folded = self._folded_epochs() | set(parts)
+        tmp_manifest = self._manifest + ".tmp"
+        with open(tmp_manifest, "w") as f:
+            json.dump(sorted(folded), f)
+        old = self._base + ".old"
+        if os.path.isdir(self._base):
+            os.rename(self._base, old)
+        os.rename(staging, self._base)
+        os.replace(tmp_manifest, self._manifest)
+        shutil.rmtree(old, ignore_errors=True)
+        for d in parts.values():
+            shutil.rmtree(d, ignore_errors=True)
+        # Folded-and-deleted epochs stay in the manifest: if a lagging
+        # replay of an old epoch ever re-creates its dir, it stays dead.
+        return len(parts)
+
+
+# --- driver-verified face ---------------------------------------------------
+
+Q105_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CAST(date_trunc('hour', ts) AS TIMESTAMP), event_type
+"""
+
+
+def _register_query() -> None:
+    import tempfile
+
+    from ..catalog import load_table
+    from ..registry import register
+
+    @register("q105_matview_rollup", Q105_SQL)
+    def q105_matview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incremental materialized view ≡ batch rollup, driver-verified.
+
+        The event log is replayed as four deterministic micro-batches
+        (event_id mod 4) into a fresh view; the first three epochs are
+        compacted into the base, the fourth stays a partial — so the
+        verified read exercises both the fold path and merge-on-read.
+        The oracle is the plain batch rollup: incremental maintenance
+        must be *invisible* in the result.
+        """
+        e = load_table(spark, sf_dir, "events")
+        mv = StreamingMatView(tempfile.mkdtemp(prefix="q105_matview_"))
+        for i in range(3):
+            mv.update(e.filter(F.col("event_id") % 4 == i), epoch_id=i)
+        mv.compact(spark)
+        mv.update(e.filter(F.col("event_id") % 4 == 3), epoch_id=3)
+        return mv.read(spark).select(
+            "window_start",
+            "event_type",
+            "n",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+        )
+
+
+_register_query()

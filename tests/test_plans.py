@@ -207,3 +207,37 @@ def test_q91_exists_pair_is_keyed_semi_anti(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q102_semdedup_pair_join_is_shuffle_hash_never_broadcast(spark, sf_dir):
+    """The bucket-key self-join carries a fat embedding array on both
+    sides — per CLAUDE.md it must compile to ShuffledHashJoin (the size
+    estimator undercounts arrays; auto-broadcast OOMs at scale), with no
+    cartesian fallback and no single-partition exchange."""
+    plan = plan_of(QUERIES["q102_semantic_dedup"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line and "embedding" in line:
+            raise AssertionError(f"embedding relation broadcast: {line}")
+
+
+def test_q103_gapfill_single_user_shuffle_no_global_window(spark, sf_dir):
+    """Gap-fill windows partition by user — a global (unpartitioned)
+    window or a single-partition exchange would serialize the spine."""
+    plan = plan_of(QUERIES["q103_gapfill"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q104_decayed_avg_reuses_user_partitioning(spark, sf_dir):
+    """The recency-rank window and the final aggregate both key on
+    user_id: the aggregate must reuse the window's hash partitioning —
+    exactly one user_id exchange in the whole plan."""
+    plan = plan_of(QUERIES["q104_decayed_avg"](spark, sf_dir))
+    exchanges = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(exchanges) <= 1, exchanges
+    assert "Exchange SinglePartition" not in plan
