@@ -83,6 +83,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q103_gapfill",
     "q104_decayed_avg",
     "q105_matview_rollup",
+    "q106_latest_state",
     # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
     # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --

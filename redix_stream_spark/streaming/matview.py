@@ -251,3 +251,118 @@ def _register_query() -> None:
 
 
 _register_query()
+
+
+# --- keyed latest-state view (log compaction) -------------------------------
+
+def order_key(ts_col: str = "ts", id_col: str = "event_id"):
+    """Total-order key for per-key argmax, mergeable across engines.
+
+    (ts, id) encoded as a fixed-width digit string — lexicographic order
+    ≡ the composite order, and both Spark's ``max_by`` and DuckDB's
+    ``arg_max`` accept a VARCHAR ordering argument (neither accepts a
+    struct). The timestamp digits come from a timezone-free format
+    (``unix_micros`` rejects TIMESTAMP_NTZ, and an ntz→ltz cast would
+    smuggle the session timezone into the key); 20 digits hold the
+    micro-precision datetime and any BIGINT id.
+    """
+    return F.concat(
+        F.date_format(F.col(ts_col), "yyyyMMddHHmmssSSSSSS"),
+        F.lpad(F.col(id_col).cast("string"), 20, "0"),
+    )
+
+
+SQL_ORDER_KEY = "strftime(ts, '%Y%m%d%H%M%S%f') || lpad(CAST(event_id AS VARCHAR), 20, '0')"
+
+
+class StreamingLatestView(StreamingMatView):
+    """Per-key latest-state table — Kafka-style log compaction as a view.
+
+    The stream-table duality op the reference's consumers hand-build in
+    side-effecting handlers: fold an event log into "current state per
+    key". Same base+partials layout as StreamingMatView; the measure is
+    an argmax, which is associative and commutative over the order key,
+    so partials merge exactly like the sums do. Per-batch work is a
+    map-side-combined ``max_by`` — the aggregate form beats the
+    row_number window at scale because partial aggregation collapses
+    each key to one row *before* the shuffle.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        key: str = "user_id",
+        ts_col: str = "ts",
+        id_col: str = "event_id",
+        payload: tuple[str, ...] = ("event_type", "value"),
+    ):
+        super().__init__(path, keys=(key,), ts_col=ts_col)
+        self.key = key
+        self.id_col = id_col
+        self.payload = list(payload)
+
+    def _latest_agg(self, df: DataFrame, ord_col: str, n_col: str) -> DataFrame:
+        aggs = [F.max(ord_col).alias("okey"), F.sum(n_col).cast("long").alias("n_events")]
+        aggs += [F.max_by(c, ord_col).alias(c) for c in ["last_ts", *self.payload]]
+        return df.groupBy(self.key).agg(*aggs)
+
+    def _partial(self, batch: DataFrame) -> DataFrame:
+        tagged = batch.select(
+            self.key,
+            order_key(self.ts_col, self.id_col).alias("okey"),
+            F.lit(1).alias("one"),
+            F.col(self.ts_col).alias("last_ts"),
+            *self.payload,
+        )
+        return self._latest_agg(tagged, "okey", "one")
+
+    def _merge(self, frames: list[DataFrame]) -> DataFrame:
+        df = frames[0]
+        for f_ in frames[1:]:
+            df = df.unionByName(f_)
+        return self._latest_agg(df, "okey", "n_events")
+
+
+Q106_SQL = f"""
+SELECT user_id,
+       arg_max(ts, okey) AS last_ts,
+       arg_max(event_type, okey) AS last_type,
+       CAST(arg_max(CAST(value AS DECIMAL(18,6)), okey) AS DOUBLE) AS last_value,
+       COUNT(*) AS n_events
+FROM (SELECT *, {SQL_ORDER_KEY} AS okey FROM events)
+GROUP BY user_id
+"""
+
+
+def _register_latest_query() -> None:
+    import tempfile
+
+    from ..catalog import load_table
+    from ..registry import register
+
+    @register("q106_latest_state", Q106_SQL)
+    def q106_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Keyed latest-state (log compaction) via the incremental view:
+        three simulated epochs, compact, then one more — the verified
+        result must equal the batch per-key argmax over the whole log.
+
+        Scale shape: map-side-combined max_by per key (each key collapses
+        to one row before the shuffle), merge-on-read over per-key rows —
+        never a per-key row_number window over the raw log.
+        """
+        e = load_table(spark, sf_dir, "events")
+        lv = StreamingLatestView(tempfile.mkdtemp(prefix="q106_latest_"))
+        for i in range(3):
+            lv.update(e.filter(F.col("event_id") % 4 == i), epoch_id=i)
+        lv.compact(spark)
+        lv.update(e.filter(F.col("event_id") % 4 == 3), epoch_id=3)
+        return lv.read(spark).select(
+            "user_id",
+            "last_ts",
+            F.col("event_type").alias("last_type"),
+            F.col("value").cast("decimal(18,6)").cast("double").alias("last_value"),
+            "n_events",
+        )
+
+
+_register_latest_query()

@@ -96,3 +96,24 @@ def test_matview_under_real_stream(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert _view_dict(spark, mv) == _expected(spark, b1 + b2)
+
+
+def test_latest_view_equals_batch_argmax_and_replay(spark, tmp_path):
+    from redix_stream_spark.streaming.matview import StreamingLatestView
+
+    lv = StreamingLatestView(str(tmp_path / "lv"))
+    # Out-of-order delivery across epochs: day-2 events arrive first.
+    b1, b2 = _rows(2, 4, "click"), _rows(1, 5)
+    lv.update(spark.createDataFrame(b1, SCHEMA), 0)
+    lv.update(spark.createDataFrame(b2, SCHEMA), 1)
+    # Replay epoch 1 (idempotence), then compact and read.
+    lv.update(spark.createDataFrame(b2, SCHEMA), 1)
+    lv.compact(spark)
+
+    got = {
+        r["user_id"]: (str(r["last_ts"]), r["event_type"], r["n_events"])
+        for r in lv.read(spark).collect()
+    }
+    allr = sorted(b1 + b2, key=lambda t: (t[1], t[0]))
+    last = allr[-1]
+    assert got == {7: (str(last[1]), last[3], len(allr))}
