@@ -913,3 +913,106 @@ def q84_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hit > 0).cast("long").alias("is_contaminated"),
         )
     )
+
+
+# --- q107: containment duplicates (doc-inside-doc) --------------------------
+
+#: Drop shingles appearing in more docs than this from candidate
+#: generation (stop-shingles): postings-join cost is Σ df² and boilerplate
+#: shingles dominate it. Verification still intersects FULL shingle sets,
+#: so the only pairs the cap can miss are those sharing *exclusively*
+#: ultra-common shingles — which are boilerplate collisions, not
+#: containment dups.
+CONTAINMENT_DF_CAP = 50
+CONTAINMENT_TAU = 0.8
+
+Q107_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i:i+{SHINGLE_K - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, t, UNNEST(range(1, GREATEST(LEN(t) - {SHINGLE_K - 1}, 1) + 1)) AS i FROM toks)
+),
+sets AS (SELECT doc_id, list(shingle) AS ss, LEN(list(shingle)) AS sz FROM sh GROUP BY doc_id),
+ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {CONTAINMENT_DF_CAP}),
+posts AS (
+  SELECT s.doc_id, s.shingle, t.sz FROM sh s
+  JOIN ok USING (shingle) JOIN sets t ON s.doc_id = t.doc_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM posts a JOIN posts b ON a.shingle = b.shingle
+  WHERE a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id)
+)
+SELECT c.ida AS doc_id_a, c.idb AS doc_id_b,
+       CAST(LEN(list_intersect(sa.ss, sb.ss)) AS DOUBLE) / sa.sz AS containment,
+       sa.sz AS size_a, sb.sz AS size_b
+FROM cand c
+JOIN sets sa ON c.ida = sa.doc_id
+JOIN sets sb ON c.idb = sb.doc_id
+WHERE CAST(LEN(list_intersect(sa.ss, sb.ss)) AS DOUBLE) / sa.sz >= {CONTAINMENT_TAU}
+"""
+
+
+@register("q107_containment_dup", Q107_SQL)
+def q107_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment duplicates: the smaller doc's shingle set ≥80% inside
+    the larger's — quotes, excerpts, boilerplate-wrapped copies.
+
+    Jaccard (q36/q37) structurally misses these: a 100-shingle doc inside
+    a 2000-shingle doc has containment 1.0 but Jaccard 0.05, below any
+    LSH-detectable threshold. The scale path is a *postings* (inverted
+    index) candidate join on shared rare shingles, not MinHash:
+
+    - candidate generation joins on the shingle key; Σ df² is bounded by
+      the stop-shingle df cap (the classic prefix-filter bound), and the
+      map-side DISTINCT collapses each pair once;
+    - exact verification intersects full shingle sets only for candidate
+      pairs, with the fat set relation pinned shuffle_hash (never
+      broadcast — array size estimator, CLAUDE.md);
+    - direction is by size (small ⊆ large), ties by doc_id, so each
+      unordered pair appears exactly once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sets = d.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"))).alias("ss")
+    ).withColumn("sz", F.size("ss"))
+    posts = sets.select("doc_id", "sz", F.explode("ss").alias("shingle"))
+    ok = (
+        posts.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONTAINMENT_DF_CAP)
+        .select("shingle")
+    )
+    kept = posts.join(ok, "shingle")
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("a.sz") < F.col("b.sz"))
+            | ((F.col("a.sz") == F.col("b.sz")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        )
+        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("ida"), F.col("ss").alias("ssa"), F.col("sz").alias("sza")
+    ).hint("shuffle_hash")
+    sb = sets.select(
+        F.col("doc_id").alias("idb"), F.col("ss").alias("ssb"), F.col("sz").alias("szb")
+    ).hint("shuffle_hash")
+    cont = F.size(F.array_intersect("ssa", "ssb")).cast("double") / F.col("sza")
+    return (
+        cand.join(sa, "ida")
+        .join(sb, "idb")
+        .select(
+            F.col("ida").alias("doc_id_a"),
+            F.col("idb").alias("doc_id_b"),
+            cont.alias("containment"),
+            F.col("sza").alias("size_a"),
+            F.col("szb").alias("size_b"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_TAU)
+    )

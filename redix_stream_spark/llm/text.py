@@ -731,3 +731,95 @@ def q86_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "token", "tf", "df", "tfidf_lin", "rk")
     )
+
+
+# --- q108: source vocabulary drift (exact total-variation matrix) -----------
+
+Q108_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok GROUP BY source, token
+),
+tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS nt FROM cnt GROUP BY source),
+c AS (
+  SELECT cnt.source AS source, token, n, nt
+  FROM cnt JOIN tot ON cnt.source = tot.source
+),
+inn AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.nt AS na, b.nt AS nb,
+         CAST(SUM(ABS(a.n * b.nt - b.n * a.nt) - a.n * b.nt - b.n * a.nt)
+              AS BIGINT) AS s
+  FROM c a JOIN c b ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source, a.nt, b.nt
+)
+SELECT source_a, source_b,
+       CAST(2 * na * nb + s AS DOUBLE) / CAST(2 * na * nb AS DOUBLE)
+         AS tv_distance,
+       na AS tokens_a, nb AS tokens_b
+FROM inn
+"""
+
+
+@register("q108_source_drift", Q108_SQL)
+def q108_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary drift between sources: exact total-variation
+    distance between unigram distributions — the corpus-mixture health
+    check run before blending crawls (CCNet/RedPajama-style curation).
+
+    TV(a,b) = ½·Σ_t |n_at/N_a − n_bt/N_b| is computed WITHOUT per-term
+    float division: cross-multiplying gives Σ|n_at·N_b − n_bt·N_a| /
+    (2·N_a·N_b), and tokens present in only one source contribute their
+    whole mass — algebraically Σ_{t∈a}n_at·N_b = N_a·N_b, so the
+    union-vocabulary sum folds to 2·N_a·N_b + Σ_{t∈both}(|…| − n_at·N_b
+    − n_bt·N_a): only the *inner* vocabulary join is ever evaluated, no
+    full-outer join, no missing-token edge cases. All integer arithmetic
+    (exact in both engines) until one final IEEE divide; the bound holds
+    while N_a·N_b < 2^52 (≈ 6·10⁷ tokens per source — beyond that,
+    dsum_big-split the sum).
+
+    Scale shape: token counts are map-side-combined aggregates of vocab
+    cardinality (not corpus cardinality); the pair join keys on token
+    over per-source *vocabularies* (≤ sources × vocab rows, zipfian but
+    bounded); per-source totals broadcast.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens()).alias("token"))
+    cnt = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.groupBy("source").agg(F.sum("n").alias("nt"))
+    c = cnt.join(F.broadcast(tot), "source")
+    a, b = c.alias("a"), c.alias("b")
+    term = (
+        F.abs(F.col("a.n") * F.col("b.nt") - F.col("b.n") * F.col("a.nt"))
+        - F.col("a.n") * F.col("b.nt")
+        - F.col("b.n") * F.col("a.nt")
+    )
+    inn = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.col("a.nt").alias("na"),
+            F.col("b.nt").alias("nb"),
+        )
+        .agg(F.sum(term).alias("s"))
+    )
+    two_nanb = F.lit(2) * F.col("na") * F.col("nb")
+    return inn.select(
+        "source_a",
+        "source_b",
+        ((two_nanb + F.col("s")).cast("double") / two_nanb.cast("double")).alias(
+            "tv_distance"
+        ),
+        F.col("na").alias("tokens_a"),
+        F.col("nb").alias("tokens_b"),
+    )

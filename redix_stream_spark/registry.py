@@ -84,6 +84,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q104_decayed_avg",
     "q105_matview_rollup",
     "q106_latest_state",
+    "q107_containment_dup",
+    "q108_source_drift",
     # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
     # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --
@@ -118,17 +120,11 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q87_sequence_packing",
     "q88_quota_sample",
     "q53_hll_mergeable_rollup",
-    # -- TPC-H breadth --
+    # -- TPC-H breadth (q73–q79 rotated out mid-r3 for the new session
+    # operators q102–q108; all seven are r2-green with permanent rows) --
     "q70_shipping_priority",
     "q71_local_supplier_volume",
     "q72_volume_shipping",
-    "q73_market_share",
-    "q74_order_distribution",
-    "q75_small_qty_revenue",
-    "q76_large_orders",
-    "q77_bracket_revenue",
-    "q78_dormant_customers",
-    "q79_top_supplier",
 )
 
 

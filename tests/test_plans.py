@@ -241,3 +241,25 @@ def test_q104_decayed_avg_reuses_user_partitioning(spark, sf_dir):
     ]
     assert len(exchanges) <= 1, exchanges
     assert "Exchange SinglePartition" not in plan
+
+
+def test_q107_containment_verify_join_is_shuffle_hash(spark, sf_dir):
+    """Candidate generation keys on the shingle; the full-set verify join
+    carries fat shingle arrays on both sides and must stay shuffle-hash
+    (never broadcast), with no cartesian anywhere."""
+    plan = plan_of(QUERIES["q107_containment_dup"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line and ("ssa" in line or "ssb" in line):
+            raise AssertionError(f"shingle-set relation broadcast: {line}")
+
+
+def test_q108_source_drift_totals_broadcast_vocab_join_keyed(spark, sf_dir):
+    """Per-source totals are a sources-cardinality relation and must
+    broadcast; the vocabulary pair join must stay keyed on token."""
+    plan = plan_of(QUERIES["q108_source_drift"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
