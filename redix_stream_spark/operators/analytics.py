@@ -327,3 +327,189 @@ def q104_decayed_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (num / F.sum("w").cast("double")).alias("decayed_avg"),
         (F.sum("v").cast("double") / F.count(F.lit(1))).alias("plain_avg"),
     )
+
+
+# --- q109: sliding-window distinct users (exact + mergeable-sketch faces) ---
+
+Q109_SQL = """
+WITH uh AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr
+  FROM events
+),
+obs AS (SELECT DISTINCT hr FROM uh),
+fan AS (
+  SELECT user_id, hr,
+         unnest(generate_series(hr, hr + INTERVAL 23 HOUR, INTERVAL 1 HOUR))
+           AS target
+  FROM uh
+)
+SELECT f.target AS hr,
+       COUNT(DISTINCT f.user_id) AS users_24h,
+       COUNT(DISTINCT CASE WHEN f.hr = f.target THEN f.user_id END)
+         AS users_this_hour
+FROM fan f
+WHERE f.target IN (SELECT hr FROM obs)
+GROUP BY f.target
+"""
+
+
+@register("q109_sliding_distinct", Q109_SQL)
+def q109_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct users per observed hour — exact face.
+
+    The scale-correct shape for sliding distincts is a *bounded fanout*,
+    not a range join: each (user, hour) row explodes to the ≤24 target
+    hours it can influence (map-only, ×window/slide), then one keyed
+    countDistinct per target. A range join (hours × user-hours with a
+    BETWEEN predicate) would be a broadcast-nested-loop over the whole
+    relation; the fanout is linear and shuffles on the target-hour key.
+    Only observed hours are reported (left-semi against the hour set).
+    """
+    e = load_table(spark, sf_dir, "events")
+    uh = e.select(
+        "user_id", F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hr")
+    ).distinct()
+    fan = uh.select(
+        "user_id",
+        "hr",
+        F.explode(
+            F.expr("sequence(hr, hr + interval 23 hour, interval 1 hour)")
+        ).alias("target"),
+    )
+    obs = uh.select("hr").distinct().withColumnRenamed("hr", "target")
+    return (
+        fan.join(obs, "target", "left_semi")
+        .groupBy(F.col("target").alias("hr"))
+        .agg(
+            F.countDistinct("user_id").alias("users_24h"),
+            F.countDistinct(
+                F.when(F.col("hr") == F.col("target"), F.col("user_id"))
+            ).alias("users_this_hour"),
+        )
+    )
+
+
+@register("q109b_sliding_distinct_hll")  # rows-only: sketch estimates engine-specific
+def q109b_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct users via mergeable HLL sketches — the
+    100 TB face of q109.
+
+    One sketch per hour (constant bytes), then the sliding union merges
+    24 *stored sketches* per target hour instead of re-scanning raw
+    events: merge cost is hours × window, independent of event count —
+    the q53 stored-sketch pattern extended to sliding windows. Estimate
+    accuracy vs the exact face is pytest-pinned (±5%).
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hr"), "user_id"
+        )
+        .groupBy("hr")
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    fan = hourly.select(
+        "sketch",
+        "hr",
+        F.explode(
+            F.expr("sequence(hr, hr + interval 23 hour, interval 1 hour)")
+        ).alias("target"),
+    )
+    obs = hourly.select(F.col("hr").alias("target"))
+    return (
+        fan.join(obs, "target", "left_semi")
+        .groupBy(F.col("target").alias("hr"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("users_24h_est")
+        )
+    )
+
+
+# --- q110: rate anomaly detection (integer-exact z-test) --------------------
+
+#: |z| threshold for the anomaly flag, squared (z > 3σ).
+ANOMALY_K2 = 9
+
+Q110_SQL = """
+WITH hourly AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP)
+),
+fan AS (
+  SELECT event_type, x,
+         unnest(generate_series(hr + INTERVAL 1 HOUR, hr + INTERVAL 23 HOUR,
+                                INTERVAL 1 HOUR)) AS target
+  FROM hourly
+),
+base AS (
+  SELECT event_type, target,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM fan GROUP BY event_type, target
+)
+SELECT h.event_type AS event_type, h.hr AS hr, h.x AS x,
+       b.n AS n_baseline,
+       CAST(b.s1 AS DOUBLE) / b.n AS baseline_mean,
+       CASE WHEN b.n * b.s2 - b.s1 * b.s1 > 0
+            THEN CAST((h.x * b.n - b.s1) * (h.x * b.n - b.s1) AS DOUBLE)
+                 / (b.n * b.s2 - b.s1 * b.s1)
+       END AS z_squared,
+       ((h.x * b.n - b.s1) * (h.x * b.n - b.s1)
+          > 9 * (b.n * b.s2 - b.s1 * b.s1)) AS is_anomaly
+FROM hourly h
+JOIN base b ON h.event_type = b.event_type AND h.hr = b.target
+"""
+
+
+@register("q110_rate_anomaly", Q110_SQL)
+def q110_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, hour) rate anomaly vs the trailing-23h baseline —
+    an EXACT integer z-test: |x−μ| > 3σ rearranged as
+    (x·n − S1)² > 9·(n·S2 − S1²), all BIGINT (no float mean/stddev, no
+    libm, no FMA-contractable double shapes; both engines evaluate the
+    identical integers, so even the boolean flag is hash-comparable).
+    Holds while n·S2 < 2^62 — ≈ 10⁹ events/hour/type; beyond that,
+    widen to DECIMAL.
+
+    Scale shape: the baseline is the same bounded ×23 fanout as q109
+    (map-only), aggregated to (type, hour) cardinality; the final join
+    is keyed on (type, hour). Hours with an empty baseline (series
+    start) are dropped by the inner join — n ≥ 1 always.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    fan = hourly.select(
+        "event_type",
+        "x",
+        F.explode(
+            F.expr("sequence(hr + interval 1 hour, hr + interval 23 hour, interval 1 hour)")
+        ).alias("target"),
+    )
+    base = fan.groupBy(
+        F.col("event_type").alias("b_type"), "target"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    num = F.col("x") * F.col("n") - F.col("s1")
+    den = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return (
+        hourly.join(
+            base,
+            (F.col("event_type") == F.col("b_type")) & (F.col("hr") == F.col("target")),
+        )
+        .select(
+            "event_type",
+            "hr",
+            "x",
+            F.col("n").alias("n_baseline"),
+            (F.col("s1").cast("double") / F.col("n")).alias("baseline_mean"),
+            F.when(den > 0, (num * num).cast("double") / den).alias("z_squared"),
+            (num * num > F.lit(ANOMALY_K2) * den).alias("is_anomaly"),
+        )
+    )

@@ -86,6 +86,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q106_latest_state",
     "q107_containment_dup",
     "q108_source_drift",
+    "q109_sliding_distinct",
+    "q109b_sliding_distinct_hll",
+    "q110_rate_anomaly",
     # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
     # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --
@@ -95,9 +98,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q39_multimodal_meta",
     "q40_cosine_topk",
     "q41_embedding_neardup",
-    "q42_ann_lsh_topk",
-    "q43_image_features",
-    "q43b_ann_ivf_topk",
+    # (q42/q43/q43b rotated out mid-r3: rows-only faces with permanent
+    # driver rows; their recall/decode semantics are pytest-pinned.)
     "q54_pandas_udf_tokens",
     "q55_rowwise_udf_tokens",
     "q56_grouped_map_zscore",

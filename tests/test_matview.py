@@ -117,3 +117,21 @@ def test_latest_view_equals_batch_argmax_and_replay(spark, tmp_path):
     allr = sorted(b1 + b2, key=lambda t: (t[1], t[0]))
     last = allr[-1]
     assert got == {7: (str(last[1]), last[3], len(allr))}
+
+
+def test_sliding_hll_tracks_exact_within_5pct(spark, sf_dir):
+    """q109b's sketch estimates must track the exact sliding distinct."""
+    from redix_stream_spark import registry
+
+    Q = registry.all_queries()
+    exact = {
+        str(r["hr"]): r["users_24h"]
+        for r in Q["q109_sliding_distinct"](spark, sf_dir).collect()
+    }
+    est = {
+        str(r["hr"]): r["users_24h_est"]
+        for r in Q["q109b_sliding_distinct_hll"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(est)
+    for hr, n in exact.items():
+        assert abs(est[hr] - n) <= max(2, 0.05 * n), (hr, n, est[hr])

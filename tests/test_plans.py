@@ -263,3 +263,19 @@ def test_q108_source_drift_totals_broadcast_vocab_join_keyed(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q109_sliding_distinct_is_fanout_not_range_join(spark, sf_dir):
+    """Sliding distinct must compile to the bounded ×24 fanout + keyed
+    aggregate — a BETWEEN range join would be a nested-loop over the
+    user-hour relation."""
+    plan = plan_of(QUERIES["q109_sliding_distinct"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan
+
+
+def test_q110_rate_anomaly_keyed_join_no_nested_loop(spark, sf_dir):
+    plan = plan_of(QUERIES["q110_rate_anomaly"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
