@@ -45,6 +45,7 @@ BIG_HEADLINE = [
     "q81_clean_corpus",
     "q83_repetition_quality",
     "q84_decontamination",
+    "q107_containment_dup",
 ]
 
 #: Representative spread: scan-agg, star join, range/as-of join, windows,
@@ -81,6 +82,12 @@ HEADLINE = [
     "q84_decontamination",
     "q86_tfidf_keywords",
     "q87_sequence_packing",
+    # round-3 session adds: semantic dedup, incremental matview lifecycle,
+    # prefix-filtered containment dedup, sliding distinct.
+    "q102_semantic_dedup",
+    "q105_matview_rollup",
+    "q107_containment_dup",
+    "q109_sliding_distinct",
 ]
 
 

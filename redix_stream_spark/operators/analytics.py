@@ -513,3 +513,61 @@ def q110_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (num * num > F.lit(ANOMALY_K2) * den).alias("is_anomaly"),
         )
     )
+
+
+# --- q112: data-quality constraint report (deequ-style, one pass) ----------
+
+Q112_SQL = """
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(*) - COUNT(DISTINCT event_id) AS dup_event_ids,
+  CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
+  CAST(SUM(CASE WHEN user_id  IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+  CAST(SUM(CASE WHEN props    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+  COUNT(DISTINCT event_type) AS distinct_event_types,
+  CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_values,
+  CAST(SUM(CASE WHEN ts < TIMESTAMP '2000-01-01' OR ts > TIMESTAMP '2100-01-01'
+                THEN 1 ELSE 0 END) AS BIGINT) AS ts_out_of_range,
+  CAST(SUM(CASE WHEN event_type NOT IN
+                ('view', 'click', 'purchase', 'signup', 'error')
+                THEN 1 ELSE 0 END) AS BIGINT) AS unknown_event_types
+FROM events
+"""
+
+
+def quality_report(e: DataFrame) -> DataFrame:
+    """One-pass constraint report over an event frame (see q112)."""
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    known = ["view", "click", "purchase", "signup", "error"]
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("dup_event_ids"),
+        cnt(F.col("event_id").isNull()).alias("null_event_id"),
+        cnt(F.col("user_id").isNull()).alias("null_user_id"),
+        cnt(F.col("props").isNull()).alias("null_props"),
+        F.countDistinct("event_type").alias("distinct_event_types"),
+        cnt(F.col("value") < 0).alias("negative_values"),
+        cnt(
+            (F.col("ts") < F.lit("2000-01-01").cast("timestamp_ntz"))
+            | (F.col("ts") > F.lit("2100-01-01").cast("timestamp_ntz"))
+        ).alias("ts_out_of_range"),
+        cnt(~F.col("event_type").isin(known)).alias("unknown_event_types"),
+    )
+
+
+@register("q112_quality_report", Q112_SQL)
+def q112_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality constraint report over the event log
+    (the deequ pattern): completeness (null counts), uniqueness
+    (duplicate primary keys), domain bounds (negative measures,
+    out-of-range timestamps, unknown enum values), cardinality.
+
+    Every metric is an integer count inside ONE map-side-combined
+    aggregate — a constraint suite costs a single scan however many
+    checks it carries, and the whole report is hash-exact across
+    engines. At 100 TB this runs as the validation gate of every
+    ingestion batch (compose with the matview pattern to keep a
+    running report per ingest epoch); dirty-data semantics are
+    pytest-pinned on a planted fixture.
+    """
+    return quality_report(load_table(spark, sf_dir, "events"))

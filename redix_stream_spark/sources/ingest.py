@@ -63,3 +63,64 @@ def convert(
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(dst_path)
     return spark.read.parquet(dst_path).count()
+
+
+# --- driver-verified face: JSON-lines round trip ---------------------------
+
+Q111_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CAST(date_trunc('hour', ts) AS TIMESTAMP), event_type
+"""
+
+
+def _register_query() -> None:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..registry import register
+
+    @register("q111_jsonl_roundtrip", Q111_SQL)
+    def q111_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """E1/E3 breadth, driver-verified: the event log lands as
+        JSON-lines, is re-ingested with an explicit schema (per the
+        production rule above — no inference), and must aggregate
+        identically to the parquet original. Timestamps cross the text
+        boundary as fixed-format micro-precision strings parsed back to
+        TIMESTAMP_NTZ — the same timezone-free discipline as the
+        latest-state order key.
+        """
+        e = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        )
+        tmp = tempfile.mkdtemp(prefix="q111_jsonl_")
+        e.write.mode("overwrite").json(tmp)
+        back = read_any(
+            spark,
+            tmp,
+            "json",
+            schema="event_id long, user_id long, event_type string, "
+            "value double, ts_str string",
+        )
+        ts = F.to_timestamp_ntz(
+            F.col("ts_str"), F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS")
+        )
+        return back.groupBy(
+            F.date_trunc("hour", ts).cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+
+
+_register_query()

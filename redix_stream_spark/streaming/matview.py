@@ -295,24 +295,43 @@ class StreamingLatestView(StreamingMatView):
         ts_col: str = "ts",
         id_col: str = "event_id",
         payload: tuple[str, ...] = ("event_type", "value"),
+        tombstone: str | None = None,
     ):
+        """``tombstone`` names a BOOLEAN column in the batch frame (the
+        caller derives it — e.g. ``event_type == 'delete'`` — mirroring
+        the reference's tombstone payload convention, R10). When set,
+        a key whose *latest* event is a tombstone is dead in
+        ``read_state()`` but its row stays in the durable view: dropping
+        it would let a late-arriving OLDER update resurrect the key
+        (the Kafka delete-retention subtlety — here retention is
+        forever, which the argmax merge makes free)."""
         super().__init__(path, keys=(key,), ts_col=ts_col)
         self.key = key
         self.id_col = id_col
         self.payload = list(payload)
+        self.tombstone = tombstone
+
+    def _cols(self) -> list[str]:
+        extra = ["is_tomb"] if self.tombstone else []
+        return ["last_ts", *self.payload, *extra]
 
     def _latest_agg(self, df: DataFrame, ord_col: str, n_col: str) -> DataFrame:
         aggs = [F.max(ord_col).alias("okey"), F.sum(n_col).cast("long").alias("n_events")]
-        aggs += [F.max_by(c, ord_col).alias(c) for c in ["last_ts", *self.payload]]
+        aggs += [F.max_by(c, ord_col).alias(c) for c in self._cols()]
         return df.groupBy(self.key).agg(*aggs)
 
     def _partial(self, batch: DataFrame) -> DataFrame:
+        cols = [
+            F.col(self.ts_col).alias("last_ts"),
+            *[F.col(c) for c in self.payload],
+        ]
+        if self.tombstone:
+            cols.append(F.col(self.tombstone).alias("is_tomb"))
         tagged = batch.select(
             self.key,
             order_key(self.ts_col, self.id_col).alias("okey"),
             F.lit(1).alias("one"),
-            F.col(self.ts_col).alias("last_ts"),
-            *self.payload,
+            *cols,
         )
         return self._latest_agg(tagged, "okey", "one")
 
@@ -321,6 +340,14 @@ class StreamingLatestView(StreamingMatView):
         for f_ in frames[1:]:
             df = df.unionByName(f_)
         return self._latest_agg(df, "okey", "n_events")
+
+    def read_state(self, spark: SparkSession) -> DataFrame:
+        """Live keys only: rows whose latest event is a tombstone are
+        filtered out (the view itself retains them — see __init__)."""
+        out = self.read(spark)
+        if self.tombstone:
+            out = out.filter(~F.col("is_tomb"))
+        return out
 
 
 Q106_SQL = f"""
