@@ -116,3 +116,80 @@ def test_hll_mergeable_rollup_tracks_exact(spark, sf_dir):
         .collect()[0]["n"]
     )
     assert abs(rows["ALL"] - exact) / exact < 0.05, (rows["ALL"], exact)
+
+
+# --- containment prefix-filter soundness (q107 kernel) ----------------------
+
+def _py_shingles(text: str, k: int = 3) -> set[str]:
+    toks = text.split(" ")
+    return {" ".join(toks[i : i + k]) for i in range(max(len(toks) - (k - 1), 1))}
+
+
+def _py_containment_candidates(docs: dict[int, set[str]], tau: float, cap: int):
+    """Pure-python mirror of q107's candidate generator: df-capped
+    postings, rarest-first prefix of size ⌊(1−τ)|A|⌋+1 on the probe
+    side, full postings on the build side."""
+    df: dict[str, int] = {}
+    for ss in docs.values():
+        for sh in ss:
+            df[sh] = df.get(sh, 0) + 1
+    out = set()
+    for ida, sa in docs.items():
+        sub = sorted(
+            (sh for sh in sa if df[sh] <= cap), key=lambda sh: (df[sh], sh)
+        )
+        k = len(sa) - (4 * len(sa) + 4) // 5 + 1  # τ = 0.8
+        prefix = sub[:k]
+        for idb, sb in docs.items():
+            if (len(sa), ida) >= (len(sb), idb):
+                continue
+            if any(sh in sb and df[sh] <= cap for sh in prefix):
+                out.add((ida, idb))
+    return out
+
+
+corpus = st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12).map(
+        lambda t: " ".join(t)
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(corpus)
+@settings(max_examples=200, deadline=None)
+def test_prefix_filter_never_loses_a_containment_pair(texts):
+    """Soundness of the q107 prefix filter (pigeonhole): with no df cap,
+    every pair with containment ≥ τ over the smaller set MUST appear in
+    the candidate set — the filter may over-generate, never under."""
+    docs = {i: _py_shingles(t) for i, t in enumerate(texts)}
+    cand = _py_containment_candidates(docs, tau=0.8, cap=10**9)
+    for ida, sa in docs.items():
+        for idb, sb in docs.items():
+            if (len(sa), ida) >= (len(sb), idb):
+                continue
+            if len(sa & sb) / len(sa) >= 0.8:
+                assert (ida, idb) in cand, (texts[ida], texts[idb])
+
+
+@given(corpus, st.integers(min_value=1, max_value=4))
+@settings(max_examples=100, deadline=None)
+def test_prefix_filter_df_cap_miss_set_is_the_documented_one(texts, cap):
+    """With a df cap, a containment pair may be missed ONLY when the
+    probe doc has fewer than k sub-cap shingles (q107's documented miss
+    class) — pairs are never lost for any other reason."""
+    docs = {i: _py_shingles(t) for i, t in enumerate(texts)}
+    df: dict[str, int] = {}
+    for ss in docs.values():
+        for sh in ss:
+            df[sh] = df.get(sh, 0) + 1
+    cand = _py_containment_candidates(docs, tau=0.8, cap=cap)
+    for ida, sa in docs.items():
+        for idb, sb in docs.items():
+            if (len(sa), ida) >= (len(sb), idb):
+                continue
+            if len(sa & sb) / len(sa) >= 0.8 and (ida, idb) not in cand:
+                k = len(sa) - (4 * len(sa) + 4) // 5 + 1
+                n_subcap = sum(1 for sh in sa if df[sh] <= cap)
+                assert n_subcap < k, (texts[ida], texts[idb], cap)
