@@ -107,3 +107,34 @@ def test_bucket_is_scale_invariant_and_deterministic(spark):
     ]
     assert b1 == b2
     assert all(0 <= b < (1 << SEM_BITS) for b in b1)
+
+
+def test_streaming_semantic_dedup_cross_and_intra_batch(spark, tmp_path):
+    """The q102 rule as a streaming filter: intra-batch first-wins,
+    cross-batch drops via the durable bucket-partitioned index,
+    orthogonal vectors always accepted, replay keeps accepted() stable."""
+    from redix_stream_spark.llm.stream_semdedup import StreamingSemanticDedup
+
+    base = [float((i * 37) % 19 - 9) for i in range(DIM)]
+    orth = _axis(1, 5.0)
+    sd = StreamingSemanticDedup(str(tmp_path / "sem"), tau=0.95)
+
+    # Batch 0: base + its scaled copy (cos 1.0) + an orthogonal vector.
+    sd.apply_batch(_frame(spark, [base, [x * 2 for x in base], orth]), 0)
+    acc0 = {r["vec_id"] for r in sd.accepted(spark).collect()}
+    assert acc0 == {0, 2}
+
+    # Batch 1 (ids offset): another copy of base (cross-batch dup → drop)
+    # and a fresh orthogonal direction (accept).
+    b1 = spark.createDataFrame(
+        [(10, [float(x) * 0.5 for x in base]), (11, [float(x) for x in _axis(2, 3.0)])],
+        "vec_id long, embedding array<float>",
+    )
+    sd.apply_batch(b1, 1)
+    acc1 = {r["vec_id"] for r in sd.accepted(spark).collect()}
+    assert acc1 == {0, 2, 11}
+
+    # Crash-replay of epoch 1: accepted set unchanged (staging is
+    # overwrite-idempotent; index dedups by vec_id).
+    sd.apply_batch(b1, 1)
+    assert {r["vec_id"] for r in sd.accepted(spark).collect()} == {0, 2, 11}
