@@ -9,10 +9,12 @@ anyway, in two tiers:
 - **Header metadata** (format/width/height, WAV sample rate, MP4
   duration): parsed from container bytes for PNG/JPEG/GIF/BMP/WAV/MP4 —
   pure stdlib.
-- **Pixels**: PNG is zlib (stdlib) over filtered scanlines and
-  uncompressed BMP is raw bytes, so pixel decode, nearest-neighbor
+- **Pixels**: PNG is zlib (stdlib) over filtered scanlines, uncompressed
+  BMP is raw bytes, and GIF is LZW — implemented here in pure stdlib
+  (``_lzw_decode``: variable code width to 12 bits, CLEAR/END handling,
+  KwKwK case, 4-pass de-interlace) — so pixel decode, nearest-neighbor
   resize, 8x8 aHash perceptual hashing, and PNG re-encode are REAL for
-  those formats (``decode_pixels`` / ``resize_nearest`` /
+  all three formats (``decode_pixels`` / ``resize_nearest`` /
   ``average_hash`` / ``png_encode``).
 
 Only entropy-coded codecs (JPEG pixels, video frames) are stubbed: those
@@ -245,10 +247,125 @@ def _bmp_decode_pixels(payload: bytes) -> np.ndarray | None:
     return arr[..., ::-1].copy()  # BGR → RGB
 
 
+def _lzw_decode(min_code_size: int, data: bytes, npix: int) -> list[int] | None:
+    """GIF-variant LZW (LSB-first bit packing, CLEAR/END codes, code
+    width grows to 12 bits) → pixel index stream. Pure stdlib."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, list[int]] = {i: [i] for i in range(clear)}
+    next_code = end + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while len(out) < npix and bitpos + code_size <= total_bits:
+        byte_i = bitpos // 8
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> (bitpos % 8)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: [i] for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code not in table:
+                return None
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:  # the KwKwK case
+                entry = prev + [prev[0]]
+            else:
+                return None
+            if next_code < 4096:
+                table[next_code] = prev + [entry[0]]
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out.extend(entry)
+        prev = entry
+    return out if len(out) >= npix else None
+
+
+#: GIF interlace passes: (row offset, row step) in output order.
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_decode_pixels(payload: bytes) -> np.ndarray | None:
+    """GIF87a/89a first frame → (H, W, 3) uint8 RGB via pure-stdlib LZW
+    (sub-block reassembly, palette lookup, 4-pass de-interlace)."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = payload[10]
+    pos = 13
+    global_pal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_pal = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                return None
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            ipacked = payload[pos + 9]
+            pos += 10
+            pal = global_pal
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if pal is None or w == 0 or h == 0:
+                return None
+            min_code_size = payload[pos]
+            pos += 1
+            chunks = []
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _lzw_decode(min_code_size, b"".join(chunks), w * h)
+            if idx is None:
+                return None
+            pal_arr = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+            flat = np.asarray(idx[: w * h], dtype=np.int64)
+            if flat.max(initial=0) >= len(pal_arr):
+                return None
+            img = pal_arr[flat].reshape(h, w, 3)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                order = [
+                    y
+                    for off, step in _GIF_INTERLACE
+                    for y in range(off, h, step)
+                ]
+                out = np.empty_like(img)
+                out[order] = img
+                img = out
+            return img.copy()
+        else:  # trailer (0x3B) or junk
+            return None
+    return None
+
+
 def decode_pixels(payload: bytes) -> np.ndarray | None:
     """Real pixel decode → (H, W, C) uint8, or None if format unsupported."""
     if payload[:2] == b"BM":
         return _bmp_decode_pixels(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_decode_pixels(payload)
     return _png_decode_pixels(payload)
 
 
@@ -305,10 +422,11 @@ def decode_image_stub(payload: bytes, *, deterministic_fake: bool = False) -> di
 
     Metadata (format/width/height) is REAL for PNG/JPEG/GIF/BMP payloads
     via ``parse_image_meta`` — parsed from header bytes, no imaging
-    library. When the pixels themselves decode (PNG 8-bit / BMP 24-bit,
-    ``decode_pixels``) the phash is a REAL perceptual hash (8x8 aHash);
-    for header-only formats (JPEG/GIF — entropy coding needs a codec) it
-    falls back to an md5-prefix content hash. Unrecognized payloads fall
+    library. When the pixels themselves decode (PNG 8-bit / BMP 24-bit / GIF
+    via pure-stdlib LZW, ``decode_pixels``) the phash is a REAL
+    perceptual hash (8x8 aHash); for the one remaining header-only
+    format (JPEG — entropy coding needs a codec) it falls back to an
+    md5-prefix content hash. Unrecognized payloads fall
     back to md5-seeded fake dimensions when ``deterministic_fake=True``
     (stable across runs/engines — exercises the pipeline on synthetic
     text-byte payloads), else raise.

@@ -861,3 +861,57 @@ def test_simhash_narrow_chunk_guard(spark):
     # default (3 → 15-bit chunks) builds a plan without raising
     assert "hamming" in simhash_near_dup_pairs(docs).columns
 
+
+
+def test_gif_lzw_pixel_decode_roundtrip():
+    """GIF pixels are REAL (pure-stdlib LZW): round-trip against a
+    full dictionary-building LZW encoder, plain and interlaced, plus a
+    large random-index image that forces code-width growth and a run
+    that forces the KwKwK case."""
+    import numpy as np
+
+    from redix_stream_spark.llm.multimodal import decode_pixels
+
+    from .gif_fixture import gif_bytes
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+    w, h = 16, 12
+    idx = [((x // 2 + y // 3) % 4) for y in range(h) for x in range(w)]
+    idx[:8] = [1] * 8  # run → KwKwK
+    exp = np.array([pal[i] for i in idx], dtype=np.uint8).reshape(h, w, 3)
+    assert (decode_pixels(gif_bytes(w, h, idx, pal)) == exp).all()
+    assert (decode_pixels(gif_bytes(w, h, idx, pal, interlace=True)) == exp).all()
+
+    rng = [(i * 2654435761 >> 7) % 4 for i in range(64 * 48)]
+    exp3 = np.array([pal[i] for i in rng], dtype=np.uint8).reshape(48, 64, 3)
+    assert (decode_pixels(gif_bytes(64, 48, rng, pal)) == exp3).all()
+
+
+def test_gif_real_phash_through_pipeline(spark):
+    """A decodable GIF now yields a REAL perceptual hash through the
+    image-features pipeline: identical pixels as GIF and as PNG must
+    produce the SAME aHash (format-independent perceptual identity)."""
+    import numpy as np
+
+    from redix_stream_spark.llm.multimodal import (
+        average_hash,
+        decode_pixels,
+        extract_image_features,
+        png_encode,
+    )
+
+    from .gif_fixture import gif_bytes
+
+    pal = [(0, 0, 0), (255, 255, 255)]
+    idx = [((x // 4 + y // 4) % 2) for y in range(16) for x in range(16)]
+    g = gif_bytes(16, 16, idx, pal)
+    img = decode_pixels(g)
+    p = png_encode(img)
+    assert average_hash(decode_pixels(p)) == average_hash(img)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(g)), (2, bytearray(p))], "doc_id long, payload binary"
+    )
+    rows = {r["doc_id"]: r for r in extract_image_features(df).collect()}
+    assert rows[1]["format"] == "gif" and rows[2]["format"] == "png"
+    assert rows[1]["phash"] == rows[2]["phash"] == average_hash(img)
