@@ -193,3 +193,58 @@ def test_prefix_filter_df_cap_miss_set_is_the_documented_one(texts, cap):
                 k = len(sa) - (4 * len(sa) + 4) // 5 + 1
                 n_subcap = sum(1 for sh in sa if df[sh] <= cap)
                 assert n_subcap < k, (texts[ida], texts[idb], cap)
+
+
+# --- GIF LZW decoder (q43 multimodal kernel) --------------------------------
+
+lzw_streams = st.tuples(
+    st.integers(min_value=2, max_value=6),  # min code size → palette 4..64
+    st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=400),
+)
+
+
+@given(lzw_streams)
+@settings(max_examples=150, deadline=None)
+def test_lzw_roundtrip_against_dictionary_encoder(params):
+    """The pure-stdlib GIF LZW decoder must invert a real dictionary-
+    building encoder for any index stream — runs, repeats (KwKwK),
+    code-width growth, and CLEAR handling all land here."""
+    min_cs, idx = params
+    idx = [i % (1 << min_cs) for i in idx]
+    from redix_stream_spark.llm.multimodal import _lzw_decode
+
+    from .gif_fixture import lzw_encode
+
+    assert _lzw_decode(min_cs, lzw_encode(min_cs, idx), len(idx)) == idx
+
+
+# --- total-variation kernel (q108) ------------------------------------------
+
+dists = st.tuples(
+    st.lists(st.tuples(st.text("abc", min_size=1, max_size=2),
+                       st.integers(min_value=1, max_value=50)),
+             min_size=1, max_size=8, unique_by=lambda t: t[0]),
+    st.lists(st.tuples(st.text("abc", min_size=1, max_size=2),
+                       st.integers(min_value=1, max_value=50)),
+             min_size=1, max_size=8, unique_by=lambda t: t[0]),
+)
+
+
+@given(dists)
+@settings(max_examples=200, deadline=None)
+def test_tv_distance_folding_identity(pair):
+    """q108's algebraic fold — TV = (2·Na·Nb + Σ_both(|…|−naNb−nbNa)) /
+    (2·Na·Nb) — must equal the textbook ½·Σ_union |pa−pb| for any pair
+    of count vectors (the identity that justifies inner-join-only)."""
+    a, b = dict(pair[0]), dict(pair[1])
+    na, nb = sum(a.values()), sum(b.values())
+    textbook = 0.5 * sum(
+        abs(a.get(t, 0) / na - b.get(t, 0) / nb) for t in set(a) | set(b)
+    )
+    s = sum(
+        abs(a[t] * nb - b[t] * na) - a[t] * nb - b[t] * na
+        for t in set(a) & set(b)
+    )
+    folded = (2 * na * nb + s) / (2 * na * nb)
+    assert abs(folded - textbook) < 1e-9
+    assert -1e-12 <= folded <= 1 + 1e-12
