@@ -306,3 +306,105 @@ def q66_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag(a.intersectAll(b), "intersect_all").unionByName(
         tag(a.exceptAll(b), "except_all")
     )
+
+
+# --- q113: fuzzy (edit-distance) self-join via q-gram filtering -------------
+
+#: Edit-distance budget and q-gram width for the similarity join.
+FUZZY_K = 2
+FUZZY_Q = 3
+#: Keys with < q·(K+1) chars can evade the shared-q-gram guarantee — they
+#: all land in one bounded SHORT bucket instead (completeness stays exact).
+FUZZY_SHORT = FUZZY_Q * (FUZZY_K + 1) - 1
+
+Q113_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         array_to_string(string_split(text, ' ')[1:4], ' ') AS k
+  FROM documents
+),
+g AS (
+  SELECT doc_id, k, LEN(k) AS kl,
+         unnest(CASE WHEN LEN(k) <= {FUZZY_SHORT} THEN ['SHORT']
+                ELSE list_distinct(list_transform(
+                       range(1, GREATEST(LEN(k) - {FUZZY_Q - 1}, 1) + 1),
+                       i -> k[i:i+{FUZZY_Q - 1}])) END) AS gram
+  FROM t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM g a JOIN g b
+    ON a.gram = b.gram AND a.doc_id < b.doc_id
+   AND ABS(a.kl - b.kl) <= {FUZZY_K}
+)
+SELECT c.ida AS doc_id_a, c.idb AS doc_id_b,
+       ta.k AS key_a, tb.k AS key_b,
+       CAST(levenshtein(ta.k, tb.k) AS BIGINT) AS dist
+FROM cand c
+JOIN t ta ON c.ida = ta.doc_id
+JOIN t tb ON c.idb = tb.doc_id
+WHERE levenshtein(ta.k, tb.k) <= {FUZZY_K}
+"""
+
+
+@register("q113_fuzzy_join", Q113_SQL)
+def q113_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-≤2 similarity self-join on a per-document key (the
+    first four tokens) — the fuzzy-matching join class (entity
+    resolution, near-identical titles/URLs) the equality join family
+    can't express.
+
+    Scale shape — q-gram candidate filter, never all-pairs: two strings
+    within edit distance K share at least one q-gram once their length
+    exceeds q·(K+1)−1 (each edit destroys ≤ q grams), so candidates come
+    from a gram-keyed equi-join with a ±K length filter; exact
+    ``levenshtein`` (JVM-side, same unit-cost definition in DuckDB) runs
+    on candidates only. Sub-threshold-length keys all share one bounded
+    SHORT bucket — completeness stays exact, cost stays O(short²) on a
+    set the length bound keeps small.
+    """
+    from ..llm.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.concat_ws(" ", F.slice(tokens(), 1, 4)).alias("k")
+    ).withColumn("kl", F.length("k"))
+    grams = F.when(
+        F.col("kl") <= FUZZY_SHORT, F.array(F.lit("SHORT"))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.col("kl") - (FUZZY_Q - 1), F.lit(1))
+                ),
+                lambda i: F.col("k").substr(i, F.lit(FUZZY_Q)),
+            )
+        )
+    )
+    g = t.select("doc_id", "kl", F.explode(grams).alias("gram"))
+    a, b = g.alias("a"), g.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.kl") - F.col("b.kl")) <= FUZZY_K),
+        )
+        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .distinct()
+    )
+    ta = t.select(F.col("doc_id").alias("ida"), F.col("k").alias("key_a"))
+    tb = t.select(F.col("doc_id").alias("idb"), F.col("k").alias("key_b"))
+    dist = F.levenshtein("key_a", "key_b")
+    return (
+        cand.join(ta, "ida")
+        .join(tb, "idb")
+        .filter(dist <= FUZZY_K)
+        .select(
+            F.col("ida").alias("doc_id_a"),
+            F.col("idb").alias("doc_id_b"),
+            "key_a",
+            "key_b",
+            dist.cast("long").alias("dist"),
+        )
+    )

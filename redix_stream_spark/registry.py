@@ -92,6 +92,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q110_rate_anomaly",
     "q111_jsonl_roundtrip",
     "q112_quality_report",
+    "q113_fuzzy_join",
     # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
     # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --
@@ -106,7 +107,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q54_pandas_udf_tokens",
     "q55_rowwise_udf_tokens",
     "q56_grouped_map_zscore",
-    "q57_stratified_sample",
+    # (q57 rotated out mid-r3: rows-only with a permanent row.)
     "q58_pii_scrub",
     "q59_token_counting",
     # (q52 rotated out mid-r3: rows-only with a permanent row.)

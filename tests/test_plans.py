@@ -279,3 +279,11 @@ def test_q110_rate_anomaly_keyed_join_no_nested_loop(spark, sf_dir):
     plan = plan_of(QUERIES["q110_rate_anomaly"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q113_fuzzy_join_is_gram_keyed_no_cartesian(spark, sf_dir):
+    """The edit-distance join must come from the q-gram equi-join (length
+    filter as residual), never a cartesian or nested-loop product."""
+    plan = plan_of(QUERIES["q113_fuzzy_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
