@@ -482,6 +482,15 @@ def q110_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hr")
     ).agg(F.count(F.lit(1)).alias("x"))
+    return rate_anomaly_from_hourly(hourly)
+
+
+def rate_anomaly_from_hourly(hourly: DataFrame) -> DataFrame:
+    """The q110 z-test over ANY (event_type, hr, x) hourly-counts frame —
+    in particular one maintained incrementally by a StreamingMatView
+    (anomaly detection composes with the view: the detector reads
+    group-cardinality rows, never raw events; see
+    tests/test_matview.py::test_anomaly_composes_over_streaming_view)."""
     fan = hourly.select(
         "event_type",
         "x",

@@ -197,3 +197,38 @@ def test_quality_report_flags_planted_defects(spark):
     assert rep["ts_out_of_range"] == 1
     assert rep["unknown_event_types"] == 1
     assert rep["distinct_event_types"] == 3
+
+
+def test_anomaly_composes_over_streaming_view(spark, sf_dir):
+    """q110's detector over a streaming-maintained hourly view must equal
+    q110 over raw events — incremental maintenance composes with
+    downstream analytics without touching raw data again."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from redix_stream_spark.catalog import load_table
+    from redix_stream_spark.operators.analytics import (
+        q110_rate_anomaly,
+        rate_anomaly_from_hourly,
+    )
+    from redix_stream_spark.streaming.matview import StreamingMatView
+
+    e = load_table(spark, sf_dir, "events")
+    mv = StreamingMatView(
+        tempfile.mkdtemp(prefix="anomaly_mv_"), keys=("event_type",)
+    )
+    for i in range(3):
+        mv.update(e.filter(F.col("event_id") % 3 == i), epoch_id=i)
+    hourly = mv.read(spark).select(
+        "event_type", F.col("window_start").alias("hr"), F.col("n").alias("x")
+    )
+    via_view = {
+        (r["event_type"], str(r["hr"])): (r["x"], r["is_anomaly"])
+        for r in rate_anomaly_from_hourly(hourly).collect()
+    }
+    direct = {
+        (r["event_type"], str(r["hr"])): (r["x"], r["is_anomaly"])
+        for r in q110_rate_anomaly(spark, sf_dir).collect()
+    }
+    assert via_view == direct and len(direct) > 0
