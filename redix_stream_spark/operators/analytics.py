@@ -580,3 +580,99 @@ def q112_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-pinned on a planted fixture.
     """
     return quality_report(load_table(spark, sf_dir, "events"))
+
+
+# --- q114: OHLC bars (time-ordered open/high/low/close aggregates) ----------
+
+Q114_SQL = """
+WITH t AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+         CAST(value AS DECIMAL(18,6)) AS v,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 20, '0') AS okey
+  FROM events
+)
+SELECT event_type, hr,
+       CAST(arg_min(v, okey) AS DOUBLE) AS open,
+       CAST(MAX(v) AS DOUBLE) AS high,
+       CAST(MIN(v) AS DOUBLE) AS low,
+       CAST(arg_max(v, okey) AS DOUBLE) AS close,
+       COUNT(*) AS n_trades,
+       CAST(SUM(v) AS DOUBLE) AS volume
+FROM t
+GROUP BY event_type, hr
+"""
+
+
+@register("q114_ohlc_bars", Q114_SQL)
+def q114_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event_type: open/close are *time-ordered*
+    argmin/argmax over the (ts, id) order key (the latest-state-view
+    encoding — mergeable, so bars maintain incrementally exactly like
+    the matview), high/low/volume are plain exact-decimal aggregates.
+    One map-side-combined aggregate; no window over raw events.
+    """
+    from ..streaming.matview import order_key
+
+    e = load_table(spark, sf_dir, "events")
+    t = e.select(
+        "event_type",
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hr"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        order_key().alias("okey"),
+    )
+    return t.groupBy("event_type", "hr").agg(
+        F.min_by("v", "okey").cast("double").alias("open"),
+        F.max("v").cast("double").alias("high"),
+        F.min("v").cast("double").alias("low"),
+        F.max_by("v", "okey").cast("double").alias("close"),
+        F.count(F.lit(1)).alias("n_trades"),
+        F.sum("v").cast("double").alias("volume"),
+    )
+
+
+# --- q115: event-sequence transition matrix (per-user Markov bigrams) -------
+
+Q115_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       COUNT(*) AS n,
+       CAST(COUNT(*) AS DOUBLE)
+         / SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS p_next
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+
+@register("q115_event_transitions", Q115_SQL)
+def q115_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: bigram counts via a per-user LAG (partition-local after
+    one user_id shuffle), then transition probabilities with a single
+    integer/integer divide per row (COUNT over SUM-of-COUNTs — both
+    engines divide the same exact BIGINTs, so the doubles hash-match).
+    The matrix itself is event-type² rows — tiny at any corpus scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(tot)).alias("p_next"),
+    )

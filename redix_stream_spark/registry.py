@@ -93,6 +93,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q111_jsonl_roundtrip",
     "q112_quality_report",
     "q113_fuzzy_join",
+    "q114_ohlc_bars",
+    "q115_event_transitions",
     # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
     # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --
@@ -105,8 +107,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (q42/q43/q43b rotated out mid-r3: rows-only faces with permanent
     # driver rows; their recall/decode semantics are pytest-pinned.)
     "q54_pandas_udf_tokens",
-    "q55_rowwise_udf_tokens",
-    "q56_grouped_map_zscore",
+    # (q55/q56 rotated out mid-r3: the rowwise bench foil and the
+    # rows-only grouped-map face, both with permanent rows.)
     # (q57 rotated out mid-r3: rows-only with a permanent row.)
     "q58_pii_scrub",
     "q59_token_counting",
