@@ -10,18 +10,20 @@ anyway, in two tiers:
   duration): parsed from container bytes for PNG/JPEG/GIF/BMP/WAV/MP4 —
   pure stdlib.
 - **Pixels**: PNG is zlib (stdlib) over filtered scanlines, uncompressed
-  BMP is raw bytes, and GIF is LZW — implemented here in pure stdlib
+  BMP is raw bytes, GIF is LZW — implemented here in pure stdlib
   (``_lzw_decode``: variable code width to 12 bits, CLEAR/END handling,
-  KwKwK case, 4-pass de-interlace) — so pixel decode, nearest-neighbor
-  resize, 8x8 aHash perceptual hashing, and PNG re-encode are REAL for
-  all three formats (``decode_pixels`` / ``resize_nearest`` /
-  ``average_hash`` / ``png_encode``).
+  KwKwK case, 4-pass de-interlace) — and baseline JPEG is Huffman + 8x8
+  IDCT, implemented in ``llm.jpeg`` (SOF0/SOF1, 4:4:4/4:2:2/4:2:0,
+  grayscale, restart markers, 16-bit DQT). Pixel decode, nearest-neighbor
+  resize, 8x8 aHash perceptual hashing, and PNG re-encode are therefore
+  REAL for all four image formats (``decode_pixels`` / ``resize_nearest``
+  / ``average_hash`` / ``png_encode``).
 
-Only entropy-coded codecs (JPEG pixels, video frames) are stubbed: those
-paths raise ``NotImplementedError`` unless ``deterministic_fake=True``,
-which produces seeded fake features from the payload bytes. Everything
-Spark-side — schema, batch iteration, partitioning, UDF signatures — is
-real and tested (tests/test_llm.py).
+Only video frame demuxing remains stubbed (progressive JPEG falls back
+to header metadata): those paths raise ``NotImplementedError`` unless
+``deterministic_fake=True``, which produces seeded fake features from
+the payload bytes. Everything Spark-side — schema, batch iteration,
+partitioning, UDF signatures — is real and tested (tests/test_llm.py).
 
 Scale notes: binary payloads ride in parquet as plain byte arrays;
 ``mapInPandas`` streams Arrow record batches, so executor memory is bounded
@@ -366,6 +368,10 @@ def decode_pixels(payload: bytes) -> np.ndarray | None:
         return _bmp_decode_pixels(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _gif_decode_pixels(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_pixels
+
+        return decode_jpeg_pixels(payload)
     return _png_decode_pixels(payload)
 
 
@@ -422,11 +428,11 @@ def decode_image_stub(payload: bytes, *, deterministic_fake: bool = False) -> di
 
     Metadata (format/width/height) is REAL for PNG/JPEG/GIF/BMP payloads
     via ``parse_image_meta`` — parsed from header bytes, no imaging
-    library. When the pixels themselves decode (PNG 8-bit / BMP 24-bit / GIF
-    via pure-stdlib LZW, ``decode_pixels``) the phash is a REAL
-    perceptual hash (8x8 aHash); for the one remaining header-only
-    format (JPEG — entropy coding needs a codec) it falls back to an
-    md5-prefix content hash. Unrecognized payloads fall
+    library. When the pixels themselves decode (PNG 8-bit / BMP 24-bit /
+    GIF via pure-stdlib LZW / baseline JPEG via pure-stdlib Huffman+IDCT,
+    ``decode_pixels``) the phash is a REAL perceptual hash (8x8 aHash);
+    for the remaining header-only cases (progressive JPEG) it falls back
+    to an md5-prefix content hash. Unrecognized payloads fall
     back to md5-seeded fake dimensions when ``deterministic_fake=True``
     (stable across runs/engines — exercises the pipeline on synthetic
     text-byte payloads), else raise.
@@ -537,9 +543,9 @@ def resize_image_stub(
     """Resize an image payload to (width, height) → PNG bytes.
 
     REAL for payloads ``decode_pixels`` understands (PNG 8-bit,
-    BMP 24-bit): nearest-neighbor resample + stdlib-zlib PNG re-encode —
-    no imaging library. Other formats need a codec the container lacks;
-    they get deterministic md5-seeded fake bytes under
+    BMP 24-bit, GIF, baseline JPEG): nearest-neighbor resample +
+    stdlib-zlib PNG re-encode — no imaging library. Other formats get
+    deterministic md5-seeded fake bytes under
     ``deterministic_fake=True`` (stable — exercises the binary-in /
     binary-out UDF plumbing), else raise.
     """
@@ -561,14 +567,39 @@ def sample_frames_stub(
 ) -> list[dict]:
     """Sample ``n_frames`` evenly from a video payload → per-frame records.
 
-    STUB: real demuxing needs a video library. The fake derives one
-    digest per frame index — deterministic, so downstream dedup/embedding
-    stages are testable.
+    REAL for Motion-JPEG AVI: the RIFF walk (``avi_video_frames``) yields
+    one complete baseline JPEG per frame, and the pure-stdlib JPEG
+    decoder turns each sampled frame into a REAL perceptual hash
+    (``frame_idx`` is the source frame index). Other codecs inside AVI
+    fall back to a per-frame content hash; non-AVI containers (e.g. MP4,
+    whose streams are entropy-coded H.26x) still need a media library —
+    they raise unless ``deterministic_fake=True``, which derives one
+    digest per frame index so downstream dedup/embedding stages stay
+    testable.
     """
+    frames = avi_video_frames(payload)
+    if frames:
+        if n_frames >= len(frames):
+            idxs = list(range(len(frames)))
+        else:
+            idxs = sorted({(i * len(frames)) // n_frames for i in range(n_frames)})
+        out = []
+        for fi in idxs:
+            px = decode_pixels(frames[fi])
+            out.append(
+                {
+                    "frame_idx": fi,
+                    "phash": average_hash(px)
+                    if px is not None
+                    else hashlib.md5(frames[fi]).hexdigest()[:16],
+                }
+            )
+        return out
     if not deterministic_fake:
         raise NotImplementedError(
-            "video decoding requires a media library; "
-            "run with deterministic_fake=True for pipeline tests"
+            "video frame decoding is real only for Motion-JPEG AVI; other "
+            "codecs require a media library — run with "
+            "deterministic_fake=True for pipeline tests"
         )
     return [
         {
@@ -672,9 +703,68 @@ def parse_audio_meta(payload: bytes) -> dict | None:
     }
 
 
+def _avi_chunks(payload: bytes):
+    """Walk a RIFF/AVI chunk tree, yielding (fourcc, body) for leaf chunks
+    (LIST containers are descended into). Pure stdlib."""
+    stack = [(12, len(payload))]  # skip RIFF header + form type
+    while stack:
+        i, hi = stack.pop()
+        while i + 8 <= hi:
+            cc = payload[i : i + 4]
+            size = int.from_bytes(payload[i + 4 : i + 8], "little")
+            body_lo = i + 8
+            body_hi = min(body_lo + size, hi)
+            if cc == b"LIST":
+                stack.append((i + 8 + size + (size & 1), hi))
+                i, hi = body_lo + 4, body_hi  # skip list type fourcc
+                continue
+            yield cc, payload[body_lo:body_hi]
+            i = body_lo + size + (size & 1)  # chunks are word-aligned
+
+
+def parse_avi_meta(payload: bytes) -> dict | None:
+    """REAL AVI (RIFF) header decode: the avih main header carries
+    frame period, frame count, and dimensions. Returns None for non-AVI."""
+    if len(payload) < 24 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    for cc, body in _avi_chunks(payload):
+        if cc == b"avih" and len(body) >= 40:
+            usec_per_frame = int.from_bytes(body[0:4], "little")
+            total_frames = int.from_bytes(body[16:20], "little")
+            return {
+                "format": "avi",
+                "width": int.from_bytes(body[32:36], "little"),
+                "height": int.from_bytes(body[36:40], "little"),
+                "n_frames": total_frames,
+                "duration_ms": usec_per_frame * total_frames // 1000,
+            }
+    return None
+
+
+def avi_video_frames(payload: bytes) -> list[bytes]:
+    """Extract compressed video frame payloads ('##dc'/'##db' chunks in
+    the movi list) from an AVI container. For Motion-JPEG AVIs each
+    returned payload is a complete baseline JPEG that ``decode_pixels``
+    can decode — making video frame features REAL for MJPEG."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return []
+    return [
+        body
+        for cc, body in _avi_chunks(payload)
+        if len(cc) == 4
+        and cc[:2].isdigit()
+        and cc[2:4] in (b"dc", b"db")
+        and body
+    ]
+
+
 def parse_video_meta(payload: bytes) -> dict | None:
-    """REAL MP4/ISO-BMFF header decode: walk the box tree to moov/mvhd and
-    read timescale + duration. Returns None for non-MP4 payloads."""
+    """REAL video container metadata: MP4/ISO-BMFF (box-tree walk to
+    moov/mvhd → timescale + duration) and AVI (avih main header →
+    dimensions, frame count, duration). Returns None otherwise."""
+    avi = parse_avi_meta(payload)
+    if avi is not None:
+        return avi
     n = len(payload)
     if n < 12 or payload[4:8] != b"ftyp":
         return None
