@@ -17,6 +17,8 @@ verification runs only on candidate pairs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1035,4 +1037,309 @@ def q107_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("szb").alias("size_b"),
         )
         .filter(F.col("containment") >= CONTAINMENT_TAU)
+    )
+
+
+# --- q116: bloom-prefiltered decontamination --------------------------------
+
+BLOOM_M = 1 << 20  # filter size in bits (128 KiB packed)
+BLOOM_K = 4  # hash functions
+
+
+def _bloom_pos_cols(col: Column) -> list[Column]:
+    """The BLOOM_K bit positions of a gram — md5-derived JVM expressions
+    (15 hex chars = 60 bits, then mod BLOOM_M), so the build side and the
+    probe side compute identical positions with zero Python in the loop."""
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(col, F.lit(f"#{i}"))), 1, 15), 16, 10
+        ).cast("long")
+        % BLOOM_M
+        for i in range(BLOOM_K)
+    ]
+
+
+Q116_SQL = f"""
+WITH eval_grams AS (
+  SELECT DISTINCT array_to_string(t[i:i+{SHINGLE_K - 1}], ' ') AS shingle
+  FROM (
+    SELECT string_split(text, ' ') AS t,
+           UNNEST(range(1, GREATEST(LEN(string_split(text, ' ')) - {SHINGLE_K - 1}, 1) + 1)) AS i
+    FROM documents WHERE doc_id % 100 = 0
+  )
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+{SHINGLE_K - 1}], ' ') AS shingle
+  FROM (
+    SELECT doc_id, string_split(text, ' ') AS t,
+           UNNEST(range(1, GREATEST(LEN(string_split(text, ' ')) - {SHINGLE_K - 1}, 1) + 1)) AS i
+    FROM documents WHERE doc_id % 100 <> 0
+  )
+)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+FROM grams g JOIN eval_grams e USING (shingle)
+GROUP BY g.doc_id
+"""
+
+
+@register("q116_bloom_decontaminate", Q116_SQL)
+def q116_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a broadcast Bloom filter — q84's semantics
+    (contaminated docs + their eval-gram overlap counts) on the scale
+    path for when the eval-gram inventory outgrows a string broadcast.
+
+    q84 broadcasts the eval grams themselves (~30 B+ per gram); at 10^9
+    grams that is tens of GB and stops being broadcastable. The Bloom
+    bitmap is BLOOM_M bits REGARDLESS of gram count (here 128 KiB; a
+    10^9-gram production filter at 10 bits/elem is ~1.2 GB — still one
+    broadcast, tunable by sizing BLOOM_M). Pipeline:
+
+    1. build: eval grams → BLOOM_K md5-derived bit positions (JVM
+       expressions) → distinct positions (bounded by BLOOM_M, like the
+       IVF codebook read) → packed numpy bitmap in the UDF closure;
+    2. probe: corpus (doc, shingle) pairs compute the same positions
+       JVM-side; an Arrow-vectorized pandas_udf does only the numpy bit
+       tests — md5 never runs in Python;
+    3. verify: Bloom has false positives but NO false negatives, so the
+       surviving sliver re-checks against the true gram inventory
+       (broadcast semi-join) and the result is EXACT — the oracle is
+       plain SQL with no bloom in it.
+
+    Map-only prefilter + bounded broadcast: the corpus never shuffles on
+    the gram key at all; only true hits reach the doc-keyed aggregate.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from ..session import ship_package
+
+    d = load_table(spark, sf_dir, "documents")
+    eval_grams = (
+        d.filter(F.col("doc_id") % 100 == 0)
+        .select(F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"))
+        .distinct()
+    )
+    set_positions = [
+        r["pos"]
+        for r in eval_grams.select(
+            F.explode(F.array(*_bloom_pos_cols(F.col("shingle")))).alias("pos")
+        )
+        .distinct()
+        .collect()  # bounded by BLOOM_M (1M) rows, not by gram count
+    ]
+    bits = np.zeros(BLOOM_M // 8, dtype=np.uint8)
+    pos = np.asarray(set_positions, dtype=np.int64)
+    np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+    @pandas_udf("boolean")
+    def bloom_hit(
+        p0: pd.Series, p1: pd.Series, p2: pd.Series, p3: pd.Series
+    ) -> pd.Series:
+        out = np.ones(len(p0), dtype=bool)
+        for p in (p0, p1, p2, p3):
+            idx = p.to_numpy(dtype=np.int64)
+            out &= ((bits[idx >> 3] >> (idx & 7)) & 1).astype(bool)
+        return pd.Series(out)
+
+    ship_package(spark)
+    grams = d.filter(F.col("doc_id") % 100 != 0).select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle")
+    )
+    candidates = grams.filter(
+        bloom_hit(*_bloom_pos_cols(F.col("shingle")))
+    )
+    return (
+        candidates.join(
+            F.broadcast(eval_grams), "shingle", "left_semi"
+        )  # exact verify: kills bloom false positives
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+
+
+# --- q117: per-source boilerplate passage removal ---------------------------
+
+#: A passage is boilerplate within its source when it occurs in more than
+#: 1/BOILER_DENOM of that source's documents (integer compare, no floats).
+BOILER_DENOM = 5
+
+Q117_SQL = f"""
+WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+p AS (
+  SELECT doc_id, source,
+         CAST((i - 1) // {PASSAGE_K} AS BIGINT) AS pos,
+         array_to_string(toks[i:i+{PASSAGE_K - 1}], ' ') AS passage
+  FROM (
+    SELECT doc_id, source, toks,
+           UNNEST(range(1, GREATEST(LEN(toks), 1) + 1, {PASSAGE_K})) AS i
+    FROM t
+  )
+),
+tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src FROM documents GROUP BY source),
+pf AS (
+  SELECT source, passage, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_with
+  FROM p GROUP BY source, passage
+),
+boiler AS (
+  SELECT source, passage FROM pf JOIN tot USING (source)
+  WHERE {BOILER_DENOM} * docs_with > n_src
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.passage
+  FROM p LEFT JOIN boiler b ON p.source = b.source AND p.passage = b.passage
+  WHERE b.passage IS NULL
+)
+SELECT
+  a.doc_id,
+  a.source,
+  a.n_passages,
+  COALESCE(k.n_kept, 0) AS n_kept,
+  COALESCE(k.cleaned_text, '') AS cleaned_text
+FROM (
+  SELECT doc_id, ANY_VALUE(source) AS source,
+         CAST(COUNT(*) AS BIGINT) AS n_passages
+  FROM p GROUP BY doc_id
+) a
+LEFT JOIN (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(passage, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+"""
+
+
+@register("q117_boilerplate_passages", Q117_SQL)
+def q117_boilerplate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate removal (the C4/CCNet pattern at passage
+    granularity): a passage occurring in more than 1/BOILER_DENOM of a
+    source's documents is boilerplate — headers, navigation, license
+    blocks — and EVERY occurrence is cut (unlike q99, which keeps the
+    first occurrence of cross-corpus repeats; boilerplate should not
+    survive even once).
+
+    Frequency is relative to the source, not the corpus: a passage in 30%
+    of one crawl's pages is boilerplate there even if globally rare.
+    The threshold compare is pure integers (BOILER_DENOM·docs_with >
+    n_src) — no float ratio, hash-stable across engines.
+
+    Scale shape: passages explode ~n_tokens/{PASSAGE_K} rows per doc; the
+    per-(source, passage) doc-frequency count and the boilerplate
+    anti-join share the same shuffle key, and per-source totals are a
+    20-row broadcast. The boilerplate inventory is tiny by construction
+    (each entry needs > n_src/{BOILER_DENOM} supporting docs, so there
+    are at most {BOILER_DENOM}·n_passages/n_src of them per source), so
+    the anti-join's build side stays small at any corpus size.
+    """
+    return boilerplate_passages(load_table(spark, sf_dir, "documents"))
+
+
+def boilerplate_passages(d: DataFrame) -> DataFrame:
+    """Core of q117 over any (doc_id, source, text) frame (see
+    q117_boilerplate_passages for semantics and scale notes)."""
+    toks = tokens()
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(PASSAGE_K))
+    passages = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(toks, i, PASSAGE_K))
+    )
+    p = d.select(
+        "doc_id", "source", F.posexplode(passages).alias("pos", "passage")
+    ).select(
+        "doc_id", "source", F.col("pos").cast("long").alias("pos"), "passage"
+    )
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    pf = p.groupBy("source", "passage").agg(
+        F.countDistinct("doc_id").alias("docs_with")
+    )
+    boiler = (
+        pf.join(F.broadcast(totals), "source")
+        .filter(BOILER_DENOM * F.col("docs_with") > F.col("n_src"))
+        .select("source", "passage")
+    )
+    kept = p.join(boiler, ["source", "passage"], "left_anti")
+    n_passages = p.groupBy("doc_id").agg(
+        F.any_value(F.col("source")).alias("source"),
+        F.count(F.lit(1)).cast("long").alias("n_passages"),
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "passage"))),
+                lambda s: s["passage"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return n_passages.join(reassembled, "doc_id", "left_outer").select(
+        "doc_id",
+        "source",
+        "n_passages",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )
+
+
+# --- q118: leakage-safe train/valid/test split ------------------------------
+
+
+def _gen_leakage_split_sql() -> str:
+    """Oracle: the q80 recursive-CTE clusters feed the q85 md5-bucket
+    split, keyed by the cluster id instead of the doc id."""
+    cluster_sql = _gen_cluster_oracle_sql().strip().rstrip(";")
+    return f"""
+WITH clusters AS (
+  {cluster_sql}
+),
+grouped AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+)
+SELECT
+  doc_id,
+  group_key,
+  CASE
+    WHEN CAST(('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 6)) AS BIGINT) % 10 < 8
+      THEN 'train'
+    WHEN CAST(('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 6)) AS BIGINT) % 10 = 8
+      THEN 'valid'
+    ELSE 'test'
+  END AS split
+FROM grouped
+"""
+
+
+@register("q118_leakage_safe_split", _gen_leakage_split_sql())
+def q118_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: the q85 deterministic
+    md5-bucket assignment keyed by the near-dup CLUSTER, not the doc.
+
+    Splitting by doc id (q85) leaks: near-duplicate pairs straddle the
+    split and the model is evaluated on paraphrases of its training
+    data — the contamination q80/q84 exist to prevent, reintroduced by
+    the split itself. Hashing the cluster id (q80's connected-component
+    label; docs outside any cluster key by their own id) puts every
+    near-dup group wholly in one split, deterministically across
+    re-runs and engines.
+
+    Scale: the cluster side reuses the q80 label-propagation pipeline
+    (pairs-sized, not corpus-sized); the corpus join against it is on
+    doc_id; the split itself is a map-side expression. Composes with
+    q85's bucket-predicate pushdown for downstream reads.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    clusters = neardup_clusters(d)
+    group_key = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    bucket = (
+        F.conv(F.substring(F.md5(group_key.cast("string")), 1, 6), 16, 10).cast(
+            "long"
+        )
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "valid").otherwise("test")
+    )
+    return (
+        d.select("doc_id")
+        .join(clusters.select("doc_id", "cluster_id"), "doc_id", "left_outer")
+        .select("doc_id", group_key.alias("group_key"), split.alias("split"))
     )

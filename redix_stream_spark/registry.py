@@ -95,6 +95,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q113_fuzzy_join",
     "q114_ohlc_bars",
     "q115_event_transitions",
+    "q116_bloom_decontaminate",
+    "q117_boilerplate_passages",
+    "q118_leakage_safe_split",
     # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
     # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --
@@ -129,11 +132,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q88_quota_sample",
     # (q53 rotated out mid-r3: rows-only with a permanent row; the HLL
     # surface is re-exercised in-window by q109b and pytest-tracked.)
-    # -- TPC-H breadth (q73–q79 rotated out mid-r3 for the new session
-    # operators q102–q108; all seven are r2-green with permanent rows) --
-    "q70_shipping_priority",
-    "q71_local_supplier_volume",
-    "q72_volume_shipping",
+    # -- TPC-H breadth (q70–q79 rotated out mid-r3 for the new session
+    # operators q102–q118; all ten are r1/r2-green with permanent rows) --
 )
 
 
