@@ -823,3 +823,90 @@ def q108_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("na").alias("tokens_a"),
         F.col("nb").alias("tokens_b"),
     )
+
+
+# --- q120: exact heavy hitters via Misra-Gries candidate generation ---------
+
+HH_K = 50  # heavy hitter = token with > 1/HH_K of all occurrences
+MG_COUNTERS = 4 * HH_K  # counters per partition summary (slack cuts FPs)
+
+Q120_SQL = f"""
+WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tok)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occ, tot.n_total AS n_total
+FROM tok, tot
+GROUP BY token, tot.n_total
+HAVING COUNT(*) * {HH_K} > tot.n_total
+"""
+
+
+def _mg_candidates(batches, k: int = MG_COUNTERS):
+    """Per-partition Misra-Gries summary over an Arrow batch iterator.
+
+    Classic streaming frequent-items sketch, batched: merge each batch's
+    value_counts into the counter dict; when the dict exceeds k entries,
+    subtract the (size-k)-th smallest count from every counter and drop
+    the non-positive ones (a uniform decrement — the MG invariant). Total
+    decrement ≤ N_p/(k+1), so any token with local count > N_p/k is
+    guaranteed to survive the partition summary.
+    """
+    import numpy as np
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for tok, c in pdf["token"].value_counts().items():
+            counters[tok] = counters.get(tok, 0) + int(c)
+        if len(counters) > k:
+            vals = np.fromiter(counters.values(), dtype=np.int64)
+            cut = int(np.partition(vals, len(vals) - k - 1)[len(vals) - k - 1])
+            counters = {t: c - cut for t, c in counters.items() if c > cut}
+    yield pd.DataFrame({"token": list(counters.keys())})
+
+
+@register("q120_heavy_hitters", Q120_SQL)
+def q120_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (tokens with > 1/{HH_K} of all occurrences)
+    with a shuffle bounded by partitions×{MG_COUNTERS}, not by vocabulary.
+
+    The naive plan groups the FULL (token, count) space — at 100 TB the
+    token shuffle is the job. Two passes instead:
+
+    1. map-only: each partition computes a Misra-Gries summary
+       (_mg_candidates). Pigeonhole across partitions: a token with
+       global count > N/{HH_K} has local count > N_p/{HH_K} in at least
+       one partition, and MG guarantees such tokens survive that
+       partition's summary — so the union of summaries is a SUPERSET of
+       the true heavy hitters (possibly plus false positives; never
+       false negatives).
+    2. exact recount of candidates only: the corpus re-explodes map-side,
+       a broadcast semi-join keeps candidate tokens, and the groupBy
+       shuffles only those — bounded rows per partition whatever the
+       corpus size. The final threshold is an integer compare against
+       the 1-row total, so the output is exact and the oracle is plain
+       SQL with no sketch in it (same exactness discipline as q116).
+
+    The only Python is the per-partition sketch (Arrow-batched,
+    value_counts-vectorized); both counting passes stay JVM-side.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..session import ship_package
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens()).alias("token"))
+    ship_package(spark)
+    cands = toks.mapInPandas(
+        _mg_candidates, StructType([StructField("token", StringType())])
+    ).distinct()
+    total = d.select(
+        F.sum(F.size(tokens())).cast("long").alias("n_total")
+    )
+    return (
+        toks.join(F.broadcast(cands), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occ") * HH_K > F.col("n_total"))
+        .select("token", "n_occ", "n_total")
+    )

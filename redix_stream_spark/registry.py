@@ -48,6 +48,7 @@ def _load() -> None:
     from .operators import analytics, extra, relational, stats, streamsem, tpch, windows  # noqa: F401
     from .llm import dedup, multimodal, packing, semdedup, similarity, text  # noqa: F401
     from .functions import udfs  # noqa: F401
+    from .plans import zorder  # noqa: F401
     from .sources import ingest  # noqa: F401
     from .streaming import matview  # noqa: F401
 
@@ -98,6 +99,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q116_bloom_decontaminate",
     "q117_boilerplate_passages",
     "q118_leakage_safe_split",
+    "q119_zorder_key",
+    "q120_heavy_hitters",
     # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
     # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --
@@ -128,8 +131,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q83_repetition_quality",
     "q85_hash_split",
     "q86_tfidf_keywords",
-    "q87_sequence_packing",
-    "q88_quota_sample",
+    # (q87/q88 rotated out late-r3 for q119/q120: both r2-green with
+    # permanent rows; q88's WindowGroupLimit shape stays in-window via
+    # q101, q87's grouped-map shape via the pytest suite.)
     # (q53 rotated out mid-r3: rows-only with a permanent row; the HLL
     # surface is re-exercised in-window by q109b and pytest-tracked.)
     # -- TPC-H breadth (q70–q79 rotated out mid-r3 for the new session

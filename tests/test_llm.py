@@ -989,3 +989,54 @@ def test_bloom_decontaminate_matches_exact_q84(spark, sf_dir):
     # (no false negatives by construction; false positives killed by the
     # verification join).
     assert bloom == exact and bloom, "expected contaminated docs at sf0.001"
+
+
+def test_heavy_hitters_mg_candidates_never_miss(spark, sf_dir):
+    # Superset guarantee: a token above the 1/HH_K global threshold must
+    # survive some partition's Misra-Gries summary. Planted fixture: one
+    # hot token at ~10% of a high-cardinality stream, spread over many
+    # partitions so every per-partition summary overflows its counters.
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from redix_stream_spark.llm.text import HH_K, _mg_candidates
+    from redix_stream_spark.registry import all_queries
+
+    n = 40_000
+    stream = (
+        spark.range(n)
+        .repartition(8)
+        .select(
+            F.when(F.col("id") % 10 == 0, F.lit("HOT"))
+            .otherwise(F.concat(F.lit("cold"), (F.col("id") % 3000).cast("string")))
+            .alias("token")
+        )
+    )
+    cands = {
+        r["token"]
+        for r in stream.mapInPandas(
+            _mg_candidates, StructType([StructField("token", StringType())])
+        ).collect()
+    }
+    assert "HOT" in cands
+    # candidate volume is bounded by partitions x counters, not vocabulary
+    assert len(cands) <= 8 * 4 * HH_K
+
+    # End to end: the two-pass result equals the naive exact plan.
+    q120 = all_queries()["q120_heavy_hitters"]
+    got = {(r["token"], r["n_occ"]) for r in q120(spark, sf_dir).collect()}
+    from redix_stream_spark.catalog import load_table
+    from redix_stream_spark.llm.text import tokens
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens()).alias("token")
+    )
+    n_total = toks.count()
+    exact = {
+        (r["token"], r["cnt"])
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") * HH_K > n_total)
+        .collect()
+    }
+    assert got == exact and got, "expected heavy hitters at sf0.001"

@@ -287,3 +287,105 @@ def test_q113_fuzzy_join_is_gram_keyed_no_cartesian(spark, sf_dir):
     plan = plan_of(QUERIES["q113_fuzzy_join"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_key_clusters_both_dimensions(spark, tmp_path):
+    # The data-skipping claim behind plans.zorder: laid out in z-key
+    # order, parquet row-group min/max stats become tight in BOTH
+    # dimensions, so a 2-D box predicate prunes far more row groups than
+    # a single-column sort does. Measured on real footer stats (pyarrow),
+    # not timings — deterministic.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from redix_stream_spark.catalog import load_table
+    from redix_stream_spark.plans.zorder import zvalue
+
+    sf_mid = "/root/testdata/sf0.01"
+    li = load_table(spark, sf_mid, "lineitem")
+    stats = li.agg(
+        F.min("l_partkey").alias("mn1"), F.max("l_partkey").alias("mx1"),
+        F.min("l_suppkey").alias("mn2"), F.max("l_suppkey").alias("mx2"),
+    )
+    z = zvalue([
+        (F.col("l_partkey"), F.col("mn1"), F.col("mx1")),
+        (F.col("l_suppkey"), F.col("mn2"), F.col("mx2")),
+    ])
+    keys = (
+        li.crossJoin(F.broadcast(stats))
+        .select("l_partkey", "l_suppkey", z.alias("zval"))
+        .toPandas()
+    )
+    # 10%-per-dim box (1% joint selectivity). Measured at 256-row groups:
+    # 12-vs-25 survivors of 235 off-center, 10-vs-25 when the box
+    # straddles the curve center. The gap vs the ~2.4-group ideal is the
+    # Morton curve's fragmentation cost (Hilbert halves it; Morton is
+    # what lakehouse ZORDER implementations ship).
+    lo_p, hi_p = keys.l_partkey.quantile([0.05, 0.15])
+    lo_s, hi_s = keys.l_suppkey.quantile([0.05, 0.15])
+
+    def surviving_row_groups(pdf, path):
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            path,
+            row_group_size=256,
+        )
+        md = pq.ParquetFile(path).metadata
+        cols = {md.row_group(0).column(i).path_in_schema: i for i in range(md.num_columns)}
+        hit = 0
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            sp = rg.column(cols["l_partkey"]).statistics
+            ss = rg.column(cols["l_suppkey"]).statistics
+            if sp.min <= hi_p and sp.max >= lo_p and ss.min <= hi_s and ss.max >= lo_s:
+                hit += 1
+        return hit, md.num_row_groups
+
+    linear_hit, n_groups = surviving_row_groups(
+        keys.sort_values("l_partkey"), str(tmp_path / "linear.parquet")
+    )
+    z_hit, n_groups_z = surviving_row_groups(
+        keys.sort_values("zval"), str(tmp_path / "zorder.parquet")
+    )
+    assert n_groups == n_groups_z and n_groups >= 100
+    # single-column sort: partkey prunes to ~10% but suppkey stats are
+    # useless, so every surviving group passes the suppkey test too.
+    # z-order: both dims tight → close to the 1% joint selectivity.
+    assert z_hit < linear_hit / 2, (z_hit, linear_hit, n_groups)
+
+
+def test_write_zordered_files_carry_disjoint_key_ranges(spark, sf_dir, tmp_path):
+    from redix_stream_spark.catalog import load_table
+    from redix_stream_spark.plans.zorder import write_zordered, zvalue
+
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    path = str(tmp_path / "zli")
+    write_zordered(li, ["l_partkey", "l_suppkey"], path, n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()
+    assert set(back.columns) == set(li.columns)  # key column dropped
+    # range partitioning: per-file z ranges are disjoint (file skipping)
+    stats = li.agg(
+        F.min("l_partkey").alias("mn1"), F.max("l_partkey").alias("mx1"),
+        F.min("l_suppkey").alias("mn2"), F.max("l_suppkey").alias("mx2"),
+    ).collect()[0]
+    z = zvalue([
+        (F.col("l_partkey"), F.lit(stats["mn1"]), F.lit(stats["mx1"])),
+        (F.col("l_suppkey"), F.lit(stats["mn2"]), F.lit(stats["mx2"])),
+    ])
+    per_file = (
+        back.withColumn("_f", F.input_file_name())
+        .withColumn("_z", z)
+        .groupBy("_f")
+        .agg(F.min("_z").alias("lo"), F.max("_z").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    assert len(spans) >= 2
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo
