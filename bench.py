@@ -88,6 +88,13 @@ HEADLINE = [
     "q105_matview_rollup",
     "q107_containment_dup",
     "q109_sliding_distinct",
+    # late-r3 adds: bloom decontamination, boilerplate removal, leakage-safe
+    # split (runs label propagation like q80), z-order key, heavy hitters.
+    "q116_bloom_decontaminate",
+    "q117_boilerplate_passages",
+    "q118_leakage_safe_split",
+    "q119_zorder_key",
+    "q120_heavy_hitters",
 ]
 
 

@@ -1107,6 +1107,14 @@ def q116_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Map-only prefilter + bounded broadcast: the corpus never shuffles on
     the gram key at all; only true hits reach the doc-keyed aggregate.
+
+    Operator selection (measured, SCALING.md): BELOW broadcast limits the
+    plain string broadcast (q84) wins — on this corpus the inventory is
+    smaller than the bitmap and 9.5% of pairs are true hits, so the
+    prefilter can't discard much and the bloom face runs 1.5× slower at
+    sf1. Use q116 when the inventory outgrows broadcast and the expected
+    hit rate is low (the production decontamination regime); q84
+    otherwise.
     """
     from pyspark.sql.functions import pandas_udf
 
