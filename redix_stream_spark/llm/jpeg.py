@@ -190,17 +190,26 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
                 bits = body[j + 1 : j + 17]
                 j += 17
                 nv = sum(bits)
-                huff[(tc, th)] = _build_huffman(bits, body[j : j + nv])
+                vals = body[j : j + nv]
+                if len(vals) < nv:
+                    return None  # truncated table definition
+                huff[(tc, th)] = _build_huffman(bits, vals)
                 j += nv
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if len(body) < 6:
+                return None
             precision = body[0]
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             nc = body[5]
             if precision != 8 or not (w and h) or nc not in (1, 3):
                 return None
+            if w * h > (1 << 26):  # corrupt-header allocation guard (64 MPx)
+                return None
+            if len(body) < 6 + 3 * nc:
+                return None  # truncated frame header
             comps = []
             for k in range(nc):
                 cid, hv, tq_ = body[6 + 3 * k : 9 + 3 * k]
@@ -213,7 +222,11 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
         elif marker == 0xDA:  # SOS — single-scan sequential decode
             if frame is None:
                 return None
+            if not body:
+                return None
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                return None  # truncated scan header
             scan = []
             for k in range(ns):
                 cs = body[1 + 2 * k]

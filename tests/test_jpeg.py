@@ -185,3 +185,31 @@ def test_non_avi_video_still_requires_fake():
         sample_frames_stub(b"not a video", 3)
     fake = sample_frames_stub(b"not a video", 3, deterministic_fake=True)
     assert [f["frame_idx"] for f in fake] == [0, 1, 2]
+
+
+def test_jpeg_decoder_never_raises_on_corrupt_streams():
+    # Robustness: decode runs worker-side on untrusted crawl bytes — any
+    # corruption must yield None (or a valid array), never an exception.
+    # Deterministic fuzz: seeded byte flips, truncations, and splices of
+    # a valid stream.
+    import random
+
+    rnd = random.Random(20260814)
+    base = bytearray(encode_jpeg(_gradient(24, 24), subsample=True, restart_interval=2))
+    for _ in range(300):
+        buf = bytearray(base)
+        op = rnd.randrange(3)
+        if op == 0:  # flip 1-8 bytes
+            for _ in range(rnd.randint(1, 8)):
+                buf[rnd.randrange(len(buf))] = rnd.randrange(256)
+        elif op == 1:  # truncate
+            del buf[rnd.randrange(4, len(buf)) :]
+        else:  # splice a random chunk
+            at = rnd.randrange(len(buf))
+            buf[at:at] = bytes(rnd.randrange(256) for _ in range(rnd.randint(1, 32)))
+        out = decode_jpeg_pixels(bytes(buf))
+        assert out is None or (out.ndim == 3 and out.dtype == np.uint8)
+    # pure garbage behind an SOI marker
+    for n in (0, 1, 7, 100):
+        out = decode_jpeg_pixels(b"\xff\xd8" + bytes(rnd.randrange(256) for _ in range(n)))
+        assert out is None or (out.ndim == 3 and out.dtype == np.uint8)
