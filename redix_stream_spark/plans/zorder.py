@@ -144,3 +144,145 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# --- Hilbert variant: same contract, half the fragmentation ------------------
+
+
+def hilbert_frame(
+    df: DataFrame,
+    sx: Column,
+    sy: Column,
+    keep: list[str],
+    bits: int = ZBITS,
+    out: str = "hval",
+) -> DataFrame:
+    """Append the Hilbert index of pre-scaled coordinates (sx, sy ∈
+    [0, 2^bits)) as column ``out``.
+
+    The classic xy2d recurrence (per level: quadrant digit + reflect/swap
+    rotation) is data-DEPENDENT per level, so unlike Morton it is not one
+    flat expression — it unrolls into ``bits`` chained projections, each
+    computing (hd, hx, hy) from the previous level's columns. Still pure
+    JVM expressions (conditionals + bit ops), no UDF, no shuffle;
+    multi-referenced projections survive CollapseProject, so each level
+    evaluates once (the minhash_signatures discipline).
+
+    Why bother over Morton: a box query's Hilbert-curve fragmentation is
+    ~half Morton's (no center-cross discontinuity — the curve never jumps
+    across quadrant diagonals), measured in tests/test_plans.py as
+    surviving row groups. The price is exactly this non-flat key math.
+    """
+    n = 1 << bits
+    d = df.select(
+        *keep,
+        sx.cast("long").alias("_hx"),
+        sy.cast("long").alias("_hy"),
+        F.lit(0).cast("long").alias("_hd"),
+    )
+    for level in reversed(range(bits)):
+        s = 1 << level
+        d = d.select(
+            "*",
+            F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("_rx"),
+            F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("_ry"),
+        )
+        reflect_swap_x = F.when(
+            F.col("_ry") == 0,
+            F.when(F.col("_rx") == 1, F.lit(n - 1) - F.col("_hy")).otherwise(
+                F.col("_hy")
+            ),
+        ).otherwise(F.col("_hx"))
+        reflect_swap_y = F.when(
+            F.col("_ry") == 0,
+            F.when(F.col("_rx") == 1, F.lit(n - 1) - F.col("_hx")).otherwise(
+                F.col("_hx")
+            ),
+        ).otherwise(F.col("_hy"))
+        d = d.select(
+            *keep,
+            (
+                F.col("_hd")
+                + F.lit(s * s) * (F.lit(3) * F.col("_rx")).bitwiseXOR(F.col("_ry"))
+            ).alias("_hd"),
+            reflect_swap_x.alias("_hx"),
+            reflect_swap_y.alias("_hy"),
+        )
+    return d.select(*keep, F.col("_hd").alias(out))
+
+
+def _sql_hilbert(keys: str, base: str, bits: int = ZBITS) -> str:
+    """DuckDB mirror of hilbert_frame: the same unrolled recurrence as
+    chained CTEs over a base relation exposing (keys, hx, hy)."""
+    n = 1 << bits
+    ctes = [f"l{bits} AS (SELECT {keys}, hx, hy, CAST(0 AS BIGINT) AS hd FROM {base})"]
+    for level in reversed(range(bits)):
+        s = 1 << level
+        prev = f"l{level + 1}"
+        ctes.append(
+            f"""l{level} AS (
+  SELECT {keys},
+         hd + CAST({s * s} AS BIGINT) * xor(3 * rx, ry) AS hd,
+         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN {n - 1} - hy ELSE hy END
+              ELSE hx END AS hx,
+         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN {n - 1} - hx ELSE hx END
+              ELSE hy END AS hy
+  FROM (SELECT *,
+               CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+        FROM {prev})
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+Q119B_SQL = f"""
+WITH s AS (
+  SELECT MIN(l_partkey) AS mn1, MAX(l_partkey) AS mx1,
+         MIN(l_suppkey) AS mn2, MAX(l_suppkey) AS mx2
+  FROM lineitem
+),
+base AS (
+  SELECT l_orderkey, l_linenumber,
+         (CAST(l_partkey - mn1 AS BIGINT) * {(1 << ZBITS) - 1})
+           // GREATEST(mx1 - mn1, 1) AS hx,
+         (CAST(l_suppkey - mn2 AS BIGINT) * {(1 << ZBITS) - 1})
+           // GREATEST(mx2 - mn2, 1) AS hy
+  FROM lineitem CROSS JOIN s
+),
+{_sql_hilbert('l_orderkey, l_linenumber', 'base')}
+SELECT l_orderkey, l_linenumber, hd AS hval FROM l0
+"""
+
+
+@register("q119b_hilbert_key", Q119B_SQL)
+def q119b_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert layout key over (l_partkey, l_suppkey) — q119's Morton
+    twin with ~half the box-query fragmentation (see hilbert_frame).
+    Hash-verified cross-engine through the full 16-level recurrence."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_partkey").alias("mn1"),
+        F.max("l_partkey").alias("mx1"),
+        F.min("l_suppkey").alias("mn2"),
+        F.max("l_suppkey").alias("mx2"),
+    )
+    j = li.crossJoin(F.broadcast(stats))
+
+    def scale(col, mn, mx):
+        span = F.greatest(F.col(mx) - F.col(mn), F.lit(1)).cast("long")
+        v = (F.col(col).cast("long") - F.col(mn).cast("long")) * ((1 << ZBITS) - 1)
+        return ((v - v % span) / span).cast("long")
+
+    return hilbert_frame(
+        j,
+        scale("l_partkey", "mn1", "mx1"),
+        scale("l_suppkey", "mn2", "mx2"),
+        keep=["l_orderkey", "l_linenumber"],
+    )

@@ -100,6 +100,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q117_boilerplate_passages",
     "q118_leakage_safe_split",
     "q119_zorder_key",
+    "q119b_hilbert_key",
     "q120_heavy_hitters",
     # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
@@ -130,7 +131,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q84_decontamination",
     "q83_repetition_quality",
     "q85_hash_split",
-    "q86_tfidf_keywords",
+    # (q86 rotated out late-r3 for q119b: r2-green with a permanent row;
+    # plan-asserted WindowGroupLimit keeps its shape guarded.)
     # (q87/q88 rotated out late-r3 for q119/q120: both r2-green with
     # permanent rows; q88's WindowGroupLimit shape stays in-window via
     # q101, q87's grouped-map shape via the pytest suite.)

@@ -312,9 +312,26 @@ def test_zorder_key_clusters_both_dimensions(spark, tmp_path):
         (F.col("l_partkey"), F.col("mn1"), F.col("mx1")),
         (F.col("l_suppkey"), F.col("mn2"), F.col("mx2")),
     ])
+    from redix_stream_spark.plans.zorder import ZBITS, hilbert_frame
+
+    def scale(col, mn, mx):
+        span = F.greatest(F.col(mx) - F.col(mn), F.lit(1)).cast("long")
+        v = (F.col(col).cast("long") - F.col(mn).cast("long")) * ((1 << ZBITS) - 1)
+        return ((v - v % span) / span).cast("long")
+
+    li = li.withColumn("_rid", F.monotonically_increasing_id())
+    j = li.crossJoin(F.broadcast(stats))
+    h = hilbert_frame(
+        j,
+        scale("l_partkey", "mn1", "mx1"),
+        scale("l_suppkey", "mn2", "mx2"),
+        keep=["_rid"],
+        out="hval",
+    )
     keys = (
-        li.crossJoin(F.broadcast(stats))
-        .select("l_partkey", "l_suppkey", z.alias("zval"))
+        j.select("_rid", "l_partkey", "l_suppkey", z.alias("zval"))
+        .join(h, "_rid")
+        .select("l_partkey", "l_suppkey", "zval", "hval")
         .toPandas()
     )
     # 10%-per-dim box (1% joint selectivity). Measured at 256-row groups:
@@ -348,11 +365,18 @@ def test_zorder_key_clusters_both_dimensions(spark, tmp_path):
     z_hit, n_groups_z = surviving_row_groups(
         keys.sort_values("zval"), str(tmp_path / "zorder.parquet")
     )
+    h_hit, _ = surviving_row_groups(
+        keys.sort_values("hval"), str(tmp_path / "hilbert.parquet")
+    )
     assert n_groups == n_groups_z and n_groups >= 100
     # single-column sort: partkey prunes to ~10% but suppkey stats are
     # useless, so every surviving group passes the suppkey test too.
     # z-order: both dims tight → close to the 1% joint selectivity.
     assert z_hit < linear_hit / 2, (z_hit, linear_hit, n_groups)
+    # Hilbert never fragments worse than Morton (measured 10-vs-12 here;
+    # 6-vs-10 when the box center-crosses — the curve has no quadrant-
+    # diagonal jumps).
+    assert h_hit <= z_hit, (h_hit, z_hit)
 
 
 def test_write_zordered_files_carry_disjoint_key_ranges(spark, sf_dir, tmp_path):
