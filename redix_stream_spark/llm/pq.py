@@ -1,0 +1,186 @@
+"""Product quantization (PQ) for embedding similarity at memory scale
+(SURVEY.md E24 family — the compression face of ANN).
+
+IVF (llm/stream_ann.py) prunes WHICH vectors a probe scans; PQ shrinks
+WHAT each vector costs. A 768-dim float32 embedding is 3 KB — 10⁹
+vectors are ~3 TB, unscannable per probe even partition-pruned. PQ
+splits each (L2-normalized) vector into ``m`` subvectors and replaces
+each with the id of its nearest centroid from a per-subspace codebook:
+m bytes (or nibbles) per vector — 48× smaller at m=64/768-dim — while
+inner products remain computable from codes alone:
+
+  cos(q, v) = Σ_j <q_j, v_j>  ≈  Σ_j LUT[j, code_j(v)]
+
+where LUT[j, c] = <q_j, centroid_{j,c}> is an (m × k) table computed
+ONCE per query (asymmetric distance computation, ADC — Jégou et al.,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011; the
+IVF-ADC pattern every vector database ships).
+
+Spark shape: the codebook fits from a BOUNDED driver sample (like the
+IVF codebook — kilobytes: m×k×dsub floats); encode is map-only
+``mapInPandas`` (vectorized argmin per subspace, zero shuffles); a query
+broadcasts the LUT in the UDF closure, scores codes vectorized
+(numpy take + sum), takes a TakeOrdered shortlist, and exact-reranks
+only the shortlist against the full vectors. Nothing ever collects
+beyond the sample and the top-k.
+
+Approximate by construction (quantization error) → the registered face
+is rows-only; recall against the exact q40 ranking is pytest-pinned
+(tests/test_llm.py), with the exact re-rank making the top-k ORDER
+exact even when the shortlist is approximate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import register
+
+PQ_M = 8  # subvectors
+PQ_K = 16  # centroids per subspace (4-bit codes) — demo width; prod: 256
+PQ_SAMPLE = 4096  # codebook training sample (bounded driver transfer)
+
+
+def _normalize(v: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(v, axis=-1, keepdims=True)
+    return v / np.where(n == 0, 1.0, n)
+
+
+def fit_pq(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    sample_n: int = PQ_SAMPLE,
+    iters: int = 12,
+) -> np.ndarray:
+    """Train per-subspace codebooks → (m, k, dim/m) float64 array.
+
+    Deterministic: the sample is the first ``sample_n`` vectors by id
+    (stable across runs/engines), initial centroids are the first k
+    sample subvectors, and Lloyd iterations are fixed-count — no RNG.
+    Spherical: vectors are L2-normalized before training so codes live
+    in the cosine space queries use (the stream_ann refresh discipline).
+    """
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    )  # bounded: sample_n × dim floats, the codebook-fit transfer
+    x = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, k, dsub))
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cent = sub[:k].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def encode_pq(
+    df: DataFrame,
+    books: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes: array<int>) — map-only vectorized encoding."""
+    from ..session import ship_package
+
+    m, _k, dsub = books.shape
+
+    def run(batches):
+        for pdf in batches:
+            v = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            codes = np.empty((len(pdf), m), dtype=np.int64)
+            for j in range(m):
+                sub = v[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "codes": list(codes)})
+
+    ship_package(df.sparkSession)
+    return df.select(id_col, vec_col).mapInPandas(
+        run, f"{id_col} long, codes array<long>"
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    books: np.ndarray,
+    query_vec: np.ndarray,
+    k: int = 10,
+    shortlist: int = 50,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ADC top-k: score codes against the query LUT, shortlist, then
+    exact-rerank the shortlist against full vectors.
+
+    The scan reads CODES only (m small ints per row); full vectors are
+    touched for ``shortlist`` rows. Both stages are TakeOrdered — never a
+    global sort.
+    """
+    from .similarity import cosine
+    from ..session import ship_package
+
+    m, _kc, dsub = books.shape
+    q = _normalize(np.asarray(query_vec, dtype=np.float64))
+    lut = np.stack(
+        [books[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)]
+    )  # (m, k) partial inner products
+
+    codes = encode_pq(emb, books)
+    if exclude_id is not None:
+        codes = codes.filter(F.col("vec_id") != exclude_id)
+
+    def score(batches):
+        for pdf in batches:
+            c = np.stack(pdf["codes"].to_numpy())
+            s = np.zeros(len(pdf))
+            for j in range(m):
+                s += lut[j][c[:, j]]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].values, "approx_sim": s})
+
+    ship_package(emb.sparkSession)
+    scored = codes.mapInPandas(score, "vec_id long, approx_sim double")
+    short = scored.orderBy(F.desc("approx_sim"), "vec_id").limit(shortlist)
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    reranked = (
+        short.join(emb.select("vec_id", "label", "embedding"), "vec_id")
+        .select(
+            "vec_id", "label", cosine(F.col("embedding"), qlit).alias("sim")
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(k)
+    )
+    w = F.row_number().over(Window.orderBy(F.desc("sim"), "vec_id"))
+    return reranked.select("vec_id", "label", "sim", w.cast("long").alias("rank"))
+
+
+@register("q121_pq_ann_topk")  # rows-only: quantization is engine-approximate
+def q121_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-10 under the q40 probe protocol (probe = vec_id 0,
+    self excluded): codebook from a bounded sample, map-only encode, LUT
+    scoring over codes, exact cosine re-rank of a 50-row shortlist.
+    Recall vs the exact ranking is pytest-pinned; memory math and the
+    100 TB shape are in the module docstring."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = fit_pq(emb)
+    qv = np.array(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0],
+        dtype=np.float64,
+    )
+    return pq_topk(emb, books, qv, k=10, shortlist=50, exclude_id=0)

@@ -46,7 +46,7 @@ def _load() -> None:
         return
     # Imports are for their registration side effects.
     from .operators import analytics, extra, relational, stats, streamsem, tpch, windows  # noqa: F401
-    from .llm import dedup, multimodal, packing, semdedup, similarity, text  # noqa: F401
+    from .llm import dedup, multimodal, packing, pq, semdedup, similarity, text  # noqa: F401
     from .functions import udfs  # noqa: F401
     from .plans import zorder  # noqa: F401
     from .sources import ingest  # noqa: F401

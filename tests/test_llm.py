@@ -1040,3 +1040,34 @@ def test_heavy_hitters_mg_candidates_never_miss(spark, sf_dir):
         .collect()
     }
     assert got == exact and got, "expected heavy hitters at sf0.001"
+
+
+def test_pq_adc_recall_and_code_shape(spark):
+    # PQ is lossy by construction; the contract is (a) codes are m small
+    # ints (the 48x memory story), (b) ADC shortlist + exact re-rank
+    # recovers most of the exact top-10 on clustered embeddings.
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from redix_stream_spark.catalog import load_table
+    from redix_stream_spark.llm.pq import PQ_K, PQ_M, encode_pq, fit_pq
+    from redix_stream_spark.registry import all_queries
+
+    sf_mid = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf_mid, "embeddings")
+    books = fit_pq(emb)
+    assert books.shape == (PQ_M, PQ_K, 64 // PQ_M)
+    codes = encode_pq(emb, books).collect()
+    assert len(codes) == emb.count()
+    for r in codes[:20]:
+        assert len(r["codes"]) == PQ_M
+        assert all(0 <= c < PQ_K for c in r["codes"])
+
+    Q = all_queries()
+    exact = [r["vec_id"] for r in Q["q40_cosine_topk"](spark, sf_mid).collect()]
+    pq = [r["vec_id"] for r in Q["q121_pq_ann_topk"](spark, sf_mid).collect()]
+    assert len(pq) == 10
+    overlap = len(set(exact) & set(pq))
+    assert overlap >= 6, (exact, pq)
+    # determinism: the codebook fit has no RNG — re-fit is bit-identical
+    assert (fit_pq(emb) == books).all()
