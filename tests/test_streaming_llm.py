@@ -101,3 +101,59 @@ def test_consumer_feeds_streaming_neardup_filter(spark, tmp_path):
         spark.createDataFrame(staged, "doc_id long, text string"), 1
     )
     assert sorted(r["doc_id"] for r in f.accepted(spark).collect()) == [1, 3]
+
+
+def test_streaming_heavy_hitters_lifecycle(spark, tmp_path):
+    # Mergeable MG partials per epoch: superset guarantee across epochs,
+    # idempotent replay, exact verify face, bounded compaction.
+    import pyspark.sql.functions as F
+
+    from redix_stream_spark.llm.stream_heavy import StreamingHeavyHitters
+    from redix_stream_spark.llm.text import HH_K, MG_COUNTERS
+
+    hh = StreamingHeavyHitters(spark, str(tmp_path / "hhstate"))
+
+    def batch(epoch, n=20_000, hot_every=10):
+        # HOT at 10% of the stream; per-epoch cold tail of ~997 tokens
+        # (~18 occurrences each — far below the 1/50 threshold).
+        return (
+            spark.range(n)
+            .repartition(4)
+            .select(
+                F.when(F.col("id") % hot_every == 0, F.lit("HOT"))
+                .otherwise(
+                    F.concat(F.lit(f"e{epoch}c"), (F.col("id") % 997).cast("string"))
+                )
+                .alias("token")
+            )
+        )
+
+    logs = []
+    for e in range(3):
+        b = batch(e)
+        hh.ingest_batch(b, e)
+        logs.append(b)
+    assert hh.totals() == 60_000
+
+    cands = hh.candidates().collect()
+    by_tok = {r["token"]: r["cnt_lower"] for r in cands}
+    assert "HOT" in by_tok
+    # lower-bound quality: undercount ≤ 2N/(4*HH_K+1)
+    assert by_tok["HOT"] >= 6_000 - 2 * 60_000 // (4 * HH_K + 1) - 1
+
+    log = logs[0].unionByName(logs[1]).unionByName(logs[2])
+    exact = {(r["token"], r["n_occ"]) for r in hh.verify_exact(log).collect()}
+    assert exact == {("HOT", 6_000)}
+
+    # crash-replay: re-ingesting an epoch overwrites its own partial —
+    # totals and the verify result are unchanged (no double count).
+    hh.ingest_batch(batch(1), 1)
+    assert hh.totals() == 60_000
+    assert {(r["token"], r["n_occ"]) for r in hh.verify_exact(log).collect()} == exact
+
+    # compaction folds to one bounded summary; the guarantee survives.
+    hh.compact()
+    folded = {r["token"]: r["cnt_lower"] for r in hh.candidates().collect()}
+    assert "HOT" in folded and len(folded) <= MG_COUNTERS
+    assert hh.totals() == 60_000
+    assert {(r["token"], r["n_occ"]) for r in hh.verify_exact(log).collect()} == exact
