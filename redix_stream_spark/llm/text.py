@@ -910,3 +910,69 @@ def q120_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occ") * HH_K > F.col("n_total"))
         .select("token", "n_occ", "n_total")
     )
+
+
+# --- q123: phrase search via positional postings ----------------------------
+
+#: Fixed demo phrase (exists in the synthetic corpus); any phrase works —
+#: the plan shape is per-term postings filters + position-offset joins.
+PHRASE = ("row", "column", "sort")
+
+Q123_SQL = f"""
+WITH postings AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS token
+  FROM (
+    SELECT doc_id, string_split(text, ' ') AS t,
+           UNNEST(range(1, LEN(string_split(text, ' ')) + 1)) AS i
+    FROM documents
+  )
+),
+hits AS (
+  SELECT p0.doc_id, p0.pos
+  FROM postings p0
+  JOIN postings p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+  JOIN postings p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
+  WHERE p0.token = '{PHRASE[0]}' AND p1.token = '{PHRASE[1]}'
+    AND p2.token = '{PHRASE[2]}'
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       MIN(pos) AS first_pos
+FROM hits GROUP BY doc_id
+"""
+
+
+@register("q123_phrase_search", Q123_SQL)
+def q123_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over positional postings — the full-text-
+    search primitive (docs containing the exact token sequence, with
+    occurrence counts and first position).
+
+    The plan is the inverted-index shape: one postings relation
+    (doc_id, pos, token) with a PER-TERM filter pushed to each branch,
+    then position-offset equi-joins on (doc_id, pos±k). Candidates are
+    bounded by the rarest term's document frequency — never a corpus
+    scan per query term. At rest you would materialize postings
+    partitioned by token (partition pruning turns each branch into a
+    single-term read — the q119 layout story applied to text); here the
+    three branches share one in-memory postings projection.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    postings = d.select(
+        "doc_id", F.posexplode(tokens()).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+    p0, p1, p2 = (
+        postings.filter(F.col("token") == PHRASE[k]).select(
+            F.col("doc_id").alias(f"d{k}"), F.col("pos").alias(f"pos{k}")
+        )
+        for k in range(3)
+    )
+    hits = (
+        p0.join(p1, (F.col("d1") == F.col("d0")) & (F.col("pos1") == F.col("pos0") + 1))
+        .join(p2, (F.col("d2") == F.col("d0")) & (F.col("pos2") == F.col("pos0") + 2))
+        .select(F.col("d0").alias("doc_id"), "pos0")
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("pos0").alias("first_pos"),
+    )

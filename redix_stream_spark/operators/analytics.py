@@ -676,3 +676,70 @@ def q115_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(tot)).alias("p_next"),
     )
+
+
+# --- q122: SCD Type-2 state history from the event log ----------------------
+
+Q122_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT
+  user_id,
+  event_type,
+  ts AS effective_from,
+  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS effective_to,
+  CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS BIGINT)
+    AS is_current
+FROM changes
+"""
+
+
+@register("q122_scd2_history", Q122_SQL)
+def q122_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (Type 2) reconstruction from the event
+    log: each user's event_type state as validity intervals
+    [effective_from, effective_to) — the warehouse-history shape CDC
+    pipelines maintain, derived here directly from the append-only log
+    (reference R1 semantics: the log IS the source of truth; the
+    dimension table is a view over it, like q106's latest-state view but
+    keeping the full history instead of the argmax row).
+
+    Consecutive duplicates collapse (a state that doesn't change extends
+    its interval); the open interval (effective_to NULL, is_current=1)
+    is the q106 latest state. Order key is (ts, event_id) so concurrent
+    timestamps break ties identically cross-engine.
+
+    Scale: two windows over the same user_id partitioning — ONE hash
+    exchange, both windows partition-local; no self-join, no global
+    sort. The changes filter collapses the relation to state-change rows
+    before the second window.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .drop("prev_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    eff_to = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("effective_from"),
+        eff_to.alias("effective_to"),
+        eff_to.isNull().cast("long").alias("is_current"),
+    )

@@ -102,6 +102,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q119_zorder_key",
     "q119b_hilbert_key",
     "q120_heavy_hitters",
+    "q121_pq_ann_topk",
+    "q122_scd2_history",
+    "q123_phrase_search",
     # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
     # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --
@@ -120,11 +123,12 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q58_pii_scrub",
     "q59_token_counting",
     # (q52 rotated out mid-r3: rows-only with a permanent row.)
-    "q64_returned_items",
+    # (q64 rotated out late-r3 for q121: r2-green with a permanent row;
+    # its TakeOrdered shape is plan-asserted.)
     "q31_top_tokens",
     "q23b_replay_scaled",
-    "q67_left_outer_join",
-    "q68_right_outer_join",
+    # (q67/q68 rotated out late-r3 for q122/q123: both r2-green with
+    # permanent rows; the outer-join family stays pytest-guarded.)
     "q80_neardup_clusters",
     "q81_clean_corpus",
     "q82_token_rarity",
