@@ -976,3 +976,52 @@ def q123_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_matches"),
         F.min("pos0").alias("first_pos"),
     )
+
+
+# --- q125: compression-ratio quality signal ---------------------------------
+
+
+@register("q125_compression_ratio")  # rows-only: zlib is engine-external
+def q125_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio — the RefinedWeb/CCNet-family
+    repetitiveness signal: highly compressible text (ratio << 1 vs the
+    corpus norm) is boilerplate/template/repetition; near-incompressible
+    text is noise or binary junk. Complements q83's exact token-level
+    repetition fractions with an information-theoretic whole-document
+    measure that catches long-range repetition n-gram windows miss.
+
+    Arrow-batched mapInPandas (stdlib zlib level 6, fixed — deterministic
+    for a given zlib build), map-only, zero shuffles: the same
+    embarrassingly-parallel shape as the multimodal decode stage. The
+    keep flag (ratio within [0.25, 0.95]) matches common pipeline
+    practice of cutting both tails. Rows-only face (no zlib in the
+    oracle engine); the planted-fixture semantics are pytest-pinned.
+    """
+    import zlib
+
+    import pandas as pd
+
+    from ..session import ship_package
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def run(batches):
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            n_raw = raw.str.len().astype("int64")
+            n_comp = raw.map(lambda b: len(zlib.compress(b, 6))).astype("int64")
+            ratio = n_comp / n_raw.clip(lower=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": n_raw,
+                    "n_compressed": n_comp,
+                    "ratio": ratio,
+                    "keep": ((ratio >= 0.25) & (ratio <= 0.95)).astype("int64"),
+                }
+            )
+
+    ship_package(spark)
+    return d.select("doc_id", "text").mapInPandas(
+        run, "doc_id long, n_bytes long, n_compressed long, ratio double, keep long"
+    )

@@ -743,3 +743,67 @@ def q122_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         eff_to.alias("effective_to"),
         eff_to.isNull().cast("long").alias("is_current"),
     )
+
+
+# --- q124: exact per-group median ------------------------------------------
+
+Q124_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS rk,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+),
+mids AS (
+  SELECT l_returnflag, n, l_quantity
+  FROM ranked
+  WHERE rk = (n + 1) // 2 OR rk = n // 2 + 1
+)
+SELECT
+  l_returnflag,
+  CAST(MAX(n) AS BIGINT) AS n_rows,
+  CAST(CAST(SUM(l_quantity) AS DOUBLE) * 0.5 AS DOUBLE) AS median_qty
+FROM mids
+GROUP BY l_returnflag
+"""
+
+
+@register("q124_exact_group_median", Q124_SQL)
+def q124_exact_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median per group — the ground-truth face of q52's
+    approx-percentile sketch, hash-verified cross-engine.
+
+    Cross-engine float discipline: the even-count midpoint is
+    (lo + hi) / 2, which naively divides a double — instead the two
+    middle DECIMAL values sum exactly, cast once to double, and multiply
+    by 0.5 (a power of two: exact in IEEE, no engine divergence, and the
+    odd case selects the same middle row twice so one formula covers
+    both parities). Tie-breaking inside equal quantities is pinned by
+    (l_orderkey, l_linenumber) so both engines rank identically.
+
+    Scale: one hash exchange on the group key; ranking is
+    partition-local per group. Exact median fundamentally requires a
+    per-group sort — that IS the honest cost (the sketch face, q52,
+    is the bounded-memory alternative; this face is what you validate
+    it against).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # integer floor-halves without long division: subtract the remainder
+    # first so the double division is exact (the zorder DIV discipline).
+    lo = ((F.col("n") + 1) - ((F.col("n") + 1) % 2)) / 2
+    hi = (F.col("n") - F.col("n") % 2) / 2 + 1
+    mids = ranked.filter((F.col("rk") == lo) | (F.col("rk") == hi))
+    return mids.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n_rows"),
+        (F.sum("l_quantity").cast("double") * F.lit(0.5)).alias("median_qty"),
+    )

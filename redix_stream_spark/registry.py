@@ -105,6 +105,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q121_pq_ann_topk",
     "q122_scd2_history",
     "q123_phrase_search",
+    "q124_exact_group_median",
+    "q125_compression_ratio",
     # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
     # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --
@@ -120,8 +122,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (q55/q56 rotated out mid-r3: the rowwise bench foil and the
     # rows-only grouped-map face, both with permanent rows.)
     # (q57 rotated out mid-r3: rows-only with a permanent row.)
-    "q58_pii_scrub",
-    "q59_token_counting",
+    # (q58/q59 rotated out late-r3 for q124/q125: both r2-green with
+    # permanent rows; the scrub/count expressions are oracle-swept by
+    # tests/test_oracle.py.)
     # (q52 rotated out mid-r3: rows-only with a permanent row.)
     # (q64 rotated out late-r3 for q121: r2-green with a permanent row;
     # its TakeOrdered shape is plan-asserted.)

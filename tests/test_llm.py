@@ -1071,3 +1071,34 @@ def test_pq_adc_recall_and_code_shape(spark):
     assert overlap >= 6, (exact, pq)
     # determinism: the codebook fit has no RNG — re-fit is bit-identical
     assert (fit_pq(emb) == books).all()
+
+
+def test_compression_ratio_semantics(spark):
+    # Planted fixture: heavy repetition compresses far better than
+    # high-entropy text; the keep window cuts both tails.
+    from redix_stream_spark.llm.text import q125_compression_ratio
+
+    import hashlib
+
+    repetitive = "spam ham " * 300
+    normal = " ".join(
+        hashlib.md5(str(i).encode()).hexdigest()[:6] for i in range(300)
+    )
+    df = spark.createDataFrame(
+        [(1, repetitive, "en", "s", len(repetitive)),
+         (2, normal, "en", "s", len(normal))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import redix_stream_spark.llm.text as t
+
+    # drive the mapInPandas body directly on the fixture frame
+    orig = t.load_table
+    try:
+        t.load_table = lambda spark, sf_dir, name: df
+        out_rows = {r["doc_id"]: r for r in q125_compression_ratio(spark, "ignored").collect()}
+    finally:
+        t.load_table = orig
+    rep, norm = out_rows[1], out_rows[2]
+    assert rep["ratio"] < 0.1 and rep["keep"] == 0
+    assert 0.25 <= norm["ratio"] <= 0.95 and norm["keep"] == 1
+    assert rep["n_compressed"] < rep["n_bytes"]
