@@ -413,3 +413,51 @@ def test_write_zordered_files_carry_disjoint_key_ranges(spark, sf_dir, tmp_path)
     assert len(spans) >= 2
     for (_, hi), (lo, _) in zip(spans, spans[1:]):
         assert hi <= lo
+
+
+def test_runtime_bloom_filter_fires_in_scale_regime(spark, sf_dir):
+    # Spark's runtime semi-join reduction (InjectRuntimeFilter) is ON by
+    # default but gated on the application-side scan being >= 10 GB — the
+    # 100 TB regime, unreachable at test SF. Simulate the regime by
+    # zeroing the scan threshold and assert the bloom filter lands on the
+    # fact scan: a selective dim predicate prunes fact rows BEFORE the
+    # shuffle, for free, with no code in this repo. The restore path
+    # keeps the suite's other plans untouched.
+    import pyspark.sql.functions as F
+
+    from redix_stream_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # sf0.01: the injection rule also requires the application side to
+        # dwarf the creation side by stats, which the 6k-row sf0.001
+        # tables don't exhibit.
+        sf_mid = "/root/testdata/sf0.01"
+        li = load_table(spark, sf_mid, "lineitem")
+        o = load_table(spark, sf_mid, "orders").filter(
+            (F.col("o_orderdate") >= "1997-06-01") & (F.col("o_totalprice") > 400000)
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = plan_of(j)
+        assert "might_contain" in plan, "runtime bloom filter did not inject"
+        # the filter must sit on the FACT (lineitem) side, keyed on its key
+        assert any(
+            "might_contain" in l and "l_orderkey" in l for l in plan.splitlines()
+        ), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
