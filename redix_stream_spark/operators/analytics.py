@@ -807,3 +807,61 @@ def q124_exact_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n_rows"),
         (F.sum("l_quantity").cast("double") * F.lit(0.5)).alias("median_qty"),
     )
+
+
+# --- q126: equi-width histogram --------------------------------------------
+
+HIST_BUCKETS = 20
+
+Q126_SQL = f"""
+WITH cents AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+),
+rng AS (SELECT MIN(c) AS mn, MAX(c) AS mx FROM cents)
+SELECT
+  event_type,
+  ((c - mn) * {HIST_BUCKETS}) // (mx - mn + 1) AS bucket,
+  CAST(mn + ((c - mn) * {HIST_BUCKETS}) // (mx - mn + 1) * (mx - mn + 1) // {HIST_BUCKETS} AS BIGINT) AS bucket_lo_cents,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(c) AS BIGINT) AS sum_cents
+FROM cents CROSS JOIN rng
+GROUP BY event_type, bucket, bucket_lo_cents
+"""
+
+
+@register("q126_histogram", Q126_SQL)
+def q126_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type equi-width histogram of ``value``, integer-exact.
+
+    Cross-engine float discipline: bucket boundaries computed on doubles
+    put boundary values in different buckets per engine — instead values
+    become exact integer cents (the data is 2-decimal), and the bucket
+    index is pure BIGINT arithmetic ((c−mn)·B DIV span). The bucket's
+    lower edge is reported in cents (also exact); callers divide by 100
+    for display. One global (mn, mx) row broadcasts; the histogram
+    itself is a map-side-combined count — the profiling scan shape
+    (same one the q112 quality report uses) extended to distributions.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    rng = cents.agg(F.min("c").alias("mn"), F.max("c").alias("mx"))
+    j = cents.crossJoin(F.broadcast(rng))
+    span = F.col("mx") - F.col("mn") + 1
+    scaled = (F.col("c") - F.col("mn")) * HIST_BUCKETS
+    bucket = ((scaled - scaled % span) / span).cast("long")
+    edge_scaled = bucket * span
+    edge = (
+        F.col("mn")
+        + ((edge_scaled - edge_scaled % HIST_BUCKETS) / HIST_BUCKETS).cast("long")
+    )
+    return (
+        j.select("event_type", bucket.alias("bucket"), edge.alias("bucket_lo_cents"), "c")
+        .groupBy("event_type", "bucket", "bucket_lo_cents")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("c").cast("long").alias("sum_cents"),
+        )
+    )

@@ -107,6 +107,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q123_phrase_search",
     "q124_exact_group_median",
     "q125_compression_ratio",
+    "q126_histogram",
     # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
     # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --
@@ -126,9 +127,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # permanent rows; the scrub/count expressions are oracle-swept by
     # tests/test_oracle.py.)
     # (q52 rotated out mid-r3: rows-only with a permanent row.)
-    # (q64 rotated out late-r3 for q121: r2-green with a permanent row;
-    # its TakeOrdered shape is plan-asserted.)
-    "q31_top_tokens",
+    # (q64/q31 rotated out late-r3 for q121/q126: r1/r2-green with
+    # permanent rows; their TakeOrdered shapes are plan-asserted.)
     "q23b_replay_scaled",
     # (q67/q68 rotated out late-r3 for q122/q123: both r2-green with
     # permanent rows; the outer-join family stays pytest-guarded.)

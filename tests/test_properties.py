@@ -248,3 +248,45 @@ def test_tv_distance_folding_identity(pair):
     folded = (2 * na * nb + s) / (2 * na * nb)
     assert abs(folded - textbook) < 1e-9
     assert -1e-12 <= folded <= 1 + 1e-12
+
+
+def test_morton_and_hilbert_recurrences_are_bijective_space_filling():
+    # Property check of the layout-key math (pure python mirror of the
+    # Spark expressions): at order 2^5, both curves are bijections of the
+    # grid; Hilbert is additionally adjacent (consecutive indices are
+    # Manhattan-distance-1 cells), Morton is not — the fragmentation the
+    # pruning test measures.
+    def morton(x, y, bits=5):
+        v = 0
+        for b in range(bits):
+            v |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return v
+
+    def hilbert(x, y, bits=5):
+        n = 1 << bits
+        d = 0
+        for level in reversed(range(bits)):
+            s = 1 << level
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = n - 1 - x
+                    y = n - 1 - y
+                x, y = y, x
+        return d
+
+    n = 32
+    for fn, must_be_adjacent in ((morton, False), (hilbert, True)):
+        pos = {}
+        for x in range(n):
+            for y in range(n):
+                d = fn(x, y)
+                assert 0 <= d < n * n and d not in pos
+                pos[d] = (x, y)
+        adjacent = all(
+            abs(pos[d][0] - pos[d + 1][0]) + abs(pos[d][1] - pos[d + 1][1]) == 1
+            for d in range(n * n - 1)
+        )
+        assert adjacent == must_be_adjacent
