@@ -722,7 +722,11 @@ def q122_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort. The changes filter collapses the relation to state-change rows
     before the second window.
     """
-    e = load_table(spark, sf_dir, "events")
+    return scd2_intervals(load_table(spark, sf_dir, "events"))
+
+
+def scd2_intervals(e: DataFrame) -> DataFrame:
+    """Core of q122 over any (user_id, event_type, ts, event_id) frame."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         e.select(
@@ -864,4 +868,116 @@ def q126_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("c").cast("long").alias("sum_cents"),
         )
+    )
+
+
+# --- q127: interval-overlap join via grid binning ---------------------------
+
+Q127_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+iv AS (
+  SELECT user_id, event_type, ts AS f,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS t
+  FROM changes
+),
+err AS (
+  SELECT user_id, f, t FROM iv WHERE event_type = 'error' AND t IS NOT NULL
+)
+SELECT
+  a.user_id AS user_a,
+  b.user_id AS user_b,
+  a.f AS from_a,
+  b.f AS from_b,
+  CAST(date_diff('microsecond', GREATEST(a.f, b.f), LEAST(a.t, b.t)) AS BIGINT)
+    AS overlap_micros
+FROM err a JOIN err b
+  ON a.user_id < b.user_id AND a.f < b.t AND b.f < a.t
+"""
+
+
+@register("q127_interval_overlap", Q127_SQL)
+def q127_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join WITHOUT an equi key — which pairs of users
+    were in the 'error' state at the same time, and for how long.
+
+    The naive theta join (a.start < b.end AND b.start < a.end) has no
+    equi conjunct, so Catalyst can only plan a nested-loop/cartesian —
+    quadratic in intervals. The scale plan is GRID BINNING: explode each
+    interval into the day cells it touches, equi-join on the cell (only
+    intervals sharing a calendar day ever meet), apply the exact overlap
+    predicate as the join residual, and de-duplicate pairs that share
+    several cells. Cost ≈ Σ per-cell-actives² instead of n² — the
+    standard spatial-join decomposition, applied to time. The day-cell
+    width is a tuning knob: cells should be comparable to typical
+    interval length (here ~13 h) so the fanout stays ~2 cells/interval.
+
+    Overlap is reported in exact integer microseconds (BIGINT epoch
+    subtraction; no float duration). The DuckDB oracle runs the plain
+    inequality join — binning is engine-internal and must be invisible.
+    Plan-asserted: no CartesianProduct / BroadcastNestedLoopJoin.
+    """
+    e = load_table(spark, sf_dir, "events")
+    iv = scd2_intervals(e)
+    err = iv.filter(
+        (F.col("event_type") == "error") & F.col("effective_to").isNotNull()
+    ).select(
+        "user_id",
+        F.col("effective_from").alias("f"),
+        F.col("effective_to").alias("t"),
+    )
+    cells = err.select(
+        "user_id",
+        "f",
+        "t",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "f").cast("timestamp_ntz"),
+                F.date_trunc("day", "t").cast("timestamp_ntz"),
+                F.expr("INTERVAL '1' DAY"),
+            )
+        ).alias("cell"),
+    )
+    a = cells.select(
+        F.col("user_id").alias("user_a"),
+        F.col("f").alias("from_a"),
+        F.col("t").alias("to_a"),
+        "cell",
+    )
+    b = cells.select(
+        F.col("user_id").alias("user_b"),
+        F.col("f").alias("from_b"),
+        F.col("t").alias("to_b"),
+        "cell",
+    )
+    pairs = (
+        a.join(
+            b,
+            (a.cell == b.cell)  # the equi conjunct binning buys
+            & (F.col("user_a") < F.col("user_b"))
+            & (F.col("from_a") < F.col("to_b"))
+            & (F.col("from_b") < F.col("to_a")),
+        )
+        .select("user_a", "user_b", "from_a", "from_b", "to_a", "to_b")
+        .distinct()  # intervals sharing several day cells pair once
+    )
+    # timestampdiff works on TIMESTAMP_NTZ directly — no ntz→ltz cast
+    # (the matview order-key discipline).
+    overlap = F.expr(
+        "timestampdiff(MICROSECOND, greatest(from_a, from_b), least(to_a, to_b))"
+    )
+    return pairs.select(
+        "user_a",
+        "user_b",
+        "from_a",
+        "from_b",
+        overlap.cast("long").alias("overlap_micros"),
     )

@@ -108,6 +108,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q124_exact_group_median",
     "q125_compression_ratio",
     "q126_histogram",
+    "q127_interval_overlap",
     # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
     # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --
@@ -129,9 +130,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (q52 rotated out mid-r3: rows-only with a permanent row.)
     # (q64/q31 rotated out late-r3 for q121/q126: r1/r2-green with
     # permanent rows; their TakeOrdered shapes are plan-asserted.)
-    "q23b_replay_scaled",
-    # (q67/q68 rotated out late-r3 for q122/q123: both r2-green with
-    # permanent rows; the outer-join family stays pytest-guarded.)
+    # (q23b/q67/q68 rotated out late-r3 for q122/q123/q127: all r2-green
+    # with permanent rows; replay and the outer-join family stay
+    # pytest- and plan-guarded.)
     "q80_neardup_clusters",
     "q81_clean_corpus",
     "q82_token_rarity",

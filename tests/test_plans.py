@@ -461,3 +461,12 @@ def test_runtime_bloom_filter_fires_in_scale_regime(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q127_interval_overlap_is_binned_equi_join(spark, sf_dir):
+    """The interval-overlap theta join must go through the day-cell
+    equi-join (grid binning), never a nested loop — the naive plan is
+    quadratic in intervals."""
+    plan = plan_of(QUERIES["q127_interval_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
