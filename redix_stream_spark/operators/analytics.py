@@ -792,24 +792,42 @@ def q124_exact_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     it against).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_quantity", "l_orderkey", "l_linenumber"
+    # Two-phase: collapse to (group, value, count) FIRST — a map-side-
+    # combined aggregate — then rank cumulative counts over the tiny
+    # distinct-value relation. The quantity domain has ~50 distinct
+    # values, so the per-group window sorts 50 rows however many billions
+    # the raw relation holds (vs a per-group sort of ALL rows, whose
+    # parallelism is capped by group cardinality — measured 3.7× growth
+    # at 10× before this rewrite, SCALING.md).
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
     wn = Window.partitionBy("l_returnflag")
-    ranked = li.select(
+    ranked = counts.select(
         "l_returnflag",
         "l_quantity",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
     )
     # integer floor-halves without long division: subtract the remainder
     # first so the double division is exact (the zorder DIV discipline).
-    lo = ((F.col("n") + 1) - ((F.col("n") + 1) % 2)) / 2
-    hi = (F.col("n") - F.col("n") % 2) / 2 + 1
-    mids = ranked.filter((F.col("rk") == lo) | (F.col("rk") == hi))
-    return mids.groupBy("l_returnflag").agg(
-        F.max("n").cast("long").alias("n_rows"),
-        (F.sum("l_quantity").cast("double") * F.lit(0.5)).alias("median_qty"),
+    lo = (((F.col("n") + 1) - ((F.col("n") + 1) % 2)) / 2).cast("long")
+    hi = ((F.col("n") - F.col("n") % 2) / 2 + 1).cast("long")
+    prev = F.col("cum") - F.col("cnt")
+    has_lo = (prev < lo) & (F.col("cum") >= lo)
+    has_hi = (prev < hi) & (F.col("cum") >= hi)
+    contrib = F.when(has_lo, F.col("l_quantity")).otherwise(F.lit(0)) + F.when(
+        has_hi, F.col("l_quantity")
+    ).otherwise(F.lit(0))
+    return (
+        ranked.filter(has_lo | has_hi)
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("n").cast("long").alias("n_rows"),
+            (F.sum(contrib).cast("double") * F.lit(0.5)).alias("median_qty"),
+        )
     )
 
 
