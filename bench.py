@@ -95,6 +95,7 @@ HEADLINE = [
     "q118_leakage_safe_split",
     "q119_zorder_key",
     "q120_heavy_hitters",
+    "q127_interval_overlap",
 ]
 
 
