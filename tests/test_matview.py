@@ -232,3 +232,58 @@ def test_anomaly_composes_over_streaming_view(spark, sf_dir):
         for r in q110_rate_anomaly(spark, sf_dir).collect()
     }
     assert via_view == direct and len(direct) > 0
+
+
+def test_streaming_scd2_view_equals_batch_rebuild(spark, tmp_path):
+    # Ingesting the event log in 3 ts-ordered micro-batches must produce
+    # exactly the batch q122 reconstruction — including state runs that
+    # SPAN batch boundaries (the open interval keeps its original
+    # effective_from). Plus: epoch replay is idempotent.
+    import pyspark.sql.functions as F
+
+    from redix_stream_spark.catalog import load_table
+    from redix_stream_spark.operators.analytics import scd2_intervals
+    from redix_stream_spark.streaming.scd2 import StreamingScd2View
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    bounds = e.select(
+        F.expr("percentile_approx(unix_micros(cast(ts as timestamp)), 0.33)"),
+        F.expr("percentile_approx(unix_micros(cast(ts as timestamp)), 0.66)"),
+    ).head()
+    t1, t2 = bounds[0], bounds[1]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    batches = [
+        e.filter(us <= t1),
+        e.filter((us > t1) & (us <= t2)),
+        e.filter(us > t2),
+    ]
+
+    view = StreamingScd2View(spark, str(tmp_path / "scd2"))
+    for i, b in enumerate(batches):
+        view.ingest_batch(b, i)
+
+    def canon(df):
+        return {
+            (r["user_id"], r["event_type"], r["effective_from"], r["effective_to"])
+            for r in df.collect()
+        }
+
+    expected = canon(scd2_intervals(e))
+    got = canon(view.read_history())
+    assert got == expected and got
+    # runs spanning batch boundaries stayed single intervals: interval
+    # count matches the batch rebuild exactly (no splits at t1/t2)
+    assert view.read_history().count() == scd2_intervals(e).count()
+
+    # crash-replay: re-ingest the LAST epoch — state must be unchanged
+    view.ingest_batch(batches[2], 2)
+    assert canon(view.read_history()) == expected
+
+    # mid-stream replay: epoch 1 replays, then 2 follows (the streaming
+    # recovery path) — same fixed point
+    view.ingest_batch(batches[1], 1)
+    view.ingest_batch(batches[2], 2)
+    assert canon(view.read_history()) == expected
