@@ -999,3 +999,83 @@ def q127_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_b",
         overlap.cast("long").alias("overlap_micros"),
     )
+
+
+# --- q128: event-type co-occurrence / association lift ----------------------
+
+Q128_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+singles AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_with FROM ut GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT
+  p.type_a, p.type_b, p.n_both, sa.n_with AS n_a, sb.n_with AS n_b,
+  CAST(n.n_users * p.n_both AS DOUBLE) / CAST(sa.n_with * sb.n_with AS DOUBLE)
+    AS lift
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.type_a
+JOIN singles sb ON sb.event_type = p.type_b
+CROSS JOIN n
+"""
+
+
+@register("q128_cooccurrence_lift", Q128_SQL)
+def q128_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence over event types: for each unordered
+    type pair, how many users did both, and the association LIFT
+    (P(a,b) / P(a)P(b) = N·n_ab / (n_a·n_b)) — >1 means the behaviors
+    attract, <1 they repel.
+
+    Float discipline: lift is ONE division of two exactly-representable
+    integer products (all < 2^53), so both engines produce the identical
+    double — no ratio-of-ratios, no FMA shape.
+
+    Scale shape: the distinct (user, type) relation collapses the fact
+    table first (≤ users × |type| rows); the pair self-join is equi on
+    user_id with output bounded by users × C(|types|,2); the per-type
+    and global counts are broadcast-sized. At 100 TB with a large item
+    vocabulary you bound pairs per user (basket cap) or go straight to
+    the heavy-hitter pairs via q120's sketch on pair keys — with 5 event
+    types the exact join IS the right plan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    n_users = e.agg(F.countDistinct("user_id").alias("n_users"))
+    singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_with"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n_with").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n_with").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_users") * F.col("n_both")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
