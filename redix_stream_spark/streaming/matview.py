@@ -393,3 +393,77 @@ def _register_latest_query() -> None:
 
 
 _register_latest_query()
+
+
+class StreamingOhlcView(StreamingMatView):
+    """OHLC bars as an incremental materialized view — cashing q114's
+    mergeability claim with code: open/close are argmin/argmax over the
+    (ts, id) order key, and argmin/argmax MERGE when the partial carries
+    its own winning key — ``min_by(open_v, open_k)`` across partials is
+    associative exactly like the sums, so per-epoch bar partials fold
+    into the base with no rescan. High/low/volume merge as plain
+    MAX/MIN/SUM over exact decimals. Inherits the epoch-overwrite
+    idempotency, merge-on-read, and staged-swap compaction unchanged.
+
+    Verified (tests/test_matview.py): N-batch ingest + replay + compact
+    ≡ the batch q114 bars, bit-for-bit on the cast doubles.
+    """
+
+    def _partial(self, batch: DataFrame) -> DataFrame:
+        win = F.window(F.col(self.ts_col), self.window_duration)
+        v = F.col(self.value_col).cast("decimal(18,6)")
+        ok = order_key(self.ts_col, "event_id")
+        return (
+            batch.groupBy(win.alias("win"), *self.keys)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(v).cast(SUM_DEC).alias("sum_dec"),
+                F.min_by(v, ok).cast(SUM_DEC).alias("open_v"),
+                F.min(ok).alias("open_k"),
+                F.max_by(v, ok).cast(SUM_DEC).alias("close_v"),
+                F.max(ok).alias("close_k"),
+                F.max(v).cast(SUM_DEC).alias("high"),
+                F.min(v).cast(SUM_DEC).alias("low"),
+            )
+            .select(
+                F.col("win.start").alias("window_start"),
+                *self.keys,
+                "n",
+                "sum_dec",
+                "open_v",
+                "open_k",
+                "close_v",
+                "close_k",
+                "high",
+                "low",
+            )
+        )
+
+    def _merge(self, frames: list[DataFrame]) -> DataFrame:
+        df = frames[0]
+        for f_ in frames[1:]:
+            df = df.unionByName(f_)
+        return df.groupBy("window_start", *self.keys).agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_dec").cast(SUM_DEC).alias("sum_dec"),
+            F.min_by("open_v", "open_k").cast(SUM_DEC).alias("open_v"),
+            F.min("open_k").alias("open_k"),
+            F.max_by("close_v", "close_k").cast(SUM_DEC).alias("close_v"),
+            F.max("close_k").alias("close_k"),
+            F.max("high").cast(SUM_DEC).alias("high"),
+            F.min("low").cast(SUM_DEC).alias("low"),
+        )
+
+    def read_bars(self, spark: SparkSession) -> DataFrame:
+        """The q114 face of the view (same column names and casts)."""
+        m = self.read(spark)
+        return m.select(
+            *self.keys,
+            F.col("window_start").alias("hr"),
+            F.col("open_v").cast("double").alias("open"),
+            F.col("high").cast("double").alias("high"),
+            F.col("low").cast("double").alias("low"),
+            F.col("close_v").cast("double").alias("close"),
+            F.col("n").alias("n_trades"),
+            F.col("sum_dec").cast("double").alias("volume"),
+        )

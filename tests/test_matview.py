@@ -287,3 +287,46 @@ def test_streaming_scd2_view_equals_batch_rebuild(spark, tmp_path):
     view.ingest_batch(batches[1], 1)
     view.ingest_batch(batches[2], 2)
     assert canon(view.read_history()) == expected
+
+
+def test_streaming_ohlc_view_equals_batch_bars(spark, tmp_path):
+    # The mergeable-argmin/argmax claim, tested: three ts-split batches +
+    # a replayed epoch + compaction must reproduce q114's batch bars
+    # exactly (incl. open/close crossing batch boundaries within a bar).
+    import pyspark.sql.functions as F
+
+    from redix_stream_spark.catalog import load_table
+    from redix_stream_spark.registry import all_queries
+    from redix_stream_spark.streaming.matview import StreamingOhlcView
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = e.select(
+        F.expr("percentile_approx(unix_micros(cast(ts as timestamp)), 0.33)"),
+        F.expr("percentile_approx(unix_micros(cast(ts as timestamp)), 0.66)"),
+    ).head()
+    t1, t2 = bounds[0], bounds[1]
+    batches = [
+        e.filter(us <= t1),
+        e.filter((us > t1) & (us <= t2)),
+        e.filter(us > t2),
+    ]
+    view = StreamingOhlcView(str(tmp_path / "ohlc"))
+    for i, b in enumerate(batches):
+        view.update(b, i)
+    view.update(batches[1], 1)  # crash-replay of a middle epoch: no-op
+    assert view.compact(spark) == 3
+
+    def canon(df):
+        return {
+            (
+                r["event_type"], r["hr"], r["open"], r["high"], r["low"],
+                r["close"], r["n_trades"], r["volume"],
+            )
+            for r in df.collect()
+        }
+
+    got = canon(view.read_bars(spark))
+    expected = canon(all_queries()["q114_ohlc_bars"](spark, sf_dir))
+    assert got == expected and got
