@@ -184,3 +184,141 @@ def q121_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dtype=np.float64,
     )
     return pq_topk(emb, books, qv, k=10, shortlist=50, exclude_id=0)
+
+
+# --- IVF-PQ: cell pruning × code compression (the full vector-DB stack) -----
+
+
+class IvfPqIndex:
+    """IVF-ADC composition: StreamingIvfIndex's partition-pruned cells
+    with PQ codes stored IN the inverted file, so a probe's scan reads
+    (vec_id, codes) only — column pruning keeps the fat embedding array
+    out of the probe's ReadSchema entirely (plan-asserted). The two
+    compressions multiply: nprobe/k of the corpus × m bytes per vector.
+
+    Exact re-rank joins the shortlist back to the raw embeddings, so the
+    final top-k ORDER is exact cosine — quantization only shapes the
+    shortlist (the q121 contract, applied per-cell).
+
+    Delegates cell machinery (codebook fit, centroids, occupancy/skew)
+    to an inner StreamingIvfIndex; PQ codebooks persist beside the cell
+    codebook (numpy archive) so ingest epochs stay comparable.
+    """
+
+    def __init__(self, codebook_path: str, index_path: str) -> None:
+        from .stream_ann import StreamingIvfIndex
+
+        self.ivf = StreamingIvfIndex(codebook_path, index_path)
+        self.index_path = index_path
+        # sibling of the parquet codebook dir (INSIDE it, Spark would try
+        # to read the npy as a parquet footer)
+        self.books_path = codebook_path.rstrip("/") + "_pq.npy"
+
+    def fit(self, sample: DataFrame, cells: int = 8, m: int = PQ_M, k: int = PQ_K) -> None:
+        self.ivf.fit(sample.select("vec_id", "embedding"), k=cells)
+        books = fit_pq(sample, m=m, k=k)
+        np.save(self.books_path, books)
+
+    def books(self) -> np.ndarray:
+        return np.load(self.books_path)
+
+    def ingest_batch(self, batch: DataFrame, epoch_id: int = 0) -> None:
+        """Cell assignment + PQ encoding, one map-only pass; append
+        partitioned by cell (the parent layout, plus the codes column)."""
+        from ..session import ship_package
+        from .stream_ann import _make_assign
+
+        spark = batch.sparkSession
+        ship_package(spark)
+        cents = sorted(
+            (r["cell"], r["centroid"])
+            for r in self.ivf.centroids(spark).collect()
+        )
+        assign = _make_assign(cents)
+        codes = encode_pq(batch, self.books())
+        (
+            batch.select(
+                "vec_id", "label", "embedding", assign("embedding").alias("cell")
+            )
+            .join(codes, "vec_id")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(self.index_path)
+        )
+
+    def _index(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(
+            "vec_id long, label int, embedding array<float>,"
+            " codes array<long>, cell int"
+        ).option("basePath", self.index_path).parquet(self.index_path)
+
+    def probe_cells(self, spark: SparkSession, qv: np.ndarray, nprobe: int) -> list[int]:
+        from .similarity import cosine
+
+        qcol = F.lit([float(x) for x in qv]).cast("array<double>")
+        return [
+            r["cell"]
+            for r in self.ivf.centroids(spark)
+            .select("cell", cosine(F.col("centroid"), qcol).alias("csim"))
+            .orderBy(F.col("csim").desc(), "cell")
+            .limit(nprobe)
+            .collect()
+        ]
+
+    def adc_scored(
+        self, spark: SparkSession, qv: np.ndarray, nprobe: int = 3
+    ) -> DataFrame:
+        """The codes-only probe scan: cell partition filter + ADC LUT
+        scoring. Reads (vec_id, codes) — never the embedding column."""
+        from ..session import ship_package
+
+        books = self.books()
+        m, _k, dsub = books.shape
+        q = _normalize(np.asarray(qv, dtype=np.float64))
+        lut = np.stack([books[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)])
+        cells = self.probe_cells(spark, qv, nprobe)
+
+        def score(batches):
+            for pdf in batches:
+                c = np.stack(pdf["codes"].to_numpy())
+                s = np.zeros(len(pdf))
+                for j in range(m):
+                    s += lut[j][c[:, j]]
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"].values, "approx_sim": s}
+                )
+
+        ship_package(spark)
+        return (
+            self._index(spark)
+            .filter(F.col("cell").isin(cells))
+            .select("vec_id", "codes")
+            .mapInPandas(score, "vec_id long, approx_sim double")
+        )
+
+    def query(
+        self,
+        spark: SparkSession,
+        qv: np.ndarray,
+        k: int = 10,
+        nprobe: int = 3,
+        shortlist: int = 50,
+        exclude_id: int | None = None,
+    ) -> DataFrame:
+        from .similarity import cosine
+
+        scored = self.adc_scored(spark, qv, nprobe)
+        if exclude_id is not None:
+            scored = scored.filter(F.col("vec_id") != exclude_id)
+        short = scored.orderBy(F.desc("approx_sim"), "vec_id").limit(shortlist)
+        q = _normalize(np.asarray(qv, dtype=np.float64))
+        qlit = F.array(*[F.lit(float(x)) for x in q])
+        return (
+            short.join(
+                self._index(spark).select("vec_id", "label", "embedding"),
+                "vec_id",
+            )
+            .select("vec_id", "label", cosine(F.col("embedding"), qlit).alias("sim"))
+            .orderBy(F.desc("sim"), "vec_id")
+            .limit(k)
+        )

@@ -1079,3 +1079,52 @@ def q128_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --- q129: weekly cohort retention matrix -----------------------------------
+
+Q129_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS week
+  FROM events
+),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id)
+SELECT
+  c.cohort_week,
+  uw.week - c.cohort_week AS week_offset,
+  CAST(COUNT(*) AS BIGINT) AS n_active
+FROM uw JOIN cohort c ON uw.user_id = c.user_id
+GROUP BY c.cohort_week, week_offset
+"""
+
+
+@register("q129_cohort_matrix", Q129_SQL)
+def q129_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-active
+    week, counted in every later week they return — the full triangle
+    q61's next-day retention is one diagonal of.
+
+    Weeks are integer epoch-day floor-sevenths, NOT date_trunc('week'):
+    week-start conventions differ across engines/locales, while
+    ``days_since_epoch DIV 7`` is pure integer arithmetic and
+    hash-identical everywhere (the q126 bucket discipline applied to
+    calendars).
+
+    Scale: distinct (user, week) collapses the log first; the cohort
+    assignment is a user-keyed MIN that joins back on user_id — two
+    shuffles on the same key (exchange reuse), then a map-side-combined
+    matrix count whose cardinality is cohorts × offsets, tiny forever.
+    """
+    e = load_table(spark, sf_dir, "events")
+    week = F.floor(F.unix_date(F.col("ts").cast("date")) / 7)
+    uw = e.select("user_id", week.cast("long").alias("week")).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )

@@ -110,6 +110,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q126_histogram",
     "q127_interval_overlap",
     "q128_cooccurrence_lift",
+    "q129_cohort_matrix",
     # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
     # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --
@@ -138,7 +139,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q81_clean_corpus",
     "q82_token_rarity",
     "q84_decontamination",
-    "q83_repetition_quality",
+    # (q83 rotated out late-r3 for q129: r2-green with a permanent row;
+    # its no-cartesian/no-global-exchange shape is plan-asserted.)
     # (q85 rotated out late-r3 for q128: r2-green with a permanent row;
     # the md5-bucket split expression stays in-window via q118.)
     # (q86 rotated out late-r3 for q119b: r2-green with a permanent row;

@@ -1102,3 +1102,49 @@ def test_compression_ratio_semantics(spark):
     assert rep["ratio"] < 0.1 and rep["keep"] == 0
     assert 0.25 <= norm["ratio"] <= 0.95 and norm["keep"] == 1
     assert rep["n_compressed"] < rep["n_bytes"]
+
+
+def test_ivf_pq_composition_recall_and_codes_only_scan(spark, tmp_path):
+    # The full vector-DB stack: cell-pruned probes x PQ codes. The ADC
+    # scan must read (vec_id, codes) only — the fat embedding array stays
+    # out of its ReadSchema — and the pruned-cell filter must reach the
+    # partitioned scan. Exact re-rank keeps the final order exact.
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from redix_stream_spark.catalog import load_table
+    from redix_stream_spark.llm.pq import IvfPqIndex
+    from redix_stream_spark.registry import all_queries
+
+    sf_mid = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf_mid, "embeddings")
+    idx = IvfPqIndex(
+        str(tmp_path / "ivfpq_books"), str(tmp_path / "ivfpq_index")
+    )
+    idx.fit(emb)
+    # two ingest epochs — the codebooks are frozen so assignments and
+    # codes stay comparable across batches
+    idx.ingest_batch(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    idx.ingest_batch(emb.filter(F.col("vec_id") % 2 == 1), 1)
+
+    qv = np.array(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0],
+        dtype=np.float64,
+    )
+    got = idx.query(spark, qv, k=10, nprobe=3, shortlist=50, exclude_id=0)
+    exact = [
+        r["vec_id"]
+        for r in all_queries()["q40_cosine_topk"](spark, sf_mid).collect()
+    ]
+    ours = [r["vec_id"] for r in got.collect()]
+    assert len(ours) == 10
+    assert len(set(exact) & set(ours)) >= 6, (exact, ours)
+
+    # plan shape of the ADC probe scan
+    scored = idx.adc_scored(spark, qv, nprobe=3)
+    plan = scored._sc._jvm.PythonSQLUtils.explainString(
+        scored._jdf.queryExecution(), "formatted"
+    )
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "embedding" not in read_schema[0], read_schema
+    assert "PartitionFilters" in plan and "cell" in plan
