@@ -213,3 +213,71 @@ def test_jpeg_decoder_never_raises_on_corrupt_streams():
     for n in (0, 1, 7, 100):
         out = decode_jpeg_pixels(b"\xff\xd8" + bytes(rnd.randrange(256) for _ in range(n)))
         assert out is None or (out.ndim == 3 and out.dtype == np.uint8)
+
+
+def test_all_decoders_never_raise_on_corrupt_streams():
+    # Every parser in the multimodal stack runs worker-side on untrusted
+    # crawl bytes; corruption must yield None/valid output, never raise.
+    # Seeded fuzz over valid PNG/GIF/BMP/WAV/MP4/AVI streams + garbage.
+    import random
+
+    from redix_stream_spark.llm.multimodal import (
+        avi_video_frames,
+        decode_pixels,
+        parse_audio_meta,
+        parse_image_meta,
+        parse_video_meta,
+        png_encode,
+    )
+
+    from .gif_fixture import gif_bytes
+    from .jpeg_fixture import avi_bytes
+
+    rnd = random.Random(20260815)
+    img = _gradient(24, 24)
+    pal = bytes(range(48))
+    idx = [(x + y) % 16 for y in range(16) for x in range(16)]
+    wav = (
+        b"RIFF" + (36 + 64).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + (64).to_bytes(4, "little") + bytes(64)
+    )
+    mp4 = (
+        (20).to_bytes(4, "big") + b"ftypisom" + bytes(8)
+        + (8 + 8 + 100).to_bytes(4, "big") + b"moov"
+        + (108).to_bytes(4, "big") + b"mvhd" + bytes(100)
+    )
+    bases = [
+        png_encode(img),
+        gif_bytes(16, 16, idx, pal),
+        avi_bytes([encode_jpeg(img)], 24, 24),
+        wav,
+        mp4,
+    ]
+    parsers = [
+        parse_image_meta,
+        parse_audio_meta,
+        parse_video_meta,
+        decode_pixels,
+        avi_video_frames,
+    ]
+    for base in bases:
+        for _ in range(120):
+            buf = bytearray(base)
+            op = rnd.randrange(3)
+            if op == 0:
+                for _ in range(rnd.randint(1, 8)):
+                    buf[rnd.randrange(len(buf))] = rnd.randrange(256)
+            elif op == 1:
+                del buf[rnd.randrange(1, len(buf)) :]
+            else:
+                at = rnd.randrange(len(buf))
+                buf[at:at] = bytes(
+                    rnd.randrange(256) for _ in range(rnd.randint(1, 16))
+                )
+            payload = bytes(buf)
+            for parse in parsers:
+                parse(payload)  # must not raise — return value irrelevant
