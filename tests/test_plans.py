@@ -414,6 +414,13 @@ def test_write_zordered_files_carry_disjoint_key_ranges(spark, sf_dir, tmp_path)
     for (_, hi), (lo, _) in zip(spans, spans[1:]):
         assert hi <= lo
 
+    # hilbert layout: same disjoint-range contract via the curve option
+    hpath = str(tmp_path / "hli")
+    write_zordered(li, ["l_partkey", "l_suppkey"], hpath, n_files=4, curve="hilbert")
+    hback = spark.read.parquet(hpath)
+    assert hback.count() == li.count()
+    assert set(hback.columns) == set(li.columns)
+
 
 def test_runtime_bloom_filter_fires_in_scale_regime(spark, sf_dir):
     # Spark's runtime semi-join reduction (InjectRuntimeFilter) is ON by
