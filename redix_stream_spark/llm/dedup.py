@@ -1351,3 +1351,119 @@ def q118_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(clusters.select("doc_id", "cluster_id"), "doc_id", "left_outer")
         .select("doc_id", group_key.alias("group_key"), split.alias("split"))
     )
+
+
+# --- q130: per-source corpus card (the datasheet composite) -----------------
+
+Q130_SQL = f"""
+WITH q AS (
+  SELECT doc_id, source, lang,
+         LEN(string_split(text, ' ')) AS n_tokens,
+         CASE
+           WHEN LEN(string_split(text, ' ')) >= 40
+                AND CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / LEN(string_split(text, ' ')) >= 0.5 THEN 1
+           ELSE 0
+         END AS is_high,
+         md5(lower(text)) AS fp
+  FROM documents
+),
+dups AS (
+  SELECT source, fp, COUNT(*) AS n FROM q GROUP BY source, fp
+),
+eval_grams AS (
+  SELECT DISTINCT array_to_string(t[i:i+{SHINGLE_K - 1}], ' ') AS shingle
+  FROM (
+    SELECT string_split(text, ' ') AS t,
+           UNNEST(range(1, GREATEST(LEN(string_split(text, ' ')) - {SHINGLE_K - 1}, 1) + 1)) AS i
+    FROM documents WHERE doc_id % 100 = 0
+  )
+),
+contaminated AS (
+  SELECT DISTINCT g.doc_id
+  FROM (
+    SELECT DISTINCT doc_id, array_to_string(t[i:i+{SHINGLE_K - 1}], ' ') AS shingle
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             UNNEST(range(1, GREATEST(LEN(string_split(text, ' ')) - {SHINGLE_K - 1}, 1) + 1)) AS i
+      FROM documents WHERE doc_id % 100 <> 0
+    )
+  ) g JOIN eval_grams e USING (shingle)
+)
+SELECT
+  q.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
+  CAST(SUM(q.is_high) AS BIGINT) AS n_high_quality,
+  CAST(COUNT(DISTINCT q.lang) AS BIGINT) AS n_langs,
+  CAST(SUM(CASE WHEN d.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs,
+  CAST(COUNT(c.doc_id) AS BIGINT) AS n_contaminated
+FROM q
+JOIN dups d ON d.source = q.source AND d.fp = q.fp
+LEFT JOIN contaminated c ON c.doc_id = q.doc_id
+GROUP BY q.source
+"""
+
+
+@register("q130_corpus_report", Q130_SQL)
+def q130_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus card — the datasheet a training-data team ships
+    with a corpus, as ONE composite over already-verified signals: doc
+    and token volume, high-quality share (q32 criteria), language
+    breadth, exact-duplicate incidence (q34 fingerprints, counted within
+    source), and benchmark-contamination incidence (q84's gram overlap).
+
+    Every measure is an integer count (ratios are the reader's division)
+    so the whole report is hash-exact — the q112 one-scan-report
+    discipline applied to corpus documentation.
+
+    Scale: one map-side pass computes tokens/quality/fingerprint; the
+    dup join is keyed on (source, fp) (the dup relation is unique-keys
+    sized); contamination reuses q84's broadcast-inventory shape; the
+    final rollup is a 20-group aggregate.
+    """
+    from .text import tokens as _tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    q = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        n.alias("n_tokens"),
+        ((n >= 40) & (ttr >= 0.5)).cast("long").alias("is_high"),
+        F.md5(F.lower(F.col("text"))).alias("fp"),
+    )
+    dups = q.groupBy("source", "fp").agg(F.count(F.lit(1)).alias("n_same"))
+    eval_grams = (
+        d.filter(F.col("doc_id") % 100 == 0)
+        .select(F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle"))
+        .distinct()
+    )
+    contaminated = (
+        d.filter(F.col("doc_id") % 100 != 0)
+        .select(
+            "doc_id", F.explode(F.array_distinct(shingles(F.col("text")))).alias("shingle")
+        )
+        .join(F.broadcast(eval_grams), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_cont", F.lit(1))
+    )
+    return (
+        q.join(dups, ["source", "fp"])
+        .join(contaminated, "doc_id", "left_outer")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("is_high").cast("long").alias("n_high_quality"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum((F.col("n_same") > 1).cast("long")).cast("long").alias(
+                "n_exact_dup_docs"
+            ),
+            F.count("_cont").cast("long").alias("n_contaminated"),
+        )
+    )

@@ -111,6 +111,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q127_interval_overlap",
     "q128_cooccurrence_lift",
     "q129_cohort_matrix",
+    "q130_corpus_report",
     # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
     # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --
@@ -137,7 +138,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # pytest- and plan-guarded.)
     "q80_neardup_clusters",
     "q81_clean_corpus",
-    "q82_token_rarity",
+    # (q82 rotated out late-r3 for q130: r2-green with a permanent row;
+    # its freq-join guidance stays measured in SCALING.md.)
     "q84_decontamination",
     # (q83 rotated out late-r3 for q129: r2-green with a permanent row;
     # its no-cartesian/no-global-exchange shape is plan-asserted.)
