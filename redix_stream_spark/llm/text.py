@@ -1025,3 +1025,59 @@ def q125_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(
         run, "doc_id long, n_bytes long, n_compressed long, ratio double, keep long"
     )
+
+
+# --- q131: token bigram model table -----------------------------------------
+
+Q131_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bi AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks, UNNEST(range(1, LEN(toks))) AS i FROM t)
+),
+uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n_w1 FROM bi GROUP BY w1)
+SELECT bi.w1, bi.w2,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       uni.n_w1 AS n_w1,
+       CAST(COUNT(*) AS DOUBLE) / uni.n_w1 AS p_cond
+FROM bi JOIN uni USING (w1)
+GROUP BY bi.w1, bi.w2, uni.n_w1
+"""
+
+
+@register("q131_token_bigrams", Q131_SQL)
+def q131_token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram model table: P(w2 | w1) as exact counts plus one
+    integer-ratio IEEE division per row — the statistical-LM training
+    table (and the data behind perplexity-style quality filters; q82's
+    rarity scoring is its unigram cousin). Document boundaries do not
+    produce cross-document bigrams (windows stay within each token
+    array).
+
+    Scale: the bigram explode is map-side; conditional counts group on
+    (w1, w2) and the w1 marginals on w1 — the join and both aggregates
+    share the w1 key, and the vocabulary² upper bound is never realized
+    (observed bigrams only). Stopword-headed w1 keys are the q82/q86
+    skew regime: same pinned guidance (freq-table broadcast in-regime,
+    salting beyond).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens()
+    bigr = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> struct(split(text, ' ')[i - 1] as w1, split(text, ' ')[i] as w2))"
+    )
+    bi = d.select(F.explode(bigr).alias("b")).select("b.w1", "b.w2")
+    uni = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("n_w1"))
+    return (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .join(uni, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.col("n_w1").cast("long").alias("n_w1"),
+            (F.col("n").cast("double") / F.col("n_w1")).alias("p_cond"),
+        )
+    )

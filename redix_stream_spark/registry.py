@@ -112,6 +112,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q128_cooccurrence_lift",
     "q129_cohort_matrix",
     "q130_corpus_report",
+    "q131_token_bigrams",
     # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
     # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --
@@ -140,7 +141,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q81_clean_corpus",
     # (q82 rotated out late-r3 for q130: r2-green with a permanent row;
     # its freq-join guidance stays measured in SCALING.md.)
-    "q84_decontamination",
+    # (q84 rotated out late-r3 for q131: r2-green with a permanent row;
+    # its broadcast-inventory shape stays in-window via q116 and q130.)
     # (q83 rotated out late-r3 for q129: r2-green with a permanent row;
     # its no-cartesian/no-global-exchange shape is plan-asserted.)
     # (q85 rotated out late-r3 for q128: r2-green with a permanent row;
