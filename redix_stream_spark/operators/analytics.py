@@ -1128,3 +1128,100 @@ def q129_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
     )
+
+
+Q127B_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+changes AS (
+  SELECT user_id, event_type, ts FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+iv AS (
+  SELECT user_id, event_type, ts AS f,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS t
+  FROM changes
+),
+err AS (
+  SELECT user_id, f, t FROM iv WHERE event_type = 'error' AND t IS NOT NULL
+)
+SELECT
+  a.user_id AS user_a,
+  b.user_id AS user_b,
+  CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+  CAST(SUM(date_diff('microsecond', GREATEST(a.f, b.f), LEAST(a.t, b.t)))
+       AS BIGINT) AS total_overlap_micros
+FROM err a JOIN err b
+  ON a.user_id < b.user_id AND a.f < b.t AND b.f < a.t
+GROUP BY a.user_id, b.user_id
+"""
+
+
+@register("q127b_interval_overlap_agg", Q127B_SQL)
+def q127b_interval_overlap_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q127's high-concurrency face: aggregate per USER PAIR instead of
+    enumerating interval pairs — output bounded by C(users, 2) however
+    dense the concurrency (q127's enumeration grew 96× from 10× users in
+    the same time range; this face's output cannot).
+
+    Same grid-binned candidate plan; the per-pair count and exact total
+    overlap aggregate map-side-combines immediately after the interval
+    de-dup, so the quadratic intermediate flows through the aggregation
+    without ever materializing as output. The q124 lesson applied to
+    joins: when the enumeration is the cost, ship the aggregate.
+    """
+    e = load_table(spark, sf_dir, "events")
+    iv = scd2_intervals(e)
+    err = iv.filter(
+        (F.col("event_type") == "error") & F.col("effective_to").isNotNull()
+    ).select(
+        "user_id",
+        F.col("effective_from").alias("f"),
+        F.col("effective_to").alias("t"),
+    )
+    cells = err.select(
+        "user_id",
+        "f",
+        "t",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "f").cast("timestamp_ntz"),
+                F.date_trunc("day", "t").cast("timestamp_ntz"),
+                F.expr("INTERVAL '1' DAY"),
+            )
+        ).alias("cell"),
+    )
+    a = cells.select(
+        F.col("user_id").alias("user_a"),
+        F.col("f").alias("from_a"),
+        F.col("t").alias("to_a"),
+        "cell",
+    )
+    b = cells.select(
+        F.col("user_id").alias("user_b"),
+        F.col("f").alias("from_b"),
+        F.col("t").alias("to_b"),
+        "cell",
+    )
+    pairs = (
+        a.join(
+            b,
+            (a.cell == b.cell)
+            & (F.col("user_a") < F.col("user_b"))
+            & (F.col("from_a") < F.col("to_b"))
+            & (F.col("from_b") < F.col("to_a")),
+        )
+        .select("user_a", "user_b", "from_a", "from_b", "to_a", "to_b")
+        .distinct()
+    )
+    overlap = F.expr(
+        "timestampdiff(MICROSECOND, greatest(from_a, from_b), least(to_a, to_b))"
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlaps"),
+        F.sum(overlap).cast("long").alias("total_overlap_micros"),
+    )

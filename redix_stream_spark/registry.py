@@ -113,6 +113,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q129_cohort_matrix",
     "q130_corpus_report",
     "q131_token_bigrams",
+    "q127b_interval_overlap_agg",
     # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
     # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --
@@ -138,7 +139,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # with permanent rows; replay and the outer-join family stay
     # pytest- and plan-guarded.)
     "q80_neardup_clusters",
-    "q81_clean_corpus",
+    # (q81 rotated out late-r3 for q127b: r2-green with a permanent row;
+    # its composite stays exercised by the streaming corpus cleaner
+    # pytest and the in-window q130 signals.)
     # (q82 rotated out late-r3 for q130: r2-green with a permanent row;
     # its freq-join guidance stays measured in SCALING.md.)
     # (q84 rotated out late-r3 for q131: r2-green with a permanent row;
