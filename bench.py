@@ -96,6 +96,7 @@ HEADLINE = [
     "q119_zorder_key",
     "q120_heavy_hitters",
     "q127_interval_overlap",
+    "q127b_interval_overlap_agg",
 ]
 
 
