@@ -114,6 +114,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q130_corpus_report",
     "q131_token_bigrams",
     "q127b_interval_overlap_agg",
+    "q132_csv_orc_roundtrip",
     # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
     # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --
@@ -138,7 +139,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (q23b/q67/q68 rotated out late-r3 for q122/q123/q127: all r2-green
     # with permanent rows; replay and the outer-join family stay
     # pytest- and plan-guarded.)
-    "q80_neardup_clusters",
+    # (q80 rotated out late-r3 for q132: r2-green with a permanent row;
+    # its label-propagation pipeline runs in-window inside q118.)
     # (q81 rotated out late-r3 for q127b: r2-green with a permanent row;
     # its composite stays exercised by the streaming corpus cleaner
     # pytest and the in-window q130 signals.)

@@ -123,4 +123,65 @@ def _register_query() -> None:
         )
 
 
+    @register("q132_csv_orc_roundtrip", Q111_SQL)
+    def q132_csv_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """E49 breadth, driver-verified: the event log round-trips
+        through BOTH remaining foreign formats — half the rows land as
+        headered CSV, half as ORC (native types survive ORC, so only
+        the CSV half needs the string-timestamp discipline) — and the
+        union must aggregate identically to the parquet original. One
+        face exercises the whole read_any format matrix the ingestion
+        layer claims.
+        """
+        e = load_table(spark, sf_dir, "events")
+        csv_half = e.filter(F.col("event_id") % 2 == 0).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        )
+        orc_half = e.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "user_id", "event_type", "value", "ts"
+        )
+        tmp_csv = tempfile.mkdtemp(prefix="q132_csv_")
+        tmp_orc = tempfile.mkdtemp(prefix="q132_orc_")
+        csv_half.write.mode("overwrite").option("header", "true").csv(tmp_csv)
+        orc_half.write.mode("overwrite").orc(tmp_orc)
+        back_csv = (
+            read_any(
+                spark,
+                tmp_csv,
+                "csv",
+                schema="event_id long, user_id long, event_type string, "
+                "value double, ts_str string",
+                header="true",
+            )
+            .withColumn(
+                "ts",
+                F.to_timestamp_ntz(
+                    F.col("ts_str"), F.lit("yyyy-MM-dd HH:mm:ss.SSSSSS")
+                ),
+            )
+            .drop("ts_str")
+        )
+        back_orc = read_any(
+            spark,
+            tmp_orc,
+            "orc",
+            schema="event_id long, user_id long, event_type string, "
+            "value double, ts timestamp_ntz",
+        )
+        back = back_csv.unionByName(back_orc)
+        return back.groupBy(
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+
+
 _register_query()
