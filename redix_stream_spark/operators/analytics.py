@@ -1225,3 +1225,56 @@ def q127b_interval_overlap_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_overlaps"),
         F.sum(overlap).cast("long").alias("total_overlap_micros"),
     )
+
+
+# --- q133: inter-event arrival-gap statistics -------------------------------
+
+Q133_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         date_diff('microsecond',
+                   LAG(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id),
+                   ts) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) AS mean_gap_us
+FROM gaps
+WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("q133_interevent_gaps", Q133_SQL)
+def q133_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics per event type — the telemetry
+    primitive behind session-gap tuning (q22's gap threshold), rate
+    models (q110's baselines), and retention cadence: microsecond gaps
+    between a user's consecutive events of each type, as exact BIGINT
+    sums/extrema plus one integer-ratio division for the mean.
+
+    Gaps are per (user, type) — cross-user deltas are meaningless — via
+    one LAG over a (user_id, event_type) partition: a single hash
+    exchange, partition-local ordering, then a map-side-combined
+    |type|-group rollup. ``timestampdiff`` keeps TIMESTAMP_NTZ out of
+    ntz→ltz casts (the matview order-key discipline).
+    """
+    e = load_table(spark, sf_dir, "events")
+    gaps = e.select(
+        "event_type",
+        F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
+               "(PARTITION BY user_id, event_type ORDER BY ts, event_id), ts)"
+               ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap_us").cast("long").alias("total_gap_us"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        (F.sum("gap_us").cast("double") / F.count(F.lit(1))).alias("mean_gap_us"),
+    )

@@ -115,6 +115,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q131_token_bigrams",
     "q127b_interval_overlap_agg",
     "q132_csv_orc_roundtrip",
+    "q133_interevent_gaps",
     # -- refactored this round (shared pipeline with q36b) --
     "q36_minhash_lsh_neardup",
     # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --
@@ -126,7 +127,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q41_embedding_neardup",
     # (q42/q43/q43b rotated out mid-r3: rows-only faces with permanent
     # driver rows; their recall/decode semantics are pytest-pinned.)
-    "q54_pandas_udf_tokens",
+    # (q54 rotated out late-r3 for q133: r2-green with a permanent row;
+    # the pandas-UDF surface stays bench- and pytest-covered.)
     # (q55/q56 rotated out mid-r3: the rowwise bench foil and the
     # rows-only grouped-map face, both with permanent rows.)
     # (q57 rotated out mid-r3: rows-only with a permanent row.)
