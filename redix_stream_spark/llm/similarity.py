@@ -236,9 +236,73 @@ def lsh_table_buckets(col: Column, planes: list[list[float]]) -> list[Column]:
     return buckets
 
 
-@register("q42_ann_lsh_topk")  # rows-only: bucket boundaries are engine-internal
+def _gen_lsh_oracle_sql() -> str:
+    """Generated DuckDB oracle for q42 — the q38/q102 upgrade applied to
+    float LSH: the hyperplanes inline as repr'd double literals (exact
+    IEEE round-trip) and every projection is the SAME left fold as the
+    Spark expression, so bucket sign decisions, candidate sets, and the
+    final ranking are bit-identical cross-engine. Bucket boundaries are
+    NOT engine-internal after all — determinism was already total."""
+    planes = _hyperplanes()
+
+    def proj_sql(vec: str, plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        return (
+            f"list_reduce(list_transform(list_zip({vec}, {arr}::DOUBLE[]), "
+            f"p -> CAST(p[1] AS DOUBLE) * p[2]), (acc, x) -> acc + x)"
+        )
+
+    def bucket_sql(vec: str, t: int) -> str:
+        bits = [
+            f"(CASE WHEN {proj_sql(vec, planes[t * LSH_BITS + i])} > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(LSH_BITS)
+        ]
+        return " + ".join(bits)
+
+    tagged_buckets = ",\n         ".join(
+        f"{bucket_sql('embedding', t)} AS bucket{t}" for t in range(LSH_TABLES)
+    )
+    entry_selects = "\n  UNION ALL ".join(
+        f"SELECT vec_id, label, {t} AS tbl, bucket{t} AS bucket FROM tagged"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+WITH tagged AS (
+  SELECT vec_id, label, embedding,
+         {tagged_buckets}
+  FROM embeddings
+),
+entries AS (
+  {entry_selects}
+),
+probe AS (SELECT tbl, bucket FROM entries WHERE vec_id = {QUERY_VEC_ID}),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT DISTINCT en.vec_id, en.label
+  FROM entries en JOIN probe p ON en.tbl = p.tbl AND en.bucket = p.bucket
+  WHERE en.vec_id <> {QUERY_VEC_ID}
+),
+scored AS (
+  SELECT c.vec_id, c.label, {_sql_cosine('e.embedding', 'qv.qe')} AS sim
+  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id CROSS JOIN qv
+)
+SELECT vec_id, label, sim FROM (
+  SELECT vec_id, label, sim,
+         ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= 10
+"""
+
+
+@register("q42_ann_lsh_topk", _gen_lsh_oracle_sql())
 def q42_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbours via multi-table random-hyperplane LSH.
+
+    Upgraded rows-only → generated DuckDB oracle (late round 3): the
+    whole pipeline — float projections (left folds), sign buckets,
+    candidate union, exact-cosine ranking — is deterministic in both
+    engines, so the oracle verifies the ALGORITHM, buckets and all.
 
     Each vector lands in one bucket per table; the probe unions its L
     buckets and runs exact cosine only on those candidates. Recall vs. the
