@@ -529,9 +529,29 @@ def q39_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q43_image_features")  # rows-only: exercises the Pandas-UDF path
+Q43_SQL = """
+SELECT
+  doc_id,
+  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+  'fake' AS format,
+  CAST(('0x' || substr(md5(text), 1, 4)) AS BIGINT) % 1920 + 1 AS width,
+  CAST(('0x' || substr(md5(text), 5, 4)) AS BIGINT) % 1080 + 1 AS height,
+  substr(md5(text), 1, 16) AS phash
+FROM documents
+"""
+
+
+@register("q43_image_features", Q43_SQL)
 def q43_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The real mapInPandas pipeline over synthesized binary payloads."""
+    """The real mapInPandas pipeline over synthesized binary payloads.
+
+    Upgraded rows-only → oracle (late round 3): on text-byte payloads
+    every value the Arrow pipeline emits is md5-derived (the
+    deterministic-fake contract), so the worker-side Python path is now
+    hash-verified end to end against plain SQL — batch iteration, UDF
+    plumbing and all. Real image bytes take the REAL decode branches,
+    which the byte-fixture pytests pin.
+    """
     return extract_image_features(
         documents_as_blobs(spark, sf_dir).select("doc_id", "payload")
     )
