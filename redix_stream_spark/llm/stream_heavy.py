@@ -37,6 +37,11 @@ from .text import HH_K, MG_COUNTERS
 #: total-row marker: tokens cannot be empty strings in tokenized text.
 _TOTAL = ""
 
+#: hard budget of LOSSY compaction reduces before the cumulative
+#: undercount — (1 + budget)·N/(MG_COUNTERS+1) — could reach the N/HH_K
+#: detection threshold. For MG_COUNTERS = 4·HH_K this is 3.
+COMPACT_BUDGET = (MG_COUNTERS + 1) // HH_K - 1
+
 
 def _mg_partial(batches, k: int = MG_COUNTERS):
     """Per-partition MG summary WITH residual counts + a total row."""
@@ -99,9 +104,12 @@ class StreamingHeavyHitters:
         """(token, cnt_lower): merged sketch counts — a SUPERSET of every
         token above the global 1/HH_K threshold, with cnt_lower a lower
         bound on the true count. Undercount ≤ N/(4·HH_K+1) from the
-        partition sketches plus N/(4·HH_K+1) per compaction reduce —
-        2N/(4·HH_K+1) < N/HH_K, so a true heavy hitter's merged count
-        stays positive and the superset guarantee survives compaction."""
+        partition sketches plus N/(4·HH_K+1) per LOSSY compaction reduce;
+        losses ACCUMULATE, so the superset guarantee holds only while
+        (1 + lossy_reduces)·N/(4·HH_K+1) < N/HH_K. ``compact()`` counts
+        its lossy reduces in durable state and refuses to exceed
+        ``COMPACT_BUDGET`` — within budget, a true heavy hitter's merged
+        count stays positive; there is no silent breach."""
         return (
             self._read_partials()
             .filter(F.col("token") != _TOTAL)
@@ -124,13 +132,38 @@ class StreamingHeavyHitters:
             .filter(F.col("n_occ") * HH_K > F.lit(n_total))
         )
 
+    def _lossy_reduces(self) -> int:
+        path = os.path.join(self.state_dir, "lossy_reduces.txt")
+        if not os.path.exists(path):
+            return 0
+        with open(path) as fh:
+            return int(fh.read().strip() or 0)
+
+    def _record_lossy_reduce(self) -> None:
+        path = os.path.join(self.state_dir, "lossy_reduces.txt")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(self._lossy_reduces() + 1))
+        os.replace(tmp, path)
+
     def compact(self, reduce_to: int = MG_COUNTERS) -> None:
         """Fold all epoch partials into epoch=0 (staged swap) and
         MG-reduce the folded summary to ``reduce_to`` counters, so state
         stays one bounded summary regardless of epoch count. The reduce
         is the mergeable-summaries step: subtract the (size−k)-th
         smallest count from every counter, drop non-positives — survivors
-        ≤ k, per-counter loss bounded exactly like the batch sketch."""
+        ≤ k, per-counter loss bounded exactly like the batch sketch.
+
+        Reduce loss ACCUMULATES across compactions: each lossy reduce
+        adds up to N/(k+1) undercount on top of the partition sketches'
+        N/(k+1), so after (k+1)/HH_K − 1 lossy reduces the cumulative
+        loss could reach the N/HH_K detection threshold and silently
+        break the no-false-negative contract. A durable counter
+        (``lossy_reduces.txt``, epoch-state discipline) enforces a hard
+        budget of ``COMPACT_BUDGET`` lossy reduces; past it, compact()
+        raises — rebuild the sketch from the log (``verify_exact``'s
+        input) to reset. A fold that fits within ``reduce_to`` applies
+        no cut, loses nothing, and consumes no budget."""
         merged = (
             self._read_partials()
             .groupBy("token")
@@ -140,6 +173,14 @@ class StreamingHeavyHitters:
         rest = merged.filter(F.col("token") != _TOTAL)
         n = rest.count()
         if n > reduce_to:
+            if self._lossy_reduces() >= COMPACT_BUDGET:
+                merged.unpersist()
+                raise RuntimeError(
+                    f"compaction budget exhausted ({COMPACT_BUDGET} lossy "
+                    "reduces): another cut could push cumulative undercount "
+                    "past the N/HH_K threshold and lose a true heavy hitter; "
+                    "rebuild the sketch from the accumulated log instead"
+                )
             cut = (
                 rest.orderBy("cnt").limit(n - reduce_to).agg(F.max("cnt")).head()[0]
             )
@@ -150,6 +191,10 @@ class StreamingHeavyHitters:
         staging = os.path.join(self.state_dir, "_staging_compact")
         folded.write.mode("overwrite").parquet(staging)
         merged.unpersist()
+        if n > reduce_to:
+            # record BEFORE the swap: a crash between record and swap
+            # wastes budget (safe direction) rather than undercounting it
+            self._record_lossy_reduce()
         for name in os.listdir(self.state_dir):
             if name.startswith("epoch="):
                 shutil.rmtree(os.path.join(self.state_dir, name))

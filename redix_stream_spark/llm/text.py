@@ -1062,12 +1062,20 @@ def q131_token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     salting beyond).
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens()
+    # Single-token guard: size-1 = 0 would make sequence(1, 0) default to
+    # step -1 and emit [1, 0] — two phantom rows with a NULL token that the
+    # oracle's range(1, LEN) (empty when LEN=1) never produces. Filter the
+    # degenerate docs out BEFORE building the index sequence.
     bigr = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1),"
-        " i -> struct(split(text, ' ')[i - 1] as w1, split(text, ' ')[i] as w2))"
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> struct(toks[i - 1] as w1, toks[i] as w2))"
     )
-    bi = d.select(F.explode(bigr).alias("b")).select("b.w1", "b.w2")
+    bi = (
+        d.select(F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(F.explode(bigr).alias("b"))
+        .select("b.w1", "b.w2")
+    )
     uni = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("n_w1"))
     return (
         bi.groupBy("w1", "w2")

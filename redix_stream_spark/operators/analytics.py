@@ -688,15 +688,15 @@ WITH ordered AS (
   FROM events
 ),
 changes AS (
-  SELECT user_id, event_type, ts FROM ordered
+  SELECT user_id, event_type, ts, event_id FROM ordered
   WHERE prev_type IS NULL OR prev_type <> event_type
 )
 SELECT
   user_id,
   event_type,
   ts AS effective_from,
-  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS effective_to,
-  CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS BIGINT)
+  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+  CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS BIGINT)
     AS is_current
 FROM changes
 """
@@ -722,27 +722,36 @@ def q122_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort. The changes filter collapses the relation to state-change rows
     before the second window.
     """
-    return scd2_intervals(load_table(spark, sf_dir, "events"))
+    return scd2_intervals(load_table(spark, sf_dir, "events")).drop("event_id")
 
 
 def scd2_intervals(e: DataFrame) -> DataFrame:
-    """Core of q122 over any (user_id, event_type, ts, event_id) frame."""
+    """Core of q122 over any (user_id, event_type, ts, event_id) frame.
+
+    Both windows order by (ts, event_id): ordering the second window by
+    ts alone leaves the interval assignment underdetermined when a user
+    has two state changes at a tied ts — the engines could disagree.
+    event_id (the id of the interval-opening event) rides along in the
+    output so incremental consumers (StreamingScd2View) keep the exact
+    tie-break key without a lossy recovery join; q122 drops it.
+    """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         e.select(
             "user_id",
             "event_type",
             "ts",
+            "event_id",
             F.lag("event_type").over(w).alias("prev_type"),
         )
         .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
         .drop("prev_type")
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
-    eff_to = F.lead("ts").over(w2)
+    eff_to = F.lead("ts").over(w)
     return changes.select(
         "user_id",
         "event_type",
+        "event_id",
         F.col("ts").alias("effective_from"),
         eff_to.alias("effective_to"),
         eff_to.isNull().cast("long").alias("is_current"),
@@ -759,14 +768,20 @@ WITH ranked AS (
   FROM lineitem
 ),
 mids AS (
-  SELECT l_returnflag, n, l_quantity
+  SELECT l_returnflag, n,
+         -- weight = how many of the two middle ranks this row holds: for
+         -- odd n the ranks coincide and the single middle row must count
+         -- TWICE (the Spark face's has_lo + has_hi double-count); selecting
+         -- it once would halve the median.
+         l_quantity * (CAST(rk = (n + 1) // 2 AS INT) + CAST(rk = n // 2 + 1 AS INT))
+           AS weighted_qty
   FROM ranked
   WHERE rk = (n + 1) // 2 OR rk = n // 2 + 1
 )
 SELECT
   l_returnflag,
   CAST(MAX(n) AS BIGINT) AS n_rows,
-  CAST(CAST(SUM(l_quantity) AS DOUBLE) * 0.5 AS DOUBLE) AS median_qty
+  CAST(CAST(SUM(weighted_qty) AS DOUBLE) * 0.5 AS DOUBLE) AS median_qty
 FROM mids
 GROUP BY l_returnflag
 """
@@ -893,18 +908,18 @@ def q126_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q127_SQL = """
 WITH ordered AS (
-  SELECT user_id, event_type, ts,
+  SELECT user_id, event_type, ts, event_id,
          LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev_type
   FROM events
 ),
 changes AS (
-  SELECT user_id, event_type, ts FROM ordered
+  SELECT user_id, event_type, ts, event_id FROM ordered
   WHERE prev_type IS NULL OR prev_type <> event_type
 ),
 iv AS (
   SELECT user_id, event_type, ts AS f,
-         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS t
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
   FROM changes
 ),
 err AS (
@@ -1132,18 +1147,18 @@ def q129_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q127B_SQL = """
 WITH ordered AS (
-  SELECT user_id, event_type, ts,
+  SELECT user_id, event_type, ts, event_id,
          LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev_type
   FROM events
 ),
 changes AS (
-  SELECT user_id, event_type, ts FROM ordered
+  SELECT user_id, event_type, ts, event_id FROM ordered
   WHERE prev_type IS NULL OR prev_type <> event_type
 ),
 iv AS (
   SELECT user_id, event_type, ts AS f,
-         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS t
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
   FROM changes
 ),
 err AS (

@@ -10,6 +10,8 @@ always declares its schema (``infer=True`` exists for exploration only).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 _FORMATS = ("parquet", "orc", "json", "csv")
@@ -77,9 +79,30 @@ GROUP BY CAST(date_trunc('hour', ts) AS TIMESTAMP), event_type
 """
 
 
-def _register_query() -> None:
+def _scratch(prefix: str) -> str:
+    """Deterministic scratch dir for round-trip faces: one fixed path per
+    prefix (``write.mode("overwrite")`` makes reuse safe), with any
+    leftover ``mkdtemp``-era ``{prefix}*`` siblings from prior runs swept
+    on entry — repeated correctness/bench drives must not leak disk.
+
+    The dir intentionally OUTLIVES the query call: the returned DataFrame
+    is lazy and the driver collects it later, so the files must still
+    exist at action time. Bounded (one copy per prefix), not leaked.
+    """
+    import shutil
     import tempfile
 
+    base = tempfile.gettempdir()
+    keep = os.path.join(base, f"{prefix}scratch")
+    for name in os.listdir(base):
+        p = os.path.join(base, name)
+        if name.startswith(prefix) and p != keep:
+            shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(keep, exist_ok=True)
+    return keep
+
+
+def _register_query() -> None:
     from pyspark.sql import functions as F
 
     from ..catalog import load_table
@@ -102,7 +125,7 @@ def _register_query() -> None:
             "value",
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
         )
-        tmp = tempfile.mkdtemp(prefix="q111_jsonl_")
+        tmp = _scratch("q111_jsonl_")
         e.write.mode("overwrite").json(tmp)
         back = read_any(
             spark,
@@ -144,8 +167,8 @@ def _register_query() -> None:
         orc_half = e.filter(F.col("event_id") % 2 == 1).select(
             "event_id", "user_id", "event_type", "value", "ts"
         )
-        tmp_csv = tempfile.mkdtemp(prefix="q132_csv_")
-        tmp_orc = tempfile.mkdtemp(prefix="q132_orc_")
+        tmp_csv = _scratch("q132_csv_")
+        tmp_orc = _scratch("q132_orc_")
         csv_half.write.mode("overwrite").option("header", "true").csv(tmp_csv)
         orc_half.write.mode("overwrite").orc(tmp_orc)
         back_csv = (

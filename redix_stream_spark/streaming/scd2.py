@@ -87,19 +87,15 @@ class StreamingScd2View:
             F.col("effective_to"),
         )
         # open = recomputed rows for affected users + carried rows for the
-        # rest. The open interval's event_id must survive for future
-        # tie-breaks: recover it by joining back on (user, from).
-        new_open = (
-            iv.filter(F.col("effective_to").isNull())
-            .select("user_id", "event_type", F.col("effective_from").alias("ts"))
-            .join(
-                replay.select("user_id", F.col("ts"), "event_id"),
-                ["user_id", "ts"],
-            )
-            # ts ties across events: the run's first event is the minimum
-            # id at that ts (scd2's (ts, event_id) order)
-            .groupBy("user_id", "event_type", "ts")
-            .agg(F.min("event_id").alias("event_id"))
+        # rest. scd2_intervals carries the interval-opening event_id
+        # through, so the open interval keeps its exact tie-break key —
+        # no recovery join (which, on (user, ts) alone, could attach the
+        # wrong event's id under a ts tie).
+        new_open = iv.filter(F.col("effective_to").isNull()).select(
+            "user_id",
+            "event_type",
+            F.col("effective_from").alias("ts"),
+            "event_id",
         )
         untouched = open_prev.join(affected, "user_id", "left_anti").select(
             "user_id", "event_type", "ts", "event_id"
