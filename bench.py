@@ -46,6 +46,8 @@ BIG_HEADLINE = [
     "q83_repetition_quality",
     "q84_decontamination",
     "q107_containment_dup",
+    "q121b_pq_ann_production",
+    "q06b_range_join_agg",
 ]
 
 #: Representative spread: scan-agg, star join, range/as-of join, windows,
@@ -97,6 +99,10 @@ HEADLINE = [
     "q120_heavy_hitters",
     "q127_interval_overlap",
     "q127b_interval_overlap_agg",
+    # round-4 adds: production-width PQ (m=16/k=256 byte codes), the
+    # range-join aggregate face.
+    "q121b_pq_ann_production",
+    "q06b_range_join_agg",
 ]
 
 

@@ -41,14 +41,30 @@ from pyspark.sql.window import Window
 from ..catalog import load_table
 from ..registry import register
 
-PQ_M = 8  # subvectors
-PQ_K = 16  # centroids per subspace (4-bit codes) — demo width; prod: 256
+PQ_M = 8  # subvectors (demo width)
+PQ_K = 16  # centroids per subspace (4-bit codes) — demo width
+#: production width: byte codes (k=256) over m=16 subspaces — the Jégou
+#: IVFADC operating point. Verified: q121b runs this width end-to-end,
+#: recall vs exact q40 is pytest-pinned at BOTH widths (test_llm.py), and
+#: the bench headline carries a recorded baseline for it.
+PQ_M_PROD = 16
+PQ_K_PROD = 256
 PQ_SAMPLE = 4096  # codebook training sample (bounded driver transfer)
 
 
 def _normalize(v: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(v, axis=-1, keepdims=True)
     return v / np.where(n == 0, 1.0, n)
+
+
+def _assign_codes(sub: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """argmin_c ||sub − cent_c||² via the expanded form — an (n, k)
+    matmul instead of an (n, k, dsub) broadcast cube, which at the
+    production width (k=256) is the difference between a 33 MB temp per
+    subspace-iteration and a few-hundred-KB one. ||sub||² is constant
+    per row, so the argmin only needs −2·sub@centᵀ + ||cent||²."""
+    d2 = -2.0 * (sub @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+    return d2.argmin(axis=1)
 
 
 def fit_pq(
@@ -76,17 +92,23 @@ def fit_pq(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
+    # tiny-frame guard: k centroids need k distinct seed rows; a sample
+    # smaller than k clamps the codebook (codes stay dense in [0, k))
+    k = min(k, x.shape[0])
     books = np.empty((m, k, dsub))
     for j in range(m):
         sub = x[:, j * dsub : (j + 1) * dsub]
         cent = sub[:k].copy()
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
-            for c in range(k):
-                mask = assign == c
-                if mask.any():
-                    cent[c] = sub[mask].mean(axis=0)
+            assign = _assign_codes(sub, cent)
+            # vectorized Lloyd update: scatter-add instead of a k-loop of
+            # masked means (k=256 × 12 iters × 16 subspaces would be 49k
+            # mask scans at production width)
+            sums = np.zeros_like(cent)
+            np.add.at(sums, assign, sub)
+            counts = np.bincount(assign, minlength=k).astype(np.float64)
+            occupied = counts > 0
+            cent[occupied] = sums[occupied] / counts[occupied, None]
         books[j] = cent
     return books
 
@@ -108,8 +130,7 @@ def encode_pq(
             codes = np.empty((len(pdf), m), dtype=np.int64)
             for j in range(m):
                 sub = v[:, j * dsub : (j + 1) * dsub]
-                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = d2.argmin(axis=1)
+                codes[:, j] = _assign_codes(sub, books[j])
             yield pd.DataFrame({id_col: pdf[id_col].values, "codes": list(codes)})
 
     ship_package(df.sparkSession)
@@ -179,6 +200,29 @@ def q121_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape are in the module docstring."""
     emb = load_table(spark, sf_dir, "embeddings")
     books = fit_pq(emb)
+    qv = np.array(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0],
+        dtype=np.float64,
+    )
+    return pq_topk(emb, books, qv, k=10, shortlist=50, exclude_id=0)
+
+
+@register("q121b_pq_ann_production")  # rows-only: quantization is approximate
+def q121b_pq_ann_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q121 at the PRODUCTION codebook width — m=16 subspaces × k=256
+    byte codes (the Jégou IVFADC operating point) instead of the m=8/k=16
+    demo width. Same probe protocol (vec_id 0, self excluded, 50-row
+    shortlist, exact cosine re-rank), so the two faces are directly
+    comparable: recall vs the exact q40 ranking is pytest-pinned at both
+    widths, and this face carries its own bench baseline — the same
+    evidence standard q36b set for production-width MinHash.
+
+    Scale note: 16 byte-codes/vector is 192× smaller than the 3 KB
+    float32 768-dim production embedding; the ADC scan stays codes-only
+    (the q121 plan), so probe cost scales with code bytes, not vector
+    bytes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = fit_pq(emb, m=PQ_M_PROD, k=PQ_K_PROD)
     qv = np.array(
         emb.filter(F.col("vec_id") == 0).select("embedding").head()[0],
         dtype=np.float64,

@@ -265,6 +265,70 @@ def q06_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q06B_SQL = """
+WITH pe AS (
+  SELECT user_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN CURRENT ROW AND INTERVAL 1 HOUR FOLLOWING)
+           AS range_cnt,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+  FROM events
+)
+SELECT user_id, CAST(SUM(range_cnt - rn) AS BIGINT) AS n_pairs
+FROM pe
+GROUP BY user_id
+"""
+
+
+@register("q06b_range_join_agg", Q06B_SQL)
+def q06b_range_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q06's scale face: the same per-user 1-hour-forward pair counts
+    computed with a RANGE-frame window instead of a self-join — the q127b
+    lesson applied to the range join. q06's join emits every qualifying
+    pair before aggregating, so its cost is quadratic in per-window event
+    density (measured 17× at the 10× replica, SCALING.md); this face
+    scans each user's timeline ONCE: for event a, the frame
+    [ts, ts + 1h] counts candidates, and subtracting a's rank among its
+    exact-ts ties leaves exactly the events strictly after it in
+    (ts, event_id) order. One shuffle on user_id, zero joins, linear in
+    events — flat growth at any pair density.
+
+    Pair order is (ts, event_id) lexicographic — the replay delivery
+    order — where q06 uses raw event_id order; the two agree whenever
+    per-user ids are ts-monotone (true of this event log and of any
+    log-ordered id scheme; q06 remains the literal-id face).
+    """
+    e = load_table(spark, sf_dir, "events")
+    # ntz-safe epoch micros for the numeric range frame (unix_micros
+    # rejects TIMESTAMP_NTZ; the zorder timestampdiff idiom)
+    us = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', ts)")
+    # all three windows partition by user_id ALONE (a (user_id, ts)
+    # tie-rank window would force a second exchange): the tie position is
+    # row_number over (us, event_id) minus the count of strictly-earlier
+    # timestamps — one shuffle, two partition-local sorts.
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(0, 3_600_000_000)
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wn = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pe = e.select("user_id", "event_id", us.alias("us")).select(
+        "user_id",
+        F.count(F.lit(1)).over(wr).alias("range_cnt"),
+        F.count(F.lit(1)).over(wb).alias("n_before"),
+        F.row_number().over(wn).alias("rnk"),
+    )
+    contrib = F.col("range_cnt") - (F.col("rnk") - F.col("n_before"))
+    return pe.groupBy("user_id").agg(
+        F.sum(contrib).cast("long").alias("n_pairs")
+    )
+
+
 Q07_SQL = """
 SELECT
   p.event_id AS purchase_id,

@@ -62,107 +62,74 @@ def _load() -> None:
 # back (they stay regression-guarded by tests/test_oracle.py, which sweeps
 # ALL oracle-backed queries locally). Names not listed here keep their
 # registration order after the listed ones.
-# Window policy: a query needs ONE green driver row, ever. Across r1+r2,
-# 97/99 queries have rows; the round-3 window leads with the only
-# never-checked names — q92/q93 (the shape twins rotated out in r2), the
-# new q36b production-width MinHash, the new q38b weighted SimHash, and the
-# new round-3 operators (q99 passage dedup, q100 dup-ngram fraction, q101
-# mixture sample) — plus q36, whose pipeline was refactored this round. The
-# remaining slots re-verify the LLM-pipeline and TPC-H surface
-# (highest-value regression faces); the eight rotated out (q89–q91,
-# q94–q98) are r2-green with permanent rows.
+# Window policy: a query needs ONE green driver row, ever. After r1–r3
+# every registered query has a row (union = 140/140). The round-4 window
+# leads with: q42/q43, whose UPGRADED oracles (float-LSH, Arrow-decode)
+# landed after the r3 sweep and have only judge-side verification
+# (VERDICT r03 item 1); the two new round-4 faces (q06b window-aggregate
+# range join, q121b production-width PQ); and the seven queries whose
+# oracle SQL or Spark face changed with the round-4 ADVICE fixes
+# (odd-median weighting, bigram guard, (ts, event_id) tie-breaks,
+# scratch-dir ingest). The remaining slots re-verify the r1 relational
+# core (q01–q29 family, last checked in round 1) as rotating regression
+# faces. Rotated out this round: the 39 r3-green names q92–q133 etc.,
+# all with permanent CORRECTNESS_r03 rows (tests/test_registry_order.py
+# R3_CHECKED).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (r3 closes the full sweep) --
-    "q92_forecast_revenue",
-    "q93_promo_revenue",
-    "q36b_minhash_production",
-    "q38b_simhash_weighted",
-    "q99_passage_dedup",
-    "q100_dup_ngram_fraction",
-    "q101_mixture_sample",
-    "q41b_embedding_neardup_fast",
-    "q102_semantic_dedup",
-    "q103_gapfill",
-    "q104_decayed_avg",
-    "q105_matview_rollup",
-    "q106_latest_state",
-    "q107_containment_dup",
-    "q108_source_drift",
-    "q109_sliding_distinct",
-    "q109b_sliding_distinct_hll",
-    "q110_rate_anomaly",
-    "q111_jsonl_roundtrip",
-    "q112_quality_report",
-    "q113_fuzzy_join",
-    "q114_ohlc_bars",
-    "q115_event_transitions",
-    "q116_bloom_decontaminate",
-    "q117_boilerplate_passages",
-    "q118_leakage_safe_split",
-    "q119_zorder_key",
-    "q119b_hilbert_key",
-    "q120_heavy_hitters",
-    "q121_pq_ann_topk",
+    # -- oracle upgraded post-r3-sweep; judge-verified, needs a driver row --
+    "q42_ann_lsh_topk",
+    "q43_image_features",
+    # -- new in round 4 --
+    "q06b_range_join_agg",
+    "q121b_pq_ann_production",
+    # -- oracle/face changed by the round-4 ADVICE fixes --
     "q122_scd2_history",
-    "q123_phrase_search",
     "q124_exact_group_median",
-    "q125_compression_ratio",
-    "q126_histogram",
     "q127_interval_overlap",
-    "q128_cooccurrence_lift",
-    "q129_cohort_matrix",
-    "q130_corpus_report",
-    "q131_token_bigrams",
     "q127b_interval_overlap_agg",
+    "q131_token_bigrams",
+    "q111_jsonl_roundtrip",
     "q132_csv_orc_roundtrip",
-    "q133_interevent_gaps",
-    # -- refactored this round (shared pipeline with q36b) --
-    "q36_minhash_lsh_neardup",
-    # -- LLM-pipeline surface (r2 rows; re-verified as regression faces) --
-    "q35_shingle_fingerprint",
-    "q37_ngram_jaccard_dup",
-    "q38_simhash",
-    "q39_multimodal_meta",
-    "q40_cosine_topk",
-    "q41_embedding_neardup",
-    # (q42/q43/q43b rotated out mid-r3: rows-only faces with permanent
-    # driver rows; their recall/decode semantics are pytest-pinned.)
-    # (q54 rotated out late-r3 for q133: r2-green with a permanent row;
-    # the pandas-UDF surface stays bench- and pytest-covered.)
-    # (q55/q56 rotated out mid-r3: the rowwise bench foil and the
-    # rows-only grouped-map face, both with permanent rows.)
-    # (q57 rotated out mid-r3: rows-only with a permanent row.)
-    # (q58/q59 rotated out late-r3 for q124/q125: both r2-green with
-    # permanent rows; the scrub/count expressions are oracle-swept by
-    # tests/test_oracle.py.)
-    # (q52 rotated out mid-r3: rows-only with a permanent row.)
-    # (q64/q31 rotated out late-r3 for q121/q126: r1/r2-green with
-    # permanent rows; their TakeOrdered shapes are plan-asserted.)
-    # (q23b/q67/q68 rotated out late-r3 for q122/q123/q127: all r2-green
-    # with permanent rows; replay and the outer-join family stay
-    # pytest- and plan-guarded.)
-    # (q80 rotated out late-r3 for q132: r2-green with a permanent row;
-    # its label-propagation pipeline runs in-window inside q118.)
-    # (q81 rotated out late-r3 for q127b: r2-green with a permanent row;
-    # its composite stays exercised by the streaming corpus cleaner
-    # pytest and the in-window q130 signals.)
-    # (q82 rotated out late-r3 for q130: r2-green with a permanent row;
-    # its freq-join guidance stays measured in SCALING.md.)
-    # (q84 rotated out late-r3 for q131: r2-green with a permanent row;
-    # its broadcast-inventory shape stays in-window via q116 and q130.)
-    # (q83 rotated out late-r3 for q129: r2-green with a permanent row;
-    # its no-cartesian/no-global-exchange shape is plan-asserted.)
-    # (q85 rotated out late-r3 for q128: r2-green with a permanent row;
-    # the md5-bucket split expression stays in-window via q118.)
-    # (q86 rotated out late-r3 for q119b: r2-green with a permanent row;
-    # plan-asserted WindowGroupLimit keeps its shape guarded.)
-    # (q87/q88 rotated out late-r3 for q119/q120: both r2-green with
-    # permanent rows; q88's WindowGroupLimit shape stays in-window via
-    # q101, q87's grouped-map shape via the pytest suite.)
-    # (q53 rotated out mid-r3: rows-only with a permanent row; the HLL
-    # surface is re-exercised in-window by q109b and pytest-tracked.)
-    # -- TPC-H breadth (q70–q79 rotated out mid-r3 for the new session
-    # operators q102–q118; all ten are r1/r2-green with permanent rows) --
+    # -- r1-green relational core, re-verified as regression faces --
+    "q60_funnel",
+    "q61_retention",
+    "q44_window_frames",
+    "q45_string_null_fns",
+    "q46_array_ops",
+    "q47_correlation",
+    "q48_string_agg",
+    "q49_bitwise_misc",
+    "q65_unpivot",
+    "q66_multiset_ops",
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_star_join_revenue",
+    "q04_semi_join",
+    "q05_anti_join",
+    "q06_range_join",
+    "q07_asof_join",
+    "q08_agg_orders",
+    "q09_distinct_users",
+    "q10_rollup_orders",
+    "q11_cube_events",
+    "q12_grouping_sets",
+    "q13_window_topk_per_group",
+    "q14_window_analytic",
+    "q15_top_global",
+    "q16_set_ops",
+    "q17_scalar_string_math",
+    "q18_scalar_datetime",
+    "q19_json_props",
+    "q29_map_ops",
+    "q50_full_outer_join",
+    "q67_left_outer_join",
+    "q68_right_outer_join",
+    "q62_forecast_revenue",
+    "q63_promo_ratio",
+    "q26_percentiles",
+    "q27_moment_stats",
+    "q28_pivot_events",
+    "q23_stream_replay",
 )
 
 

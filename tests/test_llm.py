@@ -1148,3 +1148,91 @@ def test_ivf_pq_composition_recall_and_codes_only_scan(spark, tmp_path):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema and "embedding" not in read_schema[0], read_schema
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_pq_production_width_recall_and_code_shape(spark):
+    # The production operating point — m=16 subspaces x k=256 byte codes
+    # (Jégou IVFADC) — carries the same evidence as the demo width:
+    # codebook shape, codes actually USING the byte range (not a widened
+    # config quantizing like the demo one), recall vs exact q40 at least
+    # matching the demo face's bar, and deterministic refit.
+    import numpy as np
+
+    from redix_stream_spark.catalog import load_table
+    from redix_stream_spark.llm.pq import (
+        PQ_K_PROD,
+        PQ_M_PROD,
+        encode_pq,
+        fit_pq,
+    )
+    from redix_stream_spark.registry import all_queries
+
+    sf_mid = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf_mid, "embeddings")
+    books = fit_pq(emb, m=PQ_M_PROD, k=PQ_K_PROD)
+    assert books.shape == (PQ_M_PROD, PQ_K_PROD, 64 // PQ_M_PROD)
+    codes = np.array(
+        [r["codes"] for r in encode_pq(emb, books).collect()]
+    )
+    assert codes.shape[1] == PQ_M_PROD
+    assert codes.min() >= 0 and codes.max() < PQ_K_PROD
+    # the byte range is genuinely exercised: far more than the demo
+    # width's 16 distinct codes appear
+    assert len(np.unique(codes)) > 128, len(np.unique(codes))
+
+    Q = all_queries()
+    exact = [r["vec_id"] for r in Q["q40_cosine_topk"](spark, sf_mid).collect()]
+    prod = [
+        r["vec_id"]
+        for r in Q["q121b_pq_ann_production"](spark, sf_mid).collect()
+    ]
+    assert len(prod) == 10
+    # measured 10/10 at sf0.01 (demo width: 7/10); pin above the demo bar
+    assert len(set(exact) & set(prod)) >= 8, (exact, prod)
+    assert (fit_pq(emb, m=PQ_M_PROD, k=PQ_K_PROD) == books).all()
+
+
+def test_ivf_pq_production_width_lifecycle(spark, tmp_path):
+    # IVF-PQ at production codebook width: fit + 2-epoch ingest + probe,
+    # with the codes-only scan shape preserved (ReadSchema free of the
+    # embedding column) and recall at the composition's bar.
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from redix_stream_spark.catalog import load_table
+    from redix_stream_spark.llm.pq import PQ_K_PROD, PQ_M_PROD, IvfPqIndex
+    from redix_stream_spark.registry import all_queries
+
+    sf_mid = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf_mid, "embeddings")
+    idx = IvfPqIndex(
+        str(tmp_path / "ivfpq_books"), str(tmp_path / "ivfpq_index")
+    )
+    idx.fit(emb, cells=8, m=PQ_M_PROD, k=PQ_K_PROD)
+    assert idx.books().shape == (PQ_M_PROD, PQ_K_PROD, 64 // PQ_M_PROD)
+    idx.ingest_batch(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    idx.ingest_batch(emb.filter(F.col("vec_id") % 2 == 1), 1)
+
+    qv = np.array(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0],
+        dtype=np.float64,
+    )
+    got = [
+        r["vec_id"]
+        for r in idx.query(
+            spark, qv, k=10, nprobe=3, shortlist=50, exclude_id=0
+        ).collect()
+    ]
+    exact = [
+        r["vec_id"]
+        for r in all_queries()["q40_cosine_topk"](spark, sf_mid).collect()
+    ]
+    assert len(got) == 10
+    assert len(set(exact) & set(got)) >= 8, (exact, got)
+
+    scored = idx.adc_scored(spark, qv, nprobe=3)
+    plan = scored._sc._jvm.PythonSQLUtils.explainString(
+        scored._jdf.queryExecution(), "formatted"
+    )
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "embedding" not in read_schema[0], read_schema

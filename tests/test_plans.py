@@ -477,3 +477,18 @@ def test_q127_interval_overlap_is_binned_equi_join(spark, sf_dir):
     plan = plan_of(QUERIES["q127_interval_overlap"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q06b_aggregate_face_no_join_single_exchange(spark, sf_dir):
+    # q06b replaces q06's self-join with range-frame windows: the plan
+    # must contain NO join of any kind and exactly one Exchange (all
+    # three windows and the final aggregate share hashpartitioning on
+    # user_id — a second exchange means a window spec regressed to a
+    # (user_id, ts) partitioning).
+    plan = plan_of(QUERIES["q06b_range_join_agg"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    exchanges = [
+        l for l in plan.splitlines()
+        if l.strip().startswith("Arguments: hashpartitioning")
+    ]
+    assert len(exchanges) == 1, exchanges

@@ -290,3 +290,22 @@ def test_morton_and_hilbert_recurrences_are_bijective_space_filling():
             for d in range(n * n - 1)
         )
         assert adjacent == must_be_adjacent
+
+
+def test_q06b_window_face_equals_q06_join_face(spark, sf_dir):
+    # The windowed aggregate face must reproduce the join face exactly on
+    # any log whose per-user event ids are ts-monotone (this one). Guards
+    # the rank-subtraction identity: range_cnt - (rnk - n_before) counts
+    # precisely the events strictly after (ts, event_id) within the hour.
+    from redix_stream_spark.registry import all_queries
+
+    Q = all_queries()
+    a = {
+        r["user_id"]: r["n_pairs"]
+        for r in Q["q06_range_join"](spark, sf_dir).collect()
+    }
+    b = {
+        r["user_id"]: r["n_pairs"]
+        for r in Q["q06b_range_join_agg"](spark, sf_dir).collect()
+    }
+    assert a == b and a

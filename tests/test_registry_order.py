@@ -11,18 +11,21 @@ from __future__ import annotations
 from redix_stream_spark import registry
 
 MUST_BE_IN_WINDOW = {
-    # Never driver-checked before round 3 (VERDICT r02 #2/#3): the two
-    # shape twins rotated out in r2, and the new production-width MinHash.
-    "q92_forecast_revenue",
-    "q93_promo_revenue",
-    "q36b_minhash_production",
-    "q38b_simhash_weighted",
-    "q99_passage_dedup",
-    "q100_dup_ngram_fraction",
-    "q101_mixture_sample",
-    "q41b_embedding_neardup_fast",
-    # Pipeline refactored in round 3 (shared helper with q36b).
-    "q36_minhash_lsh_neardup",
+    # Oracles upgraded AFTER the r3 sweep (judge-verified only — VERDICT
+    # r03 item 1 requires driver rows in r4).
+    "q42_ann_lsh_topk",
+    "q43_image_features",
+    # New round-4 faces.
+    "q06b_range_join_agg",
+    "q121b_pq_ann_production",
+    # Oracle SQL or Spark face changed by the round-4 ADVICE fixes.
+    "q122_scd2_history",
+    "q124_exact_group_median",
+    "q127_interval_overlap",
+    "q127b_interval_overlap_agg",
+    "q131_token_bigrams",
+    "q111_jsonl_roundtrip",
+    "q132_csv_orc_roundtrip",
 }
 
 # The 50 queries the r2 driver window checked (CORRECTNESS_r02 rows —
@@ -48,6 +51,30 @@ R2_CHECKED = {
     "q96_important_parts", "q97_supplier_variety", "q98_promo_part_suppliers",
 }
 
+# The 50 queries the r3 driver window checked (CORRECTNESS_r03 rows —
+# permanent evidence like the r1/r2 rows; 46 hash-green + 4 rows-only).
+R3_CHECKED = {
+    "q100_dup_ngram_fraction", "q101_mixture_sample", "q102_semantic_dedup",
+    "q103_gapfill", "q104_decayed_avg", "q105_matview_rollup",
+    "q106_latest_state", "q107_containment_dup", "q108_source_drift",
+    "q109_sliding_distinct", "q109b_sliding_distinct_hll",
+    "q110_rate_anomaly", "q111_jsonl_roundtrip", "q112_quality_report",
+    "q113_fuzzy_join", "q114_ohlc_bars", "q115_event_transitions",
+    "q116_bloom_decontaminate", "q117_boilerplate_passages",
+    "q118_leakage_safe_split", "q119_zorder_key", "q119b_hilbert_key",
+    "q120_heavy_hitters", "q121_pq_ann_topk", "q122_scd2_history",
+    "q123_phrase_search", "q124_exact_group_median",
+    "q125_compression_ratio", "q126_histogram", "q127_interval_overlap",
+    "q127b_interval_overlap_agg", "q128_cooccurrence_lift",
+    "q129_cohort_matrix", "q130_corpus_report", "q131_token_bigrams",
+    "q132_csv_orc_roundtrip", "q133_interevent_gaps",
+    "q35_shingle_fingerprint", "q36_minhash_lsh_neardup",
+    "q36b_minhash_production", "q37_ngram_jaccard_dup", "q38_simhash",
+    "q38b_simhash_weighted", "q39_multimodal_meta", "q40_cosine_topk",
+    "q41_embedding_neardup", "q41b_embedding_neardup_fast",
+    "q92_forecast_revenue", "q93_promo_revenue", "q99_passage_dedup",
+}
+
 # Queries with a green CORRECTNESS_r01 row — permanent evidence, safe to
 # rotate behind the window (still swept locally by tests/test_oracle.py).
 R1_GREEN = {
@@ -70,11 +97,17 @@ R1_GREEN = {
 
 
 def test_every_query_has_a_driver_row_across_rounds():
-    """The r3 window + the r1/r2 rows must cover every registered query,
-    so that after this round no query has ever gone driver-unchecked
-    (the 99-query sweep becomes 100% with q92/q93/q36b in the window)."""
+    """The r4 window + the r1/r2/r3 rows must cover every registered
+    query, so that after this round no query has ever gone
+    driver-unchecked."""
     window = set(list(registry.all_queries())[:50])
-    uncovered = set(registry.all_queries()) - window - R1_GREEN - R2_CHECKED
+    uncovered = (
+        set(registry.all_queries())
+        - window
+        - R1_GREEN
+        - R2_CHECKED
+        - R3_CHECKED
+    )
     assert not uncovered, f"queries with no driver row in any round: {uncovered}"
 
 
