@@ -22,7 +22,25 @@ driver ever holds is the k×dim codebook. Queries touch nprobe partitions
 regardless of corpus size. Under distribution drift, ``cell_skew``
 monitors occupancy balance and ``refresh`` re-fits the codebook from a
 sample of the current index, rewriting only the cell partitions whose
-membership changed (stable cells are renamed, not rewritten).
+membership changed (stable cells keep their files — zero I/O, not even
+a rename).
+
+Durable layout (object-store-safe — ``streaming.commit``):
+
+    index_path/
+      CURRENT                 pointer: {"cells": {cell: gen}, "folded": [...]}
+      delta/epoch=E/cell=C/   ingest appends (overwrite-per-epoch ⇒
+                              replay-idempotent; appends are new files
+                              only — safe on any store)
+      gen=G/cell=C/           refresh output; immutable once committed
+
+A cell's base rows live entirely in ONE generation dir, named by the
+pointer's per-cell manifest — the Iceberg-style trick that lets refresh
+leave stable cells IN PLACE (their manifest entry keeps the old gen)
+while changed cells land in a new gen, all made visible in one atomic
+pointer swap. ``folded`` lists delta epochs already absorbed into a
+base generation, so a crash between the commit and the lazy delta
+cleanup can never double-count.
 
 Cosine convention matches ``similarity.cosine`` (left-fold dot products)
 so exact re-ranking agrees bit-for-bit with the batch operators.
@@ -31,6 +49,7 @@ so exact re-ranking agrees bit-for-bit with the batch operators.
 from __future__ import annotations
 
 import os
+import shutil
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -38,6 +57,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..session import ship_package
+from ..streaming.commit import GenerationState
 from .similarity import cosine
 
 #: Matches the testdata embeddings table (label is an int cluster id;
@@ -100,6 +120,33 @@ class StreamingIvfIndex:
     def __init__(self, codebook_path: str, index_path: str):
         self.codebook_path = codebook_path
         self.index_path = index_path
+        self._state = GenerationState(index_path)
+
+    # -- durable layout (see module docstring) --------------------------
+
+    @property
+    def _delta_root(self) -> str:
+        return os.path.join(self.index_path, "delta")
+
+    def _cell_manifest(self) -> dict[int, int]:
+        """cell → generation dir holding that cell's base rows."""
+        return {
+            int(c): int(g)
+            for c, g in self._state.meta().get("cells", {}).items()
+        }
+
+    def _folded_epochs(self) -> set[int]:
+        return set(self._state.meta().get("folded", ()))
+
+    def _delta_epoch_dirs(self) -> dict[int, str]:
+        out: dict[int, str] = {}
+        if os.path.isdir(self._delta_root):
+            for name in os.listdir(self._delta_root):
+                if name.startswith("epoch="):
+                    out[int(name.split("=", 1)[1])] = os.path.join(
+                        self._delta_root, name
+                    )
+        return out
 
     # -- one-time codebook fit -----------------------------------------
 
@@ -126,7 +173,10 @@ class StreamingIvfIndex:
     # -- ingest ---------------------------------------------------------
 
     def ingest_batch(self, batch: DataFrame, epoch_id: int = 0) -> None:
-        """Assign cells and append, partitioned by cell (map-only)."""
+        """Assign cells and land the batch in its delta epoch dir,
+        partitioned by cell (map-only). OVERWRITE per epoch: replaying a
+        failed epoch rewrites its own delta instead of double-appending
+        (the matview idempotence discipline)."""
         spark = batch.sparkSession
         # Executor-closure rule (CLAUDE.md): the pandas_udf below runs
         # worker-side; ship the package so workers resolve imports even
@@ -140,9 +190,9 @@ class StreamingIvfIndex:
             batch.select(
                 "vec_id", "label", "embedding", assign("embedding").alias("cell")
             )
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("cell")
-            .parquet(self.index_path)
+            .parquet(os.path.join(self._delta_root, f"epoch={epoch_id}"))
         )
 
     def run(self, vec_stream: DataFrame, checkpoint_dir: str, **trigger):
@@ -155,10 +205,51 @@ class StreamingIvfIndex:
             .start()
         )
 
+    def _empty(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame([], INDEX_SCHEMA)
+
+    def _base_frames(self, spark: SparkSession) -> list[DataFrame]:
+        """One frame per generation dir referenced by the cell manifest,
+        each filtered to the cells the manifest assigns it (an orphan
+        cell dir from a crashed refresh stays invisible). The cell
+        filter is a partition filter — pruning by construction."""
+        manifest = self._cell_manifest()
+        by_gen: dict[int, list[int]] = {}
+        for cell, gen in manifest.items():
+            by_gen.setdefault(gen, []).append(cell)
+        frames = []
+        for gen, cells in sorted(by_gen.items()):
+            d = self._state.gen_dir(gen)
+            frames.append(
+                spark.read.schema(INDEX_SCHEMA)
+                .option("basePath", d)
+                .parquet(d)
+                .filter(F.col("cell").isin(cells))
+            )
+        return frames
+
+    def _delta(self, spark: SparkSession) -> DataFrame:
+        """Unfolded delta epochs (folded ones are already in a base
+        generation and excluded by the pointer's folded set)."""
+        live = {
+            e: d
+            for e, d in self._delta_epoch_dirs().items()
+            if e not in self._folded_epochs()
+        }
+        if not live:
+            return self._empty(spark)
+        return (
+            spark.read.schema("vec_id long, label int, embedding array<float>, epoch int, cell int")
+            .option("basePath", self._delta_root)
+            .parquet(*sorted(live.values()))
+            .select("vec_id", "label", "embedding", "cell")
+        )
+
     def _index(self, spark: SparkSession) -> DataFrame:
-        return spark.read.schema(INDEX_SCHEMA).option(
-            "basePath", self.index_path
-        ).parquet(self.index_path)
+        out = self._empty(spark)
+        for f in self._base_frames(spark):
+            out = out.unionByName(f)
+        return out.unionByName(self._delta(spark))
 
     # -- maintenance: occupancy monitoring + codebook refresh ------------
 
@@ -202,18 +293,19 @@ class StreamingIvfIndex:
            the same Arrow argmax as ingest);
         2. collect the set of cells that lost or gained members (driver
            sees ≤ 2k cell ids, never rows);
-        3. rewrite only those cell partitions (staged next to the index,
-           then swapped in); partitions with no membership change are
-           renamed into the staged layout untouched — zero data rewrite
-           for stable cells.
+        3. write those cells — plus every cell with unfolded delta rows
+           — into a NEW generation dir; stable base cells are not
+           touched at all (their files stay where they are);
+        4. pointer-commit the new per-cell manifest + folded delta
+           epochs in ONE atomic swap (``streaming.commit`` — no
+           directory renames, object-store-safe).
 
-        Queries between batches see either the old or the new complete
-        index (same swap discipline as ``StreamingNearDupFilter.
-        compact_index``). Run between drains, like compaction. Returns
+        Queries between batches resolve the pointer and see either the
+        old or the new complete index; a crash anywhere leaves orphan
+        files that the committed manifest never references (cleaned
+        lazily here). Run between drains, like compaction. Returns
         {"n_moved", "cells_rewritten", "cells_kept"}.
         """
-        import shutil
-
         ship_package(spark)
         if k is None:
             k = self.centroids(spark).count()
@@ -237,40 +329,55 @@ class StreamingIvfIndex:
             .collect()
         )
         changed = {r["old_cell"] for r in moved} | {r["cell"] for r in moved}
-        all_cells = {
-            r["cell"] for r in idx.select("cell").distinct().collect()
+        delta_live = {
+            e: d
+            for e, d in self._delta_epoch_dirs().items()
+            if e not in self._folded_epochs()
         }
-        staged = self.index_path.rstrip("/") + ".refresh"
-        shutil.rmtree(staged, ignore_errors=True)
+        delta_cells = (
+            {
+                r["cell"]
+                for r in self._delta(spark).select("cell").distinct().collect()
+            }
+            if delta_live
+            else set()
+        )
+        # a cell must be rewritten if membership changed OR it holds
+        # delta rows being folded; everything else keeps its files
+        rewrite = changed | delta_cells
+        manifest = self._cell_manifest()
+        kept = set(manifest) - rewrite
         n_moved = 0
-        if changed:
-            # Rewrite = rows leaving OR entering a changed cell; the write
-            # completes (durable) before any old partition is touched.
-            to_write = remapped.filter(
-                F.col("old_cell").isin(changed) | F.col("cell").isin(changed)
-            ).select("vec_id", "label", "embedding", "cell")
-            to_write.write.partitionBy("cell").parquet(staged)
+        gen, gen_dir = self._state.stage()
+        if rewrite:
+            to_write = remapped.filter(F.col("cell").isin(rewrite)).select(
+                "vec_id", "label", "embedding", "cell"
+            )
+            to_write.write.mode("overwrite").partitionBy("cell").parquet(
+                gen_dir
+            )
             n_moved = remapped.filter(
                 F.col("cell") != F.col("old_cell")
             ).count()
-        else:
-            os.makedirs(staged, exist_ok=True)
-        kept = all_cells - changed
-        for cell in kept:
-            os.rename(
-                os.path.join(self.index_path, f"cell={cell}"),
-                os.path.join(staged, f"cell={cell}"),
-            )
-        old = self.index_path.rstrip("/") + ".old"
-        os.rename(self.index_path, old)
-        os.rename(staged, self.index_path)
-        shutil.rmtree(old)
+        new_manifest = {c: manifest[c] for c in kept}
+        new_manifest.update({c: gen for c in rewrite})
+        folded = self._folded_epochs() | set(delta_live)
+        self._state.commit(
+            gen,
+            cells={str(c): g for c, g in new_manifest.items()},
+            folded=sorted(folded),
+        )
+        # lazy GC: generations no cell references, and folded delta
+        # epochs (both excluded by the committed pointer already)
+        self._state.cleanup(keep=set(new_manifest.values()))
+        for d in delta_live.values():
+            shutil.rmtree(d, ignore_errors=True)
         self._write_codebook(spark, cents)
         spark.catalog.refreshByPath(self.index_path)
         spark.catalog.refreshByPath(self.codebook_path)
         return {
             "n_moved": n_moved,
-            "cells_rewritten": len(changed),
+            "cells_rewritten": len(rewrite),
             "cells_kept": len(kept),
         }
 

@@ -83,24 +83,40 @@ class StreamingNearDupFilter:
         index_table: str | None = None,
         n_index_buckets: int = 32,
     ):
+        from ..streaming.commit import GenerationState
+
         self.index_path = index_path
         self.accepted_path = accepted_path
         self.params = params if params is not None else PROD_PERM_PARAMS
         self.n_bands = n_bands if n_bands is not None else PROD_BANDS
         self.index_table = index_table
         self.n_index_buckets = n_index_buckets
+        # path-mode index state: appends land in the CURRENT generation
+        # dir; compaction writes a folded generation and pointer-commits
+        # it (object-store-safe — streaming.commit).
+        self._index_state = (
+            None if index_table is not None else GenerationState(index_path)
+        )
 
     # -- the per-batch step (also usable on a static batch) -------------
+
+    def _index_dir(self) -> str:
+        """Current generation dir for the path-mode index (committed on
+        first use so appends always have a live target)."""
+        if self._index_state.current_gen() is None:
+            gen, _ = self._index_state.stage()
+            self._index_state.commit(gen)
+        return self._index_state.current_dir()
 
     def _claimed(self, spark: SparkSession) -> DataFrame:
         if self.index_table is not None:
             if spark.catalog.tableExists(self.index_table):
                 return spark.table(self.index_table).select("band_key", "owner")
             return spark.createDataFrame([], "band_key string, owner long")
-        if not _has_parquet(self.index_path):
+        if not _has_parquet(self._index_dir()):
             return spark.createDataFrame([], "band_key string, owner long")
         return spark.read.schema("band_key string, owner long").parquet(
-            self.index_path
+            self._index_dir()
         )
 
     def _append_claims(self, claims: DataFrame) -> None:
@@ -114,7 +130,7 @@ class StreamingNearDupFilter:
                 .saveAsTable(self.index_table)
             )
         else:
-            claims.write.mode("append").parquet(self.index_path)
+            claims.write.mode("append").parquet(self._index_dir())
 
     def apply_batch(self, batch: DataFrame, epoch_id: int = 0) -> None:
         """Dedup one (micro-)batch of (doc_id, text) against the index."""
@@ -198,14 +214,14 @@ class StreamingNearDupFilter:
 
         Every micro-batch appends one file set; after thousands of
         batches the index is a small-files swamp and every hit-join pays
-        the listing. Same overwrite discipline as ``EventLog.compact``:
-        stage to a sibling directory (or table), then swap — a reader
-        mid-swap sees either the old or the new complete index. Run
+        the listing. Path mode commits via the generation pointer
+        (``streaming.commit`` — a reader resolves the pointer and sees
+        either the old or the new complete index; object-store-safe,
+        no directory renames). Table mode commits via the metastore's
+        ALTER TABLE RENAME, which is the catalog's own atomic swap. Run
         between drains (not concurrently with an active stream). Returns
         the row count.
         """
-        import shutil
-
         idx = self._claimed(spark).groupBy("band_key").agg(
             F.min("owner").alias("owner")
         )
@@ -223,15 +239,18 @@ class StreamingNearDupFilter:
             spark.sql(f"DROP TABLE IF EXISTS {self.index_table}")
             spark.sql(f"ALTER TABLE {staged_tbl} RENAME TO {self.index_table}")
             return n
-        staged = self.index_path.rstrip("/") + ".compact"
-        idx.repartition(n_files).write.mode("overwrite").parquet(staged)
-        n = spark.read.schema("band_key string, owner long").parquet(staged).count()
-        old = self.index_path.rstrip("/") + ".old"
-        os.rename(self.index_path, old)
-        os.rename(staged, self.index_path)
-        shutil.rmtree(old)
+        gen, gen_dir = self._index_state.stage()
+        idx.repartition(n_files).write.mode("overwrite").parquet(gen_dir)
+        n = (
+            spark.read.schema("band_key string, owner long")
+            .parquet(gen_dir)
+            .count()
+        )
+        self._index_state.commit(gen)
+        self._index_state.cleanup()
         # Drop the cached file listing for the path — Spark's shared
-        # FileStatusCache still names the pre-swap part files otherwise.
+        # FileStatusCache still names the pre-compaction part files
+        # otherwise.
         spark.catalog.refreshByPath(self.index_path)
         return n
 

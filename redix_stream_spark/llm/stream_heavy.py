@@ -25,7 +25,7 @@ pass); ``compact()`` folds all epoch partials into one (staged swap).
 from __future__ import annotations
 
 import os
-import shutil
+
 
 import numpy as np
 import pandas as pd
@@ -60,15 +60,30 @@ def _mg_partial(batches, k: int = MG_COUNTERS):
 
 
 class StreamingHeavyHitters:
-    """Durable incremental heavy-hitter tracking (see module docstring)."""
+    """Durable incremental heavy-hitter tracking (see module docstring).
+
+    State layout: epoch partials live under a generation directory
+    committed via ``streaming.commit.GenerationState`` (pointer-swap,
+    object-store-safe — no directory renames). The lossy-reduce budget
+    counter rides in the pointer meta, so spending budget and swapping
+    in the reduced fold are ONE atomic commit.
+    """
 
     def __init__(self, spark: SparkSession, state_dir: str) -> None:
+        from ..streaming.commit import GenerationState
+
         self.spark = spark
         self.state_dir = state_dir
-        os.makedirs(state_dir, exist_ok=True)
+        self._state = GenerationState(state_dir)
+        if self._state.current_gen() is None:
+            gen, _ = self._state.stage()
+            self._state.commit(gen, lossy_reduces=0)
+
+    def _gen_dir(self) -> str:
+        return self._state.current_dir()
 
     def _epoch_path(self, epoch_id: int) -> str:
-        return os.path.join(self.state_dir, f"epoch={epoch_id}")
+        return os.path.join(self._gen_dir(), f"epoch={epoch_id}")
 
     def ingest_batch(self, batch: DataFrame, epoch_id: int) -> None:
         """MG-summarize one micro-batch of (token) rows into the epoch's
@@ -87,8 +102,9 @@ class StreamingHeavyHitters:
         partial.write.mode("overwrite").parquet(self._epoch_path(epoch_id))
 
     def _read_partials(self) -> DataFrame:
-        return self.spark.read.option("basePath", self.state_dir).parquet(
-            os.path.join(self.state_dir, "epoch=*")
+        gen_dir = self._gen_dir()
+        return self.spark.read.option("basePath", gen_dir).parquet(
+            os.path.join(gen_dir, "epoch=*")
         )
 
     def totals(self) -> int:
@@ -133,18 +149,7 @@ class StreamingHeavyHitters:
         )
 
     def _lossy_reduces(self) -> int:
-        path = os.path.join(self.state_dir, "lossy_reduces.txt")
-        if not os.path.exists(path):
-            return 0
-        with open(path) as fh:
-            return int(fh.read().strip() or 0)
-
-    def _record_lossy_reduce(self) -> None:
-        path = os.path.join(self.state_dir, "lossy_reduces.txt")
-        tmp = path + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(self._lossy_reduces() + 1))
-        os.replace(tmp, path)
+        return int(self._state.meta().get("lossy_reduces", 0))
 
     def compact(self, reduce_to: int = MG_COUNTERS) -> None:
         """Fold all epoch partials into epoch=0 (staged swap) and
@@ -158,12 +163,14 @@ class StreamingHeavyHitters:
         adds up to N/(k+1) undercount on top of the partition sketches'
         N/(k+1), so after (k+1)/HH_K − 1 lossy reduces the cumulative
         loss could reach the N/HH_K detection threshold and silently
-        break the no-false-negative contract. A durable counter
-        (``lossy_reduces.txt``, epoch-state discipline) enforces a hard
-        budget of ``COMPACT_BUDGET`` lossy reduces; past it, compact()
-        raises — rebuild the sketch from the log (``verify_exact``'s
-        input) to reset. A fold that fits within ``reduce_to`` applies
-        no cut, loses nothing, and consumes no budget."""
+        break the no-false-negative contract. A durable counter in the
+        generation pointer's meta enforces a hard budget of
+        ``COMPACT_BUDGET`` lossy reduces; past it, compact() raises —
+        rebuild the sketch from the log (``verify_exact``'s input) to
+        reset. A fold that fits within ``reduce_to`` applies no cut,
+        loses nothing, and consumes no budget. The counter commits IN
+        the same pointer swap that publishes the fold, so no crash can
+        spend budget without the reduce (or vice versa)."""
         merged = (
             self._read_partials()
             .groupBy("token")
@@ -188,14 +195,14 @@ class StreamingHeavyHitters:
                 "token", (F.col("cnt") - F.lit(int(cut))).alias("cnt")
             ).filter(F.col("cnt") > 0)
         folded = rest.unionByName(total)
-        staging = os.path.join(self.state_dir, "_staging_compact")
-        folded.write.mode("overwrite").parquet(staging)
+        gen, gen_dir = self._state.stage()
+        folded.write.mode("overwrite").parquet(
+            os.path.join(gen_dir, "epoch=0")
+        )
         merged.unpersist()
-        if n > reduce_to:
-            # record BEFORE the swap: a crash between record and swap
-            # wastes budget (safe direction) rather than undercounting it
-            self._record_lossy_reduce()
-        for name in os.listdir(self.state_dir):
-            if name.startswith("epoch="):
-                shutil.rmtree(os.path.join(self.state_dir, name))
-        os.rename(staging, self._epoch_path(0))
+        # one atomic step: the fold becomes live AND its budget is spent
+        self._state.commit(
+            gen,
+            lossy_reduces=self._lossy_reduces() + (1 if n > reduce_to else 0),
+        )
+        self._state.cleanup()

@@ -60,6 +60,12 @@ class EventLog:
 
     def __init__(self, path: str):
         self.path = path
+        # crash recovery for a compaction interrupted between its two
+        # renames (see compact()): the old log is still intact at .old —
+        # restore it; the staged .compact dir is re-creatable and stale.
+        old = path + ".old"
+        if not os.path.isdir(path) and os.path.isdir(old):
+            os.rename(old, path)
         os.makedirs(path, exist_ok=True)
         # Single-writer id cursor (ms, seq): the log owner assigns ids like
         # the reference's Redis server does. Initialized lazily from the
@@ -164,6 +170,18 @@ class EventLog:
         ``target_files`` sized to ~1 GB outputs; here it is the whole dir.
         NOTE: not concurrency-safe with an active producer — run it from
         the log owner, like Redis's single writer.
+
+        Commit protocol: stage → rename(path, path.old) → rename(stage,
+        path) → delete path.old. Every crash window is recoverable (the
+        __init__ recovery restores path.old when path is missing), and
+        no window deletes the only copy. This is deliberately NOT the
+        generation-pointer commit the durable operator states use
+        (``streaming.commit``): the log's path must stay stable because
+        ``readStream`` subscribes to it by literal directory — POSIX/HDFS
+        rename-atomicity is therefore a DOCUMENTED CONSTRAINT of log
+        compaction. On S3/GCS, run the log as a real table format (or
+        skip compaction — the consumer contract never depends on file
+        count); the operator states have no such constraint.
         """
         df = self.read(spark)
         n = df.count()
@@ -171,8 +189,11 @@ class EventLog:
         df.repartition(target_files).write.mode("overwrite").parquet(tmp)
         import shutil
 
-        shutil.rmtree(self.path)
+        old = self.path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.path, old)
         os.rename(tmp, self.path)
+        shutil.rmtree(old)
         return n
 
     def max_position(self, spark: SparkSession) -> tuple[int, int]:

@@ -41,7 +41,6 @@ the engine-surface upgrade of "consume and fold into a table".
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 
@@ -78,22 +77,17 @@ class StreamingMatView:
     # --- layout -----------------------------------------------------------
 
     @property
-    def _base(self) -> str:
-        return os.path.join(self.path, "base")
+    def _base_state(self):
+        from .commit import GenerationState
+
+        return GenerationState(os.path.join(self.path, "base"))
 
     @property
     def _partials_root(self) -> str:
         return os.path.join(self.path, "partials")
 
-    @property
-    def _manifest(self) -> str:
-        return os.path.join(self.path, "base_epochs.json")
-
     def _folded_epochs(self) -> set[int]:
-        if not os.path.exists(self._manifest):
-            return set()
-        with open(self._manifest) as f:
-            return set(json.load(f))
+        return set(self._base_state.meta().get("folded", ()))
 
     def _partial_dirs(self) -> dict[int, str]:
         out: dict[int, str] = {}
@@ -157,8 +151,9 @@ class StreamingMatView:
 
     def _frames(self, spark: SparkSession) -> list[DataFrame]:
         frames: list[DataFrame] = []
-        if os.path.isdir(self._base):
-            frames.append(spark.read.parquet(self._base))
+        base_dir = self._base_state.current_dir()
+        if base_dir is not None:
+            frames.append(spark.read.parquet(base_dir))
         folded = self._folded_epochs()
         for epoch, d in sorted(self._partial_dirs().items()):
             if epoch not in folded:
@@ -173,13 +168,19 @@ class StreamingMatView:
         return self._merge(frames)
 
     def compact(self, spark: SparkSession) -> int:
-        """Fold current partials into a new base; returns epochs folded.
+        """Fold current partials into a new base generation; returns
+        epochs folded.
 
-        Staged swap: write the merged view to ``base.staging``, record
-        the folded epoch set, swap directories, then delete folded
-        partial dirs. A crash before the swap changes nothing; a crash
-        after it leaves stale partial dirs that the manifest excludes
-        from every future read — cleanup is retried by the next compact.
+        Pointer commit (``commit.GenerationState`` — object-store-safe,
+        unlike a directory-rename swap): write the merged view into a
+        NEW generation dir, then atomically flip the ``CURRENT`` pointer
+        carrying the folded-epoch set WITH it. Folding the set into the
+        same commit also closes the old two-step swap's crash window
+        (new base live + manifest not yet excluding its folded epochs =
+        every read double-counted them). A crash before the commit
+        changes nothing a reader can see; after it, stale partial dirs
+        and the old generation are excluded by pointer and cleaned
+        lazily — cleanup retries on the next compact.
         """
         parts = {
             e: d for e, d in self._partial_dirs().items()
@@ -188,22 +189,17 @@ class StreamingMatView:
         frames = self._frames(spark)
         if not frames:
             return 0
-        staging = self._base + ".staging"
-        self._merge(frames).write.mode("overwrite").parquet(staging)
+        state = self._base_state
+        gen, gen_dir = state.stage()
+        self._merge(frames).write.mode("overwrite").parquet(gen_dir)
         folded = self._folded_epochs() | set(parts)
-        tmp_manifest = self._manifest + ".tmp"
-        with open(tmp_manifest, "w") as f:
-            json.dump(sorted(folded), f)
-        old = self._base + ".old"
-        if os.path.isdir(self._base):
-            os.rename(self._base, old)
-        os.rename(staging, self._base)
-        os.replace(tmp_manifest, self._manifest)
-        shutil.rmtree(old, ignore_errors=True)
+        # Folded-and-deleted epochs stay in the pointer meta: if a
+        # lagging replay of an old epoch ever re-creates its dir, it
+        # stays dead.
+        state.commit(gen, folded=sorted(folded))
+        state.cleanup()
         for d in parts.values():
             shutil.rmtree(d, ignore_errors=True)
-        # Folded-and-deleted epochs stay in the manifest: if a lagging
-        # replay of an old epoch ever re-creates its dir, it stays dead.
         return len(parts)
 
 
