@@ -614,6 +614,129 @@ def neardup_clusters(d: DataFrame) -> DataFrame:
     )
 
 
+@register("q80b_neardup_clusters_star", _gen_cluster_oracle_sql())
+def q80b_neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q80's clusters via alternating LARGE-STAR/SMALL-STAR contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the 10⁹-vertex plan q80's docstring names, now shipped.
+
+    Min-label propagation (q80) needs diameter-many rounds: fine for
+    star-like near-dup components, but a pathological chain of pairwise
+    near-dups (template drift across a crawl) makes diameter O(n).
+    Star contraction converges in O(log² n) rounds REGARDLESS of
+    diameter: large-star points every above-min neighbor at the
+    neighborhood minimum (halving long paths), small-star flattens each
+    node's below-self neighborhood onto its minimum. Same join-per-round
+    skeleton — each round is two self-joins on the (shrinking) edge
+    list; labels never leave the cluster; the driver loop reads a 1-row
+    convergence count. Same oracle as q80: the rewrite must be
+    result-invisible (equality also pytest-pinned on planted chain /
+    star / random graphs, incl. a 256-chain that propagation's 20-round
+    cap cannot finish).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d).cache()
+    pairs = (
+        exact_jaccard(d, lsh_candidate_pairs(sig))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_id_a", "doc_id_b")
+    )
+    out = connected_components_star(pairs)
+    sig.unpersist()
+    return out
+
+
+def connected_components_star(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Connected components of an undirected (doc_id_a, doc_id_b) pair
+    graph via alternating large-star/small-star (see q80b docstring).
+    Returns (doc_id, cluster_id, is_canonical) for every vertex that
+    appears in a pair — the q80 output contract.
+    """
+
+    def canon(e: DataFrame) -> DataFrame:
+        return (
+            e.filter(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+            .distinct()
+        )
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        s = sym(e)
+        m = (
+            s.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        return canon(
+            s.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient each edge from its larger endpoint; group by that node
+        o = sym(e).filter(F.col("v") < F.col("u"))
+        m = (
+            o.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        joined = o.join(m, "u")
+        return canon(
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(joined.select("u", F.col("m").alias("v")))
+        )
+
+    # Per-round lineage truncation is load-bearing, not an optimization:
+    # each round's plan references the previous round's ~16× (two sym()
+    # self-unions, the star join, and the symmetric-difference check), so
+    # an uncheckpointed loop grows the LOGICAL plan exponentially and
+    # OOMs the analyzer around round 6 (measured on a 257-vertex chain).
+    # localCheckpoint materializes the round and restarts the plan; on a
+    # multi-node cluster use a reliable checkpoint dir for executor-loss
+    # tolerance (same loop shape).
+    edges = canon(
+        pairs.select(F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        changed = (
+            new_edges.exceptAll(edges)
+            .unionByName(edges.exceptAll(new_edges))
+            .limit(1)
+            .count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("star contraction did not converge")
+    # converged: a star forest — every vertex's min neighbor (or itself,
+    # for roots) is its component minimum
+    labels = (
+        sym(edges)
+        .groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(
+            F.col("u").alias("doc_id"),
+            F.least("mn", F.col("u")).alias("cluster_id"),
+        )
+    )
+    out = labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("long").alias("is_canonical"),
+    )
+    return out
+
+
 def _gen_clean_corpus_sql() -> str:
     """Oracle for the end-to-end corpus-cleaning pipeline: quality filter
     (q32's criteria) ∘ near-dup collapse (q80's clusters, canonical-only).

@@ -82,6 +82,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new in round 4 --
     "q06b_range_join_agg",
     "q121b_pq_ann_production",
+    "q80b_neardup_clusters_star",
     # -- oracle/face changed by the round-4 ADVICE fixes --
     "q122_scd2_history",
     "q124_exact_group_median",
@@ -129,7 +130,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q26_percentiles",
     "q27_moment_stats",
     "q28_pivot_events",
-    "q23_stream_replay",
 )
 
 

@@ -64,6 +64,13 @@ class Consumer:
     group_name: str | None = None
     consumer_name: str | None = None
     start_pos: str | tuple[int, int] = "start_of_stream"
+    #: R11/reference consumer.ex:80-91 (README.md:117): with a group,
+    #: ``process_pending=True`` (default, XREADGROUP from "0") reprocesses
+    #: the backlog this consumer claimed but never finished — here, the
+    #: crash-replay of the uncommitted tail. ``False`` is the reference's
+    #: jump-to-``">"``: skip everything already HANDED to handlers (the
+    #: attempted watermark) and start at never-delivered messages.
+    process_pending: bool = True
     raise_errors: bool = True
     ordering: str = "strict"  # "strict" | "by_key"
     #: Backpressure: bound each micro-batch to this many log files (the
@@ -102,25 +109,44 @@ class Consumer:
         consumer.ex:159-165)."""
         return os.path.join(self.checkpoint_root, f"pos-{self._name}.json")
 
-    def delivered_position(self) -> tuple[int, int]:
-        """Highest delivered (ms, seq); (-1, -1) when nothing delivered."""
+    @property
+    def attempted_file(self) -> str:
+        """Durable delivery-ATTEMPT high-watermark: advanced BEFORE a
+        batch's handlers run (vs ``pos_file``, advanced after the batch
+        fully applies). The gap between the two after a crash is exactly
+        the consumer's claimed-but-unprocessed backlog — what the
+        reference's ``process_pending`` knob decides to replay or skip."""
+        return os.path.join(self.checkpoint_root, f"att-{self._name}.json")
+
+    def _read_pos(self, path: str) -> tuple[int, int]:
         import json
 
-        if not os.path.exists(self.pos_file):
+        if not os.path.exists(path):
             return (-1, -1)
-        with open(self.pos_file) as f:
+        with open(path) as f:
             d = json.load(f)
         return (d["ms"], d["seq"])
 
-    def _advance_delivered(self, ms: int, seq: int) -> None:
+    def _write_pos(self, path: str, ms: int, seq: int) -> None:
         import json
 
-        if (ms, seq) <= self.delivered_position():
+        if (ms, seq) <= self._read_pos(path):
             return
-        tmp = self.pos_file + ".tmp"
+        tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"ms": ms, "seq": seq}, f)
-        os.replace(tmp, self.pos_file)  # atomic on POSIX
+        os.replace(tmp, path)  # atomic on POSIX
+
+    def delivered_position(self) -> tuple[int, int]:
+        """Highest delivered (ms, seq); (-1, -1) when nothing delivered."""
+        return self._read_pos(self.pos_file)
+
+    def attempted_position(self) -> tuple[int, int]:
+        """Highest (ms, seq) ever handed to handlers (≥ delivered)."""
+        return max(self._read_pos(self.attempted_file), self.delivered_position())
+
+    def _advance_delivered(self, ms: int, seq: int) -> None:
+        self._write_pos(self.pos_file, ms, seq)
 
     def attach(self, spark: SparkSession) -> "Consumer":
         """Record the attach-time end of stream — the moment the reference
@@ -136,7 +162,14 @@ class Consumer:
         if os.path.exists(os.path.join(self.checkpoint_dir, "offsets")):
             # Checkpoint replays the uncommitted tail — and, after a
             # compaction rewrote the files, the WHOLE log. The delivered
-            # watermark filters already-applied rows out of that replay.
+            # watermark filters already-applied rows out of that replay
+            # (process_pending=True: the replayed tail IS the pending
+            # backlog). process_pending=False jumps the bound to the
+            # attempted watermark — the reference's ">": claimed-but-
+            # unprocessed messages are skipped, never-delivered ones
+            # still flow.
+            if not self.process_pending:
+                return self.attempted_position()
             return self.delivered_position()
         if self.start_pos == "start_of_stream":
             return (-1, -1)
@@ -157,6 +190,15 @@ class Consumer:
             (F.col("ms") > lo_ms)
             | ((F.col("ms") == lo_ms) & (F.col("seq") > lo_seq))
         )
+        top = filtered.agg(
+            F.max(F.struct("ms", "seq")).alias("top")
+        ).collect()[0]["top"]
+        # Delivery attempt recorded BEFORE handlers run: after a crash
+        # mid-batch, [delivered, attempted] is this consumer's pending
+        # backlog — redelivered under process_pending=True, skipped
+        # under False (the reference's ">").
+        if top is not None:
+            self._write_pos(self.attempted_file, top["ms"], top["seq"])
         if self.ordering == "strict":
             self._apply_strict(spark, filtered)
         else:
@@ -164,9 +206,6 @@ class Consumer:
         # Batch fully applied (acks/DLQ written) → advance the delivered
         # watermark. On a crash above, this never runs and the batch
         # redelivers — at-least-once, same commit point as the ack write.
-        top = filtered.agg(
-            F.max(F.struct("ms", "seq")).alias("top")
-        ).collect()[0]["top"]
         if top is not None:
             self._advance_delivered(top["ms"], top["seq"])
 

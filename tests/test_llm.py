@@ -1236,3 +1236,58 @@ def test_ivf_pq_production_width_lifecycle(spark, tmp_path):
     )
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema and "embedding" not in read_schema[0], read_schema
+
+
+def test_star_contraction_equals_union_find_on_planted_graphs(spark):
+    # The large-star/small-star variant (q80b) must produce exactly the
+    # union-find components on adversarial shapes — including a
+    # 257-vertex CHAIN, whose diameter exceeds the 20-round cap of q80's
+    # min-label propagation (star contraction converges in O(log^2 n)
+    # rounds regardless of diameter).
+    import random
+
+    from redix_stream_spark.llm.dedup import connected_components_star
+
+    def union_find(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {(x, find(x)) for x in parent}
+
+    random.seed(7)
+    graphs = {
+        "chain-257": [(i, i + 1) for i in range(256)],
+        "star-50": [(0, i) for i in range(1, 50)],
+        "random-400": [
+            (random.randrange(500), random.randrange(500)) for _ in range(400)
+        ],
+        "cycle+pair": [(5, 9), (100, 101), (9, 7), (7, 5)],
+    }
+    for name, pairs_py in graphs.items():
+        pairs = spark.createDataFrame(pairs_py, "doc_id_a long, doc_id_b long")
+        got = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components_star(pairs).collect()
+        }
+        assert got == union_find(pairs_py), name
+
+
+def test_q80b_star_equals_q80_propagation(spark, sf_dir):
+    from redix_stream_spark.registry import all_queries
+
+    Q = all_queries()
+    a = sorted(map(tuple, Q["q80_neardup_clusters"](spark, sf_dir).collect()))
+    b = sorted(
+        map(tuple, Q["q80b_neardup_clusters_star"](spark, sf_dir).collect())
+    )
+    assert a == b and a

@@ -18,6 +18,7 @@ MUST_BE_IN_WINDOW = {
     # New round-4 faces.
     "q06b_range_join_agg",
     "q121b_pq_ann_production",
+    "q80b_neardup_clusters_star",
     # Oracle SQL or Spark face changed by the round-4 ADVICE fixes.
     "q122_scd2_history",
     "q124_exact_group_median",

@@ -365,6 +365,53 @@ def test_start_pos_matrix(spark, log, tmp_path):
         Consumer(log, r2, str(tmp_path / "ck-bad"), start_pos="nonsense").run_once(spark)
 
 
+def test_start_pos_matrix_process_pending(spark, log, tmp_path):
+    # The reference's process_pending knob (consumer.ex:80-91,
+    # README.md:117): after a crash, the claimed-but-unprocessed backlog
+    # redelivers under the default (XREADGROUP from "0") and is SKIPPED
+    # under process_pending=False (jump to ">") — while messages never
+    # handed to a handler still flow in both modes.
+    import pytest as _pytest
+
+    ids = log.produce_many(spark, [{"key": f"v{i}"} for i in range(3)])
+
+    # default: crash mid-batch -> restart REPROCESSES the pending tail
+    rec = Recorder(fail_on={"v2": 1})
+    c = Consumer(
+        log, rec, str(tmp_path / "ck-pp1"), group_name="g", consumer_name="c1"
+    )
+    with _pytest.raises(Exception):
+        c.run_once(spark)
+    assert {p["key"] for _, p in rec.seen} == {"v0", "v1"}  # claimed, unacked
+    c.run_once(spark)  # process_pending=True (default): backlog redelivers
+    keys = [p["key"] for _, p in rec.seen]
+    assert keys.count("v0") == 2 and "v2" in keys
+
+    # process_pending=False: same crash, restart jumps the backlog...
+    ids2 = log.produce_many(spark, [{"key": f"w{i}"} for i in range(3)])
+    rec2 = Recorder(fail_on={"w2": 1})
+    c2 = Consumer(
+        log,
+        rec2,
+        str(tmp_path / "ck-pp2"),
+        group_name="g2",
+        consumer_name="c1",
+        start_pos=(int(ids[2].split("-")[0]), int(ids[2].split("-")[1])),
+    )
+    with _pytest.raises(Exception):
+        c2.run_once(spark)
+    assert {p["key"] for _, p in rec2.seen} == {"w0", "w1"}
+    c2.process_pending = False
+    c2.run_once(spark)  # the crashed tail (w0..w2) is skipped, not replayed
+    assert [p["key"] for _, p in rec2.seen] == ["w0", "w1"]
+    # ...but never-delivered messages still flow (the ">" semantics)
+    log.produce_many(spark, [{"key": "new"}])
+    c2.run_once(spark)
+    assert [p["key"] for _, p in rec2.seen] == ["w0", "w1", "new"]
+    # bookkeeping invariant: the attempt watermark never trails delivery
+    assert c2.attempted_position() >= c2.delivered_position()
+
+
 def test_restart_policy_matrix(spark, log, tmp_path):
     # R13 restart-type knob (consumer_sup.ex:12-40) translated to the
     # drain-loop model: clean drain = OTP normal exit.
