@@ -937,48 +937,68 @@ FROM err a JOIN err b
 """
 
 
-@register("q127_interval_overlap", Q127_SQL)
-def q127_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval-overlap join WITHOUT an equi key — which pairs of users
-    were in the 'error' state at the same time, and for how long.
+#: default grid width for interval-overlap binning (seconds)
+OVERLAP_CELL_SECONDS = 86_400
 
-    The naive theta join (a.start < b.end AND b.start < a.end) has no
-    equi conjunct, so Catalyst can only plan a nested-loop/cartesian —
-    quadratic in intervals. The scale plan is GRID BINNING: explode each
-    interval into the day cells it touches, equi-join on the cell (only
-    intervals sharing a calendar day ever meet), apply the exact overlap
-    predicate as the join residual, and de-duplicate pairs that share
-    several cells. Cost ≈ Σ per-cell-actives² instead of n² — the
-    standard spatial-join decomposition, applied to time. The day-cell
-    width is a tuning knob: cells should be comparable to typical
-    interval length (here ~13 h) so the fanout stays ~2 cells/interval.
 
-    Overlap is reported in exact integer microseconds (BIGINT epoch
-    subtraction; no float duration). The DuckDB oracle runs the plain
-    inequality join — binning is engine-internal and must be invisible.
-    Plan-asserted: no CartesianProduct / BroadcastNestedLoopJoin.
-    """
-    e = load_table(spark, sf_dir, "events")
+def error_intervals(e: DataFrame) -> DataFrame:
+    """Closed 'error'-state intervals (user_id, f, t) from the event log."""
     iv = scd2_intervals(e)
-    err = iv.filter(
+    return iv.filter(
         (F.col("event_type") == "error") & F.col("effective_to").isNotNull()
     ).select(
         "user_id",
         F.col("effective_from").alias("f"),
         F.col("effective_to").alias("t"),
     )
-    cells = err.select(
+
+
+def pick_overlap_cell_seconds(err: DataFrame) -> int:
+    """Adaptive grid width: the median interval duration, clamped to
+    [1 minute, 1 day] and rounded down to a whole minute.
+
+    The grid-binning cost model is Σ per-cell-actives²: cells much wider
+    than the typical interval pool unrelated intervals into the same
+    cell (a hot day degenerates toward per-cell all-pairs), while cells
+    much narrower explode the per-interval fanout. Width ≈ interval
+    length keeps fanout ~2 cells/interval AND caps how many intervals a
+    cell can hold. One cheap aggregate (approx median) decides; the
+    binning stays result-invisible, so the oracle never sees it.
+    """
+    row = err.select(
+        F.expr(
+            "percentile_approx(timestampdiff(SECOND, f, t), 0.5)"
+        ).alias("med")
+    ).head()
+    med = int(row["med"] or OVERLAP_CELL_SECONDS)
+    return max(60, min(OVERLAP_CELL_SECONDS, (med // 60) * 60 or 60))
+
+
+def overlap_cells(err: DataFrame, cell_seconds: int) -> DataFrame:
+    """Explode intervals into the grid cells they touch. Cells are
+    integer epoch-micro buckets (ntz-safe timestampdiff), so any width
+    works — the 1-day default matches the calendar-day binning the
+    registered faces shipped with."""
+    cell_us = int(cell_seconds) * 1_000_000
+    f_us = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', f)")
+    t_us = F.expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01', t)")
+    return err.select(
         "user_id",
         "f",
         "t",
         F.explode(
             F.sequence(
-                F.date_trunc("day", "f").cast("timestamp_ntz"),
-                F.date_trunc("day", "t").cast("timestamp_ntz"),
-                F.expr("INTERVAL '1' DAY"),
+                F.floor(f_us / cell_us).cast("long"),
+                F.floor(t_us / cell_us).cast("long"),
             )
         ).alias("cell"),
     )
+
+
+def overlap_pairs(err: DataFrame, cell_seconds: int) -> DataFrame:
+    """Distinct overlapping (user_a < user_b) interval pairs via the
+    grid-binned equi-join (see q127 docstring for the plan)."""
+    cells = overlap_cells(err, cell_seconds)
     a = cells.select(
         F.col("user_id").alias("user_a"),
         F.col("f").alias("from_a"),
@@ -991,7 +1011,7 @@ def q127_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("to_b"),
         "cell",
     )
-    pairs = (
+    return (
         a.join(
             b,
             (a.cell == b.cell)  # the equi conjunct binning buys
@@ -1000,8 +1020,39 @@ def q127_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("from_b") < F.col("to_a")),
         )
         .select("user_a", "user_b", "from_a", "from_b", "to_a", "to_b")
-        .distinct()  # intervals sharing several day cells pair once
+        .distinct()  # intervals sharing several cells pair once
     )
+
+
+@register("q127_interval_overlap", Q127_SQL)
+def q127_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join WITHOUT an equi key — which pairs of users
+    were in the 'error' state at the same time, and for how long.
+
+    The naive theta join (a.start < b.end AND b.start < a.end) has no
+    equi conjunct, so Catalyst can only plan a nested-loop/cartesian —
+    quadratic in intervals. The scale plan is GRID BINNING: explode each
+    interval into the grid cells it touches, equi-join on the cell (only
+    intervals sharing a cell ever meet), apply the exact overlap
+    predicate as the join residual, and de-duplicate pairs that share
+    several cells. Cost ≈ Σ per-cell-actives² instead of n² — the
+    standard spatial-join decomposition, applied to time. The cell
+    width is a REAL knob (``overlap_pairs(err, cell_seconds)``): cells
+    comparable to typical interval length (~13 h here, so the 1-day
+    default) keep fanout ~2 cells/interval, and a HOT interval of time
+    (everyone erroring in one day) is handled by narrowing the width —
+    ``pick_overlap_cell_seconds`` adapts it to the median interval
+    duration; the hot-day fixture in tests/test_advice_r4.py measures
+    the per-cell-actives bound both ways.
+
+    Overlap is reported in exact integer microseconds (BIGINT epoch
+    subtraction; no float duration). The DuckDB oracle runs the plain
+    inequality join — binning is engine-internal and must be invisible
+    at ANY width. Plan-asserted: no CartesianProduct /
+    BroadcastNestedLoopJoin.
+    """
+    err = error_intervals(load_table(spark, sf_dir, "events"))
+    pairs = overlap_pairs(err, OVERLAP_CELL_SECONDS)
     # timestampdiff works on TIMESTAMP_NTZ directly — no ntz→ltz cast
     # (the matview order-key discipline).
     overlap = F.expr(
@@ -1189,50 +1240,8 @@ def q127b_interval_overlap_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     without ever materializing as output. The q124 lesson applied to
     joins: when the enumeration is the cost, ship the aggregate.
     """
-    e = load_table(spark, sf_dir, "events")
-    iv = scd2_intervals(e)
-    err = iv.filter(
-        (F.col("event_type") == "error") & F.col("effective_to").isNotNull()
-    ).select(
-        "user_id",
-        F.col("effective_from").alias("f"),
-        F.col("effective_to").alias("t"),
-    )
-    cells = err.select(
-        "user_id",
-        "f",
-        "t",
-        F.explode(
-            F.sequence(
-                F.date_trunc("day", "f").cast("timestamp_ntz"),
-                F.date_trunc("day", "t").cast("timestamp_ntz"),
-                F.expr("INTERVAL '1' DAY"),
-            )
-        ).alias("cell"),
-    )
-    a = cells.select(
-        F.col("user_id").alias("user_a"),
-        F.col("f").alias("from_a"),
-        F.col("t").alias("to_a"),
-        "cell",
-    )
-    b = cells.select(
-        F.col("user_id").alias("user_b"),
-        F.col("f").alias("from_b"),
-        F.col("t").alias("to_b"),
-        "cell",
-    )
-    pairs = (
-        a.join(
-            b,
-            (a.cell == b.cell)
-            & (F.col("user_a") < F.col("user_b"))
-            & (F.col("from_a") < F.col("to_b"))
-            & (F.col("from_b") < F.col("to_a")),
-        )
-        .select("user_a", "user_b", "from_a", "from_b", "to_a", "to_b")
-        .distinct()
-    )
+    err = error_intervals(load_table(spark, sf_dir, "events"))
+    pairs = overlap_pairs(err, OVERLAP_CELL_SECONDS)
     overlap = F.expr(
         "timestampdiff(MICROSECOND, greatest(from_a, from_b), least(to_a, to_b))"
     )

@@ -190,3 +190,63 @@ def test_heavy_hitter_compaction_budget_enforced(spark, tmp_path):
     # still allowed — it consumes no budget
     hh.compact(reduce_to=1 << 30)
     assert hh.candidates().count() > 0
+
+
+def test_q127_hot_day_fixture_adaptive_cells_bound_fanout(spark):
+    # Planted hot day: 200 users all in an 'error' state inside ONE
+    # calendar day (short, ~30-min intervals). With 1-day cells the
+    # whole day lands in one cell — per-cell actives = 200 and the
+    # binned join degenerates toward all-pairs for that cell. The
+    # adaptive width (median interval duration) shrinks cells to ~30
+    # minutes, bounding per-cell actives near the true concurrency,
+    # while the RESULT stays identical at any width (binning is
+    # engine-internal).
+    import pyspark.sql.functions as F
+
+    from redix_stream_spark.operators.analytics import (
+        error_intervals,
+        overlap_cells,
+        overlap_pairs,
+        pick_overlap_cell_seconds,
+    )
+
+    base = dt.datetime(2024, 3, 7)
+    rows = []
+    eid = 0
+    for u in range(200):
+        start_min = (u * 7) % (24 * 60 - 40)
+        rows.append((u, "error", base + dt.timedelta(minutes=start_min), eid))
+        eid += 1
+        rows.append(
+            (u, "ok", base + dt.timedelta(minutes=start_min + 30), eid)
+        )
+        eid += 1
+    e = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp_ntz, event_id long"
+    )
+    err = error_intervals(e).cache()
+    assert err.count() == 200
+
+    def max_actives(cell_seconds):
+        return (
+            overlap_cells(err, cell_seconds)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .head()[0]
+        )
+
+    assert max_actives(86_400) == 200  # the hot-day degeneration
+    width = pick_overlap_cell_seconds(err)
+    assert 60 <= width <= 3600, width  # adapts to ~30-min intervals
+    bounded = max_actives(width)
+    assert bounded <= 20, bounded  # fanout bounded near true concurrency
+    # and the pair RESULT is width-invariant
+    day_pairs = {
+        tuple(r) for r in overlap_pairs(err, 86_400).collect()
+    }
+    adaptive_pairs = {
+        tuple(r) for r in overlap_pairs(err, width).collect()
+    }
+    assert day_pairs == adaptive_pairs and day_pairs
+    err.unpersist()
