@@ -21,11 +21,12 @@ import os
 import sys
 
 TOLERANCE = 2.0
-BASELINE_PATH = os.path.join(os.path.dirname(__file__), "..", "BENCH_r01.json")
-# Baselines for queries that joined the headline after r01 (e.g. q80/q81,
-# added in round 3 so clustering regressions show on the driver's number).
-EXTRA_BASELINE_PATH = os.path.join(
-    os.path.dirname(__file__), "bench_baseline_extra.json"
+#: ONE stamped baseline source (round-4 consolidation): r01 values for the
+#: original headline, one-clean-session re-measurements for everything
+#: added later. Regenerate with scripts/consolidate_baseline.py when new
+#: queries join the headline.
+BASELINE_PATH = os.path.join(
+    os.path.dirname(__file__), "bench_baseline.json"
 )
 
 
@@ -38,10 +39,7 @@ def load_bench(source: str) -> dict:
 
 def main() -> int:
     with open(BASELINE_PATH) as f:
-        baseline = load_bench(f.read())["queries"]
-    if os.path.exists(EXTRA_BASELINE_PATH):
-        with open(EXTRA_BASELINE_PATH) as f:
-            baseline.update(json.load(f)["queries"])
+        baseline = json.load(f)["queries"]
 
     if len(sys.argv) > 1:
         with open(sys.argv[1]) as f:

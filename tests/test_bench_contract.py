@@ -1,9 +1,10 @@
 """Bench bookkeeping guards — pure-python, no Spark session.
 
 The round driver parses bench.py's single JSON line and the 2x gate
-reads BENCH_r01.json + scripts/bench_baseline_extra.json. These tests
-keep the three artifacts consistent so a future headline edit cannot
-silently produce ungated or unrunnable bench queries.
+reads the ONE consolidated baseline (scripts/bench_baseline.json —
+round-4 consolidation of BENCH_r01 + clean-session re-measurements).
+These tests keep the artifacts consistent so a future headline edit
+cannot silently produce ungated or unrunnable bench queries.
 """
 
 from __future__ import annotations
@@ -18,12 +19,8 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _baselines() -> dict:
-    with open(os.path.join(ROOT, "BENCH_r01.json")) as f:
-        data = json.load(f)
-    base = dict(data.get("parsed", data)["queries"])
-    with open(os.path.join(ROOT, "scripts", "bench_baseline_extra.json")) as f:
-        base.update(json.load(f)["queries"])
-    return base
+    with open(os.path.join(ROOT, "scripts", "bench_baseline.json")) as f:
+        return json.load(f)["queries"]
 
 
 def test_every_headline_query_is_registered():
@@ -36,8 +33,8 @@ def test_every_headline_query_has_a_gate_baseline():
     base = _baselines()
     ungated = [q for q in bench.HEADLINE if q not in base]
     assert not ungated, (
-        "headline queries without a 2x-gate baseline (add them to "
-        f"scripts/bench_baseline_extra.json): {ungated}"
+        "headline queries without a 2x-gate baseline (regenerate "
+        f"scripts/bench_baseline.json via consolidate_baseline.py): {ungated}"
     )
 
 
