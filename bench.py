@@ -100,9 +100,13 @@ HEADLINE = [
     "q127_interval_overlap",
     "q127b_interval_overlap_agg",
     # round-4 adds: production-width PQ (m=16/k=256 byte codes), the
-    # range-join aggregate face.
+    # range-join aggregate face, star-contraction clustering, semantic
+    # decontamination, the UDTF passage face.
     "q121b_pq_ann_production",
     "q06b_range_join_agg",
+    "q80b_neardup_clusters_star",
+    "q134_semantic_decontaminate",
+    "q135_udtf_passages",
 ]
 
 

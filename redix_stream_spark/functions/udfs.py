@@ -79,3 +79,66 @@ def q56_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
         zscore, "event_id long, user_id long, zscore double"
     )
+
+
+# --- q135: Python UDTF (table function) surface ------------------------------
+
+#: passage width for the UDTF face (tokens per emitted row)
+UDTF_PASSAGE_TOKENS = 32
+
+Q135_SQL = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+idx AS (
+  SELECT doc_id, toks,
+         UNNEST(range(0, CAST(CEIL(LEN(toks) / {UDTF_PASSAGE_TOKENS}.0) AS BIGINT)))
+           AS p
+  FROM t
+)
+SELECT
+  doc_id,
+  p AS passage_idx,
+  array_to_string(
+    toks[p * {UDTF_PASSAGE_TOKENS} + 1 :
+         LEAST((p + 1) * {UDTF_PASSAGE_TOKENS}, LEN(toks))], ' ') AS passage,
+  CAST(LEAST((p + 1) * {UDTF_PASSAGE_TOKENS}, LEN(toks))
+       - p * {UDTF_PASSAGE_TOKENS} AS BIGINT) AS n_tokens
+FROM idx
+"""
+
+
+@register("q135_udtf_passages", Q135_SQL)
+def q135_udtf_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4 table functions — the fourth escape
+    hatch, completing E26's scalar/pandas/grouped-map inventory): a
+    deterministic table function splits each document into fixed-width
+    token passages, invoked via LATERAL join so every input row fans out
+    to its passage rows with the parent's doc_id carried alongside —
+    the one UDF shape whose OUTPUT cardinality the others can't express
+    (scalar/pandas are 1:1, grouped-map is per-group).
+
+    Scale: the UDTF runs per-partition like any map-side operator — no
+    shuffle, no driver involvement; the lateral join is Spark's
+    Generate, not a join exchange. Deterministic integer/string output
+    keeps the face oracle-checkable (hash-exact vs DuckDB's
+    range+list-slice formulation).
+    """
+    from pyspark.sql.functions import udtf
+
+    w = UDTF_PASSAGE_TOKENS
+
+    @udtf(returnType="passage_idx bigint, passage string, n_tokens bigint")
+    class SplitPassages:
+        def eval(self, text: str):
+            toks = (text or "").split(" ")
+            for i in range(0, len(toks), w):
+                chunk = toks[i : i + w]
+                yield (i // w, " ".join(chunk), len(chunk))
+
+    spark.udtf.register("split_passages_q135", SplitPassages)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "q135_documents"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, p.passage_idx, p.passage, p.n_tokens "
+        "FROM q135_documents d, LATERAL split_passages_q135(d.text) p"
+    )

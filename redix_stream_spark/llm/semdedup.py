@@ -186,3 +186,130 @@ def q102_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict join back. No driver collect; no global sort.
     """
     return semantic_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- q134: semantic decontamination (train vs benchmark, two-table) ---------
+
+#: deterministic holdout proxy: every 17th vector plays the benchmark set
+DECON_EVAL_MOD = 17
+DECON_TAU = SEM_TAU
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    bits: int = SEM_BITS,
+    tau: float = DECON_TAU,
+) -> DataFrame:
+    """Per-TRAIN-vector contamination verdicts against a benchmark set.
+
+    q84 drops training documents that contain a benchmark STRING; this is
+    the same gate at the semantic level (the paraphrased-leak case string
+    matching misses): a train vector is contaminated when some eval
+    vector shares its LSH bucket with cosine ≥ tau. Unlike q102 there is
+    no earlier-wins ordering — ANY eval neighbor contaminates.
+
+    Returns (vec_id, bucket, eval_sim, contaminated_by, kept): max cosine
+    to any same-bucket eval vector (NULL when the bucket holds none), the
+    smallest contaminating eval vec_id, kept = no contaminator.
+
+    Scale: the benchmark side is SMALL and bounded (a benchmark suite is
+    10⁴–10⁶ rows, megabytes of embeddings) — broadcast it EXPLICITLY.
+    This is the one place a fat-array relation should broadcast: the
+    CLAUDE.md rule bans *relying on the auto-estimator* for array
+    columns, not a deliberate bounded broadcast (q84's gram-inventory
+    shape, lifted to vectors). The train side streams map-only through
+    the broadcast join — zero shuffles of the corpus at any size.
+    """
+    planes = sem_planes(bits)
+
+    def tag(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id",
+            "embedding",
+            semantic_bucket(F.col("embedding"), planes).alias("bucket"),
+            norm(F.col("embedding")).alias("nrm"),
+        )
+
+    t = tag(train).alias("t")
+    e = F.broadcast(tag(eval_set).alias("e"))
+    sim = dot(F.col("t.embedding"), F.col("e.embedding")) / (
+        F.col("t.nrm") * F.col("e.nrm")
+    )
+    hits = (
+        t.join(e, F.col("t.bucket") == F.col("e.bucket"))
+        .groupBy(F.col("t.vec_id").alias("vec_id"))
+        .agg(
+            F.max(sim).alias("eval_sim"),
+            F.min(F.when(sim >= F.lit(tau), F.col("e.vec_id"))).alias(
+                "contaminated_by"
+            ),
+        )
+    )
+    return (
+        tag(train)
+        .select("vec_id", "bucket")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            "bucket",
+            "eval_sim",
+            "contaminated_by",
+            F.col("contaminated_by").isNull().alias("kept"),
+        )
+    )
+
+
+def _gen_decontaminate_oracle_sql(
+    bits: int = SEM_BITS, tau: float = DECON_TAU, mod: int = DECON_EVAL_MOD
+) -> str:
+    """DuckDB oracle: identical construction, planes inlined (the q102
+    generator, with the self-join swapped for the train⋈eval join)."""
+    planes = sem_planes(bits)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {_sql_dot_lit('embedding', plane)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+    pair_sim = (
+        "list_reduce(list_transform(list_zip(t.embedding, e.embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)"
+        " / (t.nrm * e.nrm)"
+    )
+    return f"""
+WITH tagged AS (
+  SELECT vec_id, embedding,
+         CAST({bucket_terms} AS BIGINT) AS bucket,
+         SQRT(list_reduce(list_transform(list_zip(embedding, embedding),
+                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                (acc, x) -> acc + x)) AS nrm
+  FROM embeddings
+),
+t AS (SELECT * FROM tagged WHERE vec_id % {mod} <> 0),
+e AS (SELECT * FROM tagged WHERE vec_id % {mod} = 0),
+hits AS (
+  SELECT t.vec_id AS vec_id,
+         MAX({pair_sim}) AS eval_sim,
+         MIN(CASE WHEN {pair_sim} >= {tau} THEN e.vec_id END)
+           AS contaminated_by
+  FROM t JOIN e ON t.bucket = e.bucket
+  GROUP BY t.vec_id
+)
+SELECT t.vec_id AS vec_id, t.bucket AS bucket,
+       hits.eval_sim AS eval_sim, hits.contaminated_by AS contaminated_by,
+       (hits.contaminated_by IS NULL) AS kept
+FROM t
+LEFT JOIN hits ON t.vec_id = hits.vec_id
+"""
+
+
+@register("q134_semantic_decontaminate", _gen_decontaminate_oracle_sql())
+def q134_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination verdicts: the embeddings table splits
+    into train (vec_id % 17 ≠ 0) and a benchmark proxy (vec_id % 17 = 0);
+    every train vector is scored against the broadcast benchmark set.
+    In production the eval side is the benchmark's own embedding table —
+    the two-table join shape is exactly this one."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % DECON_EVAL_MOD != 0)
+    eval_set = emb.filter(F.col("vec_id") % DECON_EVAL_MOD == 0)
+    return semantic_decontaminate(train, eval_set)

@@ -83,6 +83,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q06b_range_join_agg",
     "q121b_pq_ann_production",
     "q80b_neardup_clusters_star",
+    "q134_semantic_decontaminate",
+    "q135_udtf_passages",
     # -- oracle/face changed by the round-4 ADVICE fixes --
     "q122_scd2_history",
     "q124_exact_group_median",
@@ -128,8 +130,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q62_forecast_revenue",
     "q63_promo_ratio",
     "q26_percentiles",
-    "q27_moment_stats",
-    "q28_pivot_events",
 )
 
 

@@ -250,3 +250,41 @@ def test_q127_hot_day_fixture_adaptive_cells_bound_fanout(spark):
     }
     assert day_pairs == adaptive_pairs and day_pairs
     err.unpersist()
+
+
+def test_q135_udtf_passage_edges(spark, tmp_path):
+    # UDTF face edge cases: a sub-width doc yields one short passage, an
+    # exact-width doc exactly one full one, a spaceless doc one 1-token
+    # passage — Spark UDTF and the DuckDB range/list-slice oracle agree.
+    import duckdb as _duck
+
+    from redix_stream_spark.functions.udfs import (
+        Q135_SQL,
+        UDTF_PASSAGE_TOKENS,
+        q135_udtf_passages,
+    )
+
+    w = UDTF_PASSAGE_TOKENS
+    tmp = str(tmp_path / "docs")
+    os.makedirs(tmp, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                " ".join(f"t{i}" for i in range(w + 3)),  # w + remainder
+                " ".join(f"u{i}" for i in range(w)),      # exactly w
+                "solo",                                    # 1 token
+            ],
+        }
+    ).to_parquet(os.path.join(tmp, "documents.parquet"))
+    sdf = q135_udtf_passages(spark, tmp).toPandas()
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp}/documents.parquet')"
+    )
+    assert compare(sdf, con.execute(Q135_SQL).fetchdf()) == []
+    by_doc = sdf.groupby("doc_id").n_tokens.agg(["count", "sum"])
+    assert tuple(by_doc.loc[1]) == (2, w + 3)
+    assert tuple(by_doc.loc[2]) == (1, w)
+    assert tuple(by_doc.loc[3]) == (1, 1)

@@ -19,6 +19,8 @@ MUST_BE_IN_WINDOW = {
     "q06b_range_join_agg",
     "q121b_pq_ann_production",
     "q80b_neardup_clusters_star",
+    "q134_semantic_decontaminate",
+    "q135_udtf_passages",
     # Oracle SQL or Spark face changed by the round-4 ADVICE fixes.
     "q122_scd2_history",
     "q124_exact_group_median",

@@ -138,3 +138,35 @@ def test_streaming_semantic_dedup_cross_and_intra_batch(spark, tmp_path):
     # overwrite-idempotent; index dedups by vec_id).
     sd.apply_batch(b1, 1)
     assert {r["vec_id"] for r in sd.accepted(spark).collect()} == {0, 2, 11}
+
+
+def test_semantic_decontamination_flags_planted_leak(spark):
+    """q134 semantics on planted fixtures: a train vector that is a
+    scaled copy of an eval vector (cos 1.0) is contaminated; one sharing
+    the bucket below tau survives with its eval_sim reported; one in a
+    bucket with no eval member has NULL eval_sim. The benchmark side
+    must broadcast (the corpus never shuffles)."""
+    from redix_stream_spark.llm.semdedup import semantic_decontaminate
+
+    base = [float((i * 37) % 19 - 9) for i in range(DIM)]
+    near = _vec(base, eps=0.05)          # same bucket, cos > tau
+    skew = [x + 6.0 for x in base]       # correlated but below tau
+    eval_set = spark.createDataFrame(
+        [(100, [float(x) for x in base])], "vec_id long, embedding array<float>"
+    )
+    train = _frame(spark, [[x * 2 for x in base], near, skew, _axis(3, 4.0)])
+
+    out = semantic_decontaminate(train, eval_set, tau=0.95)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert not rows[0]["kept"] and rows[0]["contaminated_by"] == 100
+    assert not rows[1]["kept"] and rows[1]["contaminated_by"] == 100
+    # same-bucket-but-distant case: eval_sim reported, still kept —
+    # unless the skewed vector landed in another bucket (then NULL)
+    if rows[2]["eval_sim"] is not None:
+        assert rows[2]["kept"] and rows[2]["eval_sim"] < 0.95
+    assert rows[3]["kept"]
+
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
