@@ -107,6 +107,7 @@ HEADLINE = [
     "q80b_neardup_clusters_star",
     "q134_semantic_decontaminate",
     "q135_udtf_passages",
+    "q136_streaming_quantiles",
 ]
 
 

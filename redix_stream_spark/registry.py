@@ -50,7 +50,7 @@ def _load() -> None:
     from .functions import udfs  # noqa: F401
     from .plans import zorder  # noqa: F401
     from .sources import ingest  # noqa: F401
-    from .streaming import matview  # noqa: F401
+    from .streaming import matview, quantile  # noqa: F401
 
     _loaded = True
 
@@ -85,6 +85,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q80b_neardup_clusters_star",
     "q134_semantic_decontaminate",
     "q135_udtf_passages",
+    "q136_streaming_quantiles",
     # -- oracle/face changed by the round-4 ADVICE fixes --
     "q122_scd2_history",
     "q124_exact_group_median",
@@ -129,7 +130,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q68_right_outer_join",
     "q62_forecast_revenue",
     "q63_promo_ratio",
-    "q26_percentiles",
 )
 
 

@@ -261,3 +261,20 @@ def test_eventlog_compact_crash_recovery(spark, tmp_path):
     recovered = EventLog(str(tmp_path / "log"))
     assert recovered.read(spark).count() == 5
     assert not os.path.isdir(log.path + ".old")
+
+
+def test_quantile_view_compaction_crash_then_retry(spark, tmp_path, crash_commit):
+    from redix_stream_spark.catalog import load_table
+    from redix_stream_spark.streaming.quantile import StreamingQuantileView
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    qv = StreamingQuantileView(spark, str(tmp_path / "q"))
+    for i in range(2):
+        qv.ingest_batch(e.filter(F.col("event_id") % 2 == i), epoch_id=i)
+    before = {tuple(r) for r in qv.quantiles().collect()}
+    crash_commit()
+    with pytest.raises(_Boom):
+        qv.compact()
+    assert {tuple(r) for r in qv.quantiles().collect()} == before
+    qv.compact()
+    assert {tuple(r) for r in qv.quantiles().collect()} == before

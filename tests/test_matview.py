@@ -330,3 +330,34 @@ def test_streaming_ohlc_view_equals_batch_bars(spark, tmp_path):
     got = canon(view.read_bars(spark))
     expected = canon(all_queries()["q114_ohlc_bars"](spark, sf_dir))
     assert got == expected and got
+
+
+def test_streaming_quantile_view_equals_batch_and_survives_replay(spark, tmp_path):
+    # Exact-quantile view: 3-batch ingest + replay + compact must equal
+    # the one-shot batch answer bit-for-bit (counts merge exactly; no
+    # sketch error to tolerate).
+    import pyspark.sql.functions as F
+
+    from redix_stream_spark.catalog import load_table
+    from redix_stream_spark.streaming.quantile import StreamingQuantileView
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    qv = StreamingQuantileView(spark, str(tmp_path / "q"))
+    for i in range(3):
+        qv.ingest_batch(e.filter(F.col("event_id") % 3 == i), epoch_id=i)
+
+    def snap(view):
+        return {tuple(r) for r in view.quantiles().collect()}
+
+    expected_view = StreamingQuantileView(spark, str(tmp_path / "one"))
+    expected_view.ingest_batch(e, epoch_id=0)
+    expected = snap(expected_view)
+    assert snap(qv) == expected and expected
+
+    qv.ingest_batch(e.filter(F.col("event_id") % 3 == 1), epoch_id=1)  # replay
+    assert snap(qv) == expected
+    qv.compact()  # lossless fold
+    assert snap(qv) == expected
+    # post-compaction ingest still folds in
+    qv.ingest_batch(e.limit(0), epoch_id=9)
+    assert snap(qv) == expected

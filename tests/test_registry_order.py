@@ -21,6 +21,7 @@ MUST_BE_IN_WINDOW = {
     "q80b_neardup_clusters_star",
     "q134_semantic_decontaminate",
     "q135_udtf_passages",
+    "q136_streaming_quantiles",
     # Oracle SQL or Spark face changed by the round-4 ADVICE fixes.
     "q122_scd2_history",
     "q124_exact_group_median",
