@@ -108,6 +108,7 @@ HEADLINE = [
     "q134_semantic_decontaminate",
     "q135_udtf_passages",
     "q136_streaming_quantiles",
+    "q137_schema_evolution",
 ]
 
 

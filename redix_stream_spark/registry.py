@@ -66,15 +66,17 @@ def _load() -> None:
 # every registered query has a row (union = 140/140). The round-4 window
 # leads with: q42/q43, whose UPGRADED oracles (float-LSH, Arrow-decode)
 # landed after the r3 sweep and have only judge-side verification
-# (VERDICT r03 item 1); the two new round-4 faces (q06b window-aggregate
-# range join, q121b production-width PQ); and the seven queries whose
-# oracle SQL or Spark face changed with the round-4 ADVICE fixes
-# (odd-median weighting, bigram guard, (ts, event_id) tie-breaks,
-# scratch-dir ingest). The remaining slots re-verify the r1 relational
-# core (q01–q29 family, last checked in round 1) as rotating regression
-# faces. Rotated out this round: the 39 r3-green names q92–q133 etc.,
-# all with permanent CORRECTNESS_r03 rows (tests/test_registry_order.py
-# R3_CHECKED).
+# (VERDICT r03 item 1); the seven NEW round-4 faces (q06b window-aggregate
+# range join, q121b production-width PQ, q80b star contraction, q134
+# semantic decontamination, q135 UDTF passages, q136 streaming exact
+# quantiles, q137 schema evolution); and the seven queries whose oracle
+# SQL or Spark face changed with the round-4 ADVICE fixes (odd-median
+# weighting, bigram guard, (ts, event_id) tie-breaks, scratch-dir
+# ingest). The remaining slots re-verify the r1 relational core
+# (q01–q19 family, last checked in round 1) as rotating regression
+# faces. Rotated out this round: the 39 r3-green names q92–q133 etc.
+# plus r1-green q20–q28/q63 spillover, all with permanent rows
+# (tests/test_registry_order.py R1_GREEN/R2_CHECKED/R3_CHECKED).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- oracle upgraded post-r3-sweep; judge-verified, needs a driver row --
     "q42_ann_lsh_topk",
@@ -86,6 +88,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q134_semantic_decontaminate",
     "q135_udtf_passages",
     "q136_streaming_quantiles",
+    "q137_schema_evolution",
     # -- oracle/face changed by the round-4 ADVICE fixes --
     "q122_scd2_history",
     "q124_exact_group_median",
@@ -129,7 +132,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q67_left_outer_join",
     "q68_right_outer_join",
     "q62_forecast_revenue",
-    "q63_promo_ratio",
 )
 
 

@@ -206,5 +206,54 @@ def _register_query() -> None:
             ),
         )
 
+    Q137_SQL = """
+SELECT
+  CASE WHEN event_id % 2 = 0 THEN 'pre_schema' ELSE event_type END AS event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+    @register("q137_schema_evolution", Q137_SQL)
+    def q137_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """E1 production breadth: SCHEMA EVOLUTION on an append-only
+        landing table. Real ingest tables grow columns mid-stream; the
+        engine must read the union without rewriting history. Half the
+        event log lands under the ORIGINAL schema (no ``event_type``
+        column yet), half under the EVOLVED one; the read uses parquet
+        ``mergeSchema`` so pre-evolution rows surface the new column as
+        NULL, backfilled here with an explicit marker — and the rollup
+        must match computing the same split directly on the source.
+
+        Scale note: ``mergeSchema`` reconciles footers at planning time
+        (cost ∝ files, not rows); production tables pin the merged
+        schema in a catalog instead of re-merging per query — the read
+        semantics verified here are identical either way.
+        """
+        e = load_table(spark, sf_dir, "events")
+        tmp = _scratch("q137_evo_")
+        # epoch 1: the original schema (event_type does not exist yet)
+        e.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "user_id", "value"
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "epoch=1"))
+        # epoch 2: the evolved schema adds event_type
+        e.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "user_id", "value", "event_type"
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "epoch=2"))
+        back = (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", tmp)
+            .parquet(os.path.join(tmp, "epoch=*"))
+        )
+        return back.groupBy(
+            F.coalesce("event_type", F.lit("pre_schema")).alias("event_type")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+
 
 _register_query()

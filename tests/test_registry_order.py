@@ -22,6 +22,7 @@ MUST_BE_IN_WINDOW = {
     "q134_semantic_decontaminate",
     "q135_udtf_passages",
     "q136_streaming_quantiles",
+    "q137_schema_evolution",
     # Oracle SQL or Spark face changed by the round-4 ADVICE fixes.
     "q122_scd2_history",
     "q124_exact_group_median",
