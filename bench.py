@@ -109,6 +109,7 @@ HEADLINE = [
     "q135_udtf_passages",
     "q136_streaming_quantiles",
     "q137_schema_evolution",
+    "q138_sq8_ann_topk",
 ]
 
 

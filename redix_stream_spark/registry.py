@@ -89,6 +89,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q135_udtf_passages",
     "q136_streaming_quantiles",
     "q137_schema_evolution",
+    "q138_sq8_ann_topk",
     # -- oracle/face changed by the round-4 ADVICE fixes --
     "q122_scd2_history",
     "q124_exact_group_median",
@@ -131,7 +132,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q50_full_outer_join",
     "q67_left_outer_join",
     "q68_right_outer_join",
-    "q62_forecast_revenue",
 )
 
 

@@ -1291,3 +1291,24 @@ def test_q80b_star_equals_q80_propagation(spark, sf_dir):
         map(tuple, Q["q80b_neardup_clusters_star"](spark, sf_dir).collect())
     )
     assert a == b and a
+
+
+def test_sq8_recall_and_quantization_ladder(spark):
+    # SQ8 (255 levels/dim, 4x memory cut) must be near-lossless for
+    # ranking: top-10 EQUALS the exact q40 ranking at sf0.01 — tighter
+    # than the PQ bars (demo 7/10, production 10/10 set-overlap), which
+    # is the point of the ladder: recall degrades monotonically with
+    # compression (float32 exact > SQ8 > PQ), and each rung is pinned.
+    from redix_stream_spark.catalog import load_table
+    from redix_stream_spark.llm.pq import fit_sq8
+    from redix_stream_spark.registry import all_queries
+
+    sf_mid = "/root/testdata/sf0.01"
+    Q = all_queries()
+    exact = [r["vec_id"] for r in Q["q40_cosine_topk"](spark, sf_mid).collect()]
+    sq8 = [r["vec_id"] for r in Q["q138_sq8_ann_topk"](spark, sf_mid).collect()]
+    assert sq8 == exact, (exact, sq8)
+    # the range fit is per-dimension and normalized-space
+    lo, hi = fit_sq8(load_table(spark, sf_mid, "embeddings"))
+    assert lo.shape == (64,) and (hi > lo).all()
+    assert (lo >= -1.0001).all() and (hi <= 1.0001).all()

@@ -23,6 +23,7 @@ MUST_BE_IN_WINDOW = {
     "q135_udtf_passages",
     "q136_streaming_quantiles",
     "q137_schema_evolution",
+    "q138_sq8_ann_topk",
     # Oracle SQL or Spark face changed by the round-4 ADVICE fixes.
     "q122_scd2_history",
     "q124_exact_group_median",
