@@ -67,6 +67,14 @@ class StreamingQuantileView:
         )
         partial.write.mode("overwrite").parquet(self._epoch_path(epoch_id))
 
+    def attach(self, stream_df: DataFrame, checkpoint_dir: str):
+        """Wire the view to a streaming DataFrame (caller starts/awaits)
+        — the matview attach contract."""
+        return (
+            stream_df.writeStream.foreachBatch(self.ingest_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+
     def _merged(self) -> DataFrame:
         gen_dir = self._state.current_dir()
         raw = self.spark.read.option("basePath", gen_dir).parquet(
