@@ -997,7 +997,18 @@ def overlap_cells(err: DataFrame, cell_seconds: int) -> DataFrame:
 
 def overlap_pairs(err: DataFrame, cell_seconds: int) -> DataFrame:
     """Distinct overlapping (user_a < user_b) interval pairs via the
-    grid-binned equi-join (see q127 docstring for the plan)."""
+    grid-binned equi-join (see q127 docstring for the plan).
+
+    Multi-cell dedup is a JOIN-TIME PREDICATE, not a distinct: a pair
+    overlapping across several shared cells is emitted only in the cell
+    containing its overlap START (greatest(from_a, from_b) — an instant
+    inside both intervals, so both sides always enumerate that cell).
+    The spatial-join "report at first cell" trick removes what used to
+    be a full extra shuffle of every enumerated pair — measured at the
+    100× events replica, that distinct shuffled 450M six-column rows
+    and dominated the wall clock (SCALING.md round-4 spot-check).
+    """
+    cell_us = int(cell_seconds) * 1_000_000
     cells = overlap_cells(err, cell_seconds)
     a = cells.select(
         F.col("user_id").alias("user_a"),
@@ -1011,17 +1022,19 @@ def overlap_pairs(err: DataFrame, cell_seconds: int) -> DataFrame:
         F.col("t").alias("to_b"),
         "cell",
     )
-    return (
-        a.join(
-            b,
-            (a.cell == b.cell)  # the equi conjunct binning buys
-            & (F.col("user_a") < F.col("user_b"))
-            & (F.col("from_a") < F.col("to_b"))
-            & (F.col("from_b") < F.col("to_a")),
-        )
-        .select("user_a", "user_b", "from_a", "from_b", "to_a", "to_b")
-        .distinct()  # intervals sharing several cells pair once
+    overlap_start_us = F.expr(
+        "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01',"
+        " greatest(from_a, from_b))"
     )
+    return a.join(
+        b,
+        (a.cell == b.cell)  # the equi conjunct binning buys
+        & (F.col("user_a") < F.col("user_b"))
+        & (F.col("from_a") < F.col("to_b"))
+        & (F.col("from_b") < F.col("to_a"))
+        # first-cell rule: emit only where the overlap starts
+        & (a.cell == F.floor(overlap_start_us / cell_us).cast("long")),
+    ).select("user_a", "user_b", "from_a", "from_b", "to_a", "to_b")
 
 
 @register("q127_interval_overlap", Q127_SQL)

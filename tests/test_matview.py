@@ -361,3 +361,35 @@ def test_streaming_quantile_view_equals_batch_and_survives_replay(spark, tmp_pat
     # post-compaction ingest still folds in
     qv.ingest_batch(e.limit(0), epoch_id=9)
     assert snap(qv) == expected
+
+
+def test_quantile_view_under_real_stream(spark, tmp_path):
+    """The quantile view's attach() wiring under an actual availableNow
+    stream: two file-batches in, quantiles equal the one-shot batch."""
+    import time as _time
+
+    from redix_stream_spark.streaming.quantile import StreamingQuantileView
+
+    src = str(tmp_path / "qsrc")
+    os.makedirs(src)
+    b1, b2 = _rows(1, 6), _rows(2, 5, "click")
+    for b in (b1, b2):
+        spark.createDataFrame(b, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    qv = StreamingQuantileView(spark, str(tmp_path / "qv"))
+    q = (
+        qv.attach(
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            str(tmp_path / "qck"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    one = StreamingQuantileView(spark, str(tmp_path / "qv_one"))
+    one.ingest_batch(spark.createDataFrame(b1 + b2, SCHEMA), epoch_id=0)
+    got = {tuple(r) for r in qv.quantiles().collect()}
+    assert got == {tuple(r) for r in one.quantiles().collect()} and got
