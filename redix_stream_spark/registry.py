@@ -50,7 +50,7 @@ def _load() -> None:
     from .functions import udfs  # noqa: F401
     from .plans import zorder  # noqa: F401
     from .sources import ingest  # noqa: F401
-    from .streaming import matview, quantile  # noqa: F401
+    from .streaming import manifest_log, matview, quantile  # noqa: F401
 
     _loaded = True
 
@@ -90,6 +90,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q136_streaming_quantiles",
     "q137_schema_evolution",
     "q138_sq8_ann_topk",
+    "q139_manifest_log",
     # -- oracle/face changed by the round-4 ADVICE fixes --
     "q122_scd2_history",
     "q124_exact_group_median",
@@ -131,7 +132,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q29_map_ops",
     "q50_full_outer_join",
     "q67_left_outer_join",
-    "q68_right_outer_join",
+    # q68_right_outer_join rotated out for q139 (r1-green permanent row;
+    # right-outer is the least marginal of the three outer-join faces).
 )
 
 

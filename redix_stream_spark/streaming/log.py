@@ -182,6 +182,11 @@ class EventLog:
         compaction. On S3/GCS, run the log as a real table format (or
         skip compaction — the consumer contract never depends on file
         count); the operator states have no such constraint.
+        ``streaming.manifest_log.ManifestEventLog`` IS that table-format
+        run of the log (manifest + pointer commit, logical (ms, seq)
+        stream offsets) — use it where compaction under S3/GCS or
+        replay-free compaction matters; this class stays the
+        zero-ceremony local/HDFS face.
         """
         df = self.read(spark)
         n = df.count()

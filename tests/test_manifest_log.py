@@ -1,0 +1,171 @@
+"""ManifestEventLog + the ``manifestlog`` streaming source — the
+object-store-safe log face (streaming/manifest_log.py): manifest commits,
+logical (ms, seq) offsets, compaction invisible to checkpoints, and the
+crash windows of the generation-pointer protocol."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from redix_stream_spark.streaming.manifest_log import ManifestEventLog
+
+
+@pytest.fixture()
+def log(tmp_path):
+    return ManifestEventLog(str(tmp_path / "mlog"))
+
+
+def _run_stream(spark, log, ck):
+    """Drain the log through the manifestlog source; availableNow on a
+    Python source falls back to ONE unbounded batch to the latest
+    offset, which is exactly a drain. Returns [(ms, seq, id,
+    payload_dict), ...] in delivery order."""
+    got: list[tuple] = []
+
+    def sink(df, epoch):
+        got.extend(
+            (r["ms"], r["seq"], r["id"], dict(r["payload"]))
+            for r in df.collect()
+        )
+
+    q = (
+        log.read_stream(spark)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return got
+
+
+def test_produce_roundtrip_ids_and_coercion(spark, log):
+    """R1 semantics survive the manifest layout: server-assigned
+    ``<ms>-<seq>`` ids, monotone (ms, seq), values stringified
+    (stream.ex:16-30); batch read returns exactly what was produced and
+    max_position is served from the pointer without any file scan."""
+    ids = log.produce_many(spark, [{"k": 1, "n": 2.5}, {"k": "two"}])
+    ids += log.produce_many(spark, [{"k": 3}])
+    rows = {r["id"]: r for r in log.read(spark).collect()}
+    assert sorted(rows) == sorted(ids) and len(ids) == 3
+    assert dict(rows[ids[0]]["payload"]) == {"k": "1", "n": "2.5"}
+    positions = sorted((rows[i]["ms"], rows[i]["seq"]) for i in ids)
+    assert positions == [(r["ms"], r["seq"]) for r in sorted(
+        rows.values(), key=lambda r: (r["ms"], r["seq"]))]
+    assert log.max_position() == positions[-1]
+    # the pointer carries the end position: no data read involved
+    meta = log.state.meta()
+    assert (meta["max_ms"], meta["max_seq"]) == positions[-1]
+    assert meta["rows"] == 3
+
+
+def test_stream_equals_batch_and_pacing(spark, log, tmp_path):
+    """The streaming face serves every row exactly once, and
+    maxRowsPerTrigger cuts micro-batches at file granularity: three
+    produce batches (= three files) with a 1-row budget drain in three
+    batches, never fewer."""
+    ids = []
+    for b in range(3):
+        ids += log.produce_many(spark, [{"b": b, "i": i} for i in range(4)])
+    got = _run_stream(spark, log, str(tmp_path / "ck1"))
+    assert sorted(g[2] for g in got) == sorted(ids)
+    # file-granular pacing: with a 1-row budget each trigger advances past
+    # exactly one file (4 rows). Python sources fall back to one unbounded
+    # batch under availableNow, so drive the poll loop explicitly (same
+    # pattern as test_eventlog_datasource_incremental).
+    import time
+
+    epochs: list[list[str]] = []
+
+    def sink(df, epoch):
+        rows = [r["id"] for r in df.collect()]
+        if rows:
+            epochs.append(rows)
+
+    q = (
+        spark.readStream.format("manifestlog")
+        .option("path", log.root)
+        .option("maxRowsPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while sum(map(len, epochs)) < 12 and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    assert [len(e) for e in epochs] == [4, 4, 4]
+    assert [i for e in epochs for i in e] == ids  # position order
+
+
+def test_compaction_invisible_to_checkpoint(spark, log, tmp_path):
+    """THE property the file source can't give (log.py:158-167 needs a
+    consumer-side watermark to mask full replay): after compaction
+    rewrites every data file, a consumer resuming from its checkpoint
+    sees nothing old — offsets are log positions, not file names — and
+    new appends still flow."""
+    ids1 = log.produce_many(spark, [{"i": i} for i in range(6)])
+    ck = str(tmp_path / "ck")
+    assert sorted(g[2] for g in _run_stream(spark, log, ck)) == sorted(ids1)
+
+    n = log.compact(spark, target_files=1)
+    assert n == 6
+    assert len(log.data_files()) == 1
+    assert log.vacuum() >= 1  # the pre-compaction files are unreferenced
+    ids2 = log.produce_many(spark, [{"i": "new"}])
+
+    got = _run_stream(spark, log, ck)  # SAME checkpoint
+    assert [g[2] for g in got] == ids2  # no redelivery, new row delivered
+    # and the data survived compaction bit-for-bit
+    rows = {r["id"] for r in log.read(spark).collect()}
+    assert rows == set(ids1) | set(ids2)
+
+
+def test_crash_between_stage_and_commit(spark, log):
+    """Kill the writer after staging a generation but before the pointer
+    commit: readers keep the old generation (complete, consistent), and
+    the orphan is swept by the next commit's cleanup."""
+    ids = log.produce_many(spark, [{"i": 1}])
+    gen, path = log.state.stage()  # crash here: manifest never written
+    with open(os.path.join(path, "manifest.json"), "w") as fh:
+        fh.write("[")  # even a torn manifest file must be invisible
+
+    reopened = ManifestEventLog(log.root)
+    assert [r["id"] for r in reopened.read(spark).collect()] == ids
+    assert reopened.max_position() == (int(ids[0].split("-")[0]), 0)
+    ids2 = reopened.produce_many(spark, [{"i": 2}])
+    # the torn stage dir is gone, the new commit is live
+    assert not os.path.isdir(path)
+    assert {r["id"] for r in reopened.read(spark).collect()} == set(ids + ids2)
+
+
+def test_vacuum_spares_referenced_files(spark, log):
+    """vacuum() only removes unreferenced data files — after appends
+    with no compaction there is nothing to collect."""
+    log.produce_many(spark, [{"i": 1}])
+    log.produce_many(spark, [{"i": 2}])
+    assert log.vacuum() == 0
+    assert len(log.data_files()) == 2
+    assert log.compact(spark, target_files=1) == 2
+    assert log.vacuum() == 2
+    assert {r["payload"]["i"] for r in log.read(spark).collect()} == {"1", "2"}
+
+
+def test_commit_is_pointer_only(spark, log):
+    """No live directory is ever renamed: after a produce+compact cycle
+    the root holds CURRENT + gen dirs + data/, and a reader mid-anything
+    always finds a complete committed manifest (contrast EventLog.compact's
+    documented two-rename window, log.py:174-184)."""
+    log.produce_many(spark, [{"i": 1}])
+    before = log.state.current_gen()
+    log.compact(spark, target_files=1)
+    assert log.state.current_gen() == before + 1
+    doc = json.load(open(os.path.join(log.root, "CURRENT")))
+    assert set(doc) >= {"gen", "max_ms", "max_seq", "rows", "files"}
+    entries = log.manifest()
+    assert all(os.path.exists(os.path.join(log.root, e["file"])) for e in entries)
