@@ -49,7 +49,12 @@ PQ_K = 16  # centroids per subspace (4-bit codes) — demo width
 #: the bench headline carries a recorded baseline for it.
 PQ_M_PROD = 16
 PQ_K_PROD = 256
-PQ_SAMPLE = 4096  # codebook training sample (bounded driver transfer)
+PQ_SAMPLE = 4096  # codebook training sample floor (bounded driver transfer)
+#: training points per centroid the sample must afford at minimum —
+#: FAISS's documented floor is ~39×/centroid; 64× keeps k=256 codebooks
+#: (16384 vectors ≈ 8 MB at dim 64) well above it while staying a
+#: trivially bounded driver transfer.
+PQ_SAMPLE_PER_CENTROID = 64
 
 
 def _normalize(v: np.ndarray) -> np.ndarray:
@@ -73,19 +78,32 @@ def fit_pq(
     id_col: str = "vec_id",
     m: int = PQ_M,
     k: int = PQ_K,
-    sample_n: int = PQ_SAMPLE,
+    sample_n: int | None = None,
     iters: int = 12,
 ) -> np.ndarray:
     """Train per-subspace codebooks → (m, k, dim/m) float64 array.
 
-    Deterministic: the sample is the first ``sample_n`` vectors by id
-    (stable across runs/engines), initial centroids are the first k
-    sample subvectors, and Lloyd iterations are fixed-count — no RNG.
-    Spherical: vectors are L2-normalized before training so codes live
-    in the cosine space queries use (the stream_ann refresh discipline).
+    The sample budget scales with the codebook: ``max(PQ_SAMPLE,
+    PQ_SAMPLE_PER_CENTROID * k)`` — a fixed 4096 would leave k=256
+    codebooks 16 points per centroid, thinner than FAISS's ~39×
+    training floor. Selection is md5-ordered, not an id prefix: at
+    corpus scale ids follow ingest order, so a prefix trains the
+    codebook on the oldest slice of the data; the md5 order is a
+    uniform pseudo-sample that stays deterministic across runs and
+    engines (the repo's md5 discipline). Initial centroids are the
+    first k sample subvectors and Lloyd iterations are fixed-count —
+    no RNG anywhere. Spherical: vectors are L2-normalized before
+    training so codes live in the cosine space queries use (the
+    stream_ann refresh discipline). The collect is bounded
+    (sample_n × dim floats) and planned as TakeOrdered — no full sort.
     """
+    if sample_n is None:
+        sample_n = max(PQ_SAMPLE, PQ_SAMPLE_PER_CENTROID * k)
     rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(sample_n)
+        .collect()
     )  # bounded: sample_n × dim floats, the codebook-fit transfer
     x = _normalize(np.array([r[vec_col] for r in rows], dtype=np.float64))
     dim = x.shape[1]
