@@ -43,7 +43,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import ship_package
+from typing import TYPE_CHECKING
+
 from .log import MESSAGE_SCHEMA, TOMBSTONE, EventLog
+
+if TYPE_CHECKING:  # runtime import is lazy (in _stream) to avoid a cycle
+    from .manifest_log import ManifestEventLog
 
 
 class HandlerResult(Enum):
@@ -58,7 +63,7 @@ Handler = Callable[[str, dict], HandlerResult]
 
 @dataclass
 class Consumer:
-    log: EventLog
+    log: EventLog | ManifestEventLog
     handler: Handler
     checkpoint_root: str
     group_name: str | None = None
@@ -333,6 +338,16 @@ class Consumer:
         return raw.groupBy("id").agg(F.min("error").alias("error"))
 
     def _stream(self, spark: SparkSession):
+        from .manifest_log import ManifestEventLog
+
+        if isinstance(self.log, ManifestEventLog):
+            # Logical (ms, seq) offsets: log compaction is invisible to
+            # this consumer's checkpoint outright — the file-source path
+            # below needs the delivered watermark to filter the full
+            # replay a rewritten directory causes (log.py:158-167).
+            # File pacing doesn't apply; bound micro-batches with the
+            # manifestlog source's maxRowsPerTrigger when polling.
+            return self.log.read_stream(spark)
         reader = spark.readStream.schema(MESSAGE_SCHEMA)
         if self.max_files_per_trigger:
             reader = reader.option(

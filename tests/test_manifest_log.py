@@ -156,6 +156,56 @@ def test_vacuum_spares_referenced_files(spark, log):
     assert {r["payload"]["i"] for r in log.read(spark).collect()} == {"1", "2"}
 
 
+def test_consumer_over_manifest_log(spark, log, tmp_path):
+    """The full Consumer (ordered apply, tombstone skip, ack/pending —
+    reference consumer.ex) runs unchanged over the manifest log: the
+    dataclass duck-types on produce/read/max_position and _stream
+    dispatches to the logical-offset source."""
+    from redix_stream_spark.streaming import Consumer, HandlerResult
+    from redix_stream_spark.streaming.log import TOMBSTONE
+
+    seen: list[tuple[str, dict]] = []
+
+    def handler(mid, payload):
+        seen.append((mid, payload))
+        return HandlerResult.OK
+
+    ids1 = log.produce_many(spark, [{"key": f"v{i}"} for i in range(3)])
+    log.produce(spark, TOMBSTONE)
+    c = Consumer(log, handler, str(tmp_path / "ck"), group_name="g1")
+    c.run_once(spark)
+    ids2 = log.produce_many(spark, [{"key": "late"}])
+    c.run_once(spark)
+    assert [i for i, _ in seen] == ids1 + ids2  # ordered, tombstone skipped
+    # OK handler acks everything it saw; only the tombstone stays pending
+    # (skipped without ack — reference consumer.ex:286,295 semantics)
+    assert [dict(r["payload"]) for r in c.pending(spark).collect()] == [TOMBSTONE]
+
+
+def test_consumer_compaction_no_replay(spark, log, tmp_path):
+    """Compaction between consumer runs: the file-source path replays the
+    whole rewritten directory and relies on the delivered watermark to
+    mask it; the manifest path's checkpoint offsets are log positions, so
+    nothing is even re-read. Behavioral contract either way: the handler
+    never re-sees a message."""
+    from redix_stream_spark.streaming import Consumer, HandlerResult
+
+    seen: list[str] = []
+
+    def handler(mid, payload):
+        seen.append(mid)
+        return HandlerResult.OK
+
+    ids1 = log.produce_many(spark, [{"i": i} for i in range(5)])
+    c = Consumer(log, handler, str(tmp_path / "ck"))
+    c.run_once(spark)
+    assert log.compact(spark, target_files=1) == 5
+    log.vacuum()
+    ids2 = log.produce_many(spark, [{"i": "post-compact"}])
+    c.run_once(spark)
+    assert seen == ids1 + ids2
+
+
 def test_commit_is_pointer_only(spark, log):
     """No live directory is ever renamed: after a produce+compact cycle
     the root holds CURRENT + gen dirs + data/, and a reader mid-anything
