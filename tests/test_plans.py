@@ -254,6 +254,12 @@ def test_q107_containment_verify_join_is_shuffle_hash(spark, sf_dir):
     for line in plan.splitlines():
         if "BroadcastHashJoin" in line and ("ssa" in line or "ssb" in line):
             raise AssertionError(f"shingle-set relation broadcast: {line}")
+    # the postings pipeline must be sort-free and broadcast-free: the dfs
+    # join-back and the candidate join are SHJ-pinned (the SMJ sorts of
+    # exploded shingle rows were the measured 2x, SCALING.md), and dfs is
+    # corpus-sized — broadcastable only by size accident at test SF
+    assert "BroadcastHashJoin" not in plan, "corpus-sized relation broadcast"
+    assert "SortMergeJoin" not in plan, "shingle join fell back to SMJ"
 
 
 def test_q108_source_drift_totals_broadcast_vocab_join_keyed(spark, sf_dir):
