@@ -76,36 +76,63 @@ class ManifestEventLog:
 
     # -- manifest plumbing ---------------------------------------------
 
-    def manifest(self) -> list[dict]:
-        """Entries of the committed generation ([] before first commit)."""
-        cur = self.state.current_dir()
-        if cur is None:
-            return []
-        with open(os.path.join(cur, "manifest.json")) as fh:
+    #: committed generations retained for snapshot reads; older ones
+    #: expire automatically (their manifest dirs are swept at commit)
+    HISTORY_CAP = 64
+
+    def manifest(self, gen: int | None = None) -> list[dict]:
+        """Entries of a committed generation — the current one by
+        default ([] before first commit). ``gen`` must be in
+        ``generations()``: an expired or never-committed number (e.g. a
+        crashed writer's orphan stage) raises rather than serving a
+        possibly-torn manifest."""
+        if gen is None:
+            cur = self.state.current_dir()
+            if cur is None:
+                return []
+            path = os.path.join(cur, "manifest.json")
+        else:
+            if gen not in self.generations():
+                raise ValueError(
+                    f"generation {gen} is not in the committed history "
+                    f"{self.generations()} (expired or never committed)"
+                )
+            path = os.path.join(self.state.gen_dir(gen), "manifest.json")
+        with open(path) as fh:
             return json.load(fh)
 
-    def data_files(self) -> list[str]:
-        return [os.path.join(self.root, e["file"]) for e in self.manifest()]
+    def generations(self) -> list[int]:
+        """Committed generations available for snapshot reads, oldest
+        first (capped at HISTORY_CAP — the automatic retention policy)."""
+        return [int(g) for g in self.state.meta().get("history", [])]
+
+    def data_files(self, gen: int | None = None) -> list[str]:
+        return [os.path.join(self.root, e["file"]) for e in self.manifest(gen)]
 
     def _commit_manifest(self, entries: list[dict]) -> None:
         """Stage a new generation holding ``entries``, commit the pointer
-        (with the log-end position riding in the same atomic step), and
-        lazily drop old manifest generations (tiny JSON — data-file GC is
-        vacuum()'s job)."""
+        (with the log-end position AND the committed-generation history
+        riding in the same atomic step), then sweep manifest dirs that
+        are neither in the history nor current — i.e. expired snapshots
+        and crashed writers' orphan stages. Manifests are tiny JSON, so
+        retaining HISTORY_CAP of them costs nothing; data-file GC is
+        vacuum()'s job."""
         gen, path = self.state.stage()
         with open(os.path.join(path, "manifest.json"), "w") as fh:
             json.dump(entries, fh)
         mx = max(
             (tuple(e["max"]) for e in entries), default=(-1, -1)
         )
+        history = (self.generations() + [gen])[-self.HISTORY_CAP:]
         self.state.commit(
             gen,
             max_ms=mx[0],
             max_seq=mx[1],
             rows=sum(e["rows"] for e in entries),
             files=len(entries),
+            history=history,
         )
-        self.state.cleanup()
+        self.state.cleanup(keep=set(history))
 
     # -- produce (R1) ---------------------------------------------------
 
@@ -184,12 +211,28 @@ class ManifestEventLog:
 
     # -- read -----------------------------------------------------------
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession, gen: int | None = None) -> DataFrame:
         """Batch read via the manifest — native JVM parquet scan over
-        exactly the committed files (empty-log safe)."""
-        files = self.data_files()
+        exactly the committed files (empty-log safe).
+
+        ``gen`` reads a RETAINED SNAPSHOT (time travel): every commit is
+        a complete manifest, so any generation in ``generations()``
+        reconstructs the log exactly as it was at that commit — until
+        ``vacuum()`` reclaims data files the current generation no
+        longer references, which expires older snapshots (the Delta
+        VACUUM trade, surfaced here as an explicit error rather than a
+        partial read)."""
+        files = self.data_files(gen)
         if not files:
             return spark.createDataFrame([], MESSAGE_SCHEMA)
+        if gen is not None:
+            missing = [f for f in files if not os.path.exists(f)]
+            if missing:
+                raise FileNotFoundError(
+                    f"snapshot gen={gen} references {len(missing)} data "
+                    "file(s) reclaimed by vacuum(); only snapshots sharing "
+                    "the current generation's files remain readable"
+                )
         return spark.read.schema(MESSAGE_SCHEMA).parquet(*files)
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
@@ -228,10 +271,12 @@ class ManifestEventLog:
         return n
 
     def vacuum(self) -> int:
-        """Delete data files no committed manifest references. Separate
-        from compact() on purpose: a reader that planned its splits from
-        the previous generation must drain first (Delta-VACUUM-style
-        retention, collapsed to an explicit owner-invoked step)."""
+        """Delete data files the CURRENT generation doesn't reference.
+        Separate from compact() on purpose: a reader that planned its
+        splits from the previous generation must drain first, and
+        retained snapshots (``read(spark, gen=...)``) stay readable
+        until this runs (Delta-VACUUM-style retention, collapsed to an
+        explicit owner-invoked step)."""
         live = {os.path.basename(e["file"]) for e in self.manifest()}
         removed = 0
         for name in os.listdir(self.data_dir):

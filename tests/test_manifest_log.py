@@ -206,6 +206,46 @@ def test_consumer_compaction_no_replay(spark, log, tmp_path):
     assert seen == ids1 + ids2
 
 
+def test_snapshot_reads(spark, log):
+    """Every commit is a complete manifest, so retained generations are
+    readable snapshots: gen N reconstructs the log exactly as of commit
+    N; compaction adds a generation without changing the current view;
+    vacuum() expires snapshots that reference reclaimed files (explicit
+    error, never a partial read)."""
+    ids1 = log.produce_many(spark, [{"i": 1}])
+    g1 = log.state.current_gen()
+    ids2 = log.produce_many(spark, [{"i": 2}])
+    g2 = log.state.current_gen()
+    log.compact(spark, target_files=1)
+    assert log.generations() == [g1, g2, log.state.current_gen()]
+    assert [r["id"] for r in log.read(spark, gen=g1).collect()] == ids1
+    assert sorted(r["id"] for r in log.read(spark, gen=g2).collect()) == sorted(
+        ids1 + ids2
+    )
+    assert log.read(spark).count() == 2  # current view unchanged
+    # an uncommitted (crashed) stage number is never readable
+    with pytest.raises(ValueError, match="not in the committed history"):
+        log.manifest(gen=99)
+    # vacuum reclaims the pre-compaction files -> old snapshots expire
+    assert log.vacuum() == 2
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        log.read(spark, gen=g1)
+    assert log.read(spark).count() == 2  # current always fine
+
+
+def test_history_cap_expires_oldest(spark, log, monkeypatch):
+    """The committed-generation history is the retention policy: beyond
+    HISTORY_CAP the oldest manifests are swept at commit time."""
+    monkeypatch.setattr(type(log), "HISTORY_CAP", 3)
+    for i in range(5):
+        log.produce_many(spark, [{"i": i}])
+    gens = log.generations()
+    assert len(gens) == 3
+    assert not os.path.isdir(log.state.gen_dir(0))
+    assert log.read(spark, gen=gens[0]).count() == 3  # oldest retained = 3 appends
+    assert log.read(spark).count() == 5
+
+
 def test_commit_is_pointer_only(spark, log):
     """No live directory is ever renamed: after a produce+compact cycle
     the root holds CURRENT + gen dirs + data/, and a reader mid-anything
