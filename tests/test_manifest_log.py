@@ -246,6 +246,78 @@ def test_history_cap_expires_oldest(spark, log, monkeypatch):
     assert log.read(spark).count() == 5
 
 
+def test_interleaved_maintenance_model_equivalence(spark, log):
+    """A scripted interleaving of produce / compact / vacuum (the ops a
+    long-lived log actually sees, in an order no single scenario test
+    walks) against a driver-side model: after every step the log's
+    content equals the model, max_position is monotone, and the row
+    count in the pointer matches. Maintenance must never be observable
+    in the data."""
+    model: dict[str, dict] = {}
+    last_pos = (-1, -1)
+    script = [
+        ("produce", 3), ("compact", 1), ("produce", 1), ("vacuum", None),
+        ("produce", 4), ("compact", 2), ("compact", 1), ("produce", 2),
+        ("vacuum", None), ("compact", 3), ("vacuum", None), ("produce", 1),
+    ]
+    for step, (op, arg) in enumerate(script):
+        if op == "produce":
+            ids = log.produce_many(
+                spark, [{"step": step, "i": i} for i in range(arg)]
+            )
+            for i, mid in enumerate(ids):
+                model[mid] = {"step": str(step), "i": str(i)}
+        elif op == "compact":
+            assert log.compact(spark, target_files=arg) == len(model)
+        else:
+            log.vacuum()
+        rows = {r["id"]: dict(r["payload"]) for r in log.read(spark).collect()}
+        assert rows == model, f"divergence after step {step} ({op})"
+        pos = log.max_position()
+        assert pos >= last_pos
+        last_pos = pos
+        assert log.state.meta()["rows"] == len(model)
+
+
+def test_multi_log_stream_union(spark, log, tmp_path):
+    """EventLog.union_read_stream parity for manifest logs: one stream
+    over several logs, each row tagged with its source; per-log order
+    holds, compaction of one log stays invisible to the union's
+    checkpoint."""
+    import pyspark.sql.functions as F
+
+    other = ManifestEventLog(str(tmp_path / "mlog2"))
+    ids_a = log.produce_many(spark, [{"k": "a"}])
+    ids_b = other.produce_many(spark, [{"k": "b"}])
+    union = (
+        log.read_stream(spark).withColumn("stream", F.lit(log.root))
+        .unionByName(
+            other.read_stream(spark).withColumn("stream", F.lit(other.root))
+        )
+    )
+    got: list[tuple] = []
+
+    def sink(df, epoch):
+        got.extend((r["stream"], r["id"]) for r in df.collect())
+
+    ck = str(tmp_path / "uck")
+    q = (union.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ck).trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert sorted(got) == sorted(
+        [(log.root, ids_a[0]), (other.root, ids_b[0])]
+    )
+    # compact one log; resume the union: nothing replays, new rows flow
+    log.compact(spark, target_files=1)
+    log.vacuum()
+    ids_a2 = log.produce_many(spark, [{"k": "a2"}])
+    got.clear()
+    q = (union.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", ck).trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert got == [(log.root, ids_a2[0])]
+
+
 def test_commit_is_pointer_only(spark, log):
     """No live directory is ever renamed: after a produce+compact cycle
     the root holds CURRENT + gen dirs + data/, and a reader mid-anything
