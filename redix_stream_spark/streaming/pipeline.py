@@ -36,8 +36,13 @@ Transform = Callable[[DataFrame], DataFrame]
 
 @dataclass
 class Pipeline:
-    source: EventLog
-    sink: EventLog
+    #: either log flavor works on either end — the Pipeline only touches
+    #: the shared surface (read_stream / produce_df); a ManifestEventLog
+    #: sink commits each micro-batch as one manifest generation, and a
+    #: ManifestEventLog source makes the pipeline's checkpoint
+    #: compaction-proof (logical offsets)
+    source: "EventLog | ManifestEventLog"
+    sink: "EventLog | ManifestEventLog"
     transform: Transform
     checkpoint_dir: str
 

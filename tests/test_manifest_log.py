@@ -318,6 +318,33 @@ def test_multi_log_stream_union(spark, log, tmp_path):
     assert got == [(log.root, ids_a2[0])]
 
 
+def test_pipeline_manifest_to_manifest(spark, log, tmp_path):
+    """A log→log Pipeline runs over manifest logs on both ends: the
+    transform's output commits per micro-batch as manifest generations,
+    ids flow through, and a second drain moves nothing."""
+    from redix_stream_spark.streaming.pipeline import Pipeline
+    import pyspark.sql.functions as F
+
+    sink = ManifestEventLog(str(tmp_path / "sink"))
+    ids = log.produce_many(spark, [{"n": i} for i in range(3)])
+
+    def double(df):
+        return df.select(
+            "ms", "seq", "id",
+            F.map_from_arrays(
+                F.array(F.lit("n2")),
+                F.array((F.element_at("payload", "n").cast("long") * 2).cast("string")),
+            ).alias("payload"),
+        )
+
+    p = Pipeline(log, sink, double, str(tmp_path / "pck"))
+    p.run_once(spark)
+    rows = {r["id"]: dict(r["payload"]) for r in sink.read(spark).collect()}
+    assert rows == {mid: {"n2": str(2 * i)} for i, mid in enumerate(ids)}
+    p.run_once(spark)  # nothing new -> nothing produced
+    assert sink.read(spark).count() == 3
+
+
 def test_commit_is_pointer_only(spark, log):
     """No live directory is ever renamed: after a produce+compact cycle
     the root holds CURRENT + gen dirs + data/, and a reader mid-anything
