@@ -569,7 +569,6 @@ def neardup_clusters(d: DataFrame) -> DataFrame:
                 F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
             )
         )
-        .cache()
     )
     # The loop runs on LINEAGE-TRUNCATED relations (localCheckpoint, the
     # q80b discipline): with cache() instead, every round re-analyzes

@@ -79,10 +79,23 @@ class EventLogStreamReader(DataSourceStreamReader):
         self.max_rows = int(options.get("maxrowspertrigger", options.get("maxRowsPerTrigger", "10000")))
         self.n_splits = int(options.get("numpartitions", options.get("numPartitions", "4")))
         self._start = int(options.get("startingid", options.get("startingId", "-1")))
+        #: opt-in: pace the FIRST batch from startingId. Only safe when
+        #: the checkpoint is known fresh — on a restart the first paced
+        #: cut can land below the checkpointed position and redeliver
+        #: (see latestOffset); default keeps the safe unpaced first batch.
+        self._first_paced = str(
+            options.get("firstbatchpaced", options.get("firstBatchPaced", "false"))
+        ).lower() == "true"
 
     # -- offset protocol (the consumer's durable position, R3/R11) ------
 
     def initialOffset(self) -> dict:
+        # NOTE (measured, Spark 4.1): the engine calls latestOffset
+        # BEFORE initialOffset even on a fresh stream, and partitions()
+        # runs in a different process than the offset calls — so this
+        # cannot seed first-batch pacing; see latestOffset.
+        if not hasattr(self, "_planned"):
+            self._planned = self._start
         return {"last_id": self._start}
 
     def _max_id(self) -> int:
@@ -119,11 +132,24 @@ class EventLogStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         # Advance at most max_rows per trigger — bounded micro-batches
         # (the backpressure knob the reference lacks). Pacing state is
-        # planner-local: durability lives in the checkpoint, and
-        # ``partitions`` re-syncs after a restart, so a lost commit
-        # callback can never stall or corrupt the stream.
+        # planner-local: durability lives in the checkpoint.
         high = self._max_id()
-        planned = getattr(self, "_planned", self._start)
+        planned = getattr(self, "_planned", None)
+        if planned is None:
+            if self._first_paced:
+                planned = self._start  # user asserts a fresh checkpoint
+            else:
+                # FIRST latestOffset of this run: fresh and restarted
+                # runs are indistinguishable here (the engine calls this
+                # before initialOffset; partitions runs in another
+                # process), and a restart's checkpointed position is
+                # invisible — a paced cut from self._start could land
+                # BELOW it, Spark would record the regressed offset, and
+                # committed ids would redeliver. One unpaced batch to
+                # the true end; pacing bounds every batch after it (same
+                # policy as the manifestlog source).
+                self._planned = max(high, self._start)
+                return {"last_id": self._planned}
         nxt = min(high, planned + self.max_rows)
         if nxt > planned:
             self._planned = nxt
@@ -137,7 +163,8 @@ class EventLogStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[IdRangePartition]:
         lo, hi = start["last_id"], end["last_id"]
         # Restart re-sync: never plan below what the checkpoint replays.
-        self._planned = max(getattr(self, "_planned", self._start), hi)
+        planned = getattr(self, "_planned", None)
+        self._planned = hi if planned is None else max(planned, hi)
         if hi <= lo:
             return [IdRangePartition(self.path, self.id_col, lo, lo)]
         span = hi - lo

@@ -22,11 +22,18 @@ Plan economics per trigger:
   composite range pushed down as a parquet predicate, yielded as Arrow
   RecordBatches (zero row-at-a-time Python).
 
-``maxRowsPerTrigger`` bounds micro-batches at file granularity (the
-manifest's per-file row counts): the planner walks files in composite-
-max order and cuts the batch at the first file that exceeds the budget —
-approximate by design, exact pacing would need row-level offsets inside
-files (Kafka-style), which the log's append model doesn't require.
+``maxRowsPerTrigger`` / ``maxFilesPerTrigger`` bound micro-batches at
+file granularity (the manifest's per-file row counts): the planner walks
+files in composite-max order and cuts the batch at the first file that
+exceeds the budget — approximate by design, exact pacing would need
+row-level offsets inside files (Kafka-style), which the log's append
+model doesn't require. The FIRST batch of any run (fresh or restarted)
+is served unpaced to the true log end: the Python source API exposes no
+admission control (``latestOffset`` takes no start offset), the engine
+calls it before ``initialOffset``, and a restart's checkpointed position
+is invisible — so a paced first cut could land below that position,
+Spark would record the regressed offset, and committed rows would
+redeliver. Pacing bounds every subsequent batch.
 """
 
 from __future__ import annotations
@@ -61,8 +68,13 @@ class ManifestLogDataSource(DataSource):
         return ManifestLogStreamReader(schema, self.options)
 
 
-def _read_manifest(root: str) -> list[dict]:
-    """Pointer → manifest entries, self-contained for executor use."""
+def _read_manifest(root: str, missing_ok: bool) -> list[dict]:
+    """Pointer → manifest entries. ``missing_ok`` is for the offset
+    probes, where no pointer just means an empty log; the PLANNING path
+    must pass False — a missing manifest there would silently plan an
+    empty batch over a non-empty offset range, and Spark would commit
+    the range with its rows never delivered (data loss where an
+    exception produces a retried batch)."""
     import json
     import os
 
@@ -72,7 +84,9 @@ def _read_manifest(root: str) -> list[dict]:
         with open(os.path.join(root, f"gen={gen}", "manifest.json")) as fh:
             return json.load(fh)
     except FileNotFoundError:
-        return []
+        if missing_ok:
+            return []
+        raise
 
 
 class ManifestLogStreamReader(DataSourceStreamReader):
@@ -84,6 +98,9 @@ class ManifestLogStreamReader(DataSourceStreamReader):
         self.max_rows = int(
             options.get("maxrowspertrigger", options.get("maxRowsPerTrigger", "0"))
         )
+        self.max_files = int(
+            options.get("maxfilespertrigger", options.get("maxFilesPerTrigger", "0"))
+        )
         self.n_splits = int(
             options.get("numpartitions", options.get("numPartitions", "4"))
         )
@@ -91,6 +108,14 @@ class ManifestLogStreamReader(DataSourceStreamReader):
     # -- offset protocol ------------------------------------------------
 
     def initialOffset(self) -> dict:
+        # NOTE (measured, Spark 4.1): on a fresh stream the engine calls
+        # latestOffset BEFORE initialOffset, and partitions() runs in a
+        # DIFFERENT process than the offset calls — so this method can't
+        # seed the pacing state for the first batch, and a restart is
+        # indistinguishable from a fresh start at first-latestOffset
+        # time. The pacing policy below is designed around that.
+        if not hasattr(self, "_planned"):
+            self._planned = (-1, -1)
         return {"ms": -1, "seq": -1}
 
     def _log_end(self) -> tuple[int, int]:
@@ -106,25 +131,38 @@ class ManifestLogStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         high = self._log_end()
-        planned = getattr(self, "_planned", (-1, -1))
+        planned = getattr(self, "_planned", None)
+        if planned is None:
+            # FIRST latestOffset of this run. Whether the run is fresh
+            # or a restart is unknowable here (see initialOffset), and
+            # the checkpointed position of a restart is invisible — a
+            # paced cut computed from scratch could land BELOW it, Spark
+            # would record the regressed offset as the next batch end,
+            # and the rows between would redeliver. The safe semantic is
+            # one unpaced first batch to the true log end (monotone by
+            # construction); pacing bounds every batch after it.
+            self._planned = high
+            return {"ms": high[0], "seq": high[1]}
         if high <= planned:
             return {"ms": planned[0], "seq": planned[1]}
-        if self.max_rows:
+        if self.max_rows or self.max_files:
             # File-granular pacing: advance past whole files (composite-
-            # max order) until the row budget is spent. Planner-local
-            # state only — durability is the checkpoint, and partitions()
-            # re-syncs after a restart (same discipline as the eventlog
-            # source's pacing, eventlog_source.py:119-130).
+            # max order) until the row or file budget is spent. Planner-
+            # local state only — durability is the checkpoint; a crash
+            # re-enters through the restart branch above.
             entries = [
-                e for e in _read_manifest(self.root)
+                e for e in _read_manifest(self.root, missing_ok=True)
                 if tuple(e["max"]) > planned
             ]
             entries.sort(key=lambda e: tuple(e["max"]))
-            rows, cut = 0, planned
+            rows, files, cut = 0, 0, planned
             for e in entries:
                 cut = max(cut, tuple(e["max"]))
                 rows += e["rows"]
-                if rows >= self.max_rows:
+                files += 1
+                if (self.max_rows and rows >= self.max_rows) or (
+                    self.max_files and files >= self.max_files
+                ):
                     break
             high = min(high, cut) if cut > planned else high
         self._planned = max(planned, high)
@@ -136,11 +174,14 @@ class ManifestLogStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[ManifestFilesPartition]:
         lo = (start["ms"], start["seq"])
         hi = (end["ms"], end["seq"])
-        self._planned = max(getattr(self, "_planned", (-1, -1)), hi)
+        planned = getattr(self, "_planned", None)
+        self._planned = hi if planned is None else max(planned, hi)
         if hi <= lo:
             return [ManifestFilesPartition(self.root, [], lo, hi)]
+        # a non-empty range means data was committed: a missing manifest
+        # here must FAIL the batch (retried), never plan it empty
         live = [
-            e for e in _read_manifest(self.root)
+            e for e in _read_manifest(self.root, missing_ok=False)
             if tuple(e["max"]) > lo and tuple(e["min"]) <= hi
         ]
         if not live:

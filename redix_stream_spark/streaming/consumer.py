@@ -344,10 +344,12 @@ class Consumer:
             # Logical (ms, seq) offsets: log compaction is invisible to
             # this consumer's checkpoint outright — the file-source path
             # below needs the delivered watermark to filter the full
-            # replay a rewritten directory causes (log.py:158-167).
-            # File pacing doesn't apply; bound micro-batches with the
-            # manifestlog source's maxRowsPerTrigger when polling.
-            return self.log.read_stream(spark)
+            # replay a rewritten directory causes (log.py:158-167). The
+            # backpressure knob carries over in the SAME units: the
+            # manifestlog source paces at file granularity too.
+            return self.log.read_stream(
+                spark, max_files_per_trigger=self.max_files_per_trigger
+            )
         reader = spark.readStream.schema(MESSAGE_SCHEMA)
         if self.max_files_per_trigger:
             reader = reader.option(

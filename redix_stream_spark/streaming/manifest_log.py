@@ -235,22 +235,26 @@ class ManifestEventLog:
                 )
         return spark.read.schema(MESSAGE_SCHEMA).parquet(*files)
 
-    def read_stream(self, spark: SparkSession) -> DataFrame:
+    def read_stream(
+        self,
+        spark: SparkSession,
+        max_rows_per_trigger: int | None = None,
+        max_files_per_trigger: int | None = None,
+    ) -> DataFrame:
         """Unbounded read with logical (ms, seq) offsets — compaction-
-        and checkpoint-safe (see module docstring)."""
+        and checkpoint-safe (see module docstring). The pacing knobs map
+        to the manifestlog source options; registration is idempotent."""
         from ..session import ship_package
         from ..sources.manifest_source import ManifestLogDataSource
 
         ship_package(spark)
-        try:
-            spark.dataSource.register(ManifestLogDataSource)
-        except Exception:
-            pass  # already registered on this session
-        return (
-            spark.readStream.format("manifestlog")
-            .option("path", self.root)
-            .load()
-        )
+        spark.dataSource.register(ManifestLogDataSource)
+        reader = spark.readStream.format("manifestlog").option("path", self.root)
+        if max_rows_per_trigger:
+            reader = reader.option("maxRowsPerTrigger", str(max_rows_per_trigger))
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return reader.load()
 
     # -- maintenance (R12-adjacent) --------------------------------------
 
@@ -266,7 +270,14 @@ class ManifestEventLog:
         n = df.count()
         if not self.manifest():
             return 0
-        entries = self._write_files(df.repartition(target_files))
+        # RANGE repartition, not hash: compacted files must keep DISJOINT
+        # (ms, seq) spans or every file overlaps every future micro-batch
+        # range — manifest pruning and file-granular pacing would be dead
+        # for the rest of the log's life (each resume scanning the whole
+        # compacted log instead of O(new data)).
+        entries = self._write_files(
+            df.repartitionByRange(target_files, "ms", "seq")
+        )
         self._commit_manifest(entries)
         return n
 

@@ -26,8 +26,13 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from typing import TYPE_CHECKING
+
 from ..session import ship_package
 from .log import MESSAGE_SCHEMA, EventLog
+
+if TYPE_CHECKING:  # annotation-only; no runtime import needed
+    from .manifest_log import ManifestEventLog
 
 #: A pure handler: DataFrame of messages in → DataFrame of messages out.
 #: Input and output both carry the (ms, seq, id, payload) envelope.

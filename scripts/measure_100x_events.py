@@ -1,11 +1,13 @@
 """100× events spot-check: do the event-table operators' growth shapes
 hold an order of magnitude past the bench's 10× replica?
 
-Builds an events-only 100× replica of sf0.1 (~10M rows) with the same
-discipline as build_scale_replica (disjoint user/id ranges, time ranges
-shifted per replica so window densities stay constant — cloned
-timestamps would grow pair counts quadratically), then single-shot
-times the headline event-table shapes at 10× and 100×.
+BOTH comparison points are built here with the same replication rule —
+disjoint event_id AND user_id ranges per replica, time ranges shifted so
+window densities stay constant. (The bench's own 10× replica shifts only
+event_id, so its per-user histories densify 10×; comparing against it
+would conflate data-shape change with scale — the round-4 review caught
+exactly that, and the sibling measure_100x_documents.py uses the same
+one-builder-for-both-points discipline.)
 
 Usage: python scripts/measure_100x_events.py   (results → stdout;
 recorded in SCALING.md "100× events spot-check")
@@ -23,13 +25,12 @@ sys.path.insert(0, os.path.join(ROOT, "scripts"))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from build_scale_replica import KEY_STRIDE, _span_and_gap, ensure_replica  # noqa: E402
+from build_scale_replica import KEY_STRIDE, _span_and_gap  # noqa: E402
 from redix_stream_spark import registry  # noqa: E402
 from redix_stream_spark.catalog import load_table  # noqa: E402
 from redix_stream_spark.session import get_spark  # noqa: E402
 
-FACTOR = 100
-OUT = "/tmp/spark_graft_events100"
+OUT = "/tmp/spark_graft_events{f}x"
 
 #: event-table operators whose scale story rests on per-user/windowed
 #: shapes (the ones a 100× check can falsify)
@@ -42,14 +43,16 @@ QUERIES = [
 ]
 
 
-def ensure_events_100x(spark) -> str:
-    marker = os.path.join(OUT, "_built")
+def ensure_events_replica(spark, factor: int) -> str:
+    out = OUT.format(f=factor)
+    marker = os.path.join(out, "_built")
     if os.path.exists(marker):
-        return OUT
+        return out
+    os.makedirs(out, exist_ok=True)
     e = load_table(spark, "/root/testdata/sf0.1", "events")
     gap = _span_and_gap(e)
     parts = []
-    for r in range(FACTOR):
+    for r in range(factor):
         parts.append(
             e.select(
                 (F.col("event_id") + r * KEY_STRIDE).alias("event_id"),
@@ -59,27 +62,27 @@ def ensure_events_100x(spark) -> str:
                 "value",
             )
         )
-    out = parts[0]
+    df = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
-    out.repartition(64).write.mode("overwrite").parquet(
-        os.path.join(OUT, "events.parquet")
+        df = df.unionByName(p)
+    df.repartition(max(8, factor)).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
     )
     # the non-event tables resolve to the sf0.1 originals via symlinks
     for name in os.listdir("/root/testdata/sf0.1"):
         if name != "events.parquet":
-            dst = os.path.join(OUT, name)
+            dst = os.path.join(out, name)
             if not os.path.exists(dst):
                 os.symlink(os.path.join("/root/testdata/sf0.1", name), dst)
     open(marker, "w").write("ok")
-    return OUT
+    return out
 
 
 def main() -> None:
     spark = get_spark("events-100x")
     spark.sparkContext.setLogLevel("ERROR")
-    big10 = ensure_replica(spark)  # the bench's 10× replica
-    big100 = ensure_events_100x(spark)
+    big10 = ensure_events_replica(spark, 10)
+    big100 = ensure_events_replica(spark, 100)
     Q = registry.all_queries()
     for name in QUERIES:
         Q[name](spark, big10).write.format("noop").mode("overwrite").save()

@@ -1,7 +1,7 @@
 """Measure what the manifest log buys at scale: compaction's cost to a
 checkpointed consumer, and the per-trigger planning cost.
 
-Both logs get the same 1M messages (sf0.1 events, 64 files). A
+Both logs get the same 100k messages (sf0.1 events, 64 files). A
 checkpointed stream drains each, the log is compacted, one new batch is
 produced, and the stream resumes from its checkpoint:
 

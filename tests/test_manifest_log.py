@@ -63,19 +63,17 @@ def test_produce_roundtrip_ids_and_coercion(spark, log):
 
 
 def test_stream_equals_batch_and_pacing(spark, log, tmp_path):
-    """The streaming face serves every row exactly once, and
-    maxRowsPerTrigger cuts micro-batches at file granularity: three
-    produce batches (= three files) with a 1-row budget drain in three
-    batches, never fewer."""
+    """The streaming face serves every row exactly once; the FIRST batch
+    of a run is unpaced by design (a restart's checkpointed position is
+    invisible to latestOffset — pacing it could rewind the offset), and
+    maxRowsPerTrigger then cuts subsequent micro-batches at file
+    granularity: files produced while the query runs arrive one per
+    trigger under a 1-row budget."""
     ids = []
     for b in range(3):
         ids += log.produce_many(spark, [{"b": b, "i": i} for i in range(4)])
     got = _run_stream(spark, log, str(tmp_path / "ck1"))
     assert sorted(g[2] for g in got) == sorted(ids)
-    # file-granular pacing: with a 1-row budget each trigger advances past
-    # exactly one file (4 rows). Python sources fall back to one unbounded
-    # batch under availableNow, so drive the poll loop explicitly (same
-    # pattern as test_eventlog_datasource_incremental).
     import time
 
     epochs: list[list[str]] = []
@@ -96,11 +94,42 @@ def test_stream_equals_batch_and_pacing(spark, log, tmp_path):
         .start()
     )
     deadline = time.time() + 120
-    while sum(map(len, epochs)) < 12 and time.time() < deadline:
+    while len(epochs) < 1 and time.time() < deadline:
+        time.sleep(0.5)  # first batch: the whole existing log, unpaced
+    ids_live = []
+    for b in (3, 4):
+        ids_live += log.produce_many(spark, [{"b": b, "i": i} for i in range(4)])
+    while sum(map(len, epochs)) < 20 and time.time() < deadline:
         time.sleep(0.5)
     q.stop()
-    assert [len(e) for e in epochs] == [4, 4, 4]
-    assert [i for e in epochs for i in e] == ids  # position order
+    assert [len(e) for e in epochs] == [12, 4, 4]  # unpaced first, then paced
+    assert [i for e in epochs for i in e] == ids + ids_live  # position order
+    # RESTART under pacing must not rewind: a fresh paced query on the
+    # same checkpoint serves its first batch unpaced to the log end (the
+    # checkpointed position is unknown at latestOffset time — a paced
+    # cut from scratch would regress the recorded offset and redeliver
+    # all 12 committed rows)
+    ids4 = log.produce_many(spark, [{"b": 99, "i": 0}])
+    restarted: list[str] = []
+
+    def sink2(df, epoch):
+        restarted.extend(r["id"] for r in df.collect())
+
+    q = (
+        spark.readStream.format("manifestlog")
+        .option("path", log.root)
+        .option("maxRowsPerTrigger", "1")
+        .load()
+        .writeStream.foreachBatch(sink2)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while not restarted and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    assert restarted == ids4, f"restart redelivered: {restarted}"
 
 
 def test_compaction_invisible_to_checkpoint(spark, log, tmp_path):

@@ -251,12 +251,10 @@ def test_q107_containment_verify_join_is_shuffle_hash(spark, sf_dir):
     assert "ShuffledHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    for line in plan.splitlines():
-        if "BroadcastHashJoin" in line and ("ssa" in line or "ssb" in line):
-            raise AssertionError(f"shingle-set relation broadcast: {line}")
-    # the postings pipeline must be sort-free and broadcast-free: the dfs
+    # the whole pipeline must be sort-free and broadcast-free: the dfs
     # join-back and the candidate join are SHJ-pinned (the SMJ sorts of
-    # exploded shingle rows were the measured 2x, SCALING.md), and dfs is
+    # exploded shingle rows were the measured 2x, SCALING.md), and every
+    # joined relation (dfs, candidates, the ssa/ssb shingle sets) is
     # corpus-sized — broadcastable only by size accident at test SF
     assert "BroadcastHashJoin" not in plan, "corpus-sized relation broadcast"
     assert "SortMergeJoin" not in plan, "shingle join fell back to SMJ"

@@ -185,6 +185,10 @@ def test_eventlog_datasource_incremental(spark):
         spark.readStream.format("eventlog")
         .option("path", "/root/testdata/sf0.001/events.parquet")
         .option("maxRowsPerTrigger", "400")
+        # no checkpoint -> known-fresh, so first-batch pacing is safe to
+        # opt into (the default serves an unpaced first batch because a
+        # restart's checkpointed position is invisible to latestOffset)
+        .option("firstBatchPaced", "true")
         .load()
         .writeStream.foreachBatch(sink)
         .trigger(processingTime="1 seconds")
