@@ -131,12 +131,22 @@ def lsh_candidate_pairs(sig: DataFrame, n_bands: int | None = None) -> DataFrame
         ).alias(f"band{j}")
         for j in range(n_bands)
     ]
+    # Materialize the banded relation ONCE (localCheckpoint): both self-
+    # join sides read it, and without this each side re-evaluates the
+    # full signature expressions — #perms md5+mod per shingle per doc,
+    # the pipeline's real compute — twice (measured 4.6 → 2.6 s for the
+    # candidate phase at sf0.1). The relation is narrow (doc_id + one
+    # md5 per band), so the checkpoint is cheap at any corpus size; the
+    # join is then PINNED shuffle_hash because the checkpoint also
+    # exposes the relation's true test-SF size to the planner, which
+    # would otherwise auto-broadcast a corpus-sized relation (the
+    # CLAUDE.md size-estimator trap, in reverse).
     banded = sig.select(
         "doc_id",
         F.explode(F.array(*bands)).alias("band_key"),
-    )
+    ).localCheckpoint()
     a = banded.alias("a")
-    b = banded.alias("b")
+    b = banded.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,
