@@ -1,0 +1,140 @@
+"""Distributed BPE vocabulary induction (Sennrich et al. 2016) over the
+``documents`` corpus — the tokenizer-training stage of an LLM data
+pipeline, expressed Spark-first.
+
+The classic algorithm alternates two steps; both map onto DataFrame
+aggregates with the right data representation:
+
+1. **Pair counting** runs over the *distinct-word frequency table*, not
+   the corpus: BPE statistics only depend on (word, count), so the
+   corpus-sized work is a single map-side-combined ``groupBy(word)`` up
+   front, and every merge round then touches a vocabulary-sized relation
+   (10⁵–10⁷ rows at 100 TB — comfortably distributed, never driver-side).
+   Adjacent symbol pairs come from a ``zip_with`` of the symbol array
+   against its own shift — a codegen'd expression, no Python in the loop.
+2. **The argmax pair** is k=1 bounded metadata: ``orderBy(count desc,
+   pair).limit(1)`` (TakeOrdered) and a 1-row collect — the same
+   "centroids may drive, payloads may not" rule as kmeans.py. Ties break
+   lexicographically so the induced vocabulary is corpus-deterministic
+   (no RNG, no partition-order dependence).
+3. **Merge application** is a left fold over each symbol array
+   (``F.aggregate``): append, or coalesce the tail when (tail, next)
+   equals the merge pair — greedy leftmost non-overlapping, exactly the
+   reference regex-replace semantics ("aaa" + merge (a,a) → [aa, a]).
+   Each round's result is ``localCheckpoint``-ed: the fold otherwise
+   nests one lambda layer per round and the analyzer cost grows
+   quadratically (the q80 lineage lesson).
+
+Not SQL-expressible (iterative argmax feeding re-tokenization), so the
+registry entry is rows-only; the algorithm is pinned in
+tests/test_bpe.py against a pure-Python reference implementation on the
+same word counts, including the overlap fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..catalog import load_table
+from ..registry import register
+from .text import tokens
+
+BPE_MERGES = 10
+#: End-of-word sentinel (Sennrich's </w>): lets merges distinguish
+#: word-final from word-internal occurrences.
+EOW = "</w>"
+
+MERGE_SCHEMA = StructType(
+    [
+        StructField("rank", LongType(), False),
+        StructField("left", StringType(), False),
+        StructField("right", StringType(), False),
+        StructField("merged", StringType(), False),
+        StructField("pair_count", LongType(), False),
+    ]
+)
+
+
+def _initial_vocab(docs: DataFrame) -> DataFrame:
+    """(word, freq, symbols): corpus word counts with char+EOW symbols."""
+    words = docs.select(F.explode(tokens()).alias("word"))
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    symbols = F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW)))
+    return vocab.select("word", "freq", symbols.alias("symbols"))
+
+
+def _adjacent_pairs(symbols: Column) -> Column:
+    """Array of (x, y) structs for each adjacent symbol pair."""
+    n = F.size(symbols)
+    return F.zip_with(
+        F.slice(symbols, 1, n - 1),
+        F.slice(symbols, 2, n - 1),
+        lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+    )
+
+
+def _apply_merge(symbols: Column, left: str, right: str) -> Column:
+    """Greedy leftmost non-overlapping replacement of (left, right)."""
+    merged = left + right
+    empty = F.expr("CAST(array() AS ARRAY<STRING>)")
+    return F.aggregate(
+        symbols,
+        empty,
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def fit_bpe(
+    docs: DataFrame, n_merges: int = BPE_MERGES
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Learn ``n_merges`` BPE merges; returns (merge list, final vocab).
+
+    Stops early when no adjacent pair remains (every word fully merged).
+    """
+    vocab = _initial_vocab(docs).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = (
+            vocab.select("freq", F.explode(_adjacent_pairs(F.col("symbols"))).alias("p"))
+            .groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.col("p.x"), F.col("p.y"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0]["p"]["x"], best[0]["p"]["y"], best[0]["cnt"]
+        merges.append((rank, left, right, left + right, int(cnt)))
+        vocab = vocab.select(
+            "word",
+            "freq",
+            _apply_merge(F.col("symbols"), left, right).alias("symbols"),
+        ).localCheckpoint()
+    return merges, vocab
+
+
+@register("q142_bpe_merges")  # rows-only: iterative argmax is not SQL-expressible
+def q142_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first 10 learned BPE merges (rank, pair, merged symbol, pair
+    count) over the document corpus — deterministic for a given corpus
+    (lexicographic tie-break). See the module docstring for the
+    distributed shape; semantics pinned vs a pure-Python reference in
+    tests/test_bpe.py."""
+    d = load_table(spark, sf_dir, "documents")
+    merges, _ = fit_bpe(d, BPE_MERGES)
+    return spark.createDataFrame(merges, MERGE_SCHEMA)

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..numeric import money
 from ..registry import register
 
 Q60_SQL = """
@@ -1314,4 +1315,77 @@ def q133_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_us").cast("long").alias("min_gap_us"),
         F.max("gap_us").cast("long").alias("max_gap_us"),
         (F.sum("gap_us").cast("double") / F.count(F.lit(1))).alias("mean_gap_us"),
+    )
+
+
+# --- q143: weighted median (exact, decimal cumulative weights) ---------------
+
+Q143_SQL = """
+WITH counts AS (
+  SELECT l_returnflag, l_quantity,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS wt
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+),
+cum AS (
+  SELECT l_returnflag, l_quantity, cnt, wt,
+         SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cw,
+         SUM(wt) OVER (PARTITION BY l_returnflag) AS tot,
+         SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+  FROM counts
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       (CAST(FLOOR(tot) AS DOUBLE) + CAST(tot - FLOOR(tot) AS DOUBLE))
+         AS total_weight,
+       CAST(l_quantity AS DOUBLE) AS wmedian_qty
+FROM cum
+WHERE 2 * cw >= tot AND 2 * (cw - wt) < tot
+"""
+
+
+@register("q143_weighted_median", Q143_SQL)
+def q143_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group weighted median: the smallest l_quantity whose cumulative
+    l_extendedprice weight reaches half the group total — the
+    revenue-weighted "typical order size", and the percentile shape used
+    for importance-weighted corpus thresholds (weight = quality score or
+    sampling weight instead of price).
+
+    Exactness: weights are DECIMAL sums (associative — partial
+    aggregation order can't shift them), the half-total crossing test is
+    ``2·cum ≥ tot`` in pure decimal (no division, no doubles), and the
+    output weight re-enters double via the dsum_big floor-split. Exactly
+    one row per group satisfies crossing ∧ ¬crossed-before.
+
+    Scale: the q124 two-phase shape — collapse to (group, value) FIRST
+    (map-side-combined; the cumulative window then sorts ~50 distinct
+    values per group, not billions of raw rows).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(money("l_extendedprice")).alias("wt"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wn = Window.partitionBy("l_returnflag")
+    cum = counts.select(
+        "l_returnflag",
+        "l_quantity",
+        "cnt",
+        "wt",
+        F.sum("wt").over(w).alias("cw"),
+        F.sum("wt").over(wn).alias("tot"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    two = F.lit(2)
+    crossing = (two * F.col("cw") >= F.col("tot")) & (
+        two * (F.col("cw") - F.col("wt")) < F.col("tot")
+    )
+    tot, fl = F.col("tot"), F.floor(F.col("tot"))
+    return cum.filter(crossing).select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        (fl.cast("double") + (tot - fl).cast("double")).alias("total_weight"),
+        F.col("l_quantity").cast("double").alias("wmedian_qty"),
     )

@@ -46,7 +46,7 @@ def _load() -> None:
         return
     # Imports are for their registration side effects.
     from .operators import analytics, extra, relational, stats, streamsem, tpch, windows  # noqa: F401
-    from .llm import dedup, multimodal, packing, pq, semdedup, similarity, text  # noqa: F401
+    from .llm import bpe, dedup, kmeans, multimodal, packing, pq, search, semdedup, similarity, text  # noqa: F401
     from .functions import udfs  # noqa: F401
     from .plans import zorder  # noqa: F401
     from .sources import ingest  # noqa: F401
@@ -91,6 +91,11 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q137_schema_evolution",
     "q138_sq8_ann_topk",
     "q139_manifest_log",
+    # -- new late in round 4 (session 3) --
+    "q140_bm25_search",
+    "q141_kmeans_clusters",
+    "q142_bpe_merges",
+    "q143_weighted_median",
     # -- oracle/face changed by the round-4 ADVICE fixes --
     "q122_scd2_history",
     "q124_exact_group_median",
@@ -128,12 +133,11 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q16_set_ops",
     "q17_scalar_string_math",
     "q18_scalar_datetime",
-    "q19_json_props",
-    "q29_map_ops",
-    "q50_full_outer_join",
-    "q67_left_outer_join",
     # q68_right_outer_join rotated out for q139 (r1-green permanent row;
     # right-outer is the least marginal of the three outer-join faces).
+    # q19_json_props / q29_map_ops / q50_full_outer_join /
+    # q67_left_outer_join rotated out for the four session-3 additions
+    # (q140–q143) — all four r1-green with permanent CORRECTNESS_r01 rows.
 )
 
 
