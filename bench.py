@@ -110,6 +110,15 @@ HEADLINE = [
     "q136_streaming_quantiles",
     "q137_schema_evolution",
     "q138_sq8_ann_topk",
+    # late-r4 session-3 adds: BM25 retrieval, full-corpus k-means, weighted
+    # median. q142 (BPE) stays out of the headline: its merge loop is
+    # driver-round-trip bound at any test scale (vocabulary of the
+    # synthetic corpus is 31 words), so the timing would measure job
+    # scheduling, not the data path — its corpus-sized stage (word count)
+    # is the q31 shape already gated.
+    "q140_bm25_search",
+    "q141_kmeans_clusters",
+    "q143_weighted_median",
 ]
 
 

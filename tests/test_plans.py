@@ -496,3 +496,25 @@ def test_q06b_aggregate_face_no_join_single_exchange(spark, sf_dir):
         if l.strip().startswith("Arguments: hashpartitioning")
     ]
     assert len(exchanges) == 1, exchanges
+
+
+def test_q140_bm25_prefilter_pushed_and_takeordered(spark, sf_dir):
+    plan = plan_of(QUERIES["q140_bm25_search"](spark, sf_dir))
+    # the any-term pre-filter must reach the parquet scan (keeps the
+    # token fan-out off documents that cannot match)...
+    assert "StringContains(text,dup)" in plan
+    # ...and the global top-k must be TakeOrdered, never a full sort.
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q143_weighted_median_two_phase_shape(spark, sf_dir):
+    plan = plan_of(QUERIES["q143_weighted_median"](spark, sf_dir))
+    # collapse-first: a partial_count under HashAggregate BEFORE any
+    # window sort — the cumulative window must run over the distinct
+    # (group, value) relation, not the raw fact table.
+    assert "partial_count" in plan
+    # formatted plans print parents first: the Window appearing BEFORE the
+    # HashAggregate in the text means the aggregate is BELOW it in the tree.
+    assert plan.index("Window") < plan.index("HashAggregate")
+    assert plan.count("Location: InMemoryFileIndex") == 1  # one scan total
