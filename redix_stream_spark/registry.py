@@ -45,7 +45,7 @@ def _load() -> None:
     if _loaded:
         return
     # Imports are for their registration side effects.
-    from .operators import analytics, extra, relational, stats, streamsem, tpch, windows  # noqa: F401
+    from .operators import analytics, extra, graph, relational, stats, streamsem, tpch, windows  # noqa: F401
     from .llm import bpe, dedup, kmeans, multimodal, packing, pq, search, semdedup, similarity, text  # noqa: F401
     from .functions import udfs  # noqa: F401
     from .plans import zorder  # noqa: F401
@@ -96,6 +96,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q141_kmeans_clusters",
     "q142_bpe_merges",
     "q143_weighted_median",
+    "q144_pagerank",
     # -- oracle/face changed by the round-4 ADVICE fixes --
     "q122_scd2_history",
     "q124_exact_group_median",
@@ -132,12 +133,12 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q15_top_global",
     "q16_set_ops",
     "q17_scalar_string_math",
-    "q18_scalar_datetime",
     # q68_right_outer_join rotated out for q139 (r1-green permanent row;
     # right-outer is the least marginal of the three outer-join faces).
     # q19_json_props / q29_map_ops / q50_full_outer_join /
-    # q67_left_outer_join rotated out for the four session-3 additions
-    # (q140–q143) — all four r1-green with permanent CORRECTNESS_r01 rows.
+    # q67_left_outer_join / q18_scalar_datetime rotated out for the five
+    # session-3 additions (q140–q144) — all r1-green with permanent
+    # CORRECTNESS_r01 rows.
 )
 
 
