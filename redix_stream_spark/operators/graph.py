@@ -5,30 +5,35 @@ no dangling nodes and every node mixes mass both ways).
 
 This is the repo's second fully oracle-verified *iterative* algorithm
 (q141 k-means is the first) — the interesting part is making power
-iteration bit-identical across engines:
+iteration bit-identical across engines. Round 4 tried decimal ranks with
+double multiply/divide steps quantized back to DECIMAL(20,15); that
+shipped a 1-ulp cross-engine divergence at sf0.001 (Spark's HALF_UP
+double→decimal cast and DuckDB's do not always agree at the last grid
+point — the "a binary fraction is never exactly halfway" argument holds
+for the grid midpoints but the two engines round through different
+intermediate representations). The fix is to remove floating point from
+the iteration entirely:
 
-- Ranks live in DECIMAL(20,15). Decimal addition is exact and
-  associative, so the per-node contribution SUM survives any partial-
-  aggregation order.
-- Each rank→double cast is correctly rounded identically in both
-  engines *because the scaled integer stays below 2^53*: DuckDB casts
-  decimal→double as int128→double (exact while < 2^53) then one divide
-  by 10^scale — one effective rounding, same as Spark's BigDecimal
-  cast. (Scale 15 is the ceiling: 10^15 < 2^53 < 10^18 — scale 18
-  would double-round in DuckDB. Same argument as numeric.dsum_big.)
-- The double work per iteration is three deterministic single ops:
-  r/outdeg (contribution), 0.15/N (teleport), 0.85·s (damping). The
-  damped term is quantized back to decimal BEFORE being added to the
-  teleport term — the add happens in decimal, so there is no
-  ``a*b + c`` double expression for DuckDB's compiler to FMA-contract
-  (the q47 lesson).
-- double→DECIMAL(20,15) quantization is the same both engines: a
-  binary fraction m/2^k is never exactly halfway between two
-  15-decimal grid points, so HALF_UP (Spark) and round-to-nearest-any
-  (DuckDB) agree on every input.
-
-The quantization perturbs ranks by ≤ 5·10⁻¹⁶ per step — far below the
-10⁻⁶-ish convergence tolerances PageRank is run to.
+- Ranks are fixed-point BIGINTs at scale 10^15 (1.0 ≡ 10^15). Every
+  step is integer arithmetic — exact, associative, identical across
+  engines by construction:
+    r0        = 10^15 DIV N
+    teleport  = (15 * 10^15) DIV (100 * N)
+    w         = rank DIV outdeg            (per out-edge contribution)
+    s         = SUM(w)                     (exact BIGINT sum)
+    rank'     = teleport + (85 * s) DIV 100
+- Integer DIV truncates (floor for the all-positive values here) in
+  both Spark (`DIV`) and DuckDB (`//`); each truncation loses < 10^-15
+  of mass — a deterministic, engine-identical perturbation far below
+  the 10^-6-ish tolerances PageRank is run to.
+- Overflow envelope: total mass ≤ 10^15, so s ≤ 10^15 and the widest
+  intermediate 85*s ≤ 8.5*10^16 « 2^63. DuckDB's SUM returns HUGEINT
+  and is CAST back to BIGINT in the oracle so both engines carry the
+  same type (the registry discipline).
+- The ONLY floating-point op is the final presentation cast:
+  rank/10^15 as one correctly-rounded IEEE divide (the int64→double
+  conversion is exact below 2^53, and 10^15 < 2^53; 10^15 is itself
+  exactly representable), identical in both engines.
 
 Scale shape per iteration: one join of the node-sized rank relation
 against the edge relation keyed on src (at rest you'd bucket edges by
@@ -49,8 +54,11 @@ from ..catalog import load_table
 from ..registry import register
 
 PR_ITERS = 2
-PR_DEC = "decimal(20,15)"
-_D, _TELEPORT, _DAMP = "double", 0.15, 0.85
+#: Fixed-point scale: 1.0 of rank mass ≡ 10^15. Chosen so the largest
+#: rank (total mass = 1) stays below 2^53 and the final /10^15 double
+#: divide is a single exactly-inputted IEEE op (module docstring).
+PR_SCALE = 10**15
+_TELEPORT_NUM, _DAMP_NUM, _PCT = 15, 85, 100
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,7 +80,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
-    """Damped PageRank (d=0.85) with decimal-exact mass accounting.
+    """Damped PageRank (d=0.85) with fixed-point BIGINT mass accounting.
 
     ``edges`` is a directed (src, dst) relation; every node is assumed to
     have at least one out-edge (symmetrize the graph first otherwise —
@@ -82,28 +90,24 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     nodes = deg.select(F.col("src").alias("node"), "outdeg")
     n = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
 
-    # r0 = 1/N and the teleport term 0.15/N: one IEEE division each,
-    # quantized to the decimal rank domain.
     with_n = nodes.join(F.broadcast(n))
     ranks = with_n.select(
         "node",
         "outdeg",
         "n_nodes",
-        (F.lit(1.0) / F.col("n_nodes")).cast(PR_DEC).alias("rank"),
+        F.expr(f"{PR_SCALE}L DIV n_nodes").alias("rank"),
     )
-    base = (F.lit(_TELEPORT) / F.col("n_nodes")).cast(PR_DEC)
+    teleport = F.expr(
+        f"{_TELEPORT_NUM * PR_SCALE}L DIV ({_PCT}L * n_nodes)"
+    )
 
     for _ in range(iters):
         contribs = (
             ranks.join(edges, ranks["node"] == edges["src"])
-            .select(
-                "dst",
-                (F.col("rank").cast(_D) / F.col("outdeg")).cast(PR_DEC).alias("w"),
-            )
+            .select("dst", F.expr("rank DIV outdeg").alias("w"))
             .groupBy("dst")
             .agg(F.sum("w").alias("s"))
         )
-        damped = (F.lit(_DAMP) * F.col("s").cast(_D)).cast(PR_DEC)
         sel = ranks.select("node", "outdeg", "n_nodes")
         ranks = sel.join(
             contribs, sel["node"] == contribs["dst"], "left"
@@ -111,10 +115,18 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             "node",
             "outdeg",
             "n_nodes",
-            (base + F.coalesce(damped, F.lit(0).cast(PR_DEC))).alias("rank"),
+            (
+                teleport
+                + F.coalesce(
+                    F.expr(f"({_DAMP_NUM}L * s) DIV {_PCT}L"),
+                    F.lit(0).cast("long"),
+                )
+            ).alias("rank"),
         )
     return ranks.select(
-        "node", "outdeg", F.col("rank").cast(_D).alias("pagerank")
+        "node",
+        "outdeg",
+        (F.col("rank").cast("double") / F.lit(float(PR_SCALE))).alias("pagerank"),
     )
 
 
@@ -122,22 +134,20 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
 
 
 def _sql_iteration(prev: str, out: str) -> str:
-    """One power-iteration step: contribution sum + decimal recombine."""
+    """One power-iteration step, all-BIGINT: contribution sum + recombine.
+    DuckDB SUM(BIGINT) returns HUGEINT — CAST back to BIGINT so both
+    engines carry int64 throughout (overflow envelope in docstring)."""
     return f"""
 {out}_c AS (
   SELECT e.dst,
-         SUM(CAST(CAST(r.rank AS DOUBLE) / r.outdeg AS DECIMAL(20,15))) AS s
+         CAST(SUM(r.rank // r.outdeg) AS BIGINT) AS s
   FROM {prev} r JOIN edges e ON r.node = e.src
   GROUP BY e.dst
 ),
 {out} AS (
-  -- literals are CAST to DOUBLE: bare 0.15/0.85 parse as DECIMAL in
-  -- DuckDB (decimal division semantics) but as double in Spark.
   SELECT r.node, r.outdeg, r.n_nodes,
-         CAST(CAST(0.15 AS DOUBLE) / r.n_nodes AS DECIMAL(20,15))
-           + COALESCE(CAST(CAST(0.85 AS DOUBLE) * CAST(c.s AS DOUBLE)
-                           AS DECIMAL(20,15)),
-                      CAST(0 AS DECIMAL(20,15))) AS rank
+         CAST(({_TELEPORT_NUM * PR_SCALE} // ({_PCT} * r.n_nodes))
+              + COALESCE(({_DAMP_NUM} * c.s) // {_PCT}, 0) AS BIGINT) AS rank
   FROM {prev} r LEFT JOIN {out}_c c ON r.node = c.dst
 )"""
 
@@ -159,10 +169,12 @@ deg AS (
 nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
 r0 AS (
   SELECT node, outdeg, n_nodes,
-         CAST(CAST(1.0 AS DOUBLE) / n_nodes AS DECIMAL(20,15)) AS rank
+         CAST({PR_SCALE} // n_nodes AS BIGINT) AS rank
   FROM deg CROSS JOIN nn
 ),{_sql_iteration('r0', 'r1')},{_sql_iteration('r1', 'r2')}
-SELECT node, outdeg, CAST(rank AS DOUBLE) AS pagerank FROM r2
+SELECT node, outdeg,
+       CAST(rank AS DOUBLE) / CAST({PR_SCALE} AS DOUBLE) AS pagerank
+FROM r2
 """
 
 
@@ -170,6 +182,8 @@ SELECT node, outdeg, CAST(rank AS DOUBLE) AS pagerank FROM r2
 def q144_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two power-iteration rounds of damped PageRank over the symmetric
     customer↔supplier trade graph; output is every node's rank and
-    out-degree. See the module docstring for the decimal mass-accounting
-    argument that makes the iteration hash-verifiable cross-engine."""
+    out-degree. See the module docstring for the fixed-point BIGINT
+    mass-accounting argument that makes the iteration hash-verifiable
+    cross-engine (replacing the round-4 decimal/double scheme that
+    diverged by 1 ulp at sf0.001)."""
     return pagerank(_edges(spark, sf_dir), PR_ITERS)
