@@ -29,6 +29,43 @@ from redix_stream_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: The round driver retains and parses only a ~2000-char window of the one
+#: JSON line; BENCH_r04's 2222-char line came back ``"parsed": null`` and
+#: the round's bench evidence survived only as a truncated tail. Budget the
+#: line under this ceiling (tests/test_bench_contract.py pins it); the
+#: untrimmed result is always persisted to bench_full.json alongside.
+LINE_LIMIT = 1900
+
+
+def budget_line(result: dict, limit: int = LINE_LIMIT) -> str:
+    """Serialize ``result`` to one JSON line under the driver's window.
+
+    Compact separators and 2-decimal timings first; if still over, drop
+    per-query entries fastest-first (slow queries are the evidence that
+    matters) from the sf1 block, then the main block, recording the count
+    dropped as ``omitted`` so a trimmed map is visibly partial.
+    """
+
+    def dumps(r: dict) -> str:
+        return json.dumps(r, separators=(",", ":"))
+
+    trimmed = json.loads(json.dumps(result))  # deep copy
+    for blk in [trimmed.get("sf1"), trimmed]:
+        if blk and "queries" in blk:
+            blk["queries"] = {k: round(v, 2) for k, v in blk["queries"].items()}
+            blk["value"] = round(blk["value"], 2)
+    for blk in [trimmed.get("sf1"), trimmed]:
+        if len(dumps(trimmed)) <= limit:
+            break
+        if not blk or "queries" not in blk:
+            continue
+        q = blk["queries"]
+        order = sorted(q, key=lambda k: (q[k], k))  # fastest first
+        while order and len(dumps(trimmed)) > limit:
+            del q[order.pop(0)]
+            blk["omitted"] = blk.get("omitted", 0) + 1
+    return dumps(trimmed)
+
 #: Large-scale mode: the ~10 most expensive operators — the LLM-pipeline
 #: composites (clustering, cleaning, MinHash at both widths, embedding
 #: near-dup, decontamination, repetition quality) plus the heaviest
@@ -189,7 +226,9 @@ def main() -> None:
             "scale": "sf0.1 x10 replicas",
         }
 
-    print(json.dumps(result))
+    with open(os.path.join(os.path.dirname(__file__), "bench_full.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(budget_line(result))
     spark.stop()
 
 

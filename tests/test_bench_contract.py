@@ -41,3 +41,47 @@ def test_every_headline_query_has_a_gate_baseline():
 def test_no_duplicate_headline_entries():
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
     assert len(bench.BIG_HEADLINE) == len(set(bench.BIG_HEADLINE))
+
+
+def test_bench_line_fits_driver_window():
+    """BENCH_r04 exceeded the driver's ~2000-char parse window and came
+    back ``parsed: null``. Simulate the fullest payload the current
+    headline lists can produce (worst-case 4-digit timings) and assert
+    budget_line keeps it parseable and under LINE_LIMIT."""
+    timings = {q: 1234.567 for q in bench.HEADLINE}
+    big = {q: 1234.567 for q in bench.BIG_HEADLINE}
+    result = {
+        "metric": "headline_queries_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "sf1": {
+            "value": round(sum(big.values()), 3),
+            "unit": "sec",
+            "queries": big,
+            "scale": "sf0.1 x10 replicas",
+        },
+    }
+    line = bench.budget_line(result)
+    assert len(line) <= bench.LINE_LIMIT
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_wall_sec"
+    assert parsed["value"] == round(sum(timings.values()), 2)
+    assert parsed["queries"]  # slowest entries survive any trim
+    # a trimmed map must say how many entries were dropped
+    total_kept = len(parsed["queries"]) + parsed.get("omitted", 0)
+    assert total_kept == len(bench.HEADLINE)
+
+
+def test_bench_line_untrimmed_when_small():
+    result = {
+        "metric": "headline_queries_wall_sec",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {"q01_pricing_summary": 1.0},
+        "sf": 0.1,
+    }
+    line = bench.budget_line(result)
+    assert json.loads(line)["queries"] == {"q01_pricing_summary": 1.0}
+    assert "omitted" not in json.loads(line)
