@@ -22,10 +22,17 @@ corpus tokens, avgdl = T/N):
     score_t(doc) = [ 22·tf·T·(2N-2df+1) ] / [ (10·tf·T + 3·T + 9·dl·N)·(2df+1) ]
 
 a ratio of two *integers*. Both engines compute the integers exactly
-(Spark DECIMAL(38,0), DuckDB HUGEINT — both exact to ~10^38, good past
-sf100 where the products reach ~10^21), cast each side to DOUBLE (one
-correctly-rounded cast each), and perform one IEEE division — bit-identical
-scores, hash-green oracle. The two-term query score is the SUM of two
+within a ~10^38 envelope: Spark's operands are DECIMAL(19,0) counts whose
+chained products promote to the DECIMAL(38,0) precision cap at every
+multiply (each factor is a count < 10^19, each intermediate product must
+stay < 10^38 — at sf100 the largest product is ~10^21, so the envelope
+holds past sf100 with ~17 orders of headroom); DuckDB's HUGEINT is exact
+to the same 10^38. THE FAILURE MODES DIFFER past the envelope: DuckDB
+errors on HUGEINT overflow, Spark under ANSI-off silently NULLs the
+product — the `_DEC` note states the envelope so a corpus large enough
+to breach it is a documented limit, not a silent divergence. Each side
+is then cast to DOUBLE (one correctly-rounded cast each) and one IEEE
+division performed — bit-identical scores, hash-green oracle. The two-term query score is the SUM of two
 doubles, and two-operand IEEE addition is commutative, so partial-
 aggregation order cannot change the result (three or more terms would need
 an ordered fold — see the docstring on BM25_TERMS).
@@ -57,6 +64,13 @@ from .text import tokens
 BM25_TERMS: tuple[str, ...] = ("dup", "spark")
 BM25_TOP_K = 20
 
+#: Operand width for the exact integer products. Spark's multiply
+#: promotion caps chained products at DECIMAL(38,0), so the arithmetic is
+#: exact while every intermediate stays < 10^38 (largest here:
+#: 22·tf·T·(2N-2df+1) ~ 10^21 at sf100 — ~17 orders of headroom). Past
+#: that envelope Spark ANSI-off silently NULLs where DuckDB HUGEINT
+#: errors — a documented limit of this face, not a silent divergence
+#: (module docstring).
 _DEC = "decimal(19,0)"
 
 

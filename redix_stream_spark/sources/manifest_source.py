@@ -154,6 +154,14 @@ class ManifestLogStreamReader(DataSourceStreamReader):
                 e for e in _read_manifest(self.root, missing_ok=True)
                 if tuple(e["max"]) > planned
             ]
+            if not entries:
+                # CURRENT advertises data past `planned` but the manifest
+                # is unreadable/empty — an inconsistent pointer/manifest
+                # window (e.g. mid-commit on an eventually-consistent
+                # store). Planning to `high` here would silently skip
+                # pacing for one unbounded batch; hold at the previous
+                # planned offset and retry next trigger instead.
+                return {"ms": planned[0], "seq": planned[1]}
             entries.sort(key=lambda e: tuple(e["max"]))
             rows, files, cut = 0, 0, planned
             for e in entries:

@@ -27,6 +27,19 @@ Semantics preserved:
   records the failure in the dead-letter log and moves on.
 - **Tombstones (R10)**: payloads equal to ``{"": ""}`` are skipped before
   the handler sees them (consumer.ex:286,295).
+- **Competing consumers (R4c)**: the reference distributes a group's
+  messages across consumer_names, each processing its share
+  simultaneously and blocking only itself (consumer_test.exs:168-221).
+  Here a group declares STATIC membership (``group_members`` — the
+  Kafka static-group-membership shape): the message-id space is
+  deterministically sharded by md5(id) mod len(members), each member
+  runs its own streaming query (own checkpoint + watermarks) over its
+  disjoint shard, and ack/DLQ stay group-scoped. Disjoint + covering
+  shards give exactly-once-per-group on success with true concurrent
+  processing; a member's crash/restart replays only its own shard.
+  Membership is static by design — changing it re-keys the shards, so
+  drain the group first (document: add/remove members only at a group
+  quiesce point).
 - **Supervision (R13)**: ``run_forever`` is the one-for-one restart loop;
   ``run_once`` is a drain (Trigger.AvailableNow) used by tests and batch
   catch-up.
@@ -76,6 +89,12 @@ class Consumer:
     #: jump-to-``">"``: skip everything already HANDED to handlers (the
     #: attempted watermark) and start at never-delivered messages.
     process_pending: bool = True
+    #: R4c competing consumers: static group membership. When set (requires
+    #: group_name, and consumer_name ∈ members), this consumer processes
+    #: only its md5(id)-shard of the group's messages; the other members —
+    #: each their own Consumer instance with the SAME members tuple — run
+    #: concurrently over the disjoint rest. See the module docstring.
+    group_members: tuple[str, ...] | None = None
     raise_errors: bool = True
     ordering: str = "strict"  # "strict" | "by_key"
     #: Backpressure: bound each micro-batch to this many log files (the
@@ -86,9 +105,44 @@ class Consumer:
 
     # -- wiring ---------------------------------------------------------
 
+    def __post_init__(self) -> None:
+        if self.group_members is not None:
+            if not self.group_name:
+                raise ValueError("group_members requires a group_name")
+            if self.consumer_name not in self.group_members:
+                raise ValueError(
+                    f"consumer_name {self.consumer_name!r} not in "
+                    f"group_members {self.group_members!r}"
+                )
+
     @property
     def _name(self) -> str:
+        """Scope for per-consumer state (checkpoint, watermarks): within a
+        sharded group each member owns its own query lineage."""
+        base = self.group_name or self.consumer_name or "default"
+        if self.group_members is not None:
+            return f"{base}--{self.consumer_name}"
+        return base
+
+    @property
+    def _group_scope(self) -> str:
+        """Scope for group-shared state (acks, DLQ): the reference's XACK
+        and error stream are per-group, whichever member processed the
+        message."""
         return self.group_name or self.consumer_name or "default"
+
+    def _shard_filter(self, df: DataFrame) -> DataFrame:
+        """Restrict to this member's deterministic shard of the group's
+        id space. md5 (not crc32) keeps the repo's one-hash discipline;
+        the first 8 hex chars as an integer are uniform over 2^32."""
+        if self.group_members is None:
+            return df
+        members = sorted(self.group_members)
+        idx = members.index(self.consumer_name)
+        bucket = F.conv(F.substring(F.md5(F.col("id")), 1, 8), 16, 10).cast(
+            "long"
+        ) % len(members)
+        return df.filter(bucket == idx)
 
     @property
     def checkpoint_dir(self) -> str:
@@ -96,11 +150,21 @@ class Consumer:
 
     @property
     def ack_dir(self) -> str:
-        return os.path.join(self.checkpoint_root, f"ack-{self._name}")
+        return os.path.join(self.checkpoint_root, f"ack-{self._group_scope}")
 
     @property
     def dlq_dir(self) -> str:
-        return os.path.join(self.checkpoint_root, f"dlq-{self._name}")
+        return os.path.join(self.checkpoint_root, f"dlq-{self._group_scope}")
+
+    def _write_subdir(self, group_dir: str) -> str:
+        """Where THIS consumer appends into a group-shared log. Competing
+        members write concurrently, and two parquet append jobs on one
+        directory race on the shared ``_temporary`` staging dir (one job's
+        commit cleanup deletes the other's in-flight files) — so each
+        member appends under its own subdirectory; reads walk the tree."""
+        if self.group_members is None:
+            return group_dir
+        return os.path.join(group_dir, f"member-{self.consumer_name}")
 
     @property
     def pos_file(self) -> str:
@@ -191,9 +255,11 @@ class Consumer:
     def _apply_batch(self, batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         lo_ms, lo_seq = self._resolved
-        filtered = batch.filter(
-            (F.col("ms") > lo_ms)
-            | ((F.col("ms") == lo_ms) & (F.col("seq") > lo_seq))
+        filtered = self._shard_filter(
+            batch.filter(
+                (F.col("ms") > lo_ms)
+                | ((F.col("ms") == lo_ms) & (F.col("seq") > lo_seq))
+            )
         )
         top = filtered.agg(
             F.max(F.struct("ms", "seq")).alias("top")
@@ -240,7 +306,7 @@ class Consumer:
         if failures:
             spark.createDataFrame(failures, "id string, error string").coalesce(
                 1
-            ).write.mode("append").parquet(self.dlq_dir)
+            ).write.mode("append").parquet(self._write_subdir(self.dlq_dir))
 
     def _apply_by_key(self, spark: SparkSession, filtered: DataFrame) -> None:
         """Scale mode: handlers run ON THE EXECUTORS, per-key ordered.
@@ -287,17 +353,17 @@ class Consumer:
         ).cache()
         try:
             acks = results.filter(F.col("status") == "ok").select("id")
-            acks.write.mode("append").parquet(self.ack_dir)
+            acks.write.mode("append").parquet(self._write_subdir(self.ack_dir))
             failures = results.filter(F.col("status") == "error").select("id", "error")
             if failures.limit(1).count():
-                failures.write.mode("append").parquet(self.dlq_dir)
+                failures.write.mode("append").parquet(self._write_subdir(self.dlq_dir))
         finally:
             results.unpersist()
 
     def _append_acks(self, spark: SparkSession, ids: list[str]) -> None:
         spark.createDataFrame([(i,) for i in ids], "id string").coalesce(1).write.mode(
             "append"
-        ).parquet(self.ack_dir)
+        ).parquet(self._write_subdir(self.ack_dir))
 
     # -- public API -------------------------------------------------------
 
@@ -309,7 +375,12 @@ class Consumer:
     def acked(self, spark: SparkSession) -> DataFrame:
         if not os.path.exists(self.ack_dir):
             return spark.createDataFrame([], "id string")
-        return spark.read.schema("id string").parquet(self.ack_dir).distinct()
+        return (
+            spark.read.schema("id string")
+            .option("recursiveFileLookup", "true")  # member-* subtrees
+            .parquet(self.ack_dir)
+            .distinct()
+        )
 
     def pending(self, spark: SparkSession) -> DataFrame:
         """Delivered-but-unacked messages (E22, reference XPENDING,
@@ -319,8 +390,10 @@ class Consumer:
         attach position) were never handed to a handler and are NOT
         pending."""
         ms, seq = self.delivered_position()
-        delivered = self.log.read(spark).filter(
-            (F.col("ms") < ms) | ((F.col("ms") == ms) & (F.col("seq") <= seq))
+        delivered = self._shard_filter(
+            self.log.read(spark).filter(
+                (F.col("ms") < ms) | ((F.col("ms") == ms) & (F.col("seq") <= seq))
+            )
         )
         return (
             delivered.join(self.acked(spark), "id", "left_anti")
@@ -334,7 +407,11 @@ class Consumer:
         reads dedup, exactly like ``acked()`` does for acks."""
         if not os.path.exists(self.dlq_dir):
             return spark.createDataFrame([], "id string, error string")
-        raw = spark.read.schema("id string, error string").parquet(self.dlq_dir)
+        raw = (
+            spark.read.schema("id string, error string")
+            .option("recursiveFileLookup", "true")  # member-* subtrees
+            .parquet(self.dlq_dir)
+        )
         return raw.groupBy("id").agg(F.min("error").alias("error"))
 
     def _stream(self, spark: SparkSession):

@@ -77,9 +77,21 @@ class StreamingQuantileView:
 
     def _merged(self) -> DataFrame:
         gen_dir = self._state.current_dir()
-        raw = self.spark.read.option("basePath", gen_dir).parquet(
-            os.path.join(gen_dir, "epoch=*")
-        )
+        parts: list[DataFrame] = []
+        if any(d.startswith("epoch=") for d in os.listdir(gen_dir)):
+            parts.append(
+                self.spark.read.option("basePath", gen_dir)
+                .parquet(os.path.join(gen_dir, "epoch=*"))
+                .select(self.key, "c", "cnt")
+            )
+        base = os.path.join(gen_dir, "base")
+        if os.path.isdir(base):
+            parts.append(self.spark.read.parquet(base).select(self.key, "c", "cnt"))
+        if not parts:
+            return self.spark.createDataFrame(
+                [], f"{self.key} string, c long, cnt long"
+            )
+        raw = parts[0] if len(parts) == 1 else parts[0].unionAll(parts[1])
         return raw.groupBy(self.key, "c").agg(F.sum("cnt").alias("cnt"))
 
     def quantiles(self) -> DataFrame:
@@ -110,12 +122,14 @@ class StreamingQuantileView:
     def compact(self) -> None:
         """Fold all epoch partials into one (LOSSLESS — counts sum
         exactly; nothing like the heavy-hitter budget applies) via the
-        generation-pointer commit."""
+        generation-pointer commit. The fold lands under the RESERVED
+        ``base`` dir, outside the ``epoch=N`` namespace micro-batch ids
+        use: a stream attached to existing state with a FRESH checkpoint
+        restarts its epoch ids at 0, and a fold stored as ``epoch=0``
+        would be silently overwritten by that first batch (ADVICE r04)."""
         folded = self._merged()
         gen, gen_dir = self._state.stage()
-        folded.write.mode("overwrite").parquet(
-            os.path.join(gen_dir, "epoch=0")
-        )
+        folded.write.mode("overwrite").parquet(os.path.join(gen_dir, "base"))
         self._state.commit(gen)
         self._state.cleanup()
 
@@ -153,10 +167,11 @@ GROUP BY event_type
 
 
 def _register_query() -> None:
-    import tempfile
+    import shutil
 
     from ..catalog import load_table
     from ..registry import register
+    from ..sources.ingest import _scratch
 
     @register("q136_streaming_quantiles", Q136_SQL)
     def q136_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,11 +180,13 @@ def _register_query() -> None:
         as four deterministic micro-batches, the first three compact,
         the fourth stays a partial — the verified read exercises the
         fold AND merge-on-read paths, and incremental maintenance must
-        be invisible vs the plain batch cumulative-rank quantiles."""
+        be invisible vs the plain batch cumulative-rank quantiles.
+        State lives in the swept per-prefix scratch dir (ADVICE r03
+        item 5 discipline) — mkdtemp-per-drive leaked a dir every run."""
         e = load_table(spark, sf_dir, "events")
-        qv = StreamingQuantileView(
-            spark, tempfile.mkdtemp(prefix="q136_quant_")
-        )
+        root = _scratch("q136_quant_")
+        shutil.rmtree(root, ignore_errors=True)
+        qv = StreamingQuantileView(spark, root)
         for i in range(3):
             qv.ingest_batch(e.filter(F.col("event_id") % 4 == i), epoch_id=i)
         qv.compact()

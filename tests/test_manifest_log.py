@@ -387,3 +387,24 @@ def test_commit_is_pointer_only(spark, log):
     assert set(doc) >= {"gen", "max_ms", "max_seq", "rows", "files"}
     entries = log.manifest()
     assert all(os.path.exists(os.path.join(log.root, e["file"])) for e in entries)
+
+
+def test_paced_offset_holds_on_torn_pointer_manifest(tmp_path):
+    """ADVICE r04: CURRENT advertising data past the planned position
+    while the manifest is unreadable (mid-commit window on an eventually
+    consistent store) must HOLD the paced offset at the previous planned
+    position — not fall through to one silent unbounded batch."""
+    from redix_stream_spark.sources.manifest_source import ManifestLogStreamReader
+
+    root = str(tmp_path / "torn")
+    os.makedirs(root)
+    # pointer says 10 rows up to (5, 0); no gen dir / manifest exists
+    with open(os.path.join(root, "CURRENT"), "w") as fh:
+        json.dump({"gen": 7, "max_ms": 5, "max_seq": 0, "rows": 10}, fh)
+    rdr = ManifestLogStreamReader(None, {"path": root, "maxRowsPerTrigger": "2"})
+    rdr._planned = (3, 0)  # mid-run: pacing active
+    assert rdr.latestOffset() == {"ms": 3, "seq": 0}  # held, retry next trigger
+    # unpaced readers keep the old contract: plan to the pointer end
+    rdr2 = ManifestLogStreamReader(None, {"path": root})
+    rdr2._planned = (3, 0)
+    assert rdr2.latestOffset() == {"ms": 5, "seq": 0}

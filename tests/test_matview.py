@@ -363,6 +363,29 @@ def test_streaming_quantile_view_equals_batch_and_survives_replay(spark, tmp_pat
     assert snap(qv) == expected
 
 
+def test_quantile_fold_survives_fresh_checkpoint_epoch_zero(spark, tmp_path):
+    """ADVICE r04: a stream re-attached to existing state with a FRESH
+    checkpoint restarts micro-batch epoch ids at 0. The compacted fold
+    must live outside the epoch namespace, or that first batch silently
+    overwrites the entire folded history."""
+    import pyspark.sql.functions as F
+
+    from redix_stream_spark.catalog import load_table
+    from redix_stream_spark.streaming.quantile import StreamingQuantileView
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    qv = StreamingQuantileView(spark, str(tmp_path / "q"))
+    qv.ingest_batch(e.filter(F.col("event_id") % 2 == 0), epoch_id=0)
+    qv.compact()  # folded base now holds the even half
+    # fresh checkpoint: epoch ids restart at 0 with NEW data
+    qv.ingest_batch(e.filter(F.col("event_id") % 2 == 1), epoch_id=0)
+
+    one = StreamingQuantileView(spark, str(tmp_path / "one"))
+    one.ingest_batch(e, epoch_id=0)
+    got = {tuple(r) for r in qv.quantiles().collect()}
+    assert got == {tuple(r) for r in one.quantiles().collect()} and got
+
+
 def test_quantile_view_under_real_stream(spark, tmp_path):
     """The quantile view's attach() wiring under an actual availableNow
     stream: two file-batches in, quantiles equal the one-shot batch."""
