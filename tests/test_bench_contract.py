@@ -38,6 +38,20 @@ def test_every_headline_query_has_a_gate_baseline():
     )
 
 
+def test_every_big_headline_query_has_an_sf1_baseline():
+    """Round-4 verdict item 5: sf1 readings were judged by eyeballing the
+    previous round, producing contention false alarms. Every BIG_HEADLINE
+    query must have a stamped sf1 baseline so bench_gate.py can gate (and
+    auto-re-time) the sf1 block."""
+    with open(os.path.join(ROOT, "scripts", "bench_baseline.json")) as f:
+        sf1 = json.load(f).get("sf1_queries", {})
+    ungated = [q for q in bench.BIG_HEADLINE if q not in sf1]
+    assert not ungated, (
+        "BIG_HEADLINE queries without an sf1 baseline (rerun "
+        f"consolidate_baseline.py --sf1): {ungated}"
+    )
+
+
 def test_no_duplicate_headline_entries():
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
     assert len(bench.BIG_HEADLINE) == len(set(bench.BIG_HEADLINE))
