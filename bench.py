@@ -156,6 +156,13 @@ HEADLINE = [
     "q140_bm25_search",
     "q141_kmeans_clusters",
     "q143_weighted_median",
+    # round-5 adds: zone-mapped table scan (write+prune+scan), COW merge,
+    # sign-bit ANN, triangle counting.
+    "q145_skipping_scan",
+    "q146_merge_upsert",
+    "q147_binary_ann_topk",
+    "q148_triangle_count",
+    "q149_zorder_table_scan",
 ]
 
 

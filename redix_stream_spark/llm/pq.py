@@ -496,3 +496,132 @@ def q138_sq8_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dtype=np.float64,
     )
     return sq8_topk(emb, lo, hi, qv, k=10, shortlist=50, exclude_id=0)
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) quantization — the bottom rung of the compression
+# ladder: 1 bit/dim (32× vs float32), Hamming-distance candidate scan,
+# exact re-rank. Unlike PQ/SQ8 (data-fit codebooks → engine-approximate,
+# rows-only faces), the sign quantizer is a PURE function of each vector
+# and the Hamming scan is integer arithmetic end to end — so this face is
+# fully ORACLE-BACKED: bit packing, XOR/popcount, candidate cutoff and
+# re-rank all hash-compare against DuckDB.
+#
+# Scale shape: packing is a per-row fold (codegen, no shuffle); the scan
+# touches 2 BIGINTs per vector (16 bytes vs 256 for the raw dim-64
+# floats); candidates and the final top-k are TakeOrdered; the only join
+# is the 1-row probe broadcast. At 10⁹ vectors the packed relation is
+# ~16 GB — scannable per probe, or IVF-partitioned like q43b.
+# ---------------------------------------------------------------------------
+
+BQ_DIM = 64  # embeddings table width (TESTDATA.md)
+BQ_WORD_BITS = 32  # bits packed per BIGINT word — 32 keeps every word
+#                    positive, so XOR/bit_count semantics can't diverge on
+#                    sign handling between engines
+BQ_WORDS = BQ_DIM // BQ_WORD_BITS
+BQ_CAND = 50  # Hamming shortlist re-ranked exactly
+
+
+def _bq_word(vec, w: int):
+    """Word ``w`` of the sign bitmap: MSB-first left fold acc*2+bit over
+    one 32-dim slice (0*2+b1 == b1, so Spark's 0-init fold and DuckDB's
+    first-element-init list_reduce compute identical sequences)."""
+    bits = F.transform(
+        F.slice(vec, w * BQ_WORD_BITS + 1, BQ_WORD_BITS),
+        lambda x: F.when(x > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, x: acc * F.lit(2) + x
+    )
+
+
+def _bq_word_sql(vec: str, w: int) -> str:
+    lo, hi = w * BQ_WORD_BITS + 1, (w + 1) * BQ_WORD_BITS
+    return (
+        f"list_reduce(list_transform({vec}[{lo}:{hi}], "
+        f"x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END), "
+        f"(acc, x) -> acc * 2 + x)"
+    )
+
+
+def _q147_sql() -> str:
+    from .similarity import QUERY_VEC_ID, _sql_cosine
+
+    words = ", ".join(
+        f"{_bq_word_sql('embedding', w)} AS w{w}" for w in range(BQ_WORDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(b.w{w}, q.w{w}))" for w in range(BQ_WORDS)
+    )
+    cos = _sql_cosine("embedding", "qv")
+    return f"""
+WITH b AS (SELECT vec_id, label, embedding, {words} FROM embeddings),
+q AS (SELECT w0, w1, embedding AS qv FROM b WHERE vec_id = {QUERY_VEC_ID}),
+h AS (
+  SELECT b.vec_id, b.label, b.embedding, q.qv,
+         CAST({ham} AS BIGINT) AS hamming
+  FROM b, q WHERE b.vec_id <> {QUERY_VEC_ID}
+),
+cand AS (
+  SELECT * FROM (
+    SELECT h.*, ROW_NUMBER() OVER (ORDER BY hamming, vec_id) AS rn FROM h
+  ) WHERE rn <= {BQ_CAND}
+)
+SELECT vec_id, label, hamming, sim, rank FROM (
+  SELECT vec_id, label, hamming, {cos} AS sim,
+         CAST(ROW_NUMBER() OVER (ORDER BY {cos} DESC, vec_id) AS BIGINT) AS rank
+  FROM cand
+)
+WHERE rank <= 10
+"""
+
+
+def _register_q147() -> None:
+    from .similarity import QUERY_VEC_ID, cosine
+
+    @register("q147_binary_ann_topk", _q147_sql())
+    def q147_binary_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Sign-bit ANN top-10 under the q40 probe protocol: pack each
+        embedding into 2 positive 32-bit words (fold — deterministic),
+        scan by Hamming distance (XOR + popcount, integer-exact), take
+        the 50 nearest candidates (TakeOrdered, vec_id tie-break), exact
+        left-fold cosine re-rank of just those 50. Every step is
+        engine-identical, so the whole approximate index is hash-checked
+        against DuckDB — recall vs exact q40 is additionally pinned in
+        tests/test_llm.py."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        words = emb.select(
+            "vec_id",
+            "label",
+            "embedding",
+            *[
+                _bq_word(F.col("embedding"), w).alias(f"w{w}")
+                for w in range(BQ_WORDS)
+            ],
+        )
+        probe = words.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("qv"),
+            *[F.col(f"w{w}").alias(f"qw{w}") for w in range(BQ_WORDS)],
+        )
+        ham = sum(
+            F.bit_count(F.col(f"w{w}").bitwiseXOR(F.col(f"qw{w}")))
+            for w in range(BQ_WORDS)
+        ).cast("long")
+        cand = (
+            words.filter(F.col("vec_id") != QUERY_VEC_ID)
+            .crossJoin(F.broadcast(probe))
+            .select("vec_id", "label", "embedding", "qv", ham.alias("hamming"))
+            .orderBy("hamming", "vec_id")
+            .limit(BQ_CAND)
+        )
+        sim = cosine(F.col("embedding"), F.col("qv"))
+        top = (
+            cand.select("vec_id", "label", "hamming", sim.alias("sim"))
+            .orderBy(F.desc("sim"), "vec_id")
+            .limit(10)
+        )
+        w = Window.orderBy(F.desc("sim"), "vec_id")
+        return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+_register_q147()

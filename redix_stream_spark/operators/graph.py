@@ -187,3 +187,136 @@ def q144_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine (replacing the round-4 decimal/double scheme that
     diverged by 1 ulp at sf0.001)."""
     return pagerank(_edges(spark, sf_dir), PR_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# q148 — triangle counting on the part co-occurrence graph (market-basket
+# structure mining; the graph-analytics companion to q128's pairwise lift).
+# ---------------------------------------------------------------------------
+
+#: An undirected edge connects two parts co-occurring in >= this many
+#: distinct orders (1 would admit every random basket pair — measured:
+#: threshold 2 keeps 2324/3445/3573 edges at sf0.001/0.01/0.1).
+TRI_MIN_COOCCUR = 2
+#: Rank encoding for degree orientation: rk = degree * 10^9 + node packs
+#: the (degree, node) total order into one BIGINT (node keys < 10^9 at
+#: every SF; degree < 10^5) so orientation comparisons are single integer
+#: compares in both engines. node = rk % 10^9 recovers the key.
+TRI_RK = 10**9
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts via degree-ordered orientation.
+
+    ``edges`` is an undirected edge list (pa < pb, one row per edge).
+    Each edge is oriented from the endpoint with the smaller
+    (degree, node) rank to the larger; a triangle is counted exactly once
+    as the closed wedge (u→v1, u→v2, v1→v2) with rk(v1) < rk(v2). The
+    orientation bounds every node's out-degree by O(√m) regardless of raw
+    degree skew (a celebrity node's star becomes in-edges), so the wedge
+    relation is O(m^1.5) worst case instead of Σ deg² — the standard
+    distributed-triangle bound. All joins are integer-keyed shuffle
+    joins; nothing collects to the driver.
+    """
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .union(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        .select("node", (F.col("d") * TRI_RK + F.col("node")).alias("rk"))
+    )
+    ra = deg.select(F.col("node").alias("pa"), F.col("rk").alias("rka"))
+    rb = deg.select(F.col("node").alias("pb"), F.col("rk").alias("rkb"))
+    er = (
+        edges.join(ra, "pa")
+        .join(rb, "pb")
+        .select(
+            F.least("rka", "rkb").alias("u"),
+            F.greatest("rka", "rkb").alias("v"),
+        )
+    )
+    x = er.alias("x")
+    y = er.alias("y")
+    z = er.alias("z")
+    tri = (
+        x.join(y, (F.col("x.u") == F.col("y.u")) & (F.col("x.v") < F.col("y.v")))
+        .join(
+            z,
+            (F.col("z.u") == F.col("x.v")) & (F.col("z.v") == F.col("y.v")),
+        )
+        .select(
+            F.explode(
+                F.array(F.col("x.u"), F.col("x.v"), F.col("y.v"))
+            ).alias("rk")
+        )
+    )
+    return (
+        tri.select((F.col("rk") % TRI_RK).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy("part")
+    )
+
+
+TRI_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {TRI_MIN_COOCCUR}
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) * {TRI_RK} + node AS BIGINT) AS rk
+  FROM (SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e)
+  GROUP BY node
+),
+er AS (
+  SELECT LEAST(da.rk, db.rk) AS u, GREATEST(da.rk, db.rk) AS v
+  FROM e JOIN deg da ON e.pa = da.node JOIN deg db ON e.pb = db.node
+),
+tri AS (
+  SELECT x.u AS n1, x.v AS n2, y.v AS n3
+  FROM er x JOIN er y ON x.u = y.u AND x.v < y.v
+  JOIN er z ON z.u = x.v AND z.v = y.v
+)
+SELECT CAST(rk % {TRI_RK} AS BIGINT) AS part,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT n1 AS rk FROM tri
+  UNION ALL SELECT n2 FROM tri
+  UNION ALL SELECT n3 FROM tri
+)
+GROUP BY rk % {TRI_RK}
+ORDER BY part
+"""
+
+
+@register("q148_triangle_count", TRI_SQL)
+def q148_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation counts on the co-occurrence graph
+    (parts linked when bought together in >= TRI_MIN_COOCCUR orders).
+    Pure integer pipeline — edge build, degree orientation, wedge
+    closure — so the whole graph computation is hash-verifiable."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= TRI_MIN_COOCCUR)
+        .select("pa", "pb")
+    )
+    return triangles(edges)

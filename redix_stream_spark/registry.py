@@ -49,7 +49,7 @@ def _load() -> None:
     from .llm import bpe, dedup, kmeans, multimodal, packing, pq, search, semdedup, similarity, text  # noqa: F401
     from .functions import udfs  # noqa: F401
     from .plans import zorder  # noqa: F401
-    from .sources import ingest  # noqa: F401
+    from .sources import ingest, manifest_table  # noqa: F401
     from .streaming import manifest_log, matview, quantile  # noqa: F401
 
     _loaded = True
@@ -62,83 +62,81 @@ def _load() -> None:
 # back (they stay regression-guarded by tests/test_oracle.py, which sweeps
 # ALL oracle-backed queries locally). Names not listed here keep their
 # registration order after the listed ones.
-# Window policy: a query needs ONE green driver row, ever. After r1–r3
-# every registered query has a row (union = 140/140). The round-4 window
-# leads with: q42/q43, whose UPGRADED oracles (float-LSH, Arrow-decode)
-# landed after the r3 sweep and have only judge-side verification
-# (VERDICT r03 item 1); the seven NEW round-4 faces (q06b window-aggregate
-# range join, q121b production-width PQ, q80b star contraction, q134
-# semantic decontamination, q135 UDTF passages, q136 streaming exact
-# quantiles, q137 schema evolution); and the seven queries whose oracle
-# SQL or Spark face changed with the round-4 ADVICE fixes (odd-median
-# weighting, bigram guard, (ts, event_id) tie-breaks, scratch-dir
-# ingest). The remaining slots re-verify the r1 relational core
-# (q01–q19 family, last checked in round 1) as rotating regression
-# faces. Rotated out this round: the 39 r3-green names q92–q133 etc.
-# plus r1-green q20–q28/q63 spillover, all with permanent rows
-# (tests/test_registry_order.py R1_GREEN/R2_CHECKED/R3_CHECKED).
+# Window policy: a query needs ONE green driver row, ever. After r1–r4
+# every registered query has a row (union = 154/154 pre-r5 names). The
+# ROUND-5 window leads with: q144, whose fixed-point BIGINT rewrite
+# replaced the r4 face+oracle (VERDICT r04 item 1 — its r4 green row was
+# sf-luck); the FIVE new round-5 faces (q145 zone-map skipping scan,
+# q146 COW merge, q147 binary ANN, q148 triangle count, q149 z-order
+# table scan); the three faces touched by round-5 fixes (q136 compaction
+# base dir + scratch, q139 manifestlog pacing branch, q140 BM25 decimal
+# documentation); then — per VERDICT r04 item 6 — the ORACLE-BACKED
+# NEAREST NEIGHBORS of the 13 rows-only faces, so driver evidence
+# brackets the surface the hash can't reach directly (q40/q41/q42/q43
+# for the ANN ladder q41b/q43b/q121/q121b/q138/q147-recall; q36/q36b for
+# the MinHash family; q109 for q109b; q120 for streaming heavy hitters;
+# q09 for q51; q26 for q52; q10 for q53; q54/q55 for q56; q85/q88 for
+# q57; q30 for q125; q31 for q142). Remaining slots rotate in r1-green
+# names whose only row is CORRECTNESS_r01 (q18–q29 spillover, outer
+# joins, text/stat faces q32–q38 family, q62/q63, q82, q100, q103).
+# Rotated out: the r4-window names — all with permanent rows
+# (tests/test_registry_order.py R1_GREEN/R2/R3/R4_CHECKED).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- oracle upgraded post-r3-sweep; judge-verified, needs a driver row --
+    # -- face+oracle rewritten in round 5 (the one red r4 test) --
+    "q144_pagerank",
+    # -- new in round 5 --
+    "q145_skipping_scan",
+    "q146_merge_upsert",
+    "q147_binary_ann_topk",
+    "q148_triangle_count",
+    "q149_zorder_table_scan",
+    # -- faces touched by round-5 fixes --
+    "q136_streaming_quantiles",
+    "q139_manifest_log",
+    "q140_bm25_search",
+    # -- oracle-backed neighbors of the 13 rows-only faces --
+    "q40_cosine_topk",
+    "q41_embedding_neardup",
     "q42_ann_lsh_topk",
     "q43_image_features",
-    # -- new in round 4 --
-    "q06b_range_join_agg",
-    "q121b_pq_ann_production",
-    "q80b_neardup_clusters_star",
-    "q134_semantic_decontaminate",
-    "q135_udtf_passages",
-    "q136_streaming_quantiles",
-    "q137_schema_evolution",
-    "q138_sq8_ann_topk",
-    "q139_manifest_log",
-    # -- new late in round 4 (session 3) --
-    "q140_bm25_search",
-    "q141_kmeans_clusters",
-    "q142_bpe_merges",
-    "q143_weighted_median",
-    "q144_pagerank",
-    # -- oracle/face changed by the round-4 ADVICE fixes --
-    "q122_scd2_history",
-    "q124_exact_group_median",
-    "q127_interval_overlap",
-    "q127b_interval_overlap_agg",
-    "q131_token_bigrams",
-    "q111_jsonl_roundtrip",
-    "q132_csv_orc_roundtrip",
-    # -- r1-green relational core, re-verified as regression faces --
-    "q60_funnel",
-    "q61_retention",
-    "q44_window_frames",
-    "q45_string_null_fns",
-    "q46_array_ops",
-    "q47_correlation",
-    "q48_string_agg",
-    "q49_bitwise_misc",
-    "q65_unpivot",
-    "q66_multiset_ops",
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_star_join_revenue",
-    "q04_semi_join",
-    "q05_anti_join",
-    "q06_range_join",
-    "q07_asof_join",
-    "q08_agg_orders",
+    "q36_minhash_lsh_neardup",
+    "q36b_minhash_production",
+    "q109_sliding_distinct",
+    "q120_heavy_hitters",
     "q09_distinct_users",
+    "q26_percentiles",
     "q10_rollup_orders",
-    "q11_cube_events",
-    "q12_grouping_sets",
-    "q13_window_topk_per_group",
-    "q14_window_analytic",
-    "q15_top_global",
-    "q16_set_ops",
-    "q17_scalar_string_math",
-    # q68_right_outer_join rotated out for q139 (r1-green permanent row;
-    # right-outer is the least marginal of the three outer-join faces).
-    # q19_json_props / q29_map_ops / q50_full_outer_join /
-    # q67_left_outer_join / q18_scalar_datetime rotated out for the five
-    # session-3 additions (q140–q144) — all r1-green with permanent
-    # CORRECTNESS_r01 rows.
+    "q54_pandas_udf_tokens",
+    "q55_rowwise_udf_tokens",
+    "q85_hash_split",
+    "q88_quota_sample",
+    "q30_text_stats",
+    "q31_top_tokens",
+    # -- r1-green rotation (oldest driver evidence, re-verified) --
+    "q18_scalar_datetime",
+    "q19_json_props",
+    "q20_tumbling_window",
+    "q21_sliding_window",
+    "q22_session_window",
+    "q23_stream_replay",
+    "q24_dedup_first",
+    "q25_pending_antijoin",
+    "q27_moment_stats",
+    "q28_pivot_events",
+    "q29_map_ops",
+    "q32_doc_quality",
+    "q33_lang_id",
+    "q34_fingerprint",
+    "q50_full_outer_join",
+    "q62_forecast_revenue",
+    "q63_promo_ratio",
+    "q67_left_outer_join",
+    "q68_right_outer_join",
+    "q37_ngram_jaccard_dup",
+    "q38_simhash",
+    "q82_token_rarity",
+    "q100_dup_ngram_fraction",
+    "q103_gapfill",
 )
 
 

@@ -1,0 +1,547 @@
+"""ManifestTable — a keyed analytic table on the manifest-commit protocol,
+with per-file zone maps (min/max data skipping) and copy-on-write MERGE.
+
+The ``ManifestEventLog`` (streaming/manifest_log.py) proved the snapshot
+model for *message logs*, where the only pruning key is the (ms, seq)
+cursor. This generalizes it to *analytic tables*: every committed data
+file carries min/max statistics for declared columns in the manifest, so
+
+- a selective scan prunes FILES at plan time from driver-side metadata
+  (``prune`` reads the manifest JSON, never a parquet footer) before
+  Spark's own row-group pushdown sees the survivors — at 100 TB this is
+  the difference between listing 100k files and opening 500; and
+- ``merge`` (Delta/Iceberg-style copy-on-write upsert) rewrites ONLY the
+  files whose key zone overlaps the update key set — the rest of the
+  table is carried forward by reference in the new manifest.
+
+Both inherit the object-store-safe pointer commit (streaming/commit.py):
+data files are immutable and invisible until the manifest referencing
+them commits, snapshots stay readable until ``vacuum``.
+
+Reference parity: the reference has no table storage at all (its only
+I/O is the Redis wire protocol, consumer.ex:142-157); this is §2.2
+engine surface — the at-rest half of the stream/table duality, the same
+role XADD-then-XRANGE plays for the log.
+
+Scale notes: the manifest is one JSON document here; at 100 TB it shards
+into partition-level manifest files under a manifest list (Iceberg's
+two-level layout) — ``prune`` then reads only the manifest-list level
+plus surviving shards. Nothing else changes: pruning math, COW merge,
+and the pointer commit are layout-independent. The per-file stats agg at
+write time is one metadata-light Spark job (groupBy input_file_name),
+map-side combined, never a driver collect of data rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..streaming.commit import GenerationState
+
+
+class ManifestTable:
+    """Keyed table: range-clustered immutable parquet files + a manifest
+    of per-file zone maps, committed via generation pointer."""
+
+    HISTORY_CAP = 16
+
+    def __init__(self, root: str, key: str, stats_cols: list[str] | None = None):
+        self.root = root
+        self.key = key
+        self.stats_cols = [key] + [
+            c for c in (stats_cols or []) if c != key
+        ]
+        self.state = GenerationState(root)
+        self.data_dir = os.path.join(root, "data")
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # -- manifest plumbing -------------------------------------------------
+
+    def manifest(self, gen: int | None = None) -> list[dict]:
+        cur = (
+            self.state.current_dir()
+            if gen is None
+            else self.state.gen_dir(gen)
+        )
+        if cur is None:
+            return []
+        path = os.path.join(cur, "manifest.json")
+        if not os.path.exists(path):
+            return []
+        with open(path) as fh:
+            return json.load(fh)
+
+    def schema(self) -> StructType | None:
+        cur = self.state.current_dir()
+        if cur is None:
+            return None
+        with open(os.path.join(cur, "schema.json")) as fh:
+            return StructType.fromJson(json.load(fh))
+
+    def _commit(self, entries: list[dict], schema: StructType) -> None:
+        gen, path = self.state.stage()
+        with open(os.path.join(path, "manifest.json"), "w") as fh:
+            json.dump(entries, fh)
+        with open(os.path.join(path, "schema.json"), "w") as fh:
+            json.dump(schema.jsonValue(), fh)
+        history = (
+            [int(g) for g in self.state.meta().get("history", [])] + [gen]
+        )[-self.HISTORY_CAP:]
+        self.state.commit(
+            gen,
+            rows=sum(e["rows"] for e in entries),
+            files=len(entries),
+            history=history,
+        )
+        self.state.cleanup(keep=set(history))
+
+    def _write_files(self, df: DataFrame) -> list[dict]:
+        """Write ``df`` as immutable data files and return manifest
+        entries with per-file min/max zone maps for ``stats_cols``.
+        One metadata-light agg computes every file's stats in a single
+        map-side-combined job; files are invisible until the manifest
+        commits (plain PUTs are object-store safe)."""
+        stage = os.path.join(self.root, f"_stage-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(stage)
+        spark = df.sparkSession
+        aggs = [F.count(F.lit(1)).alias("rows")]
+        for c in self.stats_cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        stats = (
+            spark.read.schema(df.schema)
+            .parquet(stage)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(*aggs)
+            .collect()
+        )
+        entries = []
+        for r in stats:
+            name = f"{uuid.uuid4().hex}.parquet"
+            src = r["f"]
+            src = src[len("file:"):] if src.startswith("file:") else src
+            os.rename(src, os.path.join(self.data_dir, name))
+            entries.append(
+                {
+                    "file": os.path.join("data", name),
+                    "rows": r["rows"],
+                    "stats": {
+                        c: [r[f"min_{c}"], r[f"max_{c}"]]
+                        for c in self.stats_cols
+                    },
+                }
+            )
+        shutil.rmtree(stage, ignore_errors=True)
+        return entries
+
+    # -- write -------------------------------------------------------------
+
+    def write(
+        self,
+        df: DataFrame,
+        target_files: int = 8,
+        cluster_by: "F.Column | None" = None,
+    ) -> None:
+        """(Re)load the table: RANGE-cluster on the key so files carry
+        DISJOINT key zones — the layout that makes zone-map pruning and
+        COW merge touch O(selectivity) files instead of all of them
+        (hash placement would smear every key range over every file).
+
+        ``cluster_by`` overrides the placement key with an arbitrary
+        expression — pass a Morton/Hilbert key (plans/zorder.py) to get
+        MULTI-dimension zone locality: every stats column interleaved
+        into the curve gets tight per-file ranges, so box predicates
+        prune files on all of them at once (Delta's OPTIMIZE ZORDER BY,
+        surfaced at the manifest level)."""
+        if cluster_by is None:
+            clustered = df.repartitionByRange(target_files, self.key)
+        else:
+            clustered = (
+                df.withColumn("_ck", cluster_by)
+                .repartitionByRange(target_files, "_ck")
+                .sortWithinPartitions("_ck")
+                .drop("_ck")
+            )
+        entries = self._write_files(clustered)
+        self._commit(entries, df.schema)
+
+    # -- read / scan -------------------------------------------------------
+
+    def read(self, spark: SparkSession, gen: int | None = None) -> DataFrame:
+        files = [
+            os.path.join(self.root, e["file"]) for e in self.manifest(gen)
+        ]
+        schema = self.schema()
+        if not files:
+            return spark.createDataFrame([], schema or StructType())
+        return spark.read.schema(schema).parquet(*files)
+
+    def prune(self, col: str, lo, hi) -> tuple[list[dict], int]:
+        """Driver-side zone-map pruning: entries whose [min,max] for
+        ``col`` intersects [lo, hi], plus the total file count. Pure
+        manifest metadata — no parquet footer is opened."""
+        return self.prune_box({col: (lo, hi)})
+
+    def prune_box(self, preds: dict) -> tuple[list[dict], int]:
+        """Multi-column zone pruning: a file survives only if its zone
+        intersects EVERY [lo, hi] in ``preds`` — with a space-filling-
+        curve layout (``write(cluster_by=zvalue(...))``) each clustered
+        dimension's zones are tight, so a box prunes on all of them."""
+        kept = self.manifest()
+        total = len(kept)
+        for col, (lo, hi) in preds.items():
+            if col not in self.stats_cols:
+                raise KeyError(
+                    f"no zone map for {col!r}; have {self.stats_cols}"
+                )
+            kept = [
+                e
+                for e in kept
+                if e["stats"][col][0] is not None
+                and not (e["stats"][col][1] < lo or e["stats"][col][0] > hi)
+            ]
+        return kept, total
+
+    def scan(self, spark: SparkSession, col: str, lo, hi) -> DataFrame:
+        """Range scan with file skipping: zone maps drop non-overlapping
+        files at plan time; the residual predicate still applies (zone
+        maps are file-granular) and Spark pushes it to the surviving
+        parquet row groups — two pruning levels, metadata-only first."""
+        return self.scan_box(spark, {col: (lo, hi)})
+
+    def scan_box(self, spark: SparkSession, preds: dict) -> DataFrame:
+        """Box scan over any subset of the stats columns — file skipping
+        on every predicate, then the residual conjunction pushed to the
+        surviving parquet row groups."""
+        kept, _total = self.prune_box(preds)
+        schema = self.schema()
+        if not kept:
+            return spark.createDataFrame([], schema or StructType())
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, e["file"]) for e in kept]
+        )
+        cond = None
+        for col, (lo, hi) in preds.items():
+            c = (F.col(col) >= lo) & (F.col(col) <= hi)
+            cond = c if cond is None else (cond & c)
+        return df.filter(cond)
+
+    # -- merge (copy-on-write upsert) --------------------------------------
+
+    def merge(self, spark: SparkSession, updates: DataFrame) -> dict:
+        """Upsert ``updates`` by key (matched rows replaced, unmatched
+        inserted) — Delta-style copy-on-write:
+
+        1. files whose key zone overlaps the update key set are found by
+           range-joining the distinct update keys against the BROADCAST
+           manifest ranges (the manifest is metadata-sized; update keys
+           never leave the executors);
+        2. ONLY those files are rewritten, minus matched keys (left_anti
+           on the bounded update-key relation), unioned with the update
+           rows, re-range-clustered;
+        3. untouched files carry forward by reference; one pointer commit
+           publishes the new manifest.
+
+        Replay-idempotent: merging the same update batch twice yields the
+        same table (upsert by key), so a foreachBatch retry is safe.
+        Inserted keys outside rewritten zones make zone ranges overlap;
+        pruning stays correct (overlap only loosens it) and the next
+        ``compact_zones``/``write`` restores disjointness.
+        """
+        entries = self.manifest()
+        if not entries:
+            self.write(updates)
+            return {"files_total": 0, "files_rewritten": 0}
+        ranges = [
+            (e["file"], e["stats"][self.key][0], e["stats"][self.key][1])
+            for e in entries
+        ]
+        rdf = F.broadcast(
+            updates.sparkSession.createDataFrame(
+                ranges, ["file", "lo", "hi"]
+            )
+        )
+        keys = updates.select(F.col(self.key).alias("_k")).distinct()
+        hit = {
+            r["file"]
+            for r in keys.join(
+                rdf,
+                (F.col("_k") >= F.col("lo")) & (F.col("_k") <= F.col("hi")),
+            )
+            .select("file")
+            .distinct()
+            .collect()
+        }
+        affected = [e for e in entries if e["file"] in hit]
+        untouched = [e for e in entries if e["file"] not in hit]
+        schema = self.schema()
+        parts = [updates.select(*schema.fieldNames())]
+        if affected:
+            old = spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, e["file"]) for e in affected]
+            )
+            parts.append(
+                old.join(
+                    keys.withColumnRenamed("_k", self.key),
+                    self.key,
+                    "left_anti",
+                )
+            )
+        rewritten = parts[0]
+        for p in parts[1:]:
+            rewritten = rewritten.unionByName(p)
+        n_files = max(len(affected), 1)
+        new_entries = self._write_files(
+            rewritten.repartitionByRange(n_files, self.key)
+        )
+        self._commit(untouched + new_entries, schema)
+        return {
+            "files_total": len(entries),
+            "files_rewritten": len(affected),
+        }
+
+    def delete(self, spark: SparkSession, col: str, lo, hi) -> dict:
+        """Range delete, same COW discipline: only zone-overlapping
+        files are rewritten (minus the deleted range); the rest carry
+        forward by reference."""
+        kept, total = self.prune(col, lo, hi)
+        if not kept:
+            return {"files_total": total, "files_rewritten": 0}
+        schema = self.schema()
+        hit = {e["file"] for e in kept}
+        untouched = [e for e in self.manifest() if e["file"] not in hit]
+        old = spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, e["file"]) for e in kept]
+        )
+        remain = old.filter(~((F.col(col) >= lo) & (F.col(col) <= hi)))
+        new_entries = self._write_files(
+            remain.repartitionByRange(max(len(kept), 1), self.key)
+        )
+        self._commit(untouched + new_entries, schema)
+        return {"files_total": total, "files_rewritten": len(kept)}
+
+    def vacuum(self) -> int:
+        """Delete data files the current generation doesn't reference
+        (expires older snapshots — the Delta VACUUM trade, explicit)."""
+        live = {os.path.basename(e["file"]) for e in self.manifest()}
+        removed = 0
+        for name in os.listdir(self.data_dir):
+            if name not in live:
+                os.remove(os.path.join(self.data_dir, name))
+                removed += 1
+        return removed
+
+
+# ---------------------------------------------------------------------------
+# Registry faces. Both faces REBUILD the table from the source parquet each
+# call (the build is part of what's verified: if clustering, stats, pruning,
+# or the COW rewrite lost/duplicated a row, the hash diverges); scratch dirs
+# are per-prefix and swept (sources/ingest.py:82 discipline).
+# ---------------------------------------------------------------------------
+
+#: q145 scan range — chosen to cover a minority of the key domain at every
+#: test SF so zone-map pruning is visible (pytest asserts files skipped).
+Q145_LO, Q145_HI = 1200, 2400
+
+Q145_SQL = f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE l_orderkey BETWEEN {Q145_LO} AND {Q145_HI}
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+#: q146 merge inputs: updates bump prices in one key range (exercises the
+#: partial COW rewrite), inserts land past every real key (exercises the
+#: unmatched branch). +1000.0 on a 2-decimal double is IEEE-exact in both
+#: engines; the key offset keeps inserted keys disjoint at every SF.
+Q146_UPD_LO, Q146_UPD_HI = 200, 699
+Q146_INS_OFFSET = 10_000_000
+
+Q146_SQL = f"""
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey BETWEEN {Q146_UPD_LO} AND {Q146_UPD_HI}
+),
+ins AS (
+  SELECT o_orderkey + {Q146_INS_OFFSET} AS o_orderkey, o_custkey,
+         'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 13
+),
+merged AS (
+  SELECT * FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    AND o_orderkey NOT IN (SELECT o_orderkey FROM ins)
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def _register_queries() -> None:
+    from ..catalog import load_table
+    from ..numeric import dsum, money
+    from ..registry import register
+    from .ingest import _scratch
+
+    @register("q145_skipping_scan", Q145_SQL)
+    def q145_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """lineitem → range-clustered ManifestTable → zone-map-pruned
+        range scan → aggregate. The oracle sees none of the storage
+        machinery: if clustering or pruning dropped/duplicated a row,
+        the hash diverges. File-skip effectiveness is pinned separately
+        (tests/test_manifest_table.py asserts pruned < total)."""
+        root = _scratch("q145_mtable_")
+        shutil.rmtree(root, ignore_errors=True)
+        tbl = ManifestTable(os.path.join(root, "lineitem"), "l_orderkey")
+        tbl.write(load_table(spark, sf_dir, "lineitem"), target_files=8)
+        return (
+            tbl.scan(spark, "l_orderkey", Q145_LO, Q145_HI)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                dsum(money("l_quantity"), "sum_qty"),
+                dsum(money("l_extendedprice"), "sum_price"),
+            )
+            .orderBy("l_returnflag")
+        )
+
+    @register("q146_merge_upsert", Q146_SQL)
+    def q146_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """orders → ManifestTable → one COW MERGE batch (range-local
+        updates + out-of-range inserts) → read back → aggregate.
+        Matched keys must be replaced exactly once and untouched files
+        carried forward byte-identical for the hash to agree."""
+        root = _scratch("q146_mtable_")
+        shutil.rmtree(root, ignore_errors=True)
+        tbl = ManifestTable(os.path.join(root, "orders"), "o_orderkey")
+        o = load_table(spark, sf_dir, "orders")
+        tbl.write(o, target_files=8)
+        upd = o.filter(
+            F.col("o_orderkey").between(Q146_UPD_LO, Q146_UPD_HI)
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        ins = o.filter(F.col("o_orderkey") % 97 == 13).select(
+            (F.col("o_orderkey") + F.lit(Q146_INS_OFFSET)).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        tbl.merge(spark, upd.unionByName(ins))
+        return (
+            tbl.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                dsum(money("o_totalprice"), "sum_price"),
+                F.min("o_orderkey").cast("bigint").alias("min_key"),
+                F.max("o_orderkey").cast("bigint").alias("max_key"),
+            )
+            .orderBy("o_orderstatus")
+        )
+
+
+Q149_SQL = """
+WITH b AS (
+  SELECT CAST(MAX(l_partkey) // 4 AS BIGINT) AS plo,
+         CAST(MAX(l_partkey) // 2 AS BIGINT) AS phi,
+         CAST(MAX(l_suppkey) // 4 AS BIGINT) AS slo,
+         CAST(MAX(l_suppkey) // 2 AS BIGINT) AS shi
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM lineitem, b
+WHERE l_partkey BETWEEN b.plo AND b.phi
+  AND l_suppkey BETWEEN b.slo AND b.shi
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def _register_q149() -> None:
+    from ..catalog import load_table
+    from ..numeric import dsum, money
+    from ..registry import register
+    from .ingest import _scratch
+
+    @register("q149_zorder_table_scan", Q149_SQL)
+    def q149_zorder_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Multi-dimension data skipping: lineitem laid out on a Morton
+        key over (l_partkey, l_suppkey) (plans/zorder.py — the
+        oracle-verified bit interleave), zone maps collected on BOTH
+        dimensions, then a box predicate pruning files on both at once —
+        Delta's OPTIMIZE ZORDER BY lifted to the manifest level. The box
+        bounds derive from the key maxima by integer division so the
+        same static oracle SQL covers every SF. File-skip effectiveness
+        is pytest-pinned (a box of ~1/16 the area must skip most of the
+        16 files)."""
+        from ..plans.zorder import zvalue
+
+        root = _scratch("q149_mtable_")
+        shutil.rmtree(root, ignore_errors=True)
+        li = load_table(spark, sf_dir, "lineitem")
+        st = li.agg(
+            F.min("l_partkey").alias("pmn"),
+            F.max("l_partkey").alias("pmx"),
+            F.min("l_suppkey").alias("smn"),
+            F.max("l_suppkey").alias("smx"),
+        ).collect()[0]
+        tbl = ManifestTable(
+            os.path.join(root, "lineitem"),
+            "l_partkey",
+            stats_cols=["l_suppkey"],
+        )
+        dims = [
+            (F.col("l_partkey"), F.lit(st["pmn"]), F.lit(st["pmx"])),
+            (F.col("l_suppkey"), F.lit(st["smn"]), F.lit(st["smx"])),
+        ]
+        tbl.write(li, target_files=16, cluster_by=zvalue(dims))
+        plo, phi = st["pmx"] // 4, st["pmx"] // 2
+        slo, shi = st["smx"] // 4, st["smx"] // 2
+        return (
+            tbl.scan_box(
+                spark,
+                {"l_partkey": (plo, phi), "l_suppkey": (slo, shi)},
+            )
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.countDistinct("l_suppkey").cast("bigint").alias("n_supp"),
+                dsum(money("l_extendedprice"), "sum_price"),
+            )
+            .orderBy("l_returnflag")
+        )
+
+
+_register_queries()
+_register_q149()

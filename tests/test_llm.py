@@ -1312,3 +1312,19 @@ def test_sq8_recall_and_quantization_ladder(spark):
     lo, hi = fit_sq8(load_table(spark, sf_mid, "embeddings"))
     assert lo.shape == (64,) and (hi > lo).all()
     assert (lo >= -1.0001).all() and (hi <= 1.0001).all()
+
+
+def test_binary_ann_recall_vs_brute_force(spark, sf_dir):
+    """q147's sign-bit Hamming shortlist must recall most of the exact
+    top-10 (dim-64 sign sketches preserve high-cosine neighborhoods);
+    correctness of the pipeline itself is oracle-checked — this pins the
+    QUALITY of the approximation, which the hash can't see."""
+    from redix_stream_spark.registry import all_queries
+
+    Q = all_queries()
+    exact = [r["vec_id"] for r in Q["q40_cosine_topk"](spark, sf_dir).collect()]
+    approx = [
+        r["vec_id"] for r in Q["q147_binary_ann_topk"](spark, sf_dir).collect()
+    ]
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 5, (exact, approx)

@@ -518,3 +518,48 @@ def test_q143_weighted_median_two_phase_shape(spark, sf_dir):
     # HashAggregate in the text means the aggregate is BELOW it in the tree.
     assert plan.index("Window") < plan.index("HashAggregate")
     assert plan.count("Location: InMemoryFileIndex") == 1  # one scan total
+
+
+def test_q145_skipping_scan_prunes_files_and_pushes_filter(spark, sf_dir):
+    """Zone-map pruning happens ABOVE Spark (manifest metadata selects
+    the file list), then the residual range predicate must still reach
+    the surviving parquet row groups; and the aggregate must prune the
+    unused lineitem columns from the scan."""
+    df = QUERIES["q145_skipping_scan"](spark, sf_dir)
+    files = df.inputFiles()
+    assert 0 < len(files) < 8  # fewer files than the table holds
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_orderkey), GreaterThanOrEqual(l_orderkey" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "l_partkey" not in read_schema[0]
+    assert "l_shipdate" not in read_schema[0]
+
+
+def test_q147_binary_ann_is_take_ordered_with_broadcast_probe(spark, sf_dir):
+    """Both the Hamming shortlist and the re-ranked top-10 must be
+    TakeOrdered (never a full-relation rank window); the only broadcast
+    is the deliberate 1-row probe (q40's pattern)."""
+    plan = plan_of(QUERIES["q147_binary_ann_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q148_triangle_joins_are_keyed(spark, sf_dir):
+    """Edge build, orientation, wedge closure: every join must be an
+    equi-join on integer keys — a cartesian or nested-loop fallback
+    would be quadratic in edges at scale."""
+    plan = plan_of(QUERIES["q148_triangle_count"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q149_zorder_box_prunes_files_on_both_dims(spark, sf_dir):
+    """The Morton layout must give BOTH box dimensions file-level
+    locality: a ~1/16-area box over 16 files has to skip most of them,
+    and both residual predicates must still reach the parquet scan."""
+    df = QUERIES["q149_zorder_table_scan"](spark, sf_dir)
+    files = df.inputFiles()
+    assert 0 < len(files) <= 8, f"box scan read {len(files)} of 16 files"
+    plan = plan_of(df)
+    assert "GreaterThanOrEqual(l_partkey" in plan
+    assert "GreaterThanOrEqual(l_suppkey" in plan

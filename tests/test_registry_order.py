@@ -11,27 +11,20 @@ from __future__ import annotations
 from redix_stream_spark import registry
 
 MUST_BE_IN_WINDOW = {
-    # Oracles upgraded AFTER the r3 sweep (judge-verified only — VERDICT
-    # r03 item 1 requires driver rows in r4).
-    "q42_ann_lsh_topk",
-    "q43_image_features",
-    # New round-4 faces.
-    "q06b_range_join_agg",
-    "q121b_pq_ann_production",
-    "q80b_neardup_clusters_star",
-    "q134_semantic_decontaminate",
-    "q135_udtf_passages",
+    # Face+oracle rewritten in round 5 (fixed-point BIGINT PageRank —
+    # the r4 green row was sf-luck, VERDICT r04 item 1).
+    "q144_pagerank",
+    # New round-5 faces.
+    "q145_skipping_scan",
+    "q146_merge_upsert",
+    "q147_binary_ann_topk",
+    "q148_triangle_count",
+    "q149_zorder_table_scan",
+    # Faces touched by round-5 fixes (quantile compaction base dir +
+    # scratch, manifestlog pacing branch, BM25 decimal documentation).
     "q136_streaming_quantiles",
-    "q137_schema_evolution",
-    "q138_sq8_ann_topk",
-    # Oracle SQL or Spark face changed by the round-4 ADVICE fixes.
-    "q122_scd2_history",
-    "q124_exact_group_median",
-    "q127_interval_overlap",
-    "q127b_interval_overlap_agg",
-    "q131_token_bigrams",
-    "q111_jsonl_roundtrip",
-    "q132_csv_orc_roundtrip",
+    "q139_manifest_log",
+    "q140_bm25_search",
 }
 
 # The 50 queries the r2 driver window checked (CORRECTNESS_r02 rows —
@@ -81,6 +74,30 @@ R3_CHECKED = {
     "q92_forecast_revenue", "q93_promo_revenue", "q99_passage_dedup",
 }
 
+# The 50 queries the r4 driver window checked (CORRECTNESS_r04 rows —
+# permanent evidence; 47 green + 3 rows-only, all pytest-pinned). Note
+# q144's r4 row predates its round-5 fixed-point rewrite — it is ALSO in
+# MUST_BE_IN_WINDOW for a fresh row.
+R4_CHECKED = {
+    "q01_pricing_summary", "q02_filter_project", "q03_star_join_revenue",
+    "q04_semi_join", "q05_anti_join", "q06_range_join", "q06b_range_join_agg",
+    "q07_asof_join", "q08_agg_orders", "q09_distinct_users",
+    "q10_rollup_orders", "q111_jsonl_roundtrip", "q11_cube_events",
+    "q121b_pq_ann_production", "q122_scd2_history", "q124_exact_group_median",
+    "q127_interval_overlap", "q127b_interval_overlap_agg", "q12_grouping_sets",
+    "q131_token_bigrams", "q132_csv_orc_roundtrip",
+    "q134_semantic_decontaminate", "q135_udtf_passages",
+    "q136_streaming_quantiles", "q137_schema_evolution", "q138_sq8_ann_topk",
+    "q139_manifest_log", "q13_window_topk_per_group", "q140_bm25_search",
+    "q141_kmeans_clusters", "q142_bpe_merges", "q143_weighted_median",
+    "q144_pagerank", "q14_window_analytic", "q15_top_global", "q16_set_ops",
+    "q17_scalar_string_math", "q42_ann_lsh_topk", "q43_image_features",
+    "q44_window_frames", "q45_string_null_fns", "q46_array_ops",
+    "q47_correlation", "q48_string_agg", "q49_bitwise_misc", "q60_funnel",
+    "q61_retention", "q65_unpivot", "q66_multiset_ops",
+    "q80b_neardup_clusters_star",
+}
+
 # Queries with a green CORRECTNESS_r01 row — permanent evidence, safe to
 # rotate behind the window (still swept locally by tests/test_oracle.py).
 R1_GREEN = {
@@ -113,6 +130,7 @@ def test_every_query_has_a_driver_row_across_rounds():
         - R1_GREEN
         - R2_CHECKED
         - R3_CHECKED
+        - R4_CHECKED
     )
     assert not uncovered, f"queries with no driver row in any round: {uncovered}"
 
