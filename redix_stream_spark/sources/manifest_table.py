@@ -327,6 +327,22 @@ class ManifestTable:
         self._commit(untouched + new_entries, schema)
         return {"files_total": total, "files_rewritten": len(kept)}
 
+    def compact(self, spark: SparkSession, target_files: int = 8) -> int:
+        """OPTIMIZE: rewrite the table re-range-clustered on the key,
+        restoring disjoint zones and bin-packing merge fragmentation
+        (out-of-range inserts loosen zone overlap over time — the
+        writer-commits-fast / maintenance-restores-layout split every
+        table format uses). Returns the file count before compaction.
+        Old files become unreferenced; ``vacuum()`` reclaims them after
+        in-flight readers drain."""
+        before = len(self.manifest())
+        df = self.read(spark)
+        entries = self._write_files(
+            df.repartitionByRange(target_files, self.key)
+        )
+        self._commit(entries, self.schema())
+        return before
+
     def vacuum(self) -> int:
         """Delete data files the current generation doesn't reference
         (expires older snapshots — the Delta VACUUM trade, explicit)."""

@@ -125,3 +125,104 @@ def test_snapshot_read_then_vacuum_expires_it(spark, orders_table):
     data_files = set(os.listdir(orders_table.data_dir))
     live = {os.path.basename(e["file"]) for e in orders_table.manifest()}
     assert data_files == live
+
+
+# --- StreamingUpsert (CDC apply) + compact -------------------------------
+
+
+def _orders_updates(spark, keys, price_bump, status):
+    o = load_table(spark, SF_DIR, "orders")
+    return o.filter(F.col("o_orderkey").isin(keys)).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit(status).alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(float(price_bump))).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+def test_streaming_upsert_batches_and_replay(spark, orders_table):
+    """Direct foreachBatch drive: two CDC batches apply latest-wins per
+    key; replaying an epoch (crash recovery) leaves the table unchanged."""
+    from redix_stream_spark.streaming.upsert import StreamingUpsert
+
+    up = StreamingUpsert(orders_table, order_col="o_totalprice")
+    o = load_table(spark, SF_DIR, "orders")
+    b1 = _orders_updates(spark, [10, 20, 30], 100, "U1")
+    # batch 2 touches key 20 again AND carries an in-batch duplicate for
+    # key 40 — the higher o_totalprice row must win.
+    b2 = _orders_updates(spark, [20, 40], 200, "U2").unionByName(
+        _orders_updates(spark, [40], 50, "LOSE")
+    )
+    up.update(b1, 0)
+    up.update(b2, 1)
+    after = {
+        r["o_orderkey"]: r["o_orderstatus"]
+        for r in orders_table.read(spark)
+        .filter(F.col("o_orderkey").isin([10, 20, 30, 40]))
+        .collect()
+    }
+    assert after == {10: "U1", 20: "U2", 30: "U1", 40: "U2"}
+    assert orders_table.read(spark).count() == o.count()
+    snapshot = _sorted_rows(orders_table.read(spark))
+    up.update(b2, 1)  # crash-replay of epoch 1
+    assert _sorted_rows(orders_table.read(spark)) == snapshot
+
+
+def test_streaming_upsert_under_real_stream(spark, orders_table, tmp_path):
+    """The foreachBatch wiring under an actual availableNow stream."""
+    import os
+    import time
+
+    from redix_stream_spark.streaming.upsert import StreamingUpsert
+
+    src = str(tmp_path / "cdc")
+    os.makedirs(src)
+    b1 = _orders_updates(spark, [11, 21], 100, "S1")
+    b2 = _orders_updates(spark, [21, 31], 200, "S2")
+    schema = b1.schema
+    for b in (b1, b2):
+        b.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+    up = StreamingUpsert(orders_table, order_col="o_totalprice")
+    q = (
+        up.attach(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            str(tmp_path / "ck"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    after = {
+        r["o_orderkey"]: r["o_orderstatus"]
+        for r in orders_table.read(spark)
+        .filter(F.col("o_orderkey").isin([11, 21, 31]))
+        .collect()
+    }
+    assert after == {11: "S1", 21: "S2", 31: "S2"}
+
+
+def test_compact_restores_disjoint_zones(spark, orders_table):
+    """Merge-driven fragmentation (out-of-range inserts overlap zones);
+    compact() re-range-clusters and the zone spans are disjoint again."""
+    o = load_table(spark, SF_DIR, "orders")
+    ins = o.limit(20).withColumn(
+        "o_orderkey", (F.col("o_orderkey") % 8) * 190 + F.lit(5)
+    ).dropDuplicates(["o_orderkey"])
+    orders_table.merge(spark, ins)
+    orders_table.compact(spark, target_files=6)
+    spans = sorted(
+        tuple(e["stats"]["o_orderkey"]) for e in orders_table.manifest()
+    )
+    assert len(spans) == 6
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi < lo
+    # content preserved: every original key still present exactly once
+    assert (
+        orders_table.read(spark).groupBy("o_orderkey").count()
+        .filter(F.col("count") > 1).count() == 0
+    )
