@@ -163,6 +163,7 @@ HEADLINE = [
     "q147_binary_ann_topk",
     "q148_triangle_count",
     "q149_zorder_table_scan",
+    "q150_table_changes",
 ]
 
 

@@ -90,6 +90,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q147_binary_ann_topk",
     "q148_triangle_count",
     "q149_zorder_table_scan",
+    "q150_table_changes",
     # -- faces touched by round-5 fixes --
     "q136_streaming_quantiles",
     "q139_manifest_log",
@@ -136,7 +137,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q38_simhash",
     "q82_token_rarity",
     "q100_dup_ngram_fraction",
-    "q103_gapfill",
+    # q103_gapfill dropped for q150_table_changes (r3-green permanent row).
 )
 
 

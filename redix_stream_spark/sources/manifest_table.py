@@ -327,6 +327,61 @@ class ManifestTable:
         self._commit(untouched + new_entries, schema)
         return {"files_total": total, "files_rewritten": len(kept)}
 
+    def table_changes(
+        self, spark: SparkSession, gen_from: int, gen_to: int | None = None
+    ) -> DataFrame:
+        """Change data feed between two retained snapshots: one keyed
+        full-outer diff emitting post-image rows tagged ``insert`` /
+        ``update`` (pre-image for ``delete``) in a ``_change_type``
+        column — Delta's CDF surface, derived from snapshots instead of
+        logged, which is exactly what the generation history makes
+        affordable: both sides are manifest file lists, the join is
+        key-partitioned, unchanged rows drop out.
+
+        Scale note: a snapshot diff reads both generations' files; the
+        COW layout bounds that in practice (untouched files are SHARED
+        between generations and could be skipped entirely by comparing
+        manifest file ids before reading — an optimization the file-id
+        equality below implements: only files that differ between the
+        manifests are scanned)."""
+        man_a = {e["file"] for e in self.manifest(gen_from)}
+        man_b = {
+            e["file"]
+            for e in self.manifest(
+                gen_to if gen_to is not None else self.state.current_gen()
+            )
+        }
+        schema = self.schema()
+        cols = schema.fieldNames()
+
+        def read_files(files: set[str]) -> DataFrame:
+            if not files:
+                return spark.createDataFrame([], schema)
+            return spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, f) for f in files]
+            )
+
+        # shared files hold identical rows on both sides — skip them.
+        a = read_files(man_a - man_b)
+        b = read_files(man_b - man_a)
+        aj = a.select(
+            F.col(self.key).alias("_k"), F.struct(*cols).alias("_a")
+        )
+        bj = b.select(
+            F.col(self.key).alias("_k"), F.struct(*cols).alias("_b")
+        )
+        j = aj.join(bj, "_k", "full_outer")
+        tagged = j.select(
+            F.when(F.col("_a").isNull(), F.lit("insert"))
+            .when(F.col("_b").isNull(), F.lit("delete"))
+            .when(~F.col("_a").eqNullSafe(F.col("_b")), F.lit("update"))
+            .alias("_change_type"),
+            F.coalesce(F.col("_b"), F.col("_a")).alias("_img"),
+        ).filter(F.col("_change_type").isNotNull())
+        return tagged.select(
+            "_change_type", *[F.col(f"_img.{c}").alias(c) for c in cols]
+        )
+
     def compact(self, spark: SparkSession, target_files: int = 8) -> int:
         """OPTIMIZE: rewrite the table re-range-clustered on the key,
         restoring disjoint zones and bin-packing merge fragmentation
@@ -504,6 +559,96 @@ ORDER BY l_returnflag
 """
 
 
+#: q150 delete range — disjoint from the q146-style update range so each
+#: changed key has exactly one change type.
+Q150_DEL_LO, Q150_DEL_HI = 800, 899
+
+Q150_SQL = f"""
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey BETWEEN {Q146_UPD_LO} AND {Q146_UPD_HI}
+),
+ins AS (
+  SELECT o_orderkey + {Q146_INS_OFFSET} AS o_orderkey, o_custkey,
+         'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 13
+),
+del AS (
+  SELECT * FROM orders
+  WHERE o_orderkey BETWEEN {Q150_DEL_LO} AND {Q150_DEL_HI}
+),
+changes AS (
+  SELECT 'update' AS change_type, * FROM upd
+  UNION ALL SELECT 'insert', * FROM ins
+  UNION ALL SELECT 'delete', * FROM del
+)
+SELECT change_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM changes
+GROUP BY change_type
+ORDER BY change_type
+"""
+
+
+def _register_q150() -> None:
+    from ..catalog import load_table
+    from ..numeric import dsum, money
+    from ..registry import register
+    from .ingest import _scratch
+
+    @register("q150_table_changes", Q150_SQL)
+    def q150_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Change data feed: orders → ManifestTable → one COW merge
+        (range updates + out-of-range inserts) → one range delete →
+        snapshot diff of the first generation against the current one.
+        The diff must recover EXACTLY the applied changes — rewritten-
+        but-unchanged rows (COW carries them into new files) have to
+        cancel out, shared files are skipped by manifest file-id
+        equality, and each change row carries its post-image (pre-image
+        for deletes)."""
+        root = _scratch("q150_mtable_")
+        shutil.rmtree(root, ignore_errors=True)
+        tbl = ManifestTable(os.path.join(root, "orders"), "o_orderkey")
+        o = load_table(spark, sf_dir, "orders")
+        tbl.write(o, target_files=8)
+        g0 = tbl.state.current_gen()
+        upd = o.filter(
+            F.col("o_orderkey").between(Q146_UPD_LO, Q146_UPD_HI)
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        ins = o.filter(F.col("o_orderkey") % 97 == 13).select(
+            (F.col("o_orderkey") + F.lit(Q146_INS_OFFSET)).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        tbl.merge(spark, upd.unionByName(ins))
+        tbl.delete(spark, "o_orderkey", Q150_DEL_LO, Q150_DEL_HI)
+        return (
+            tbl.table_changes(spark, g0)
+            .groupBy(F.col("_change_type").alias("change_type"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.min("o_orderkey").cast("bigint").alias("min_key"),
+                F.max("o_orderkey").cast("bigint").alias("max_key"),
+                dsum(money("o_totalprice"), "sum_price"),
+            )
+            .orderBy("change_type")
+        )
+
+
 def _register_q149() -> None:
     from ..catalog import load_table
     from ..numeric import dsum, money
@@ -560,4 +705,5 @@ def _register_q149() -> None:
 
 
 _register_queries()
+_register_q150()
 _register_q149()

@@ -226,3 +226,49 @@ def test_compact_restores_disjoint_zones(spark, orders_table):
         orders_table.read(spark).groupBy("o_orderkey").count()
         .filter(F.col("count") > 1).count() == 0
     )
+
+
+def test_table_changes_recovers_exactly_the_applied_changes(spark, orders_table):
+    """CDF diff: one merge (updates + inserts) + one range delete; the
+    snapshot diff must emit exactly those keys with the right change
+    types and images — COW-rewritten-but-unchanged rows must cancel."""
+    o = load_table(spark, SF_DIR, "orders")
+    g0 = orders_table.state.current_gen()
+    upd = o.filter(F.col("o_orderkey").between(200, 299)).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    ins = o.limit(3).withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10**7))
+    orders_table.merge(spark, upd.unionByName(ins))
+    orders_table.delete(spark, "o_orderkey", 400, 449)
+    cdf = orders_table.table_changes(spark, g0)
+    got = {
+        t: sorted(r["o_orderkey"] for r in rows)
+        for t, rows in (
+            (t, cdf.filter(F.col("_change_type") == t).collect())
+            for t in ("insert", "update", "delete")
+        )
+    }
+    assert got["update"] == sorted(
+        r["o_orderkey"] for r in upd.select("o_orderkey").collect()
+    )
+    assert got["insert"] == sorted(
+        r["o_orderkey"] for r in ins.select("o_orderkey").collect()
+    )
+    assert got["delete"] == sorted(
+        r["o_orderkey"]
+        for r in o.filter(F.col("o_orderkey").between(400, 449)).collect()
+    )
+    # post-image for updates (bumped price), pre-image for deletes
+    k = got["update"][0]
+    orig = o.filter(F.col("o_orderkey") == k).head()["o_totalprice"]
+    post = (
+        cdf.filter((F.col("_change_type") == "update") & (F.col("o_orderkey") == k))
+        .head()["o_totalprice"]
+    )
+    assert post == orig + 1000.0
+    kd = got["delete"][0]
+    pre = (
+        cdf.filter((F.col("_change_type") == "delete") & (F.col("o_orderkey") == kd))
+        .head()["o_totalprice"]
+    )
+    assert pre == o.filter(F.col("o_orderkey") == kd).head()["o_totalprice"]

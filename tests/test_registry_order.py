@@ -20,6 +20,7 @@ MUST_BE_IN_WINDOW = {
     "q147_binary_ann_topk",
     "q148_triangle_count",
     "q149_zorder_table_scan",
+    "q150_table_changes",
     # Faces touched by round-5 fixes (quantile compaction base dir +
     # scratch, manifestlog pacing branch, BM25 decimal documentation).
     "q136_streaming_quantiles",
