@@ -164,6 +164,8 @@ HEADLINE = [
     "q148_triangle_count",
     "q149_zorder_table_scan",
     "q150_table_changes",
+    "q151_pareto_frontier",
+    "q152_mad_outliers",
 ]
 
 

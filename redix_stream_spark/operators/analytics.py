@@ -1389,3 +1389,213 @@ def q143_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         (fl.cast("double") + (tot - fl).cast("double")).alias("total_weight"),
         F.col("l_quantity").cast("double").alias("wmedian_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q151 — Pareto frontier (2-D skyline): suppliers optimal on
+# (total cost MIN, total volume MAX). The multi-objective "best suppliers"
+# query every procurement/ranking pipeline runs; dominance is resolved
+# with one cumulative-max window instead of the O(n²) dominance anti-join.
+# ---------------------------------------------------------------------------
+
+Q151_SQL = """
+WITH s AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost_d,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS vol_d
+  FROM lineitem GROUP BY l_suppkey
+),
+pts AS (SELECT DISTINCT cost_d, vol_d FROM s),
+sky AS (
+  SELECT cost_d, vol_d
+  FROM (
+    SELECT cost_d, vol_d,
+           MAX(vol_d) OVER (
+             ORDER BY cost_d, vol_d DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS best_prev
+    FROM pts
+  )
+  WHERE best_prev IS NULL OR best_prev < vol_d
+)
+SELECT CAST(s.l_suppkey AS BIGINT) AS suppkey,
+       CAST(s.cost_d AS DOUBLE) AS total_cost,
+       CAST(s.vol_d AS DOUBLE) AS total_volume
+FROM s JOIN sky USING (cost_d, vol_d)
+ORDER BY suppkey
+"""
+
+
+@register("q151_pareto_frontier", Q151_SQL)
+def q151_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal suppliers on (minimize total cost, maximize total
+    volume): a supplier is dominated iff some other supplier is no more
+    expensive AND moves at least as much volume, strictly better in one.
+
+    Dominance without the O(n²) anti-join: on DISTINCT (cost, vol)
+    points sorted (cost asc, vol desc), a point is dominated exactly
+    when the running max of volume over all PRECEDING points ≥ its own
+    volume — strictly-cheaper points dominate at ≥ (cost is already
+    strictly better), and an equal-cost point precedes only if its
+    volume is strictly higher. One window pass, exact decimal
+    objectives, duplicate (cost, vol) suppliers all survive via the
+    join-back.
+
+    Scale: the skyline window runs on the AGGREGATED per-supplier
+    relation — dim-sized (the q23b n_buckets argument), after one
+    map-side-combined aggregate over the fact table. At an unbounded
+    point count you'd skyline per partition first (local frontier) and
+    merge — the classic distributed-skyline refinement; dims don't need
+    it.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.sum(money("l_extendedprice")).alias("cost_d"),
+        F.sum(money("l_quantity")).alias("vol_d"),
+    )
+    pts = s.select("cost_d", "vol_d").distinct()
+    w = Window.orderBy(F.col("cost_d").asc(), F.col("vol_d").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky = (
+        pts.withColumn("best_prev", F.max("vol_d").over(w))
+        .filter(F.col("best_prev").isNull() | (F.col("best_prev") < F.col("vol_d")))
+        .select("cost_d", "vol_d")
+    )
+    return (
+        s.join(sky, ["cost_d", "vol_d"])
+        .select(
+            F.col("l_suppkey").cast("bigint").alias("suppkey"),
+            F.col("cost_d").cast("double").alias("total_cost"),
+            F.col("vol_d").cast("double").alias("total_volume"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q152 — robust outliers: median / MAD (median absolute deviation) per
+# event type with a 3-MAD outlier count — the robust-statistics quality
+# screen (mean/stddev anomaly detection breaks under the very outliers
+# it hunts; q110's integer z-scores are the rate-side cousin).
+# ---------------------------------------------------------------------------
+
+
+def _median_expr(df: DataFrame, part: str, val: str, out: str) -> DataFrame:
+    """Exact per-group median of a DOUBLE column, engine-identical: rank
+    with a pinned total order, conditional-max-pick the two middle rows,
+    midpoint = (lo + hi) * 0.5 — one IEEE add then an exact
+    power-of-two multiply; the odd case picks the same row twice and
+    (2a)*0.5 == a exactly. (The q124 decimal-sum trick needs decimal
+    inputs; arbitrary doubles get the deterministic-IEEE form instead.)
+    """
+    w = Window.partitionBy(part).orderBy(val, "event_id")
+    wn = Window.partitionBy(part)
+    ranked = df.select(
+        part,
+        val,
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lo = (((F.col("n") + 1) - ((F.col("n") + 1) % 2)) / 2).cast("long")
+    hi = (((F.col("n") + 2) - ((F.col("n") + 2) % 2)) / 2).cast("long")
+    return (
+        ranked.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+        .groupBy(part)
+        .agg(
+            (
+                (
+                    F.max(F.when(F.col("rn") == lo, F.col(val)))
+                    + F.max(F.when(F.col("rn") == hi, F.col(val)))
+                )
+                * F.lit(0.5)
+            ).alias(out)
+        )
+    )
+
+
+Q152_SQL = """
+WITH e AS (SELECT event_type, event_id, value FROM events),
+m AS (
+  SELECT event_type,
+         (MAX(CASE WHEN rn = (n + 1 - (n + 1) % 2) // 2 THEN value END)
+          + MAX(CASE WHEN rn = (n + 2 - (n + 2) % 2) // 2 THEN value END)) * 0.5
+           AS med
+  FROM (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM e
+  )
+  WHERE rn IN ((n + 1 - (n + 1) % 2) // 2, (n + 2 - (n + 2) % 2) // 2)
+  GROUP BY event_type
+),
+d AS (
+  SELECT e.event_type, e.event_id, ABS(e.value - m.med) AS dev, m.med
+  FROM e JOIN m USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         (MAX(CASE WHEN rn = (n + 1 - (n + 1) % 2) // 2 THEN dev END)
+          + MAX(CASE WHEN rn = (n + 2 - (n + 2) % 2) // 2 THEN dev END)) * 0.5
+           AS mad
+  FROM (
+    SELECT event_type, dev,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM d
+  )
+  WHERE rn IN ((n + 1 - (n + 1) % 2) // 2, (n + 2 - (n + 2) % 2) // 2)
+  GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(d.med) AS med,
+       MAX(mad.mad) AS mad,
+       CAST(COUNT(*) FILTER (WHERE d.dev > 3.0 * mad.mad) AS BIGINT) AS n_outliers
+FROM d JOIN mad USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@register("q152_mad_outliers", Q152_SQL)
+def q152_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median / MAD / 3-MAD outlier count per event type, all
+    engine-identical IEEE: |x − med| is one exact subtract, 3·MAD one
+    multiply, the medians the deterministic midpoint form above.
+
+    Scale: two type-partitioned window passes (same key → the second
+    exchange reuses the first's partitioning) + broadcast-sized medians
+    joined back (type count is bounded). Exact medians require the
+    per-group sort — that IS the honest cost; q126/q136's histogram
+    quantiles are the bounded-memory scale path this face validates.
+    """
+    from ..catalog import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    med = _median_expr(e, "event_type", "value", "med")
+    d = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    mad = _median_expr(
+        d.withColumnRenamed("dev", "value"), "event_type", "value", "mad"
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("dev") > F.lit(3.0) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

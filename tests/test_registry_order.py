@@ -21,6 +21,8 @@ MUST_BE_IN_WINDOW = {
     "q148_triangle_count",
     "q149_zorder_table_scan",
     "q150_table_changes",
+    "q151_pareto_frontier",
+    "q152_mad_outliers",
     # Faces touched by round-5 fixes (quantile compaction base dir +
     # scratch, manifestlog pacing branch, BM25 decimal documentation).
     "q136_streaming_quantiles",
