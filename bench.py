@@ -166,6 +166,7 @@ HEADLINE = [
     "q150_table_changes",
     "q151_pareto_frontier",
     "q152_mad_outliers",
+    "q153_equidepth_bins",
 ]
 
 

@@ -1599,3 +1599,58 @@ def q152_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q153 — equi-depth binning (quantile discretization): the feature-
+# engineering partner of q126's equi-WIDTH histogram — NTILE gives every
+# bucket the same row count and the bucket edges become the feature map.
+# ---------------------------------------------------------------------------
+
+Q153_BUCKETS = 10
+
+Q153_SQL = f"""
+WITH b AS (
+  SELECT event_type, value,
+         CAST(NTILE({Q153_BUCKETS}) OVER (
+           PARTITION BY event_type ORDER BY value, event_id
+         ) AS BIGINT) AS bucket
+  FROM events
+)
+SELECT event_type, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(value) AS lo,
+       MAX(value) AS hi
+FROM b
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
+@register("q153_equidepth_bins", Q153_SQL)
+def q153_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency value bins per event type: NTILE over a PINNED
+    total order ((value, event_id) — both engines then place the n % k
+    remainder rows identically), rolled up to per-bucket count and
+    [lo, hi] edges. The discretization table a feature pipeline joins
+    back against raw values.
+
+    Scale: one type-keyed exchange for the rank window, map-side-combined
+    rollup on the same partitioning. Exact equi-depth needs the per-group
+    sort (the q124/q152 honesty note); q126's equi-width face is the
+    sort-free alternative when edges may be fixed a priori.
+    """
+    from ..catalog import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.withColumn("bucket", F.ntile(Q153_BUCKETS).over(w).cast("long"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -23,6 +23,7 @@ MUST_BE_IN_WINDOW = {
     "q150_table_changes",
     "q151_pareto_frontier",
     "q152_mad_outliers",
+    "q153_equidepth_bins",
     # Faces touched by round-5 fixes (quantile compaction base dir +
     # scratch, manifestlog pacing branch, BM25 decimal documentation).
     "q136_streaming_quantiles",
