@@ -167,6 +167,7 @@ HEADLINE = [
     "q151_pareto_frontier",
     "q152_mad_outliers",
     "q153_equidepth_bins",
+    "q154_scd2_asof_join",
 ]
 
 

@@ -1654,3 +1654,102 @@ def q153_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q154 — point-in-time (temporal) join against the SCD2 history: "what
+# state was the user in WHEN they purchased" — the dimension-lookup-at-
+# event-time query every warehouse with Type-2 dimensions runs; q122
+# builds the history, this face consumes it.
+# ---------------------------------------------------------------------------
+
+Q154_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events WHERE event_type <> 'purchase'
+),
+hist AS (
+  SELECT user_id, event_type, ts AS effective_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS effective_to
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+probes AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+joined AS (
+  SELECT COALESCE(h.event_type, 'none') AS state_at_purchase, p.user_id, p.value
+  FROM probes p
+  LEFT JOIN hist h
+    ON p.user_id = h.user_id
+   AND p.ts >= h.effective_from
+   AND (h.effective_to IS NULL OR p.ts < h.effective_to)
+)
+SELECT state_at_purchase,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM joined
+GROUP BY state_at_purchase
+ORDER BY state_at_purchase
+"""
+
+
+@register("q154_scd2_asof_join", Q154_SQL)
+def q154_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase event joined to the SCD2 state (q122's intervals
+    over the NON-purchase events) valid at purchase time; purchases
+    before any state row report 'none'. Intervals are half-open
+    [from, to) and per-user disjoint, so every probe matches at most
+    one history row — deterministically, including probes landing
+    exactly on a state change.
+
+    Scale: the interval predicate rides an EQUI join on user_id — the
+    per-user history is change-count-sized, so the range residual scans
+    a handful of rows per probe (the q127 binning escape applies if a
+    key's history ever grows pathological); one user-keyed exchange
+    each side, shared with q122's window partitioning upstream.
+    """
+    from ..catalog import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events")
+    hist = scd2_intervals(e.filter(F.col("event_type") != "purchase")).select(
+        F.col("user_id").alias("h_user"),
+        F.col("event_type").alias("state"),
+        "effective_from",
+        "effective_to",
+    )
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = probes.join(
+        hist,
+        (F.col("user_id") == F.col("h_user"))
+        & (F.col("ts") >= F.col("effective_from"))
+        & (
+            F.col("effective_to").isNull()
+            | (F.col("ts") < F.col("effective_to"))
+        ),
+        "left",
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("state"), F.lit("none")).alias(
+                "state_at_purchase"
+            ),
+            "user_id",
+            "value",
+        )
+        .groupBy("state_at_purchase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("state_at_purchase")
+    )

@@ -24,6 +24,7 @@ MUST_BE_IN_WINDOW = {
     "q151_pareto_frontier",
     "q152_mad_outliers",
     "q153_equidepth_bins",
+    "q154_scd2_asof_join",
     # Faces touched by round-5 fixes (quantile compaction base dir +
     # scratch, manifestlog pacing branch, BM25 decimal documentation).
     "q136_streaming_quantiles",
