@@ -46,6 +46,15 @@ from pyspark.sql.types import StructType
 from ..streaming.commit import GenerationState
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed between this writer's snapshot read and
+    its commit attempt — the optimistic-concurrency failure every
+    lock-less table format surfaces (Delta's ConcurrentModification,
+    Iceberg's CommitFailedException). The loser re-reads the new current
+    generation and retries its operation; data files it staged are
+    unreferenced garbage swept by vacuum()."""
+
+
 class ManifestTable:
     """Keyed table: range-clustered immutable parquet files + a manifest
     of per-file zone maps, committed via generation pointer."""
@@ -85,7 +94,29 @@ class ManifestTable:
         with open(os.path.join(cur, "schema.json")) as fh:
             return StructType.fromJson(json.load(fh))
 
-    def _commit(self, entries: list[dict], schema: StructType) -> None:
+    def _commit(
+        self,
+        entries: list[dict],
+        schema: StructType,
+        base_gen: int | None = None,
+    ) -> None:
+        """Publish a new generation. ``base_gen`` is the generation the
+        writer's read snapshot came from (optimistic concurrency): if the
+        pointer has moved past it by commit time, another writer won the
+        race and THIS commit would silently drop their changes — raise
+        CommitConflict instead so the caller re-reads and retries. The
+        single-object pointer makes the window between check and swap a
+        same-process memory race only; on a real object store the check
+        rides the conditional-PUT (If-Match) every store now offers.
+        Maintenance ops (write/compact) pass None: they rebuild from the
+        CURRENT manifest read inside the same call."""
+        if base_gen is not None:
+            cur = self.state.current_gen()
+            if cur != base_gen:
+                raise CommitConflict(
+                    f"table advanced to gen={cur} since this writer read "
+                    f"gen={base_gen}; re-read and retry"
+                )
         gen, path = self.state.stage()
         with open(os.path.join(path, "manifest.json"), "w") as fh:
             json.dump(entries, fh)
@@ -255,6 +286,7 @@ class ManifestTable:
         pruning stays correct (overlap only loosens it) and the next
         ``compact_zones``/``write`` restores disjointness.
         """
+        base_gen = self.state.current_gen()
         entries = self.manifest()
         if not entries:
             self.write(updates)
@@ -301,7 +333,7 @@ class ManifestTable:
         new_entries = self._write_files(
             rewritten.repartitionByRange(n_files, self.key)
         )
-        self._commit(untouched + new_entries, schema)
+        self._commit(untouched + new_entries, schema, base_gen=base_gen)
         return {
             "files_total": len(entries),
             "files_rewritten": len(affected),
@@ -311,6 +343,7 @@ class ManifestTable:
         """Range delete, same COW discipline: only zone-overlapping
         files are rewritten (minus the deleted range); the rest carry
         forward by reference."""
+        base_gen = self.state.current_gen()
         kept, total = self.prune(col, lo, hi)
         if not kept:
             return {"files_total": total, "files_rewritten": 0}
@@ -324,7 +357,7 @@ class ManifestTable:
         new_entries = self._write_files(
             remain.repartitionByRange(max(len(kept), 1), self.key)
         )
-        self._commit(untouched + new_entries, schema)
+        self._commit(untouched + new_entries, schema, base_gen=base_gen)
         return {"files_total": total, "files_rewritten": len(kept)}
 
     def table_changes(

@@ -272,3 +272,39 @@ def test_table_changes_recovers_exactly_the_applied_changes(spark, orders_table)
         .head()["o_totalprice"]
     )
     assert pre == o.filter(F.col("o_orderkey") == kd).head()["o_totalprice"]
+
+
+def test_concurrent_merge_loser_gets_commit_conflict(spark, orders_table):
+    """Optimistic concurrency: two writers snapshot the same generation;
+    the second to commit must raise (its blind commit would silently
+    drop the winner's changes), and a retry after re-read succeeds with
+    BOTH change sets surviving."""
+    import pytest as _pytest
+
+    from redix_stream_spark.sources.manifest_table import (
+        CommitConflict,
+        ManifestTable,
+    )
+
+    o = load_table(spark, SF_DIR, "orders")
+    b1 = o.filter(F.col("o_orderkey").between(100, 149)).withColumn(
+        "o_orderstatus", F.lit("W1")
+    )
+    b2 = o.filter(F.col("o_orderkey").between(900, 949)).withColumn(
+        "o_orderstatus", F.lit("W2")
+    )
+    # writer 2 = a second handle over the same root, snapshotting now
+    w2 = ManifestTable(orders_table.root, "o_orderkey")
+    base = w2.state.current_gen()
+    orders_table.merge(spark, b1)  # writer 1 wins the race
+
+    # simulate writer 2 having planned against the stale base
+    entries = w2.manifest(base)
+    with _pytest.raises(CommitConflict):
+        w2._commit(entries, w2.schema(), base_gen=base)
+
+    # retry path: re-read (fresh merge call snapshots the new gen)
+    w2.merge(spark, b2)
+    after = orders_table.read(spark)
+    assert after.filter(F.col("o_orderstatus") == "W1").count() == b1.count()
+    assert after.filter(F.col("o_orderstatus") == "W2").count() == b2.count()
