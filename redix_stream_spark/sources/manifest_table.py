@@ -73,14 +73,27 @@ class ManifestTable:
 
     # -- manifest plumbing -------------------------------------------------
 
+    def generations(self) -> list[int]:
+        """Committed generations readable as snapshots, oldest first
+        (HISTORY_CAP-retained)."""
+        return [int(g) for g in self.state.meta().get("history", [])]
+
     def manifest(self, gen: int | None = None) -> list[dict]:
-        cur = (
-            self.state.current_dir()
-            if gen is None
-            else self.state.gen_dir(gen)
-        )
-        if cur is None:
-            return []
+        if gen is None:
+            cur = self.state.current_dir()
+            if cur is None:
+                return []
+        else:
+            # An expired or never-committed generation must RAISE — the
+            # silent alternative reads an empty/torn manifest as "empty
+            # table", the worst possible failure mode for a time-travel
+            # API (same contract as ManifestEventLog.manifest).
+            if gen not in self.generations():
+                raise ValueError(
+                    f"generation {gen} is not in the committed history "
+                    f"{self.generations()} (expired or never committed)"
+                )
+            cur = self.state.gen_dir(gen)
         path = os.path.join(cur, "manifest.json")
         if not os.path.exists(path):
             return []
@@ -423,12 +436,15 @@ class ManifestTable:
         table format uses). Returns the file count before compaction.
         Old files become unreferenced; ``vacuum()`` reclaims them after
         in-flight readers drain."""
+        base_gen = self.state.current_gen()
         before = len(self.manifest())
         df = self.read(spark)
         entries = self._write_files(
             df.repartitionByRange(target_files, self.key)
         )
-        self._commit(entries, self.schema())
+        # OCC here too: a merge landing between this read and commit
+        # would be silently erased by the rewrite otherwise.
+        self._commit(entries, self.schema(), base_gen=base_gen)
         return before
 
     def vacuum(self) -> int:

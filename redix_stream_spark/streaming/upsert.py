@@ -44,15 +44,21 @@ class StreamingUpsert:
 
     def __init__(self, table: ManifestTable, order_col: str):
         self.table = table
-        #: within-batch tie-break: highest ``order_col`` per key wins
-        #: (deterministic — ties broken by the key itself are impossible
-        #: since the window partitions by key; equal order values fall
-        #: back to an arbitrary-but-stable row via a total order).
+        #: within-batch winner: highest ``order_col`` per key. Ties are
+        #: broken by the FULL remaining row (lexicographic over the other
+        #: columns) — row_number over a non-total order would let a
+        #: crash-replay pick the other tied row and break the
+        #: merge-idempotence argument.
         self.order_col = order_col
 
     def _latest_per_key(self, batch: DataFrame) -> DataFrame:
+        rest = [
+            c
+            for c in batch.columns
+            if c not in (self.table.key, self.order_col)
+        ]
         w = Window.partitionBy(self.table.key).orderBy(
-            F.col(self.order_col).desc()
+            F.col(self.order_col).desc(), *[F.col(c).desc() for c in rest]
         )
         return (
             batch.withColumn("_rn", F.row_number().over(w))

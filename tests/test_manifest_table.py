@@ -308,3 +308,48 @@ def test_concurrent_merge_loser_gets_commit_conflict(spark, orders_table):
     after = orders_table.read(spark)
     assert after.filter(F.col("o_orderstatus") == "W1").count() == b1.count()
     assert after.filter(F.col("o_orderstatus") == "W2").count() == b2.count()
+
+
+def test_expired_or_unknown_generation_raises(spark, orders_table):
+    """Time travel to a generation outside the committed history must
+    raise — silently reading it as an empty table is the worst failure
+    mode a snapshot API can have."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in the committed history"):
+        orders_table.manifest(gen=999)
+    with _pytest.raises(ValueError):
+        orders_table.read(spark, gen=999)
+
+
+def test_compact_refuses_to_erase_concurrent_merge(spark, orders_table):
+    """OCC on compact: a merge landing between compact's read and its
+    commit must surface as CommitConflict, not silent erasure."""
+    import pytest as _pytest
+
+    from redix_stream_spark.sources.manifest_table import (
+        CommitConflict,
+        ManifestTable,
+    )
+
+    o = load_table(spark, SF_DIR, "orders")
+    base_gen = orders_table.state.current_gen()
+    df = orders_table.read(spark)
+    entries = orders_table._write_files(
+        df.repartitionByRange(4, "o_orderkey")
+    )
+    # a merge lands while the "compactor" was rewriting
+    w2 = ManifestTable(orders_table.root, "o_orderkey")
+    w2.merge(
+        spark,
+        o.filter(F.col("o_orderkey").between(50, 60)).withColumn(
+            "o_orderstatus", F.lit("X")
+        ),
+    )
+    with _pytest.raises(CommitConflict):
+        orders_table._commit(entries, orders_table.schema(), base_gen=base_gen)
+    # the merge survived
+    assert (
+        orders_table.read(spark).filter(F.col("o_orderstatus") == "X").count()
+        > 0
+    )
