@@ -353,3 +353,49 @@ def test_compact_refuses_to_erase_concurrent_merge(spark, orders_table):
         orders_table.read(spark).filter(F.col("o_orderstatus") == "X").count()
         > 0
     )
+
+
+def test_model_based_random_op_sequence(spark, tmp_path):
+    """Model check: a seeded random sequence of merge / delete / compact
+    ops against an in-memory dict model — after every op the table must
+    read back exactly the model, every live key must be covered by some
+    file's key zone, and the manifest row count must match. This sweeps
+    the interaction space (merge into fragmented zones, delete across
+    rewritten files, compact after inserts) that example tests can't."""
+    import random
+
+    rng = random.Random(42)
+    tbl = ManifestTable(str(tmp_path / "t"), "k")
+    model: dict[int, int] = {k: k * 10 for k in range(0, 200, 2)}
+    tbl.write(
+        spark.createDataFrame(sorted(model.items()), "k long, v long"),
+        target_files=6,
+    )
+    version = 1
+    for step in range(24):
+        op = rng.choice(["merge", "merge", "delete", "compact"])
+        if op == "merge":
+            keys = rng.sample(range(0, 400), rng.randint(1, 25))
+            version += 1
+            batch = [(k, k * 1000 + version) for k in keys]
+            for k, v in batch:
+                model[k] = v
+            tbl.merge(
+                spark, spark.createDataFrame(batch, "k long, v long")
+            )
+        elif op == "delete":
+            lo = rng.randint(0, 380)
+            hi = lo + rng.randint(0, 60)
+            for k in [k for k in model if lo <= k <= hi]:
+                del model[k]
+            tbl.delete(spark, "k", lo, hi)
+        else:
+            tbl.compact(spark, target_files=rng.randint(2, 8))
+        got = {r["k"]: r["v"] for r in tbl.read(spark).collect()}
+        assert got == model, f"divergence after step {step} ({op})"
+        man = tbl.manifest()
+        assert sum(e["rows"] for e in man) == len(model)
+        for k in model:
+            assert any(
+                e["stats"]["k"][0] <= k <= e["stats"]["k"][1] for e in man
+            ), f"key {k} outside every zone after step {step}"
