@@ -41,29 +41,31 @@ def budget_line(result: dict, limit: int = LINE_LIMIT) -> str:
     """Serialize ``result`` to one JSON line under the driver's window.
 
     Compact separators and 2-decimal timings first; if still over, drop
-    per-query entries fastest-first (slow queries are the evidence that
-    matters) from the sf1 block, then the main block, recording the count
-    dropped as ``omitted`` so a trimmed map is visibly partial.
+    per-query entries GLOBALLY fastest-first across BOTH blocks (slow
+    queries are the evidence that matters; the earlier sf1-block-first
+    policy emptied the entire sf1 map — the scale evidence — before
+    touching a single 0.3 s sf0.1 entry), recording per-block ``omitted``
+    counts so a trimmed map is visibly partial.
     """
 
     def dumps(r: dict) -> str:
         return json.dumps(r, separators=(",", ":"))
 
     trimmed = json.loads(json.dumps(result))  # deep copy
-    for blk in [trimmed.get("sf1"), trimmed]:
-        if blk and "queries" in blk:
-            blk["queries"] = {k: round(v, 2) for k, v in blk["queries"].items()}
-            blk["value"] = round(blk["value"], 2)
-    for blk in [trimmed.get("sf1"), trimmed]:
-        if len(dumps(trimmed)) <= limit:
-            break
-        if not blk or "queries" not in blk:
-            continue
-        q = blk["queries"]
-        order = sorted(q, key=lambda k: (q[k], k))  # fastest first
-        while order and len(dumps(trimmed)) > limit:
-            del q[order.pop(0)]
-            blk["omitted"] = blk.get("omitted", 0) + 1
+    blocks = [b for b in (trimmed.get("sf1"), trimmed) if b and "queries" in b]
+    for blk in blocks:
+        blk["queries"] = {k: round(v, 2) for k, v in blk["queries"].items()}
+        blk["value"] = round(blk["value"], 2)
+    order = sorted(
+        ((blk["queries"][k], k, blk) for blk in blocks for k in blk["queries"]),
+        key=lambda t: (t[0], t[1]),
+    )  # fastest first, across both blocks
+    i = 0
+    while i < len(order) and len(dumps(trimmed)) > limit:
+        _sec, key, blk = order[i]
+        del blk["queries"][key]
+        blk["omitted"] = blk.get("omitted", 0) + 1
+        i += 1
     return dumps(trimmed)
 
 #: Large-scale mode: the ~10 most expensive operators — the LLM-pipeline
@@ -168,6 +170,7 @@ HEADLINE = [
     "q152_mad_outliers",
     "q153_equidepth_bins",
     "q154_scd2_asof_join",
+    "q155_audio_windows",
 ]
 
 

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -859,3 +860,181 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload") -> DataF
 
     ship_package(df.sparkSession)
     return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+# -- real audio PCM decode + windowed signal features (round 5) -------------
+#
+# Upgrades audio from header metadata (parse_audio_meta) to REAL sample
+# processing: 16-bit PCM WAV payloads decode to waveforms (pure
+# numpy/stdlib — the container format is simple enough that no audio
+# library is needed), and per-window RMS energy / zero-crossing rate /
+# peak are the classic speech-vs-music/silence-trim features a training
+# pipeline computes before filtering audio corpora. Entropy-coded
+# formats (MP3/AAC) remain honest stubs — see the codec policy at
+# decode_image_stub.
+
+AUDIO_WINDOW = 1024  # samples per analysis window
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("zcr", LongType()),
+        StructField("peak", DoubleType()),
+    ]
+)
+
+
+def decode_wav_pcm(payload: bytes) -> "np.ndarray | None":
+    """Decode a 16-bit PCM WAV payload to a mono float64 waveform
+    (channels mixed by mean). Returns None for non-WAV / non-16-bit
+    payloads — the honest-negative contract, not a guess."""
+    meta = parse_audio_meta(payload)
+    if meta is None or meta["bits_per_sample"] != 16:
+        return None
+    n = len(payload)
+    i = 12
+    body = None
+    while i + 8 <= n:
+        chunk_id = payload[i : i + 4]
+        chunk_size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if chunk_id == b"data":
+            body = payload[i + 8 : i + 8 + chunk_size]
+            break
+        i += 8 + chunk_size + (chunk_size & 1)
+    if body is None:
+        return None
+    samples = np.frombuffer(
+        body[: len(body) - (len(body) % 2)], dtype="<i2"
+    ).astype(np.float64)
+    ch = max(int(meta["channels"]), 1)
+    if ch > 1:
+        samples = samples[: len(samples) - (len(samples) % ch)]
+        samples = samples.reshape(-1, ch).mean(axis=1)
+    return samples
+
+
+def audio_window_features(doc_id: int, wave: "np.ndarray") -> list[tuple]:
+    """Per-window (RMS, zero-crossing count, peak) rows for one decoded
+    waveform; the tail window keeps its true (shorter) sample count."""
+    rows = []
+    for w in range(0, len(wave), AUDIO_WINDOW):
+        seg = wave[w : w + AUDIO_WINDOW]
+        if len(seg) == 0:
+            continue
+        rms = float(np.sqrt(np.mean(seg * seg)))
+        # sign-boolean ZCR (zeros count as positive): the product<0 form
+        # silently drops crossings that land exactly on a zero sample —
+        # which periodic tones at rational frequency ratios hit often.
+        pos = seg >= 0
+        zcr = int(np.count_nonzero(pos[:-1] != pos[1:]))
+        rows.append(
+            (
+                doc_id,
+                w // AUDIO_WINDOW,
+                len(seg),
+                rms,
+                zcr,
+                float(np.max(np.abs(seg))) if len(seg) else 0.0,
+            )
+        )
+    return rows
+
+
+def extract_audio_windows(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """(doc_id, payload) → per-window audio features via one Arrow-batched
+    ``mapInPandas`` pass — map-only, no shuffle; non-decodable payloads
+    contribute zero rows (filter-by-decode, the corpus-cleaning shape).
+    """
+    from ..session import ship_package
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_WINDOW_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                wave = decode_wav_pcm(bytes(payload))
+                if wave is None:
+                    continue
+                rows.extend(audio_window_features(int(doc_id), wave))
+            yield pd.DataFrame(rows, columns=cols)
+
+    ship_package(df.sparkSession)
+    return df.select("doc_id", payload_col).mapInPandas(
+        run, AUDIO_WINDOW_SCHEMA
+    )
+
+
+def wav_encode_pcm16(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
+    """Minimal 16-bit mono PCM WAV writer (fixtures + the q155 synth)."""
+    pcm = np.clip(np.asarray(samples), -32768, 32767).astype("<i2").tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(pcm))
+    )
+    return hdr + pcm
+
+
+def _register_q155() -> None:
+    from ..catalog import load_table as _lt
+
+    @register("q155_audio_windows")  # rows-only: float DSP is numpy-side
+    def q155_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """End-to-end audio pipeline over the driver tables: synthesize a
+        deterministic PCM tone per document (frequency/amplitude seeded
+        by doc_id — the deterministic-fake contract q39/q43 use, since
+        testdata has no audio column), then run the REAL decode +
+        windowed-feature path and aggregate per doc. Rows-only (windowed
+        RMS is numpy-side floating point); the decode/feature math is
+        pinned by closed-form sine fixtures in tests/test_llm.py."""
+        from ..session import ship_package
+
+        d = _lt(spark, sf_dir, "documents").select("doc_id").limit(64)
+
+        synth_schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        )
+
+        def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for doc_id in pdf["doc_id"]:
+                    seed = int(
+                        hashlib.md5(str(int(doc_id)).encode()).hexdigest()[:8],
+                        16,
+                    )
+                    freq = 200 + seed % 800
+                    amp = 4000 + seed % 8000
+                    t = np.arange(3 * AUDIO_WINDOW, dtype=np.float64)
+                    wave = amp * np.sin(2 * np.pi * freq * t / 8000.0)
+                    rows.append((int(doc_id), wav_encode_pcm16(wave)))
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+        ship_package(spark)
+        blobs = d.mapInPandas(synth, synth_schema)
+        feats = extract_audio_windows(blobs)
+        return (
+            feats.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+                F.sum("n_samples").cast("bigint").alias("n_samples"),
+                F.max("peak").alias("peak"),
+                F.sum("zcr").cast("bigint").alias("zcr_total"),
+            )
+            .orderBy("doc_id")
+        )
+
+
+_register_q155()

@@ -95,6 +95,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q152_mad_outliers",
     "q153_equidepth_bins",
     "q154_scd2_asof_join",
+    "q155_audio_windows",
     # -- faces touched by round-5 fixes --
     "q136_streaming_quantiles",
     "q139_manifest_log",
@@ -136,10 +137,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q62_forecast_revenue",
     "q63_promo_ratio",
     "q67_left_outer_join",
-    "q68_right_outer_join",
-    # q37_ngram_jaccard_dup / q38_simhash / q82_token_rarity /
-    # q100_dup_ngram_fraction / q103_gapfill dropped for q150–q154
-    # (r2/r3-green permanent rows).
+    # q68_right_outer_join / q37_ngram_jaccard_dup / q38_simhash /
+    # q82_token_rarity / q100_dup_ngram_fraction / q103_gapfill dropped
+    # for q150–q155 (r1/r2/r3-green permanent rows).
 )
 
 

@@ -1328,3 +1328,85 @@ def test_binary_ann_recall_vs_brute_force(spark, sf_dir):
     ]
     overlap = len(set(exact) & set(approx))
     assert overlap >= 5, (exact, approx)
+
+
+def _sine_wav(freq=440, rate=8000, n=4096, amp=10000):
+    import numpy as np
+
+    from redix_stream_spark.llm.multimodal import wav_encode_pcm16
+
+    t = np.arange(n, dtype=np.float64)
+    return wav_encode_pcm16(amp * np.sin(2 * np.pi * freq * t / rate), rate)
+
+
+def test_wav_pcm_decode_and_window_features_closed_form():
+    """Real signal path against closed forms: a 440 Hz sine at amplitude
+    10000 must show RMS ≈ amp/√2, ZCR ≈ 2·f·window/rate, peak ≤ amp."""
+    import math
+
+    from redix_stream_spark.llm.multimodal import (
+        AUDIO_WINDOW,
+        audio_window_features,
+        decode_wav_pcm,
+    )
+
+    wave = decode_wav_pcm(_sine_wav())
+    assert wave is not None and len(wave) == 4096
+    rows = audio_window_features(7, wave)
+    assert len(rows) == 4096 // AUDIO_WINDOW
+    for _doc, _win, n, rms, zcr, peak in rows:
+        assert n == AUDIO_WINDOW
+        assert abs(rms - 10000 / math.sqrt(2)) < 100  # quantization slack
+        expected_zcr = 2 * 440 * AUDIO_WINDOW / 8000
+        assert abs(zcr - expected_zcr) <= 2
+        assert 9000 <= peak <= 10000
+
+
+def test_wav_stereo_mixdown_and_honest_negatives():
+    import struct
+
+    import numpy as np
+
+    from redix_stream_spark.llm.multimodal import decode_wav_pcm
+
+    # stereo: L == R == x → mixdown must equal x
+    x = (np.arange(-50, 50) * 100).astype("<i2")
+    inter = np.empty(2 * len(x), dtype="<i2")
+    inter[0::2] = x
+    inter[1::2] = x
+    pcm = inter.tobytes()
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", len(pcm))
+    )
+    wave = decode_wav_pcm(hdr + pcm)
+    assert wave is not None
+    assert np.array_equal(wave, x.astype(np.float64))
+    # honest negatives: not WAV / not 16-bit
+    assert decode_wav_pcm(b"not a wav at all") is None
+    bad_bits = hdr.replace(
+        struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16),
+        struct.pack("<IHHIIHH", 16, 1, 2, 8000, 16000, 2, 8),
+    )
+    assert decode_wav_pcm(bad_bits + pcm) is None
+
+
+def test_audio_windows_spark_pipeline(spark):
+    """The Arrow pipeline end-to-end: decodable payloads fan out to
+    window rows, junk contributes none, tail windows keep true length."""
+    from redix_stream_spark.llm.multimodal import (
+        AUDIO_WINDOW,
+        extract_audio_windows,
+    )
+
+    wav = _sine_wav(n=AUDIO_WINDOW + 100)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"junk-bytes"))],
+        "doc_id long, payload binary",
+    )
+    rows = extract_audio_windows(df).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 1]
+    by_win = {r["win"]: r for r in rows}
+    assert by_win[0]["n_samples"] == AUDIO_WINDOW
+    assert by_win[1]["n_samples"] == 100

@@ -25,6 +25,7 @@ MUST_BE_IN_WINDOW = {
     "q152_mad_outliers",
     "q153_equidepth_bins",
     "q154_scd2_asof_join",
+    "q155_audio_windows",
     # Faces touched by round-5 fixes (quantile compaction base dir +
     # scratch, manifestlog pacing branch, BM25 decimal documentation).
     "q136_streaming_quantiles",
