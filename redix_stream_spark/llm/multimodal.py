@@ -985,8 +985,6 @@ def wav_encode_pcm16(samples: "np.ndarray", sample_rate: int = 8000) -> bytes:
 
 
 def _register_q155() -> None:
-    from ..catalog import load_table as _lt
-
     @register("q155_audio_windows")  # rows-only: float DSP is numpy-side
     def q155_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         """End-to-end audio pipeline over the driver tables: synthesize a
@@ -998,7 +996,7 @@ def _register_q155() -> None:
         pinned by closed-form sine fixtures in tests/test_llm.py."""
         from ..session import ship_package
 
-        d = _lt(spark, sf_dir, "documents").select("doc_id").limit(64)
+        d = load_table(spark, sf_dir, "documents").select("doc_id").limit(64)
 
         synth_schema = StructType(
             [

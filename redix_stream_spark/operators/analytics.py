@@ -1571,9 +1571,9 @@ def q152_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group sort — that IS the honest cost; q126/q136's histogram
     quantiles are the bounded-memory scale path this face validates.
     """
-    from ..catalog import load_table as _lt
-
-    e = _lt(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
     med = _median_expr(e, "event_type", "value", "med")
     d = e.join(F.broadcast(med), "event_type").select(
         "event_type",
@@ -1640,9 +1640,9 @@ def q153_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort (the q124/q152 honesty note); q126's equi-width face is the
     sort-free alternative when edges may be fixed a priori.
     """
-    from ..catalog import load_table as _lt
-
-    e = _lt(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return (
         e.withColumn("bucket", F.ntile(Q153_BUCKETS).over(w).cast("long"))
@@ -1713,9 +1713,7 @@ def q154_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     key's history ever grows pathological); one user-keyed exchange
     each side, shared with q122's window partitioning upstream.
     """
-    from ..catalog import load_table as _lt
-
-    e = _lt(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events")
     hist = scd2_intervals(e.filter(F.col("event_type") != "purchase")).select(
         F.col("user_id").alias("h_user"),
         F.col("event_type").alias("state"),

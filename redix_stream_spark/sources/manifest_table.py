@@ -34,6 +34,7 @@ map-side combined, never a driver collect of data rows.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import shutil
@@ -53,6 +54,27 @@ class CommitConflict(RuntimeError):
     Iceberg's CommitFailedException). The loser re-reads the new current
     generation and retries its operation; data files it staged are
     unreferenced garbage swept by vacuum()."""
+
+
+def _stat_json(v):
+    """JSON-safe, ORDER-PRESERVING zone-map encoding: ISO strings for
+    date/datetime (lexicographic == chronological at fixed width),
+    pass-through for int/float/str/None; anything else is rejected at
+    write time rather than crashing json.dump after data files moved."""
+    if v is None or isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    raise TypeError(
+        f"unsupported zone-map stats type {type(v).__name__}; supported: "
+        "int, float, str, date, datetime"
+    )
+
+
+#: _commit sentinel: "no OCC check" (full-overwrite semantics). Distinct
+#: from base_gen=None, which means "I snapshotted an EMPTY table and my
+#: commit must be its first" — the empty-table race is still a race.
+_UNCHECKED = object()
 
 
 class ManifestTable:
@@ -100,10 +122,23 @@ class ManifestTable:
         with open(path) as fh:
             return json.load(fh)
 
-    def schema(self) -> StructType | None:
-        cur = self.state.current_dir()
-        if cur is None:
-            return None
+    def schema(self, gen: int | None = None) -> StructType | None:
+        """Schema of a committed generation (current by default) — the
+        schema is snapshot state like the file list, persisted per
+        generation: time travel across a schema change must read the
+        OLD generation's files with the OLD schema (the current schema
+        would surface silent NULLs for renamed/added columns)."""
+        if gen is None:
+            cur = self.state.current_dir()
+            if cur is None:
+                return None
+        else:
+            if gen not in self.generations():
+                raise ValueError(
+                    f"generation {gen} is not in the committed history "
+                    f"{self.generations()} (expired or never committed)"
+                )
+            cur = self.state.gen_dir(gen)
         with open(os.path.join(cur, "schema.json")) as fh:
             return StructType.fromJson(json.load(fh))
 
@@ -111,7 +146,7 @@ class ManifestTable:
         self,
         entries: list[dict],
         schema: StructType,
-        base_gen: int | None = None,
+        base_gen=_UNCHECKED,
     ) -> None:
         """Publish a new generation. ``base_gen`` is the generation the
         writer's read snapshot came from (optimistic concurrency): if the
@@ -121,9 +156,11 @@ class ManifestTable:
         single-object pointer makes the window between check and swap a
         same-process memory race only; on a real object store the check
         rides the conditional-PUT (If-Match) every store now offers.
-        Maintenance ops (write/compact) pass None: they rebuild from the
-        CURRENT manifest read inside the same call."""
-        if base_gen is not None:
+        ``base_gen=None`` means the writer snapshotted an EMPTY table and
+        this commit must be its first (the empty-table race is still a
+        lost-update race); only ``write()`` — full-overwrite semantics —
+        commits without the check (_UNCHECKED)."""
+        if base_gen is not _UNCHECKED:
             cur = self.state.current_gen()
             if cur != base_gen:
                 raise CommitConflict(
@@ -177,7 +214,10 @@ class ManifestTable:
                     "file": os.path.join("data", name),
                     "rows": r["rows"],
                     "stats": {
-                        c: [r[f"min_{c}"], r[f"max_{c}"]]
+                        c: [
+                            _stat_json(r[f"min_{c}"]),
+                            _stat_json(r[f"max_{c}"]),
+                        ]
                         for c in self.stats_cols
                     },
                 }
@@ -219,10 +259,18 @@ class ManifestTable:
     # -- read / scan -------------------------------------------------------
 
     def read(self, spark: SparkSession, gen: int | None = None) -> DataFrame:
+        """Snapshot read: the pointer is resolved ONCE — file list and
+        schema both come from the same pinned generation, so a racing
+        writer's commit between the two lookups can't mix states (the
+        reader contract commit.py documents)."""
+        if gen is None:
+            gen = self.state.current_gen()
+            if gen is None:
+                return spark.createDataFrame([], StructType())
         files = [
             os.path.join(self.root, e["file"]) for e in self.manifest(gen)
         ]
-        schema = self.schema()
+        schema = self.schema(gen)
         if not files:
             return spark.createDataFrame([], schema or StructType())
         return spark.read.schema(schema).parquet(*files)
@@ -233,18 +281,19 @@ class ManifestTable:
         manifest metadata — no parquet footer is opened."""
         return self.prune_box({col: (lo, hi)})
 
-    def prune_box(self, preds: dict) -> tuple[list[dict], int]:
+    def prune_box(self, preds: dict, gen: int | None = None) -> tuple[list[dict], int]:
         """Multi-column zone pruning: a file survives only if its zone
         intersects EVERY [lo, hi] in ``preds`` — with a space-filling-
         curve layout (``write(cluster_by=zvalue(...))``) each clustered
         dimension's zones are tight, so a box prunes on all of them."""
-        kept = self.manifest()
+        kept = self.manifest(gen)
         total = len(kept)
         for col, (lo, hi) in preds.items():
             if col not in self.stats_cols:
                 raise KeyError(
                     f"no zone map for {col!r}; have {self.stats_cols}"
                 )
+            lo, hi = _stat_json(lo), _stat_json(hi)
             kept = [
                 e
                 for e in kept
@@ -264,8 +313,11 @@ class ManifestTable:
         """Box scan over any subset of the stats columns — file skipping
         on every predicate, then the residual conjunction pushed to the
         surviving parquet row groups."""
-        kept, _total = self.prune_box(preds)
-        schema = self.schema()
+        gen = self.state.current_gen()
+        if gen is None:
+            return spark.createDataFrame([], StructType())
+        kept, _total = self.prune_box(preds, gen=gen)
+        schema = self.schema(gen)
         if not kept:
             return spark.createDataFrame([], schema or StructType())
         df = spark.read.schema(schema).parquet(
@@ -300,9 +352,14 @@ class ManifestTable:
         ``compact_zones``/``write`` restores disjointness.
         """
         base_gen = self.state.current_gen()
-        entries = self.manifest()
+        entries = self.manifest(base_gen) if base_gen is not None else []
         if not entries:
-            self.write(updates)
+            # First-commit path still races (two writers can both see the
+            # empty table): commit with base_gen=None so the loser gets
+            # CommitConflict instead of silently erasing the winner.
+            clustered = updates.repartitionByRange(8, self.key)
+            new_entries = self._write_files(clustered)
+            self._commit(new_entries, updates.schema, base_gen=base_gen)
             return {"files_total": 0, "files_rewritten": 0}
         ranges = [
             (e["file"], e["stats"][self.key][0], e["stats"][self.key][1])
@@ -326,7 +383,7 @@ class ManifestTable:
         }
         affected = [e for e in entries if e["file"] in hit]
         untouched = [e for e in entries if e["file"] not in hit]
-        schema = self.schema()
+        schema = self.schema(base_gen)
         parts = [updates.select(*schema.fieldNames())]
         if affected:
             old = spark.read.schema(schema).parquet(
@@ -357,12 +414,16 @@ class ManifestTable:
         files are rewritten (minus the deleted range); the rest carry
         forward by reference."""
         base_gen = self.state.current_gen()
-        kept, total = self.prune(col, lo, hi)
+        if base_gen is None:
+            return {"files_total": 0, "files_rewritten": 0}
+        kept, total = self.prune_box({col: (lo, hi)}, gen=base_gen)
         if not kept:
             return {"files_total": total, "files_rewritten": 0}
-        schema = self.schema()
+        schema = self.schema(base_gen)
         hit = {e["file"] for e in kept}
-        untouched = [e for e in self.manifest() if e["file"] not in hit]
+        untouched = [
+            e for e in self.manifest(base_gen) if e["file"] not in hit
+        ]
         old = spark.read.schema(schema).parquet(
             *[os.path.join(self.root, e["file"]) for e in kept]
         )
@@ -390,14 +451,18 @@ class ManifestTable:
         manifest file ids before reading — an optimization the file-id
         equality below implements: only files that differ between the
         manifests are scanned)."""
+        if gen_to is None:
+            gen_to = self.state.current_gen()
         man_a = {e["file"] for e in self.manifest(gen_from)}
-        man_b = {
-            e["file"]
-            for e in self.manifest(
-                gen_to if gen_to is not None else self.state.current_gen()
+        man_b = {e["file"] for e in self.manifest(gen_to)}
+        schema = self.schema(gen_to)
+        schema_a = self.schema(gen_from)
+        if schema_a != schema:
+            raise ValueError(
+                "table_changes across a schema change is not defined "
+                f"(gen={gen_from} and gen={gen_to} have different schemas); "
+                "diff within one schema epoch"
             )
-        }
-        schema = self.schema()
         cols = schema.fieldNames()
 
         def read_files(files: set[str]) -> DataFrame:
@@ -437,25 +502,50 @@ class ManifestTable:
         Old files become unreferenced; ``vacuum()`` reclaims them after
         in-flight readers drain."""
         base_gen = self.state.current_gen()
-        before = len(self.manifest())
-        df = self.read(spark)
+        if base_gen is None:
+            return 0
+        before = len(self.manifest(base_gen))
+        df = self.read(spark, gen=base_gen)
         entries = self._write_files(
             df.repartitionByRange(target_files, self.key)
         )
         # OCC here too: a merge landing between this read and commit
         # would be silently erased by the rewrite otherwise.
-        self._commit(entries, self.schema(), base_gen=base_gen)
+        self._commit(entries, self.schema(base_gen), base_gen=base_gen)
         return before
 
     def vacuum(self) -> int:
         """Delete data files the current generation doesn't reference
-        (expires older snapshots — the Delta VACUUM trade, explicit)."""
+        (expires older snapshots — the Delta VACUUM trade, explicit),
+        and TRIM the expired generations out of the committed history so
+        ``generations()``/``manifest(gen)`` stop advertising snapshots
+        whose files are gone (they would otherwise fail mid-scan with
+        PATH_NOT_FOUND instead of the contracted expired-gen error)."""
+        cur = self.state.current_gen()
         live = {os.path.basename(e["file"]) for e in self.manifest()}
         removed = 0
         for name in os.listdir(self.data_dir):
             if name not in live:
                 os.remove(os.path.join(self.data_dir, name))
                 removed += 1
+        if cur is not None and removed:
+            survivors = [
+                g
+                for g in self.generations()
+                if g == cur
+                or {
+                    os.path.basename(e["file"]) for e in self.manifest(g)
+                }
+                <= live
+            ]
+            meta = self.state.meta()
+            self.state.commit(
+                cur,
+                rows=meta.get("rows", 0),
+                files=meta.get("files", 0),
+                history=survivors,
+            )
+            self.state.cleanup(keep=set(survivors))
         return removed
 
 

@@ -399,3 +399,80 @@ def test_model_based_random_op_sequence(spark, tmp_path):
             assert any(
                 e["stats"]["k"][0] <= k <= e["stats"]["k"][1] for e in man
             ), f"key {k} outside every zone after step {step}"
+
+
+def test_time_travel_uses_the_generations_own_schema(spark, tmp_path):
+    """Schema is snapshot state: reading gen0 after a full rewrite with a
+    different schema must surface gen0's columns, not silent NULLs under
+    the new schema."""
+    tbl = ManifestTable(str(tmp_path / "t"), "k")
+    tbl.write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    g0 = tbl.state.current_gen()
+    tbl.write(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, w long")
+    )  # schema change
+    old = tbl.read(spark, gen=g0)
+    assert old.columns == ["k", "v"]
+    assert {r["v"] for r in old.collect()} == {"a", "b"}
+    assert tbl.read(spark).columns == ["k", "w"]
+    # CDF across the schema change is undefined — must raise, not guess
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema"):
+        tbl.table_changes(spark, g0)
+
+
+def test_vacuum_trims_expired_generations_from_history(spark, orders_table):
+    g0 = orders_table.state.current_gen()
+    orders_table.delete(spark, "o_orderkey", 1, 10**6)
+    orders_table.vacuum()
+    assert g0 not in orders_table.generations()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in the committed history"):
+        orders_table.read(spark, gen=g0)
+
+
+def test_empty_table_first_commit_race_is_detected(spark, tmp_path):
+    """Two writers both snapshot the EMPTY table; the second merge must
+    conflict, not silently erase the first writer's batch."""
+    import pytest as _pytest
+
+    from redix_stream_spark.sources.manifest_table import (
+        CommitConflict,
+        ManifestTable,
+    )
+
+    root = str(tmp_path / "t")
+    w1 = ManifestTable(root, "k")
+    w2 = ManifestTable(root, "k")
+    b1 = spark.createDataFrame([(1, 10)], "k long, v long")
+    b2 = spark.createDataFrame([(2, 20)], "k long, v long")
+    base2 = w2.state.current_gen()  # None — w2 saw the empty table
+    w1.merge(spark, b1)  # w1 wins the first commit
+    entries = w2._write_files(b2.repartitionByRange(1, "k"))
+    with _pytest.raises(CommitConflict):
+        w2._commit(entries, b2.schema, base_gen=base2)
+    # retry lands both batches
+    w2.merge(spark, b2)
+    assert {r["k"] for r in w1.read(spark).collect()} == {1, 2}
+
+
+def test_timestamp_stats_cols_are_supported(spark, tmp_path):
+    """Zone maps on a timestamp column: ISO-encoded in the manifest,
+    order-preserving pruning, scan still exact."""
+    import datetime as _dt
+
+    o = load_table(spark, SF_DIR, "orders")
+    tbl = ManifestTable(
+        str(tmp_path / "t"), "o_orderkey", stats_cols=["o_orderdate"]
+    )
+    tbl.write(o, target_files=4)
+    for e in tbl.manifest():
+        lo, hi = e["stats"]["o_orderdate"]
+        assert isinstance(lo, str) and isinstance(hi, str) and lo <= hi
+    lo = _dt.datetime(1995, 1, 1)
+    hi = _dt.datetime(1995, 12, 31, 23, 59, 59)
+    got = tbl.scan_box(spark, {"o_orderdate": (lo, hi)})
+    want = o.filter(F.col("o_orderdate").between(lo, hi))
+    assert got.count() == want.count()
