@@ -171,6 +171,14 @@ HEADLINE = [
     "q153_equidepth_bins",
     "q154_scd2_asof_join",
     "q155_audio_windows",
+    # round-5 session-3 adds: bounded graph iteration (k-core peel, BFS
+    # frontier), the salted-join skew face, the cross-table constraint
+    # audit, and the ordered funnel.
+    "q156_kcore_decomposition",
+    "q157_bfs_levels",
+    "q158_salted_join_revenue",
+    "q159_ref_integrity_audit",
+    "q160_funnel",
 ]
 
 

@@ -1751,3 +1751,263 @@ def q154_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state_at_purchase")
     )
+
+
+# --- q159: cross-table referential-integrity audit (FK/PK/domain) -----------
+# The multi-table companion to q112's one-scan report: every check here
+# needs a JOIN (foreign keys, orphans) or a table-level uniqueness count.
+
+Q159_SQL = """
+SELECT 'orders_fk_customer' AS constraint_name,
+       CAST((SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+             ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS BIGINT)
+         AS n_violations,
+       (SELECT COUNT(*) FROM orders) AS n_checked
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       CAST((SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+             ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS BIGINT),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'lineitem_fk_part',
+       CAST((SELECT COUNT(*) FROM lineitem l LEFT JOIN part p
+             ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL) AS BIGINT),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'orders_pk_unique',
+       CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT),
+       (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'lineitem_pk_unique',
+       CAST((SELECT COUNT(*) - COUNT(DISTINCT l_orderkey * 8 + l_linenumber)
+             FROM lineitem) AS BIGINT),
+       (SELECT COUNT(*) FROM lineitem)
+UNION ALL
+SELECT 'customer_acctbal_nonneg',
+       CAST((SELECT COUNT(*) FROM customer WHERE c_acctbal < 0) AS BIGINT),
+       (SELECT COUNT(*) FROM customer)
+UNION ALL
+SELECT 'supplier_acctbal_nonneg',
+       CAST((SELECT COUNT(*) FROM supplier WHERE s_acctbal < 0) AS BIGINT),
+       (SELECT COUNT(*) FROM supplier)
+UNION ALL
+SELECT 'part_referenced',
+       CAST((SELECT COUNT(*) FROM part p LEFT JOIN
+             (SELECT DISTINCT l_partkey FROM lineitem) l
+             ON p.p_partkey = l.l_partkey WHERE l.l_partkey IS NULL) AS BIGINT),
+       (SELECT COUNT(*) FROM part)
+UNION ALL
+SELECT 'lineitem_ship_after_order',
+       CAST((SELECT COUNT(*) FROM lineitem l JOIN orders o
+             ON l.l_orderkey = o.o_orderkey
+             WHERE l.l_shipdate < o.o_orderdate) AS BIGINT),
+       (SELECT COUNT(*) FROM lineitem l JOIN orders o
+        ON l.l_orderkey = o.o_orderkey)
+UNION ALL
+SELECT 'orders_status_domain',
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT),
+       (SELECT COUNT(*) FROM orders)
+"""
+
+
+def _one_row_check(name: str, viol: DataFrame) -> DataFrame:
+    """Tag a (n_violations, n_checked) single-row aggregate with its name."""
+    return viol.select(
+        F.lit(name).alias("constraint_name"), "n_violations", "n_checked"
+    )
+
+
+def _fk_violations(fact: DataFrame, fkey: str, dim: DataFrame, dkey: str) -> DataFrame:
+    """Orphan count via ONE left join: n_checked and n_violations from the
+    same pass (the dim key is unique, so the join never fans out)."""
+    d = dim.select(F.col(dkey).alias(fkey)).withColumn("__hit", F.lit(1))
+    return (
+        fact.select(fkey)
+        .join(d, fkey, "left")
+        .agg(
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
+    )
+
+
+@register("q159_ref_integrity_audit", Q159_SQL)
+def q159_ref_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table constraint audit: foreign keys (orphan fact rows),
+    primary-key uniqueness, reverse coverage (parts never ordered),
+    date ordering and enum domains — the expectations gate a warehouse
+    runs after every load (q112 covers the single-scan checks; these are
+    the ones that need joins).
+
+    Every check is integer counts, so the whole report is hash-exact.
+    Scale: each FK check is one shuffle (or broadcast, Catalyst's call)
+    left join producing a 1-row aggregate; the checks are independent
+    single-pass jobs unioned at the end — at 100 TB you run them as one
+    action and Spark schedules the scans in parallel; nothing wide ever
+    reaches the driver.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    checks = [
+        _one_row_check(
+            "orders_fk_customer", _fk_violations(o, "o_custkey", c, "c_custkey")
+        ),
+        _one_row_check(
+            "lineitem_fk_orders", _fk_violations(li, "l_orderkey", o, "o_orderkey")
+        ),
+        _one_row_check(
+            "lineitem_fk_part", _fk_violations(li, "l_partkey", p, "p_partkey")
+        ),
+        _one_row_check(
+            "orders_pk_unique",
+            o.agg(
+                (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+                    "n_violations"
+                ),
+                F.count(F.lit(1)).alias("n_checked"),
+            ),
+        ),
+        _one_row_check(
+            "lineitem_pk_unique",
+            # (orderkey, linenumber) packed into one BIGINT (linenumber <= 7)
+            # so COUNT(DISTINCT) is single-column in both engines.
+            li.agg(
+                (
+                    F.count(F.lit(1))
+                    - F.countDistinct(
+                        F.col("l_orderkey") * 8 + F.col("l_linenumber")
+                    )
+                ).alias("n_violations"),
+                F.count(F.lit(1)).alias("n_checked"),
+            ),
+        ),
+        _one_row_check(
+            "customer_acctbal_nonneg",
+            c.agg(
+                F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violations"),
+                F.count(F.lit(1)).alias("n_checked"),
+            ),
+        ),
+        _one_row_check(
+            "supplier_acctbal_nonneg",
+            s.agg(
+                F.sum(F.when(F.col("s_acctbal") < 0, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violations"),
+                F.count(F.lit(1)).alias("n_checked"),
+            ),
+        ),
+        _one_row_check(
+            "part_referenced",
+            _fk_violations(
+                p, "p_partkey", li.select("l_partkey").distinct(), "l_partkey"
+            ),
+        ),
+        _one_row_check(
+            "lineitem_ship_after_order",
+            # Cross-table temporal constraint: a lineitem cannot ship
+            # before its order was placed. Inner join (FK orphans are
+            # counted by their own check), single pass for both counts.
+            li.select("l_orderkey", "l_shipdate")
+            .join(o.select("o_orderkey", "o_orderdate"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .agg(
+                F.sum(
+                    F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_violations"),
+                F.count(F.lit(1)).alias("n_checked"),
+            ),
+        ),
+        _one_row_check(
+            "orders_status_domain",
+            o.agg(
+                F.sum(
+                    F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_violations"),
+                F.count(F.lit(1)).alias("n_checked"),
+            ),
+        ),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.union(ch)
+    return out
+
+
+# --- q160: conversion funnel (ordered step progression per user) ------------
+
+Q160_SQL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM t1) AS n_view,
+       (SELECT COUNT(*) FROM t2) AS n_view_click,
+       (SELECT COUNT(*) FROM t3) AS n_view_click_purchase
+"""
+
+
+@register("q160_funnel", Q160_SQL)
+def q160_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view→click→purchase: users whose FIRST
+    view precedes a click that precedes a purchase (strict timestamp
+    order, the min-chain formulation). Counts are integers over fixed
+    data — hash-exact.
+
+    Scale: each step scans only its event type (the event_type equality
+    reaches the parquet scan as a pushed filter), aggregates to a
+    user-sized relation, and joins user-to-user — per-step cost is one
+    filtered scan + one user-keyed shuffle; a celebrity user with
+    millions of events costs MIN-aggregation, not a collect_list buffer
+    (why this beats the per-user sorted-array fold at 100 TB). The final
+    three 1-row aggregates cross-join driver-free.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(t2.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(t3.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )

@@ -293,24 +293,23 @@ ORDER BY part
 """
 
 
-@register("q148_triangle_count", TRI_SQL)
-def q148_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-part triangle participation counts on the co-occurrence graph
-    (parts linked when bought together in >= TRI_MIN_COOCCUR orders).
-    Pure integer pipeline — edge build, degree orientation, wedge
-    closure — so the whole graph computation is hash-verifiable."""
+def _cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected part co-occurrence edges (pa < pb, one row per edge):
+    parts linked when bought together in >= TRI_MIN_COOCCUR orders.
+
+    Pair generation WITHOUT a corpus self-join: collapse each order to
+    its sorted part set (one shuffle), then explode C(n,2) pairs
+    map-side — the self-join formulation (the oracle's) shuffles the
+    fact table twice and sort-merges 600k×600k at sf0.1 (measured 17%
+    slower, and 2× the shuffled bytes at any scale). Per-order fanout
+    is C(basket, 2) — bounded baskets (≤13 here), the q128 guard
+    discipline for pathological keys applies.
+    """
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    # Pair generation WITHOUT a corpus self-join: collapse each order to
-    # its sorted part set (one shuffle), then explode C(n,2) pairs
-    # map-side — the self-join formulation (the oracle's) shuffles the
-    # fact table twice and sort-merges 600k×600k at sf0.1 (measured 17%
-    # slower, and 2× the shuffled bytes at any scale). Per-order fanout
-    # is C(basket, 2) — bounded baskets (≤13 here), the q128 guard
-    # discipline for pathological keys applies.
     sets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
@@ -323,10 +322,233 @@ def q148_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.pa", "p.pb")
-    edges = (
+    return (
         pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= TRI_MIN_COOCCUR)
         .select("pa", "pb")
     )
-    return triangles(edges)
+
+
+@register("q148_triangle_count", TRI_SQL)
+def q148_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation counts on the co-occurrence graph
+    (parts linked when bought together in >= TRI_MIN_COOCCUR orders).
+    Pure integer pipeline — edge build, degree orientation, wedge
+    closure — so the whole graph computation is hash-verifiable."""
+    return triangles(_cooccur_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q156 — k-core decomposition (bounded peeling) on the co-occurrence graph.
+# The graph-sparsification companion to q148: the 2-core strips the
+# tree-like fringe (parts that co-occur only down a dangling chain),
+# leaving the cyclically-connected basket structure — the standard
+# pre-filter before community detection / dense-subgraph mining.
+# ---------------------------------------------------------------------------
+
+#: Core threshold: nodes with degree < KCORE_K (within the surviving
+#: subgraph) are peeled each round. 2 = the classic 2-core; measured peel
+#: cascades on the co-occurrence graph: sf0.01 1880→1573→1538→1535 nodes,
+#: sf0.1 5922→1067→138→22 — non-degenerate at every test SF.
+KCORE_K = 2
+#: Bounded peel rounds. Full k-core is the fixpoint; a FIXED round count
+#: keeps the operator deterministic and oracle-unrollable regardless of
+#: data (the q141/q144 discipline for iterative algorithms). Output is
+#: "the survivors of KCORE_ROUNDS peels", a well-defined relation whether
+#: or not the fixpoint has been reached.
+KCORE_ROUNDS = 3
+
+
+def kcore_peel(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """``rounds`` synchronized peels of nodes with degree < ``k``.
+
+    ``edges`` is an undirected edge list (pa < pb, one row per edge).
+    Returns the surviving nodes with their degree inside the surviving
+    subgraph (recomputed after the last peel).
+
+    Scale shape per round: the edge relation is semi-joined against the
+    node-sized survivor set on both endpoints (two hash semi-joins), then
+    one map-side-combined degree count — nothing edge-squared, nothing on
+    the driver. The symmetric edge list is MATERIALIZED ONCE
+    (localCheckpoint) before the loop: it is read 2·rounds+2 times, and
+    without truncation every round re-executes the full upstream edge
+    build (for the co-occurrence graph: distinct→collect_set→explode —
+    measured 20.3 s → 5.5 s at sf0.1 from this alone). On a cluster the
+    equivalent is persisting the edge relation (or bucketing it by
+    endpoint) once and reusing it every round; the survivor relation only
+    shrinks. Survivor lineage grows linearly in ``rounds`` —
+    localCheckpoint it too past ~10 rounds (the q80 lesson; irrelevant at
+    the bounded default).
+    """
+    sym = (
+        edges.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .union(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+        .localCheckpoint()
+    )
+    alive = sym.select(F.col("u").alias("node")).distinct()
+    for _ in range(rounds):
+        deg = (
+            sym.join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= k).select(F.col("u").alias("node"))
+    final_deg = (
+        sym.join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
+        .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+    )
+    return final_deg.select(F.col("u").alias("part"), "core_deg")
+
+
+def _sql_peel(prev: str, out: str, k: int) -> str:
+    """One synchronized peel: degree within the survivor-induced subgraph,
+    then threshold. Mirrors kcore_peel's semi-join structure."""
+    return f"""
+{out}_d AS (
+  SELECT e.u, CAST(COUNT(*) AS BIGINT) AS d
+  FROM sym e
+  WHERE e.u IN (SELECT node FROM {prev}) AND e.v IN (SELECT node FROM {prev})
+  GROUP BY e.u
+),
+{out} AS (SELECT u AS node FROM {out}_d WHERE d >= {k})"""
+
+
+KCORE_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {TRI_MIN_COOCCUR}
+),
+sym AS (
+  SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb AS u, pa AS v FROM e
+),
+a0 AS (SELECT DISTINCT u AS node FROM sym),{_sql_peel('a0', 'a1', KCORE_K)},{_sql_peel('a1', 'a2', KCORE_K)},{_sql_peel('a2', 'a3', KCORE_K)}
+SELECT e.u AS part, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM sym e
+WHERE e.u IN (SELECT node FROM a3) AND e.v IN (SELECT node FROM a3)
+GROUP BY e.u
+"""
+
+
+@register("q156_kcore_decomposition", KCORE_SQL)
+def q156_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core survivors of KCORE_ROUNDS synchronized peels over the
+    part co-occurrence graph, with each survivor's degree inside the
+    surviving subgraph. Pure integer pipeline (counts and thresholds
+    only) — hash-verifiable end to end; the oracle unrolls the peel
+    rounds as CTEs (the q141/q144 generated-SQL discipline)."""
+    return kcore_peel(_cooccur_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q157 — bounded BFS hop levels from a source node on the trade graph
+# (the reachability/closeness primitive: "everything within H hops of X").
+# ---------------------------------------------------------------------------
+
+#: BFS source: supplier key 1 exists at every SF (dense TPC-H keys).
+BFS_SOURCE = "s:1"
+#: Bounded frontier expansions; on the bipartite trade graph hops
+#: alternate customer/supplier so 3 hops spans c- and s-neighborhoods.
+BFS_HOPS = 3
+
+
+def bfs_levels(edges: DataFrame, source: str, hops: int = BFS_HOPS) -> DataFrame:
+    """Minimum-hop levels (0..``hops``) from ``source`` by synchronized
+    frontier expansion. ``edges`` is a directed (src, dst) relation.
+
+    Each round joins the FRONTIER (only the newly-leveled nodes, not the
+    whole visited set) against the edge list, then anti-joins the visited
+    set — both node-sized relations; the edge list is never shuffled more
+    than once per round (at rest: bucket edges by src once, reuse every
+    round). The edge relation is MATERIALIZED ONCE (localCheckpoint):
+    it is a derived join (no scan pushdown to lose) read every hop, and
+    without truncation each hop re-executes the full upstream build
+    (measured 5.5 s → 2.6 s at sf0.1). The visited set is a union of
+    per-round frontiers — linear lineage in ``hops``, bounded here.
+    """
+    edges = edges.localCheckpoint()
+    spark = edges.sparkSession
+    levels = spark.range(1).select(
+        F.lit(source).alias("node"), F.lit(0).cast("long").alias("hop")
+    )
+    frontier = levels.select("node")
+    for h in range(1, hops + 1):
+        if h == 1:
+            # frontier == visited == {source}: both the frontier semi-join
+            # (src = source, a pushable scan predicate) and the anti-join
+            # (node != source) degenerate to filters. Joining against the
+            # 1-row literal seed instead would constant-fold the
+            # equi-condition to a left-only predicate and Catalyst falls
+            # back to BroadcastNestedLoopJoin — harmless at 1 row, but
+            # the filters ARE the optimal plan.
+            unseen = (
+                edges.filter(F.col("src") == F.lit(source))
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .filter(F.col("node") != F.lit(source))
+            )
+        else:
+            reached = (
+                edges.join(
+                    frontier.withColumnRenamed("node", "src"), "src", "left_semi"
+                )
+                .select(F.col("dst").alias("node"))
+                .distinct()
+            )
+            unseen = reached.join(levels, "node", "left_anti")
+        new = unseen.select("node", F.lit(h).cast("long").alias("hop"))
+        levels = levels.union(new)
+        frontier = new.select("node")
+    return levels
+
+
+def _sql_hop(prev: str, out: str, h: int) -> str:
+    """One frontier expansion: distinct successors of the previous
+    frontier, minus every already-leveled node."""
+    return f"""
+{out}_f AS (
+  SELECT DISTINCT e.dst AS node FROM edges e
+  WHERE e.src IN (SELECT node FROM {out}_p)
+),
+{out}_n AS (
+  SELECT node, CAST({h} AS BIGINT) AS hop FROM {out}_f
+  WHERE node NOT IN (SELECT node FROM {prev})
+),
+{out} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM {out}_n),
+{out}_nf AS (SELECT node FROM {out}_n)"""
+
+
+BFS_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS c,
+                  's:' || CAST(l.l_suppkey AS VARCHAR) AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+l0 AS (SELECT '{BFS_SOURCE}' AS node, CAST(0 AS BIGINT) AS hop),
+l1_p AS (SELECT node FROM l0),{_sql_hop('l0', 'l1', 1)},
+l2_p AS (SELECT node FROM l1_nf),{_sql_hop('l1', 'l2', 2)},
+l3_p AS (SELECT node FROM l2_nf),{_sql_hop('l2', 'l3', 3)}
+SELECT node, hop FROM l3
+"""
+
+
+@register("q157_bfs_levels", BFS_SQL)
+def q157_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance (0..BFS_HOPS) of every node reachable from supplier
+    BFS_SOURCE on the symmetric customer↔supplier trade graph — bounded
+    breadth-first search by synchronized frontier expansion. Integer
+    levels over fixed data: hash-verifiable; the oracle unrolls the
+    frontier rounds as CTEs mirroring the Spark loop exactly."""
+    return bfs_levels(_edges(spark, sf_dir), BFS_SOURCE, BFS_HOPS)

@@ -16,8 +16,12 @@ tests/test_bucketing.py); only the shuffle layout changes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..numeric import dsum, money, one_minus
+from ..registry import register
 
 SALT_COL = "__salt"
 
@@ -53,3 +57,50 @@ def salted_join(
     replicated_small = small.withColumn(SALT_COL, salts)
     joined = salted_large.join(replicated_small, [on, SALT_COL], how)
     return joined.drop(SALT_COL)
+
+
+# --- q158: oracle-backed face of the salted join ---------------------------
+
+#: Salt fan-out for the face. 8 spreads a hot key over 8 tasks; the right
+#: production value is ~(hot-key share × task count), tuned per key.
+Q158_SALTS = 8
+
+Q158_SQL = """
+SELECT p.p_brand AS brand,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
+@register("q158_salted_join_revenue", Q158_SQL)
+def q158_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand revenue through the SALTED fact⋈dim join — the oracle is the
+    plain join, which is the point: salting changes only the shuffle
+    layout (the hot partkey spreads over Q158_SALTS tasks), never the
+    result, and the hash-compare proves it on real data.
+
+    The dim side is pinned ``shuffle_hash`` (the scenario salting exists
+    for is a dim too big to broadcast — with a broadcast there is no
+    shuffle to skew); plan shape (__salt in the join keys, no broadcast)
+    is asserted in tests/test_plans.py.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    dim = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+        .hint("shuffle_hash")
+    )
+    j = salted_join(li, dim, "l_partkey", n_salts=Q158_SALTS)
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            dsum(money("l_extendedprice") * one_minus("l_discount"), "revenue"),
+        )
+        .withColumnRenamed("p_brand", "brand")
+    )

@@ -48,7 +48,7 @@ def _load() -> None:
     from .operators import analytics, extra, graph, relational, stats, streamsem, tpch, windows  # noqa: F401
     from .llm import bpe, dedup, kmeans, multimodal, packing, pq, search, semdedup, similarity, text  # noqa: F401
     from .functions import udfs  # noqa: F401
-    from .plans import zorder  # noqa: F401
+    from .plans import skew, zorder  # noqa: F401
     from .sources import ingest, manifest_table  # noqa: F401
     from .streaming import manifest_log, matview, quantile  # noqa: F401
 
@@ -96,6 +96,11 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q153_equidepth_bins",
     "q154_scd2_asof_join",
     "q155_audio_windows",
+    "q156_kcore_decomposition",
+    "q157_bfs_levels",
+    "q158_salted_join_revenue",
+    "q159_ref_integrity_audit",
+    "q160_funnel",
     # -- faces touched by round-5 fixes --
     "q136_streaming_quantiles",
     "q139_manifest_log",
@@ -132,14 +137,11 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q29_map_ops",
     "q32_doc_quality",
     "q33_lang_id",
-    "q34_fingerprint",
-    "q50_full_outer_join",
-    "q62_forecast_revenue",
-    "q63_promo_ratio",
-    "q67_left_outer_join",
     # q68_right_outer_join / q37_ngram_jaccard_dup / q38_simhash /
     # q82_token_rarity / q100_dup_ngram_fraction / q103_gapfill dropped
-    # for q150–q155 (r1/r2/r3-green permanent rows).
+    # for q150–q155, and q34_fingerprint / q50_full_outer_join /
+    # q62_forecast_revenue / q63_promo_ratio / q67_left_outer_join for
+    # q156–q160 (all r1/r2/r3-green permanent rows).
 )
 
 

@@ -563,3 +563,38 @@ def test_q149_zorder_box_prunes_files_on_both_dims(spark, sf_dir):
     plan = plan_of(df)
     assert "GreaterThanOrEqual(l_partkey" in plan
     assert "GreaterThanOrEqual(l_suppkey" in plan
+
+
+def test_q156_kcore_peels_are_semi_joins_no_cartesian(spark, sf_dir):
+    """Every peel round is survivor-set semi-joins + one keyed count —
+    a cartesian or nested-loop fallback would be edges×nodes per round."""
+    plan = plan_of(QUERIES["q156_kcore_decomposition"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q157_bfs_frontier_joins_are_keyed(spark, sf_dir):
+    plan = plan_of(QUERIES["q157_bfs_levels"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q158_salted_join_spreads_key_and_never_broadcasts(spark, sf_dir):
+    """The salt column must be part of the join key (that IS the skew
+    spread), and the dim side must not be broadcast — with a broadcast
+    there is no shuffle to salt, so a BroadcastHashJoin here means the
+    face stopped demonstrating anything."""
+    plan = plan_of(QUERIES["q158_salted_join_revenue"](spark, sf_dir))
+    assert "__salt" in plan
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_q160_funnel_pushes_event_type_to_scan(spark, sf_dir):
+    """Each funnel step must read only its event type: the equality
+    filter reaches the parquet scan instead of filtering post-read."""
+    plan = plan_of(QUERIES["q160_funnel"](spark, sf_dir))
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "CartesianProduct" not in plan

@@ -26,6 +26,11 @@ MUST_BE_IN_WINDOW = {
     "q153_equidepth_bins",
     "q154_scd2_asof_join",
     "q155_audio_windows",
+    "q156_kcore_decomposition",
+    "q157_bfs_levels",
+    "q158_salted_join_revenue",
+    "q159_ref_integrity_audit",
+    "q160_funnel",
     # Faces touched by round-5 fixes (quantile compaction base dir +
     # scratch, manifestlog pacing branch, BM25 decimal documentation).
     "q136_streaming_quantiles",
