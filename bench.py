@@ -179,6 +179,10 @@ HEADLINE = [
     "q158_salted_join_revenue",
     "q159_ref_integrity_audit",
     "q160_funnel",
+    # round-5 session-4 adds: attribution, image near-dup, BPE encode.
+    "q161_attribution",
+    "q162_image_neardup",
+    "q163_bpe_encode",
 ]
 
 

@@ -138,3 +138,43 @@ def q142_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     merges, _ = fit_bpe(d, BPE_MERGES)
     return spark.createDataFrame(merges, MERGE_SCHEMA)
+
+
+@register("q163_bpe_encode")  # rows-only: depends on the learned (non-SQL) merges
+def q163_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the learned BPE merges — the consumption
+    face of q142's induction (per-doc token statistics are what a
+    training pipeline actually materializes: packing, quotas and token
+    accounting all key off them).
+
+    Scale shape — the tokenizer-application pattern for 100 TB: the
+    merges are applied ONCE per distinct word (fit_bpe already rewrites
+    the vocabulary-sized (word, symbols) relation; no merge work is ever
+    corpus-sized), and encoding a document reduces to one map-side
+    combined ``groupBy(doc_id, word)`` count plus one word-keyed join
+    against that vocabulary — per-word fold cost is amortized across
+    every duplicate occurrence in the corpus. Integer outputs; semantics
+    pinned against the pure-Python reference in tests/test_bpe.py.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    _, vocab = fit_bpe(d, BPE_MERGES)
+    word_tok = vocab.select(
+        "word", F.size("symbols").cast("long").alias("n_toks")
+    )
+    per_doc_word = (
+        d.select("doc_id", F.explode(tokens()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        per_doc_word.join(word_tok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_toks")).cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * (F.length("word") + 1))
+            .cast("long")
+            .alias("n_init_symbols"),
+        )
+        .orderBy("doc_id")
+    )

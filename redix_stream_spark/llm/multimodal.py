@@ -1036,3 +1036,169 @@ def _register_q155() -> None:
 
 
 _register_q155()
+
+
+# ---------------------------------------------------------------------------
+# q162 — image near-duplicate detection over REAL decoded pixels.
+# The dedup family (q36/q38/q80/...) extended to the image modality:
+# a 60-bit difference hash (dHash) computed from actually-decoded PNG
+# pixels, then the same pigeonhole chunk-banding + exact Hamming verify
+# the SimHash text path uses (dedup.py::simhash_near_dup_pairs).
+# ---------------------------------------------------------------------------
+
+#: dHash grid: 8 rows x 9 columns of sampled gray values -> 64 horizontal
+#: comparisons, masked to the low 60 bits so Spark's ARITHMETIC shiftright
+#: (sign-extending) can band the value exactly like the 60-bit SimHash.
+DHASH_ROWS, DHASH_COLS = 8, 9
+DHASH_BITS = 60
+#: Verified-pair threshold. Within a synthesized dup group each variant is
+#: <=2 bits from its base (one grid cell xor-128 flips at most the cell's
+#: own comparison and its left neighbor), so intra-group pairs are <=4.
+DHASH_HAMMING_MAX = 4
+#: Synthetic dup-group size: doc_id DIV 8 -> groups of <=8, keeping the
+#: pair count LINEAR in corpus size at every SF (a corpus-sized base count
+#: would make the fixture density quadratic — the q128 guard discipline).
+DHASH_GROUP = 8
+
+
+def dhash60(img: np.ndarray) -> int:
+    """60-bit difference hash of decoded pixels: grayscale mean, 8x9
+    nearest-neighbor downsample (integer index math — deterministic),
+    bit k set iff gray[y,x] < gray[y,x+1], folded row-major and masked
+    to DHASH_BITS. Stable under bit-exact re-encode by construction."""
+    g = img.mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
+    small = resize_nearest(g, DHASH_COLS, DHASH_ROWS)
+    v = 0
+    for y in range(DHASH_ROWS):
+        for x in range(DHASH_COLS - 1):
+            v = (v << 1) | int(small[y, x] < small[y, x + 1])
+    return v & ((1 << DHASH_BITS) - 1)
+
+
+def _synth_image(doc_id: int) -> bytes:
+    """Deterministic 16x16 grayscale PNG for a doc: the base texture is
+    seeded by the doc's dup GROUP (so group-mates are near-duplicates),
+    and md5(doc_id) decides whether one sampled grid pixel is xor-128
+    perturbed — a real pixel-level edit the perceptual hash must absorb
+    (and the md5 content hash, by design, cannot)."""
+    base_id = doc_id // DHASH_GROUP
+    px = np.random.RandomState(base_id).randint(
+        0, 256, (16, 16), dtype=np.uint8
+    )
+    seed = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+    if seed % 2:
+        cell = (seed >> 4) % (DHASH_ROWS * DHASH_COLS)
+        gy, gx = cell // DHASH_COLS, cell % DHASH_COLS
+        ys = (np.arange(DHASH_ROWS) * 16) // DHASH_ROWS
+        xs = (np.arange(DHASH_COLS) * 16) // DHASH_COLS
+        px[ys[gy], xs[gx]] ^= 128
+    return png_encode(px)
+
+
+def image_near_dup_pairs(
+    blobs: DataFrame, hamming_max: int = DHASH_HAMMING_MAX
+) -> DataFrame:
+    """Verified near-duplicate image pairs from (doc_id, payload) blobs:
+    REAL pixel decode -> dHash (Arrow-batched, map-only) -> pigeonhole
+    chunk banding -> exact Hamming filter.
+
+    Pigeonhole recall is 1.0 by construction: two hashes within
+    ``hamming_max`` bits agree on at least one of hamming_max+1 chunks.
+    Scale shape is identical to the text SimHash path: the candidate
+    join keys on (chunk_id, chunk_value) with FIXED key cardinality
+    2^(60/(hamming_max+1)) — subquadratic at any realistic corpus, no
+    all-pairs anywhere; non-decodable payloads drop out map-side.
+    """
+    from ..session import ship_package
+
+    n_chunks = hamming_max + 1
+    chunk_width = DHASH_BITS // n_chunks
+    if chunk_width < 8:
+        raise ValueError(
+            f"hamming_max={hamming_max} needs chunks of {chunk_width} bits; "
+            "per-chunk cardinality below 2^8 makes the candidate join "
+            "effectively O(n^2) (see simhash_near_dup_pairs)."
+        )
+    hash_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("dhash", LongType())]
+    )
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_pixels(bytes(payload))
+                if img is not None:
+                    rows.append((int(doc_id), dhash60(img)))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+    ship_package(blobs.sparkSession)
+    hashes = blobs.mapInPandas(hash_batches, hash_schema)
+    bounds = [DHASH_BITS * i // n_chunks for i in range(n_chunks + 1)]
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("ci"),
+            F.shiftright("dhash", bounds[i])
+            .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+            .alias("cv"),
+        )
+        for i in range(n_chunks)
+    ]
+    chunks = hashes.select(
+        "doc_id", "dhash", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("doc_id", "dhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.dhash").alias("h_a"),
+            F.col("b.dhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select(
+        "doc_id_a", "doc_id_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= hamming_max)
+
+
+def _register_q162() -> None:
+    @register("q162_image_neardup")  # rows-only: pixel decode is not SQL
+    def q162_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Image near-dup pairs over the documents table: deterministic
+        PNG payloads (dup groups of DHASH_GROUP consecutive doc_ids,
+        per-doc pixel perturbations), REAL decode, dHash, banded Hamming
+        join. Rows-only (decode is Python-side); recall/precision vs the
+        known group structure is pytest-pinned — every intra-group pair
+        is <=4 bits by construction and MUST be found."""
+        from ..session import ship_package
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id")
+        synth_schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        )
+
+        def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = [
+                    (int(doc_id), _synth_image(int(doc_id)))
+                    for doc_id in pdf["doc_id"]
+                ]
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+        ship_package(spark)
+        blobs = d.mapInPandas(synth, synth_schema)
+        return image_near_dup_pairs(blobs).orderBy("doc_id_a", "doc_id_b")
+
+
+_register_q162()

@@ -2011,3 +2011,130 @@ def q160_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(t2.agg(F.count(F.lit(1)).alias("n_view_click")))
         .crossJoin(t3.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
     )
+
+
+# --- q161: multi-touch marketing attribution (first/last/linear) ------------
+# The revenue-assignment layer on top of q160's funnel: every purchase's
+# value is credited to the marketing touches (views/clicks) that preceded
+# it inside the attribution window, under the three standard models.
+
+#: Attribution lookback: touches strictly before the purchase and at most
+#: this many days earlier share its credit.
+ATTR_WINDOW_DAYS = 7
+
+Q161_SQL = f"""
+WITH p AS (
+  SELECT user_id, ts AS p_ts, event_id AS p_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, ts AS t_ts, event_id AS t_id, event_type AS channel0
+  FROM events WHERE event_type IN ('view', 'click')
+),
+j AS (
+  SELECT p.p_id, p.cents, t.channel0, t.t_ts, t.t_id
+  FROM p LEFT JOIN t
+    ON p.user_id = t.user_id AND t.t_ts < p.p_ts
+   AND t.t_ts >= p.p_ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+),
+r AS (
+  SELECT p_id, cents, channel0,
+         ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rn,
+         COUNT(*) OVER (PARTITION BY p_id) AS n
+  FROM j
+)
+SELECT COALESCE(channel0, 'unattributed') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN rn = 1 THEN cents ELSE 0 END) AS BIGINT)
+         AS first_touch_cents,
+       CAST(SUM(CASE WHEN rn = n THEN cents ELSE 0 END) AS BIGINT)
+         AS last_touch_cents,
+       CAST(SUM(cents // n
+                + CASE WHEN rn = n THEN cents % n ELSE 0 END) AS BIGINT)
+         AS linear_cents
+FROM r
+GROUP BY COALESCE(channel0, 'unattributed')
+ORDER BY channel
+"""
+
+
+@register("q161_attribution", Q161_SQL)
+def q161_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution of purchase revenue to preceding marketing
+    touches (views/clicks within ATTR_WINDOW_DAYS), per channel, under
+    first-touch, last-touch and linear models simultaneously.
+
+    Money discipline: purchase value becomes integer CENTS up front (the
+    q126 ROUND(value*100) idiom), and the linear split is integer
+    division with the remainder credited to the LAST touch — every model
+    conserves total cents exactly (pytest-pinned) and the whole report
+    is integer sums, hash-exact cross-engine. A purchase with no touch
+    in the window self-credits under 'unattributed' (n=1, rn=1), so
+    nothing is silently dropped.
+
+    Scale: the touch↔purchase pairing is an interval predicate riding
+    the user_id EQUI join (the q154 shape) — fan-out is bounded by
+    touches-per-user-week, ~1.1× the events table here; the two window
+    functions partition by purchase id (millions of small groups, never
+    a user-wide or global sort); everything after is one keyed
+    aggregation to channel cardinality.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel0"),
+    )
+    j = purch.join(
+        touch,
+        [
+            purch.user_id == touch.user_id,
+            F.col("t_ts") < F.col("p_ts"),
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS"),
+        ],
+        "left",
+    ).select("p_id", "cents", "channel0", "t_ts", "t_id")
+    per_purchase = Window.partitionBy("p_id")
+    r = j.select(
+        "p_id",
+        "cents",
+        "channel0",
+        F.row_number()
+        .over(per_purchase.orderBy("t_ts", "t_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(per_purchase).alias("n"),
+    )
+    return (
+        r.groupBy(
+            F.coalesce(F.col("channel0"), F.lit("unattributed")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("rn") == 1, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("first_touch_cents"),
+            F.sum(F.when(F.col("rn") == F.col("n"), F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("last_touch_cents"),
+            F.sum(
+                F.expr("cents DIV n")
+                + F.when(F.col("rn") == F.col("n"), F.expr("cents % n")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("linear_cents"),
+        )
+        .orderBy("channel")
+    )

@@ -94,3 +94,39 @@ def test_bpe_early_stop_on_fully_merged_vocab(spark):
     merges, vocab = fit_bpe(d, 5)
     assert merges == [(1, "a", EOW, "a" + EOW, 3)]
     assert [tuple(r["symbols"]) for r in vocab.collect()] == [("a" + EOW,)]
+
+
+def test_q163_encode_matches_reference_token_counts(spark, sf_dir):
+    """Per-doc encoded token counts equal the pure-Python reference
+    (same merges, greedy leftmost application per word)."""
+    from redix_stream_spark.llm.bpe import q163_bpe_encode
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = {
+        r["word"]: r["cnt"]
+        for r in d.select(F.explode(tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    _, ref_vocab = _ref_bpe(counts, BPE_MERGES)
+    per_doc = {
+        (r["doc_id"], r["word"]): r["cnt"]
+        for r in d.select("doc_id", F.explode(tokens()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    expected: dict[int, list[int]] = {}
+    for (doc_id, word), cnt in per_doc.items():
+        e = expected.setdefault(doc_id, [0, 0, 0])
+        e[0] += cnt
+        e[1] += cnt * len(ref_vocab[word])
+        e[2] += cnt * (len(word) + 1)
+    got = {
+        r["doc_id"]: [r["n_words"], r["n_tokens"], r["n_init_symbols"]]
+        for r in q163_bpe_encode(spark, sf_dir).collect()
+    }
+    assert got == expected
+    for n_words, n_tokens, n_init in got.values():
+        assert n_words <= n_tokens <= n_init

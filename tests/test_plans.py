@@ -598,3 +598,18 @@ def test_q160_funnel_pushes_event_type_to_scan(spark, sf_dir):
     assert "EqualTo(event_type,click)" in plan
     assert "EqualTo(event_type,purchase)" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q161_attribution_interval_rides_user_equi_join(spark, sf_dir):
+    """The touch<->purchase pairing must be an equi join on user_id with
+    the time window as residual — a pure-theta fallback would be a
+    BroadcastNestedLoopJoin over purchases x touches."""
+    plan = plan_of(QUERIES["q161_attribution"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q162_image_candidates_join_on_chunk_keys(spark, sf_dir):
+    plan = plan_of(QUERIES["q162_image_neardup"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

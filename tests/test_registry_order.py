@@ -31,6 +31,9 @@ MUST_BE_IN_WINDOW = {
     "q158_salted_join_revenue",
     "q159_ref_integrity_audit",
     "q160_funnel",
+    "q161_attribution",
+    "q162_image_neardup",
+    "q163_bpe_encode",
     # Faces touched by round-5 fixes (quantile compaction base dir +
     # scratch, manifestlog pacing branch, BM25 decimal documentation).
     "q136_streaming_quantiles",
