@@ -183,6 +183,8 @@ HEADLINE = [
     "q161_attribution",
     "q162_image_neardup",
     "q163_bpe_encode",
+    "q164_trend_ols",
+    "q165_sessionize",
 ]
 
 

@@ -2138,3 +2138,211 @@ def q161_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# --- q164: per-group OLS revenue trend (fixed-point closed form) ------------
+
+#: Fixed-point scale for the slope/intercept outputs (micro-cents).
+OLS_SCALE = 1_000_000
+
+Q164_SQL = f"""
+WITH base AS (
+  SELECT p.p_brand AS brand,
+         CAST(datediff('day', DATE '1992-01-01', CAST(l.l_shipdate AS DATE))
+              AS HUGEINT) AS x,
+         CAST(ROUND(l.l_extendedprice * 100) AS HUGEINT) AS y
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+agg AS (
+  SELECT brand, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sx2
+  FROM base GROUP BY brand
+),
+fit AS (
+  SELECT brand, n,
+         n * sxy - sx * sy AS num,
+         n * sx2 - sx * sx AS den,
+         sy * sx2 - sx * sxy AS inum
+  FROM agg
+)
+SELECT brand,
+       CAST(n AS BIGINT) AS n_items,
+       CAST(CASE WHEN den = 0 THEN NULL
+                 WHEN num < 0 THEN -((-num * {OLS_SCALE}) // den)
+                 ELSE (num * {OLS_SCALE}) // den END AS BIGINT)
+         AS slope_microcents_per_day,
+       CAST(CASE WHEN den = 0 THEN NULL
+                 WHEN inum < 0 THEN -((-inum * {OLS_SCALE}) // den)
+                 ELSE (inum * {OLS_SCALE}) // den END AS BIGINT)
+         AS intercept_microcents
+FROM fit
+ORDER BY brand
+"""
+
+
+@register("q164_trend_ols", Q164_SQL)
+def q164_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand least-squares revenue trend: slope and intercept of
+    cents-per-day over ship-date day index, in closed form from five
+    exact integer aggregates (n, Σx, Σy, Σxy, Σx²) — the grouped
+    regression primitive behind trend dashboards and drift monitors.
+
+    Numeric discipline: everything up to the final outputs is exact
+    integer/decimal arithmetic (the q144 fixed-point approach) — no
+    double ever enters, so no FMA-contraction or cast-rounding surface
+    exists. slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) and intercept =
+    (ΣyΣx²−ΣxΣxy)/same are emitted as truncated fixed-point BIGINTs
+    (micro-cents), with the sign split out so Spark's DIV and DuckDB's
+    ``//`` agree on negative numerators (trunc vs floor). Overflow
+    envelope: Spark DECIMAL(38,0) vs DuckDB HUGEINT ≈ 1.7e38 — the
+    n·Σxy term reaches ~1e33 at SF1000, within it; past that, pre-scale
+    x to weeks (the BM25 envelope note pattern).
+
+    Scale: one broadcastable dim join + one map-side-combined groupBy to
+    brand cardinality; the regression math happens on the 25-row
+    aggregate — this is a full-scan-cheap operator at any corpus size.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1992-01-01"))
+        .cast("decimal(18,0)")
+        .alias("x"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .cast("decimal(18,0)")
+        .alias("y"),
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    agg = (
+        li.join(F.broadcast(p), "l_partkey")
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(20,0)").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        )
+    )
+    fit = agg.select(
+        "brand",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).alias("den"),
+        (F.col("sy") * F.col("sx2") - F.col("sx") * F.col("sxy")).alias("inum"),
+    )
+    div = (
+        "CAST(CASE WHEN den = 0 THEN NULL "
+        f"WHEN {{v}} < 0 THEN -((-{{v}} * {OLS_SCALE}) DIV den) "
+        f"ELSE ({{v}} * {OLS_SCALE}) DIV den END AS BIGINT)"
+    )
+    return fit.selectExpr(
+        "brand",
+        "CAST(n AS BIGINT) AS n_items",
+        div.format(v="num") + " AS slope_microcents_per_day",
+        div.format(v="inum") + " AS intercept_microcents",
+    ).orderBy("brand")
+
+
+# --- q165: sessionization — explicit session-id assignment ------------------
+
+#: Inactivity gap that closes a session.
+SESSION_GAP_MIN = 30
+
+Q165_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+               OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, event_type,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+sess AS (
+  SELECT user_id, sid,
+         COUNT(*) AS n_ev,
+         MIN(ts) AS t0, MAX(ts) AS t1,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+       CAST(SUM(has_p) AS BIGINT) AS purchase_sessions,
+       CAST(MAX(datediff('microsecond', t0, t1)) AS BIGINT)
+         AS max_session_micros
+FROM sess
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("q165_sessionize", Q165_SQL)
+def q165_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit session-id assignment by inactivity gap (>30 min) — the
+    lag/cumulative-sum sessionization idiom, the OTHER half of the
+    session story next to q22's merging-state ``session_window``: this
+    one hands every event a durable (user_id, sid) key downstream joins
+    can use, which the window-struct API doesn't expose.
+
+    All outputs are exact integers; session duration is the
+    ntz-safe MICROSECOND epoch difference (the zorder.py idiom —
+    second-granularity datediff counts boundary crossings differently
+    across engines, microseconds are exact for micro-timestamps).
+
+    Scale: both window functions ride ONE user-keyed sort (same
+    partition spec → one shuffle + one sort, never global); per-user
+    partitions are event-count bounded. A celebrity user serializes one
+    partition's sort — at that point switch the assignment to
+    ``session_window`` aggregation (q22) or pre-split by day.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_start = (
+        F.when(
+            prev.isNull()
+            | (
+                F.expr("timestampdiff(MICROSECOND, __prev_ts, ts)")
+                > F.lit(SESSION_GAP_MIN * 60 * 1_000_000)
+            ),
+            1,
+        )
+        .otherwise(0)
+    )
+    o = ev.withColumn("__prev_ts", prev).withColumn("is_start", is_start)
+    s = o.withColumn(
+        "sid",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "has_p"
+        ),
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_ev").cast("long").alias("n_events"),
+            F.sum("has_p").cast("long").alias("purchase_sessions"),
+            F.max(F.expr("timestampdiff(MICROSECOND, t0, t1)"))
+            .cast("long")
+            .alias("max_session_micros"),
+        )
+        .orderBy("user_id")
+    )

@@ -104,6 +104,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q161_attribution",
     "q162_image_neardup",
     "q163_bpe_encode",
+    "q164_trend_ols",
+    "q165_sessionize",
     # -- faces touched by round-5 fixes --
     "q136_streaming_quantiles",
     "q139_manifest_log",
@@ -135,14 +137,13 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q23_stream_replay",
     "q24_dedup_first",
     "q25_pending_antijoin",
-    "q27_moment_stats",
-    "q28_pivot_events",
     # q68_right_outer_join / q37_ngram_jaccard_dup / q38_simhash /
     # q82_token_rarity / q100_dup_ngram_fraction / q103_gapfill dropped
     # for q150–q155; q34_fingerprint / q50_full_outer_join /
     # q62_forecast_revenue / q63_promo_ratio / q67_left_outer_join for
     # q156–q160; q29_map_ops / q32_doc_quality / q33_lang_id for
-    # q161–q163 (all r1/r2/r3-green permanent rows).
+    # q161–q163; q27_moment_stats / q28_pivot_events for q164–q165
+    # (all r1/r2/r3-green permanent rows).
 )
 
 

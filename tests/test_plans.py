@@ -613,3 +613,21 @@ def test_q162_image_candidates_join_on_chunk_keys(spark, sf_dir):
     plan = plan_of(QUERIES["q162_image_neardup"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q164_ols_dim_join_broadcasts(spark, sf_dir):
+    """The part dim is bounded — the OLS scan must broadcast it, and the
+    regression is all aggregate math: no cartesian anywhere."""
+    plan = plan_of(QUERIES["q164_trend_ols"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q165_sessionize_rides_one_user_shuffle(spark, sf_dir):
+    """lag, the session-id running sum, AND both groupBys must all ride
+    ONE user-keyed exchange — the window specs share (user_id) and
+    hash-partitioning by user_id satisfies the (user_id, sid) grouping,
+    so a second shuffle would be a regression."""
+    plan = plan_of(QUERIES["q165_sessionize"](spark, sf_dir))
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "CartesianProduct" not in plan

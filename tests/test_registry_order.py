@@ -34,6 +34,8 @@ MUST_BE_IN_WINDOW = {
     "q161_attribution",
     "q162_image_neardup",
     "q163_bpe_encode",
+    "q164_trend_ols",
+    "q165_sessionize",
     # Faces touched by round-5 fixes (quantile compaction base dir +
     # scratch, manifestlog pacing branch, BM25 decimal documentation).
     "q136_streaming_quantiles",
