@@ -99,3 +99,73 @@ def test_bench_line_untrimmed_when_small():
     line = bench.budget_line(result)
     assert json.loads(line)["queries"] == {"q01_pricing_summary": 1.0}
     assert "omitted" not in json.loads(line)
+
+
+def test_budget_line_compresses_retimed_names_to_counts():
+    """The retimed-query names belong in bench_full.json; the driver line
+    carries only a count so the list can't blow the parse window."""
+    result = {
+        "metric": "headline_queries_wall_sec",
+        "value": 3.0,
+        "unit": "sec",
+        "queries": {"q01_pricing_summary": 3.0},
+        "sf": 0.1,
+        "retimed": ["q01_pricing_summary", "q118_leakage_safe_split"],
+        "sf1": {
+            "value": 1.0,
+            "unit": "sec",
+            "queries": {"q41_embedding_neardup": 1.0},
+            "retimed": ["q41_embedding_neardup"],
+        },
+    }
+    parsed = json.loads(bench.budget_line(result))
+    assert parsed["retimed"] == 2
+    assert parsed["sf1"]["retimed"] == 1
+    # the input dict is untouched (bench_full.json keeps the names)
+    assert result["retimed"] == ["q01_pricing_summary", "q118_leakage_safe_split"]
+
+
+def test_retime_flagged_selects_only_over_ratio(monkeypatch):
+    """Pure selection/again logic: only readings over RETIME_RATIO x their
+    baseline re-run; the min is kept; unbaselined names never re-run."""
+    calls = []
+
+    class FakeCatalog:
+        def clearCache(self):
+            pass
+
+    class FakeSpark:
+        catalog = FakeCatalog()
+
+    class FakeWriter:
+        def format(self, _):
+            return self
+
+        def mode(self, _):
+            return self
+
+        def save(self):
+            pass
+
+    class FakeDF:
+        write = FakeWriter()
+
+    ticks = iter([0.0, 0.5, 10.0, 10.4])  # two retimes: 0.5s then 0.4s
+
+    def fake_query(spark, sf_dir):
+        calls.append(sf_dir)
+        return FakeDF()
+
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: next(ticks))
+    timings = {"qa": 5.0, "qb": 1.0, "qc": 9.9}
+    flagged = bench.retime_flagged(
+        FakeSpark(),
+        {"qa": fake_query},
+        timings,
+        {"qa": 1.0, "qb": 1.0},  # qc unbaselined -> never flagged
+        "/dir",
+    )
+    assert flagged == ["qa"]
+    assert timings["qa"] == 0.4  # min of 5.0, 0.5, 0.4... stops at <= 2x
+    assert timings["qb"] == 1.0 and timings["qc"] == 9.9
+    assert calls == ["/dir", "/dir"]
