@@ -553,10 +553,13 @@ def _q147_sql() -> str:
     ham = " + ".join(
         f"bit_count(xor(b.w{w}, q.w{w}))" for w in range(BQ_WORDS)
     )
+    # Generated from BQ_WORDS like `words`/`ham` — a hardcoded list here
+    # silently broke the oracle whenever BQ_DIM/BQ_WORD_BITS changed.
+    probe_cols = ", ".join(f"w{w}" for w in range(BQ_WORDS))
     cos = _sql_cosine("embedding", "qv")
     return f"""
 WITH b AS (SELECT vec_id, label, embedding, {words} FROM embeddings),
-q AS (SELECT w0, w1, embedding AS qv FROM b WHERE vec_id = {QUERY_VEC_ID}),
+q AS (SELECT {probe_cols}, embedding AS qv FROM b WHERE vec_id = {QUERY_VEC_ID}),
 h AS (
   SELECT b.vec_id, b.label, b.embedding, q.qv,
          CAST({ham} AS BIGINT) AS hamming

@@ -2195,8 +2195,15 @@ def q164_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     (micro-cents), with the sign split out so Spark's DIV and DuckDB's
     ``//`` agree on negative numerators (trunc vs floor). Overflow
     envelope: Spark DECIMAL(38,0) vs DuckDB HUGEINT ≈ 1.7e38 — the
-    n·Σxy term reaches ~1e33 at SF1000, within it; past that, pre-scale
-    x to weeks (the BM25 envelope note pattern).
+    widest value is not n·Σxy (~1e33 at SF1000) but the final
+    ``num * OLS_SCALE`` fixed-point step, which adds 6 more digits
+    (~1e39 at SF1000, PAST the envelope). Past ~SF100, pre-scale x to
+    weeks BEFORE aggregating (÷7 shrinks Σxy/Σx² by ~1–2 digits each,
+    the BM25 envelope pattern). The failure mode is asymmetric and
+    silent: non-ANSI Spark decimals NULL on overflow while DuckDB
+    HUGEINT raises — an overflow shows up as a hash mismatch / oracle
+    error, never a silently-agreeing wrong answer, but the Spark-only
+    NULL would be silent in production; keep inside the envelope.
 
     Scale: one broadcastable dim join + one map-side-combined groupBy to
     brand cardinality; the regression math happens on the 25-row

@@ -150,7 +150,10 @@ def test_retime_flagged_selects_only_over_ratio(monkeypatch):
     class FakeDF:
         write = FakeWriter()
 
-    ticks = iter([0.0, 0.5, 10.0, 10.4])  # two retimes: 0.5s then 0.4s
+    # Two retimes: 2.5s (still > 2x baseline 1.0 -> no early stop), then
+    # 0.4s. A first attempt at/below the threshold would early-stop per
+    # retime_flagged's documented contract (bench.py:72-73).
+    ticks = iter([0.0, 2.5, 10.0, 10.4])
 
     def fake_query(spark, sf_dir):
         calls.append(sf_dir)
@@ -166,6 +169,47 @@ def test_retime_flagged_selects_only_over_ratio(monkeypatch):
         "/dir",
     )
     assert flagged == ["qa"]
-    assert timings["qa"] == 0.4  # min of 5.0, 0.5, 0.4... stops at <= 2x
+    assert timings["qa"] == 0.4  # min of 5.0, 2.5, 0.4; second attempt ran
     assert timings["qb"] == 1.0 and timings["qc"] == 9.9
     assert calls == ["/dir", "/dir"]
+
+
+def test_retime_flagged_early_stops_once_under_ratio(monkeypatch):
+    """The documented early-stop: a re-time attempt at or under
+    RETIME_RATIO x baseline ends that query's attempts immediately."""
+    calls = []
+
+    class FakeCatalog:
+        def clearCache(self):
+            pass
+
+    class FakeSpark:
+        catalog = FakeCatalog()
+
+    class FakeWriter:
+        def format(self, _):
+            return self
+
+        def mode(self, _):
+            return self
+
+        def save(self):
+            pass
+
+    class FakeDF:
+        write = FakeWriter()
+
+    ticks = iter([0.0, 0.5])  # first re-time 0.5s <= 2x of 1.0 -> stop
+
+    def fake_query(spark, sf_dir):
+        calls.append(sf_dir)
+        return FakeDF()
+
+    monkeypatch.setattr(bench.time, "perf_counter", lambda: next(ticks))
+    timings = {"qa": 5.0}
+    flagged = bench.retime_flagged(
+        FakeSpark(), {"qa": fake_query}, timings, {"qa": 1.0}, "/dir"
+    )
+    assert flagged == ["qa"]
+    assert timings["qa"] == 0.5
+    assert calls == ["/dir"]  # second attempt skipped
