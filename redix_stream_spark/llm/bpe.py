@@ -25,10 +25,19 @@ aggregates with the right data representation:
    nests one lambda layer per round and the analyzer cost grows
    quadratically (the q80 lineage lesson).
 
-Not SQL-expressible (iterative argmax feeding re-tokenization), so the
-registry entry is rows-only; the algorithm is pinned in
-tests/test_bpe.py against a pure-Python reference implementation on the
-same word counts, including the overlap fixture.
+The induction face (q142) is rows-only — an unbounded iterative argmax
+is not SQL-expressible — but the ENCODE face (q163) IS oracle-backed:
+``BPE_MERGES`` is a fixed constant, so the merge loop unrolls into one
+CTE chain per round (the q144/q157 bounded-loop oracle pattern). The
+oracle represents each word's symbol sequence as a delimiter-wrapped
+string (``\\x1f sym \\x1f \\x1f sym \\x1f …``): SQL ``replace()`` scans
+left-to-right non-overlapping, which is EXACTLY greedy BPE merge
+application, and the per-symbol wrapping keeps matches on symbol
+boundaries (a bare separator would let ``b c`` match inside ``ab c``
+and a shared separator would miss back-to-back pairs). Assumes symbols
+never contain ``\\x1f`` — true of any whitespace-tokenized text corpus.
+Both faces are additionally pinned in tests/test_bpe.py against a
+pure-Python reference implementation, including the overlap fixture.
 """
 
 from __future__ import annotations
@@ -140,7 +149,72 @@ def q142_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(merges, MERGE_SCHEMA)
 
 
-@register("q163_bpe_encode")  # rows-only: depends on the learned (non-SQL) merges
+def _q163_sql(n_merges: int = BPE_MERGES) -> str:
+    """Generated oracle: the full BPE learn-then-encode, with the merge
+    loop unrolled ``n_merges`` times (see module docstring for the
+    delimited-string replace trick). Each round re-derives the argmax
+    pair with the same (count DESC, x, y) tie-break as ``fit_bpe``, so
+    Spark and DuckDB learn identical merges from the same corpus. If a
+    round has no pairs left the 1-row ``b{r}`` CTE is empty and the
+    cross join empties the vocab — impossible on a real corpus in 10
+    merges and pinned irrelevant by test_bpe's early-stop fixture."""
+    d = "chr(31)"
+    dd = f"{d}||{d}"
+    parts = [
+        f"""
+WITH w AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY word
+),
+v0 AS (
+  SELECT word, freq,
+         {d} || array_to_string(string_split(word, '') || ['{EOW}'], {dd}) || {d} AS s
+  FROM w
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"v{r - 1}"
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT q.syms[t.i] AS x, q.syms[t.i + 1] AS y, q.freq
+  FROM (SELECT freq, string_split(trim(s, {d}), {dd}) AS syms FROM {prev}) q,
+       UNNEST(generate_series(1, len(q.syms) - 1)) AS t(i)
+),
+b{r} AS (
+  SELECT x, y FROM p{r} GROUP BY x, y ORDER BY SUM(freq) DESC, x, y LIMIT 1
+),
+v{r} AS (
+  SELECT v.word, v.freq,
+         replace(v.s, {d}||b.x||{dd}||b.y||{d}, {d}||b.x||b.y||{d}) AS s
+  FROM {prev} v, b{r} b
+)"""
+        )
+    parts.append(
+        f""",
+tok AS (
+  SELECT word, CAST(len(string_split(trim(s, {d}), {dd})) AS BIGINT) AS n_toks
+  FROM v{n_merges}
+),
+pdw AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY doc_id, word
+)
+SELECT pdw.doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_words,
+       CAST(SUM(cnt * n_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(cnt * (LENGTH(pdw.word) + 1)) AS BIGINT) AS n_init_symbols
+FROM pdw JOIN tok ON pdw.word = tok.word
+GROUP BY pdw.doc_id
+ORDER BY pdw.doc_id
+"""
+    )
+    return "".join(parts)
+
+
+@register("q163_bpe_encode", _q163_sql())
 def q163_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENCODE the corpus with the learned BPE merges — the consumption
     face of q142's induction (per-doc token statistics are what a
@@ -154,7 +228,8 @@ def q163_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined ``groupBy(doc_id, word)`` count plus one word-keyed join
     against that vocabulary — per-word fold cost is amortized across
     every duplicate occurrence in the corpus. Integer outputs; semantics
-    pinned against the pure-Python reference in tests/test_bpe.py.
+    pinned against the pure-Python reference in tests/test_bpe.py AND
+    hash-checked against the fully-unrolled DuckDB oracle (_q163_sql).
     """
     d = load_table(spark, sf_dir, "documents")
     _, vocab = fit_bpe(d, BPE_MERGES)
