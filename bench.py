@@ -126,6 +126,16 @@ BIG_HEADLINE = [
     "q107_containment_dup",
     "q121b_pq_ann_production",
     "q06b_range_join_agg",
+    # round-6 adds (VERDICT r05 item 7): the round-5 heavy families were
+    # missing from the sf1 gate — bounded graph loops (k-core, BFS),
+    # storage scans (z-order table, CDF), the composite split (q118, now
+    # artifact-backed), and the new composed pipeline q166.
+    "q118_leakage_safe_split",
+    "q149_zorder_table_scan",
+    "q150_table_changes",
+    "q156_kcore_decomposition",
+    "q157_bfs_levels",
+    "q166_corpus_pipeline",
 ]
 
 #: Representative spread: scan-agg, star join, range/as-of join, windows,
@@ -224,6 +234,12 @@ HEADLINE = [
     "q163_bpe_encode",
     "q164_trend_ols",
     "q165_sessionize",
+    # round-6 add: the composed clean∘split pipeline off the shared
+    # cluster-labels artifact. The untimed warm pass builds the artifact
+    # once, so the timed q81/q118/q166 readings measure exactly what the
+    # design buys: consume-from-materialized-labels cost, with q80 (also
+    # timed) still charging the full clustering pipeline every run.
+    "q166_corpus_pipeline",
 ]
 
 

@@ -804,10 +804,13 @@ def q81_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('canonical' — the minimum doc_id, from q80's connected components).
 
     Scale: the quality scores are per-row expressions (no shuffle); the
-    cluster side reuses the q80 pipeline; the exclusion of non-canonical
-    dupes is a broadcast-able anti-join because the near-dup set is a
-    vanishing fraction of the corpus (pairs, not documents, explode).
+    cluster labels come from the SHARED materialized artifact
+    (llm/artifacts.py — q80 runs once per corpus, not once per
+    consumer); the exclusion of non-canonical dupes is a broadcast-able
+    anti-join because the near-dup set is a vanishing fraction of the
+    corpus (pairs, not documents, explode).
     """
+    from .artifacts import cluster_labels
     from .text import tokens as _tokens
 
     d = load_table(spark, sf_dir, "documents")
@@ -820,7 +823,7 @@ def q81_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("low")
     )
     scored = d.select("doc_id", "source", quality.alias("quality"))
-    clusters = neardup_clusters(d).cache()
+    clusters = cluster_labels(spark, sf_dir)
     canonical = clusters.filter(F.col("is_canonical") == 1).select("doc_id")
     non_canonical = clusters.filter(F.col("is_canonical") == 0).select("doc_id")
     return (
@@ -1486,13 +1489,16 @@ def q118_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup group wholly in one split, deterministically across
     re-runs and engines.
 
-    Scale: the cluster side reuses the q80 label-propagation pipeline
-    (pairs-sized, not corpus-sized); the corpus join against it is on
-    doc_id; the split itself is a map-side expression. Composes with
-    q85's bucket-predicate pushdown for downstream reads.
+    Scale: the cluster labels come from the SHARED materialized artifact
+    (llm/artifacts.py — pairs-sized, computed once per corpus, zone-
+    mapped on doc_id); the corpus join against it is on doc_id; the
+    split itself is a map-side expression. Composes with q85's
+    bucket-predicate pushdown for downstream reads.
     """
+    from .artifacts import cluster_labels
+
     d = load_table(spark, sf_dir, "documents")
-    clusters = neardup_clusters(d)
+    clusters = cluster_labels(spark, sf_dir)
     group_key = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     bucket = (
         F.conv(F.substring(F.md5(group_key.cast("string")), 1, 6), 16, 10).cast(
@@ -1623,4 +1629,118 @@ def q130_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count("_cont").cast("long").alias("n_contaminated"),
         )
+    )
+
+
+# --- q166: composed corpus pipeline off the shared cluster artifact ---------
+
+
+def _gen_corpus_pipeline_sql() -> str:
+    """Oracle for the composed clean∘split pipeline: ONE clusters CTE
+    feeds both the canonical filter (q81) and the split key (q118) —
+    the SQL mirror of the shared-artifact execution plan."""
+    cluster_sql = _gen_cluster_oracle_sql().strip().rstrip(";")
+    bucket = (
+        "CAST(('0x' || substr(md5(CAST(COALESCE(cluster_id, doc_id) "
+        "AS VARCHAR)), 1, 6)) AS BIGINT) % 10"
+    )
+    return f"""
+WITH clusters AS (
+  {cluster_sql}
+),
+base AS (
+  SELECT d.doc_id, d.source,
+         CAST(LEN(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         CASE
+           WHEN LEN(string_split(d.text, ' ')) >= 40
+                AND CAST(LEN(list_distinct(string_split(d.text, ' '))) AS DOUBLE)
+                    / LEN(string_split(d.text, ' ')) >= 0.5 THEN 'high'
+           WHEN LEN(string_split(d.text, ' ')) >= 15 THEN 'medium'
+           ELSE 'low'
+         END AS quality,
+         c.cluster_id, c.is_canonical
+  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+),
+kept AS (
+  SELECT source, n_tokens, is_canonical,
+         CASE WHEN {bucket} < 8 THEN 'train'
+              WHEN {bucket} = 8 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM base
+  WHERE quality <> 'low' AND COALESCE(is_canonical, 1) = 1
+)
+SELECT source, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN is_canonical = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_canonical,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM kept
+GROUP BY source, split
+"""
+
+
+@register("q166_corpus_pipeline", _gen_corpus_pipeline_sql())
+def q166_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus pipeline — quality filter ∘ near-dup
+    collapse (q81) ∘ leakage-safe split (q118) — run off the SHARED
+    cluster-labels artifact, rolled up per (source, split).
+
+    This face exists to prove the artifact-reuse plan: q80's clustering
+    (the costliest corpus job) executes ZERO times here when a consumer
+    already materialized the labels — what remains is one corpus scan
+    with per-row quality/split expressions and one doc_id-keyed join
+    against the pairs-sized label table (read from zone-mapped parquet).
+    That is the plan you would run at 100 TB: cluster once, join
+    everywhere. Every output is an integer count (hash-exact).
+
+    The oracle mirrors the sharing in SQL: one clusters CTE feeds both
+    the canonical filter and the split key.
+    """
+    from .artifacts import cluster_labels
+    from .text import tokens as _tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    quality = (
+        F.when((n >= 40) & (ttr >= 0.5), "high")
+        .when(n >= 15, "medium")
+        .otherwise("low")
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        n.cast("long").alias("n_tokens"),
+        quality.alias("quality"),
+    ).join(
+        cluster_labels(spark, sf_dir).select(
+            "doc_id", "cluster_id", "is_canonical"
+        ),
+        "doc_id",
+        "left_outer",
+    )
+    group_key = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    bucket = (
+        F.conv(F.substring(F.md5(group_key.cast("string")), 1, 6), 16, 10).cast(
+            "long"
+        )
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "valid").otherwise("test")
+    )
+    kept = base.filter(
+        (F.col("quality") != "low")
+        & (F.coalesce(F.col("is_canonical"), F.lit(1)) == 1)
+    ).select("source", "n_tokens", "is_canonical", split.alias("split"))
+    return kept.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        # coalesce before the sum: a (source, split) group of only
+        # non-clustered docs is all-NULL and SUM would yield NULL where
+        # the oracle's CASE yields 0.
+        F.sum(F.coalesce((F.col("is_canonical") == 1).cast("long"), F.lit(0)))
+        .cast("long")
+        .alias("n_canonical"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
     )

@@ -62,88 +62,78 @@ def _load() -> None:
 # back (they stay regression-guarded by tests/test_oracle.py, which sweeps
 # ALL oracle-backed queries locally). Names not listed here keep their
 # registration order after the listed ones.
-# Window policy: a query needs ONE green driver row, ever. After r1–r4
-# every registered query has a row (union = 154/154 pre-r5 names). The
-# ROUND-5 window leads with: q144, whose fixed-point BIGINT rewrite
-# replaced the r4 face+oracle (VERDICT r04 item 1 — its r4 green row was
-# sf-luck); the FIVE new round-5 faces (q145 zone-map skipping scan,
-# q146 COW merge, q147 binary ANN, q148 triangle count, q149 z-order
-# table scan); the three faces touched by round-5 fixes (q136 compaction
-# base dir + scratch, q139 manifestlog pacing branch, q140 BM25 decimal
-# documentation); then — per VERDICT r04 item 6 — the ORACLE-BACKED
-# NEAREST NEIGHBORS of the 13 rows-only faces, so driver evidence
-# brackets the surface the hash can't reach directly (q40/q41/q42/q43
-# for the ANN ladder q41b/q43b/q121/q121b/q138/q147-recall; q36/q36b for
-# the MinHash family; q109 for q109b; q120 for streaming heavy hitters;
-# q09 for q51; q26 for q52; q10 for q53; q54/q55 for q56; q85/q88 for
-# q57; q30 for q125; q31 for q142). Remaining slots rotate in r1-green
-# names whose only row is CORRECTNESS_r01 (q18–q29 spillover, outer
-# joins, text/stat faces q32–q38 family, q62/q63, q82, q100, q103).
-# Rotated out: the r4-window names — all with permanent rows
-# (tests/test_registry_order.py R1_GREEN/R2/R3/R4_CHECKED).
+# Window policy: a query needs ONE green driver row, ever — but stale
+# evidence rots as shared helpers evolve, so the window ROTATES: after
+# new/changed faces take their slots, remaining slots go to the names
+# whose latest driver row is OLDEST (VERDICT r05 item 6 — after r5,
+# 10 names' latest row was r1 and 36 were r2). The ROUND-6 window leads
+# with: q166 (new composed corpus-pipeline face); q163, whose oracle is
+# new this round (its r5 row was no_oracle); q147, whose oracle's probe
+# CTE is now generated from BQ_WORDS; q81/q118, whose execution switched
+# to the shared cluster-labels artifact (hash-invisible — the fresh row
+# proves it); q80, the artifact's producer. Then every r1-only
+# oracle-backed name (9), every r2-only oracle-backed name (31 — the
+# TPC-H block q70–q98 exercises numeric.py's decimal discipline, touched
+# in r4–r5), and 4 r3-only names led by q107 (PPJoin rewrite landed r5)
+# and q130 (shares q81's quality/cluster helpers). Rows-only faces are
+# excluded from rotation slots — a no_oracle row adds nothing over their
+# pytest pins. Rotated out: the r5-window names — all with permanent
+# rows (tests/test_registry_order.py R1_GREEN/R2/R3/R4/R5_CHECKED).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- face+oracle rewritten in round 5 (the one red r4 test) --
-    "q144_pagerank",
-    # -- new in round 5 --
-    "q145_skipping_scan",
-    "q146_merge_upsert",
-    "q147_binary_ann_topk",
-    "q148_triangle_count",
-    "q149_zorder_table_scan",
-    "q150_table_changes",
-    "q151_pareto_frontier",
-    "q152_mad_outliers",
-    "q153_equidepth_bins",
-    "q154_scd2_asof_join",
-    "q155_audio_windows",
-    "q156_kcore_decomposition",
-    "q157_bfs_levels",
-    "q158_salted_join_revenue",
-    "q159_ref_integrity_audit",
-    "q160_funnel",
-    "q161_attribution",
-    "q162_image_neardup",
+    # -- new or changed in round 6 --
+    "q166_corpus_pipeline",
     "q163_bpe_encode",
-    "q164_trend_ols",
-    "q165_sessionize",
-    # -- faces touched by round-5 fixes --
-    "q136_streaming_quantiles",
-    "q139_manifest_log",
-    "q140_bm25_search",
-    # -- oracle-backed neighbors of the 13 rows-only faces --
-    "q40_cosine_topk",
-    "q41_embedding_neardup",
-    "q42_ann_lsh_topk",
-    "q43_image_features",
-    "q36_minhash_lsh_neardup",
-    "q36b_minhash_production",
-    "q109_sliding_distinct",
-    "q120_heavy_hitters",
-    "q09_distinct_users",
-    "q26_percentiles",
-    "q10_rollup_orders",
-    "q54_pandas_udf_tokens",
-    "q55_rowwise_udf_tokens",
-    "q85_hash_split",
-    "q88_quota_sample",
-    "q30_text_stats",
-    "q31_top_tokens",
-    # -- r1-green rotation (oldest driver evidence, re-verified) --
-    "q18_scalar_datetime",
-    "q19_json_props",
-    "q20_tumbling_window",
-    "q21_sliding_window",
-    "q22_session_window",
-    "q23_stream_replay",
-    "q24_dedup_first",
-    "q25_pending_antijoin",
-    # q68_right_outer_join / q37_ngram_jaccard_dup / q38_simhash /
-    # q82_token_rarity / q100_dup_ngram_fraction / q103_gapfill dropped
-    # for q150–q155; q34_fingerprint / q50_full_outer_join /
-    # q62_forecast_revenue / q63_promo_ratio / q67_left_outer_join for
-    # q156–q160; q29_map_ops / q32_doc_quality / q33_lang_id for
-    # q161–q163; q27_moment_stats / q28_pivot_events for q164–q165
-    # (all r1/r2/r3-green permanent rows).
+    "q147_binary_ann_topk",
+    "q81_clean_corpus",
+    "q118_leakage_safe_split",
+    "q80_neardup_clusters",
+    # -- latest driver row is r1 --
+    "q27_moment_stats",
+    "q28_pivot_events",
+    "q29_map_ops",
+    "q32_doc_quality",
+    "q33_lang_id",
+    "q34_fingerprint",
+    "q50_full_outer_join",
+    "q62_forecast_revenue",
+    "q63_promo_ratio",
+    # -- latest driver row is r2 --
+    "q23b_replay_scaled",
+    "q58_pii_scrub",
+    "q59_token_counting",
+    "q64_returned_items",
+    "q67_left_outer_join",
+    "q68_right_outer_join",
+    "q70_shipping_priority",
+    "q71_local_supplier_volume",
+    "q72_volume_shipping",
+    "q73_market_share",
+    "q74_order_distribution",
+    "q75_small_qty_revenue",
+    "q76_large_orders",
+    "q77_bracket_revenue",
+    "q78_dormant_customers",
+    "q79_top_supplier",
+    "q82_token_rarity",
+    "q83_repetition_quality",
+    "q84_decontamination",
+    "q86_tfidf_keywords",
+    "q87_sequence_packing",
+    "q89_priority_late_orders",
+    "q90_late_lines_by_status",
+    "q91_waiting_suppliers",
+    "q94_product_profit",
+    "q95_min_cost_supplier",
+    "q96_important_parts",
+    "q97_supplier_variety",
+    "q98_promo_part_suppliers",
+    # -- latest driver row is r3; helpers touched in r4-r5 --
+    "q107_containment_dup",
+    "q130_corpus_report",
+    "q102_semantic_dedup",
+    "q99_passage_dedup",
+    "q116_bloom_decontaminate",
+    "q117_boilerplate_passages",
 )
 
 

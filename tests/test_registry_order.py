@@ -11,36 +11,18 @@ from __future__ import annotations
 from redix_stream_spark import registry
 
 MUST_BE_IN_WINDOW = {
-    # Face+oracle rewritten in round 5 (fixed-point BIGINT PageRank —
-    # the r4 green row was sf-luck, VERDICT r04 item 1).
-    "q144_pagerank",
-    # New round-5 faces.
-    "q145_skipping_scan",
-    "q146_merge_upsert",
-    "q147_binary_ann_topk",
-    "q148_triangle_count",
-    "q149_zorder_table_scan",
-    "q150_table_changes",
-    "q151_pareto_frontier",
-    "q152_mad_outliers",
-    "q153_equidepth_bins",
-    "q154_scd2_asof_join",
-    "q155_audio_windows",
-    "q156_kcore_decomposition",
-    "q157_bfs_levels",
-    "q158_salted_join_revenue",
-    "q159_ref_integrity_audit",
-    "q160_funnel",
-    "q161_attribution",
-    "q162_image_neardup",
+    # New round-6 face (shared-artifact composed pipeline).
+    "q166_corpus_pipeline",
+    # Oracle is new this round (r5 row was no_oracle).
     "q163_bpe_encode",
-    "q164_trend_ols",
-    "q165_sessionize",
-    # Faces touched by round-5 fixes (quantile compaction base dir +
-    # scratch, manifestlog pacing branch, BM25 decimal documentation).
-    "q136_streaming_quantiles",
-    "q139_manifest_log",
-    "q140_bm25_search",
+    # Oracle's probe CTE now generated from BQ_WORDS (ADVICE r05).
+    "q147_binary_ann_topk",
+    # Execution switched to the shared cluster-labels artifact — the
+    # fresh row proves the artifact is hash-invisible.
+    "q81_clean_corpus",
+    "q118_leakage_safe_split",
+    # The artifact's producer pipeline.
+    "q80_neardup_clusters",
 }
 
 # The 50 queries the r2 driver window checked (CORRECTNESS_r02 rows —
@@ -135,8 +117,33 @@ R1_GREEN = {
 }
 
 
+# The 50 queries the r5 driver window checked (CORRECTNESS_r05 rows —
+# permanent evidence; 47 green + 3 rows-only, all pytest-pinned). Note
+# q163's r5 row predates its round-6 oracle — it is ALSO in
+# MUST_BE_IN_WINDOW for a fresh hash-checked row.
+R5_CHECKED = {
+    "q144_pagerank", "q145_skipping_scan", "q146_merge_upsert",
+    "q147_binary_ann_topk", "q148_triangle_count", "q149_zorder_table_scan",
+    "q150_table_changes", "q151_pareto_frontier", "q152_mad_outliers",
+    "q153_equidepth_bins", "q154_scd2_asof_join", "q155_audio_windows",
+    "q156_kcore_decomposition", "q157_bfs_levels", "q158_salted_join_revenue",
+    "q159_ref_integrity_audit", "q160_funnel", "q161_attribution",
+    "q162_image_neardup", "q163_bpe_encode", "q164_trend_ols",
+    "q165_sessionize", "q136_streaming_quantiles", "q139_manifest_log",
+    "q140_bm25_search", "q40_cosine_topk", "q41_embedding_neardup",
+    "q42_ann_lsh_topk", "q43_image_features", "q36_minhash_lsh_neardup",
+    "q36b_minhash_production", "q109_sliding_distinct", "q120_heavy_hitters",
+    "q09_distinct_users", "q26_percentiles", "q10_rollup_orders",
+    "q54_pandas_udf_tokens", "q55_rowwise_udf_tokens", "q85_hash_split",
+    "q88_quota_sample", "q30_text_stats", "q31_top_tokens",
+    "q18_scalar_datetime", "q19_json_props", "q20_tumbling_window",
+    "q21_sliding_window", "q22_session_window", "q23_stream_replay",
+    "q24_dedup_first", "q25_pending_antijoin",
+}
+
+
 def test_every_query_has_a_driver_row_across_rounds():
-    """The r4 window + the r1/r2/r3 rows must cover every registered
+    """The r6 window + the r1–r5 rows must cover every registered
     query, so that after this round no query has ever gone
     driver-unchecked."""
     window = set(list(registry.all_queries())[:50])
@@ -147,6 +154,7 @@ def test_every_query_has_a_driver_row_across_rounds():
         - R2_CHECKED
         - R3_CHECKED
         - R4_CHECKED
+        - R5_CHECKED
     )
     assert not uncovered, f"queries with no driver row in any round: {uncovered}"
 
