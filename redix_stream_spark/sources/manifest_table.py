@@ -77,6 +77,31 @@ def _stat_json(v):
 _UNCHECKED = object()
 
 
+def _evolve_schema(base: StructType, upd: StructType) -> StructType:
+    """mergeSchema-style union: base columns keep their position and
+    type; update-only columns append as NULLABLE (old files lack them —
+    parquet by-name resolution NULL-fills at read). A type change is
+    refused: implicit casts would silently corrupt zone-map ordering
+    and downstream oracle hashes."""
+    base_types = {f.name: f.dataType for f in base.fields}
+    for f in upd.fields:
+        if f.name in base_types and base_types[f.name] != f.dataType:
+            raise ValueError(
+                f"column {f.name!r} type change "
+                f"{base_types[f.name].simpleString()} -> "
+                f"{f.dataType.simpleString()} is not supported; cast the "
+                "update frame to the table type explicitly"
+            )
+    from pyspark.sql.types import StructField
+
+    extra = [
+        StructField(f.name, f.dataType, True)
+        for f in upd.fields
+        if f.name not in base_types
+    ]
+    return StructType(list(base.fields) + extra)
+
+
 class ManifestTable:
     """Keyed table: range-clustered immutable parquet files + a manifest
     of per-file zone maps, committed via generation pointer."""
@@ -350,6 +375,19 @@ class ManifestTable:
         Inserted keys outside rewritten zones make zone ranges overlap;
         pruning stays correct (overlap only loosens it) and the next
         ``compact_zones``/``write`` restores disjointness.
+
+        SCHEMA EVOLUTION (Delta's mergeSchema, at the manifest level):
+        update-only columns APPEND to the table schema as nullable; the
+        evolved schema commits with the new generation, and untouched
+        files still carry forward BY REFERENCE — parquet's by-name
+        column resolution fills the missing new columns with NULL at
+        read time, so evolution rewrites zero extra bytes. Rows in
+        ``updates`` missing an existing column get NULL there (merge is
+        whole-row replace, not per-column patch). A column whose TYPE
+        differs from the table's is refused (``ValueError``) — silent
+        casts corrupt zone maps and oracle hashes. Time travel stays
+        honest: each generation pins its own schema, so a pre-evolution
+        snapshot reads with the pre-evolution schema.
         """
         base_gen = self.state.current_gen()
         entries = self.manifest(base_gen) if base_gen is not None else []
@@ -384,16 +422,31 @@ class ManifestTable:
         affected = [e for e in entries if e["file"] in hit]
         untouched = [e for e in entries if e["file"] not in hit]
         schema = self.schema(base_gen)
-        parts = [updates.select(*schema.fieldNames())]
+        evolved = _evolve_schema(schema, updates.schema)
+
+        def conform(df: DataFrame) -> DataFrame:
+            have = set(df.columns)
+            return df.select(
+                *[
+                    F.col(f.name)
+                    if f.name in have
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in evolved.fields
+                ]
+            )
+
+        parts = [conform(updates)]
         if affected:
             old = spark.read.schema(schema).parquet(
                 *[os.path.join(self.root, e["file"]) for e in affected]
             )
             parts.append(
-                old.join(
-                    keys.withColumnRenamed("_k", self.key),
-                    self.key,
-                    "left_anti",
+                conform(
+                    old.join(
+                        keys.withColumnRenamed("_k", self.key),
+                        self.key,
+                        "left_anti",
+                    )
                 )
             )
         rewritten = parts[0]
@@ -403,7 +456,7 @@ class ManifestTable:
         new_entries = self._write_files(
             rewritten.repartitionByRange(n_files, self.key)
         )
-        self._commit(untouched + new_entries, schema, base_gen=base_gen)
+        self._commit(untouched + new_entries, evolved, base_gen=base_gen)
         return {
             "files_total": len(entries),
             "files_rewritten": len(affected),
@@ -606,6 +659,37 @@ GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
 
+Q146B_SQL = f"""
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority,
+         'adjusted' AS o_note
+  FROM orders WHERE o_orderkey BETWEEN {Q146_UPD_LO} AND {Q146_UPD_HI}
+),
+ins AS (
+  SELECT o_orderkey + {Q146_INS_OFFSET} AS o_orderkey, o_custkey,
+         'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+         'new' AS o_note
+  FROM orders WHERE o_orderkey % 97 = 13
+),
+merged AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         CAST(NULL AS VARCHAR) AS o_note
+  FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+  UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice, o_note FROM upd
+  UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice, o_note FROM ins
+)
+SELECT COALESCE(o_note, 'carried') AS note,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM merged
+GROUP BY COALESCE(o_note, 'carried')
+ORDER BY note
+"""
+
 
 def _register_queries() -> None:
     from ..catalog import load_table
@@ -675,6 +759,57 @@ def _register_queries() -> None:
                 F.max("o_orderkey").cast("bigint").alias("max_key"),
             )
             .orderBy("o_orderstatus")
+        )
+
+    @register("q146b_merge_schema_evolution", Q146B_SQL)
+    def q146b_merge_schema_evolution(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """q146's COW merge with the update batch carrying a NEW column
+        (``o_note``) — the q137 schema-evolution story lifted to the
+        managed table. The evolved schema commits with the generation;
+        untouched files carry forward by reference and NULL-fill the new
+        column at read, so the hash proves three things at once: the
+        upsert, the zero-rewrite evolution, and the NULL semantics of
+        pre-evolution rows (surfaced as note='carried')."""
+        root = _scratch("q146b_mtable_")
+        shutil.rmtree(root, ignore_errors=True)
+        tbl = ManifestTable(os.path.join(root, "orders"), "o_orderkey")
+        o = load_table(spark, sf_dir, "orders")
+        tbl.write(o, target_files=8)
+        upd = o.filter(
+            F.col("o_orderkey").between(Q146_UPD_LO, Q146_UPD_HI)
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+            F.lit("adjusted").alias("o_note"),
+        )
+        ins = o.filter(F.col("o_orderkey") % 97 == 13).select(
+            (F.col("o_orderkey") + F.lit(Q146_INS_OFFSET)).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+            F.lit("new").alias("o_note"),
+        )
+        tbl.merge(spark, upd.unionByName(ins))
+        return (
+            tbl.read(spark)
+            .groupBy(
+                F.coalesce(F.col("o_note"), F.lit("carried")).alias("note")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.min("o_orderkey").cast("bigint").alias("min_key"),
+                F.max("o_orderkey").cast("bigint").alias("max_key"),
+                dsum(money("o_totalprice"), "sum_price"),
+            )
+            .orderBy("note")
         )
 
 

@@ -84,6 +84,58 @@ def test_merge_inserts_unmatched_keys(spark, orders_table):
     assert after.filter(F.col("o_orderkey") > 10**6).count() == 5
 
 
+def test_merge_evolves_schema_with_zero_extra_rewrites(spark, orders_table):
+    """An update batch carrying a new column appends it (nullable) to the
+    table schema; untouched files carry forward by reference and read
+    back NULL-filled — evolution must not widen the rewrite set."""
+    o = load_table(spark, SF_DIR, "orders")
+    g0 = orders_table.state.current_gen()
+    upd = o.filter(F.col("o_orderkey").between(200, 399)).withColumn(
+        "o_note", F.lit("adjusted")
+    )
+    stats = orders_table.merge(spark, upd)
+    assert 0 < stats["files_rewritten"] < stats["files_total"]
+    after = orders_table.read(spark)
+    assert after.columns == o.columns + ["o_note"]
+    n_upd = upd.count()
+    assert after.filter(F.col("o_note") == "adjusted").count() == n_upd
+    assert after.filter(F.col("o_note").isNull()).count() == o.count() - n_upd
+    # time travel: the pre-evolution generation keeps its own schema
+    assert orders_table.read(spark, gen=g0).columns == o.columns
+
+
+def test_merge_update_missing_existing_column_nulls_it(spark, orders_table):
+    """Merge is whole-row replace: a source batch without an existing
+    column NULLs that column for matched rows (not keep-old)."""
+    o = load_table(spark, SF_DIR, "orders")
+    upd = o.filter(F.col("o_orderkey").between(200, 209)).drop(
+        "o_orderpriority"
+    )
+    orders_table.merge(spark, upd)
+    after = orders_table.read(spark)
+    assert after.columns == o.columns  # no new columns appeared
+    matched = after.filter(F.col("o_orderkey").between(200, 209))
+    assert matched.filter(F.col("o_orderpriority").isNull()).count() == (
+        matched.count()
+    )
+    assert (
+        after.filter(~F.col("o_orderkey").between(200, 209))
+        .filter(F.col("o_orderpriority").isNull())
+        .count()
+        == 0
+    )
+
+
+def test_merge_refuses_column_type_change(spark, orders_table):
+    o = load_table(spark, SF_DIR, "orders")
+    upd = (
+        o.filter(F.col("o_orderkey").between(200, 209))
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("string"))
+    )
+    with pytest.raises(ValueError, match="o_totalprice"):
+        orders_table.merge(spark, upd)
+
+
 def test_merge_is_replay_idempotent(spark, orders_table):
     o = load_table(spark, SF_DIR, "orders")
     batch = o.filter(F.col("o_orderkey").between(100, 300)).withColumn(

@@ -11,8 +11,10 @@ from __future__ import annotations
 from redix_stream_spark import registry
 
 MUST_BE_IN_WINDOW = {
-    # New round-6 face (shared-artifact composed pipeline).
+    # New round-6 faces (shared-artifact composed pipeline; COW merge
+    # with schema evolution).
     "q166_corpus_pipeline",
+    "q146b_merge_schema_evolution",
     # Oracle is new this round (r5 row was no_oracle).
     "q163_bpe_encode",
     # Oracle's probe CTE now generated from BQ_WORDS (ADVICE r05).
