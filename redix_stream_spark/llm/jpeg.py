@@ -324,3 +324,145 @@ def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# --- minimal baseline encoder (grayscale) -----------------------------------
+# Exists so fixtures can synthesize REAL JPEG payloads (q162's mixed-format
+# image dedup) without an image library. Quantization tables are all ones:
+# the only loss is DCT-coefficient rounding, so round-tripping through
+# decode_jpeg_pixels perturbs each pixel by at most a few gray levels —
+# fixtures that need comparisons stable across PNG/JPEG keep >=64 levels of
+# margin (multimodal._synth_image). Pure integer/float64 numpy: the encoded
+# bytes are deterministic for a given input.
+
+#: DC: 12 categories (0..11) as 4-bit canonical codes; AC: EOB + ZRL + every
+#: (run 0..15, size 1..10) symbol as 8-bit canonical codes. Any valid prefix
+#: code works — the decoder rebuilds from the DHT we emit; fixed-width keeps
+#: the canonical construction trivially correct (max code < all-ones).
+_ENC_DC_BITS = bytes([0, 0, 0, 12] + [0] * 12)
+_ENC_DC_VALS = bytes(range(12))
+_ENC_AC_VALS = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_ENC_AC_BITS = bytes([0] * 7 + [len(_ENC_AC_VALS)] + [0] * 8)
+
+
+def _encode_table(bits: bytes, vals: bytes) -> dict[int, tuple[int, int]]:
+    """symbol → (code_length, code), the encoder-side view of the same
+    canonical construction _build_huffman uses."""
+    enc: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF00 byte stuffing; flush pads with 1s
+    (T.81 F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def jpeg_encode_gray(img: "np.ndarray") -> bytes:
+    """(H, W) uint8 grayscale → baseline JFIF-less JPEG bytes (SOI, DQT
+    all-ones, SOF0 single component, DHT, SOS, entropy data, EOI).
+    Dimensions are padded to block multiples by edge replication."""
+    img = np.asarray(img)
+    if img.ndim == 3:
+        img = img[:, :, 0]
+    h, w = img.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((ph, pw), np.float64)
+    padded[:h, :w] = img
+    padded[h:, :w] = img[h - 1 : h, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+
+    dc_enc = _encode_table(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_enc = _encode_table(_ENC_AC_BITS, _ENC_AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = np.rint(_A @ block @ _A.T).astype(np.int64)
+            # AC size categories stop at 10 (|v| <= 1023); the DCT of
+            # 8-bit input can graze past only on pathological patterns —
+            # clamp, the error is absorbed by fixture margins.
+            coef = np.clip(coef, -1023, 1023)
+            zz = coef.reshape(64)[_ZZ]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            t = _category(diff)
+            ln, code = dc_enc[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = ac_enc[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                s = _category(v)
+                ln, code = ac_enc[(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:
+                ln, code = ac_enc[0x00]
+                bw.write(code, ln)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    return b"".join(
+        [
+            b"\xff\xd8",
+            seg(0xDB, bytes([0x00]) + bytes([1] * 64)),
+            seg(
+                0xC0,
+                bytes([8])
+                + h.to_bytes(2, "big")
+                + w.to_bytes(2, "big")
+                + bytes([1, 1, 0x11, 0]),
+            ),
+            seg(0xC4, bytes([0x00]) + _ENC_DC_BITS + _ENC_DC_VALS),
+            seg(0xC4, bytes([0x10]) + _ENC_AC_BITS + _ENC_AC_VALS),
+            seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])),
+            bytes(bw.out),
+            b"\xff\xd9",
+        ]
+    )

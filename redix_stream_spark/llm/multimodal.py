@@ -1076,22 +1076,49 @@ def dhash60(img: np.ndarray) -> int:
 
 
 def _synth_image(doc_id: int) -> bytes:
-    """Deterministic 16x16 grayscale PNG for a doc: the base texture is
-    seeded by the doc's dup GROUP (so group-mates are near-duplicates),
+    """Deterministic 16x16 grayscale image for a doc — PNG for even
+    doc_ids, REAL baseline JPEG (llm/jpeg.py's encoder) for odd ones, so
+    every dup group mixes the formats users actually mix and the banded
+    join exercises BOTH decoders. The base texture is seeded by the
+    doc's dup GROUP (group-mates are near-duplicates across formats),
     and md5(doc_id) decides whether one sampled grid pixel is xor-128
     perturbed — a real pixel-level edit the perceptual hash must absorb
-    (and the md5 content hash, by design, cannot)."""
+    (and the md5 content hash, by design, cannot).
+
+    Cross-format stability is by MARGIN, not luck: cell gray levels come
+    from {16, 80, 144, 208} with horizontally-adjacent cells forced to
+    distinct levels, so every unperturbed dHash comparison carries >=64
+    levels of margin while JPEG round-trip error is <=1 (all-ones quant
+    tables; measured in tests/test_image_dedup.py). xor-128 keeps a
+    perturbed pixel inside the same level set, so each variant still
+    differs from its group's ideal hash in at most the 2 comparisons
+    touching the perturbed cell — intra-group pairs stay <=4 bits in
+    ANY format combination."""
     base_id = doc_id // DHASH_GROUP
-    px = np.random.RandomState(base_id).randint(
-        0, 256, (16, 16), dtype=np.uint8
-    )
+    rs = np.random.RandomState(base_id)
+    levels = np.empty((DHASH_ROWS, DHASH_COLS), dtype=np.int64)
+    levels[:, 0] = rs.randint(0, 4, DHASH_ROWS)
+    for x in range(1, DHASH_COLS):
+        # adjacent-distinct: step 1..3 mod 4 from the left neighbor
+        levels[:, x] = (levels[:, x - 1] + 1 + rs.randint(0, 3, DHASH_ROWS)) % 4
+    gray = (16 + 64 * levels).astype(np.uint8)
+    # paint each pixel with its nearest SAMPLED cell's level: pixel x
+    # belongs to the last grid column whose sample index <= x, so the
+    # dHash sampling grid reads the intended level exactly.
+    ys = (np.arange(DHASH_ROWS) * 16) // DHASH_ROWS
+    xs = (np.arange(DHASH_COLS) * 16) // DHASH_COLS
+    row_of = np.searchsorted(ys, np.arange(16), side="right") - 1
+    col_of = np.searchsorted(xs, np.arange(16), side="right") - 1
+    px = gray[row_of][:, col_of].copy()
     seed = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
     if seed % 2:
         cell = (seed >> 4) % (DHASH_ROWS * DHASH_COLS)
         gy, gx = cell // DHASH_COLS, cell % DHASH_COLS
-        ys = (np.arange(DHASH_ROWS) * 16) // DHASH_ROWS
-        xs = (np.arange(DHASH_COLS) * 16) // DHASH_COLS
         px[ys[gy], xs[gx]] ^= 128
+    if doc_id % 2:
+        from .jpeg import jpeg_encode_gray
+
+        return jpeg_encode_gray(px)
     return png_encode(px)
 
 

@@ -83,6 +83,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new or changed in round 6 --
     "q166_corpus_pipeline",
     "q146b_merge_schema_evolution",
+    "q162_image_neardup",  # corpus now mixes PNG+JPEG (rows-only face)
     "q163_bpe_encode",
     "q147_binary_ann_topk",
     "q81_clean_corpus",
@@ -133,7 +134,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q130_corpus_report",
     "q102_semantic_dedup",
     "q99_passage_dedup",
-    "q116_bloom_decontaminate",
 )
 
 

@@ -62,6 +62,41 @@ def test_synth_group_mates_within_threshold():
         assert _ham(h_doc, h_base) <= DHASH_HAMMING_MAX
 
 
+def test_synth_corpus_mixes_real_png_and_jpeg():
+    """Odd doc_ids are REAL baseline JPEG (our encoder), even are PNG —
+    every dup group exercises both decode paths inside the banded join."""
+    assert _synth_image(1)[:2] == b"\xff\xd8"
+    assert _synth_image(2)[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_jpeg_roundtrip_error_within_fixture_margin():
+    """The all-ones-quant encoder's decode error must stay far inside the
+    64-level comparison margin _synth_image's stability proof relies on."""
+    from redix_stream_spark.llm.jpeg import decode_jpeg_pixels, jpeg_encode_gray
+
+    rs = np.random.RandomState(11)
+    worst = 0
+    for _ in range(10):
+        px = rs.randint(0, 256, (16, 16)).astype(np.uint8)
+        dec = decode_jpeg_pixels(jpeg_encode_gray(px))
+        worst = max(worst, int(np.abs(dec[:, :, 0].astype(int) - px).max()))
+    assert worst <= 4
+
+
+def test_dhash_stable_across_png_jpeg_for_same_texture():
+    """The SAME margin-safe texture must hash identically from its PNG
+    and JPEG encodings — the cross-format invariant q162 rests on."""
+    from redix_stream_spark.llm.jpeg import jpeg_encode_gray
+
+    for base in range(8):
+        # even doc of the group = PNG, rebuilt as JPEG by hand
+        png_payload = _synth_image(base * DHASH_GROUP)
+        px = decode_pixels(png_payload)[:, :, 0]
+        h_png = dhash60(decode_pixels(png_payload))
+        h_jpg = dhash60(decode_pixels(jpeg_encode_gray(px)))
+        assert h_png == h_jpg
+
+
 def test_q162_recall_and_precision_vs_group_truth(spark, sf_dir):
     """Every intra-group pair is <=2·(per-doc flip bound) = 4 bits apart by
     construction, so the pigeonhole banding must find ALL of them (recall

@@ -15,6 +15,8 @@ MUST_BE_IN_WINDOW = {
     # with schema evolution).
     "q166_corpus_pipeline",
     "q146b_merge_schema_evolution",
+    # Corpus now synthesizes mixed PNG+JPEG payloads (VERDICT r05 item 5).
+    "q162_image_neardup",
     # Oracle is new this round (r5 row was no_oracle).
     "q163_bpe_encode",
     # Oracle's probe CTE now generated from BQ_WORDS (ADVICE r05).
