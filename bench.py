@@ -243,6 +243,19 @@ HEADLINE = [
 ]
 
 
+def ensure_artifacts(spark, sf_dir: str) -> None:
+    """Materialize the shared corpus artifacts (llm/artifacts.py) for
+    ``sf_dir`` OUTSIDE any timed window. The artifact is benchmark
+    infrastructure like the sf1 replica: consumers (q81/q118/q166) are
+    timed on the consume path they run in steady state, while q80 —
+    timed separately — still charges the full clustering pipeline every
+    run. Without this, whichever consumer happens to run first would
+    absorb the one-off build into its reading."""
+    from redix_stream_spark.llm.artifacts import cluster_labels
+
+    cluster_labels(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+
 def main() -> None:
     spark = get_spark("redix-stream-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -254,6 +267,7 @@ def main() -> None:
     # 1.3 s steady-state to 10 s on a cold compile). Same principle as the
     # original single-query warmup — codegen is not charged to queries —
     # applied uniformly so single-shot recordings aren't outlier-poisoned.
+    ensure_artifacts(spark, SF_DIR)
     for name in HEADLINE:
         queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
@@ -300,6 +314,7 @@ def main() -> None:
         from build_scale_replica import ensure_replica
 
         big_dir = ensure_replica(spark)
+        ensure_artifacts(spark, big_dir)
         # codegen for queries not in the sf0.1 headline warms at sf0.01
         # (cheap); data-path timing below is then single-shot like the
         # r2 10× sweep.

@@ -35,6 +35,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 ARTIFACT_PREFIX = "redix_cluster_labels_"
 
+#: Distinct corpora whose artifacts coexist before the oldest is swept.
+#: A session legitimately touches several scale factors (sf0.001 tests,
+#: sf0.01 driver, sf0.1 + 10x replica bench) — sweeping all-but-one made
+#: the bench's scale alternation rebuild the artifact it had just built.
+ARTIFACT_KEEP = 4
+
 
 def corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
     """Deterministic fingerprint of a parquet table's files: md5 over
@@ -56,14 +62,26 @@ def corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
 
 
 def _artifact_root(fingerprint: str) -> str:
-    """One bounded dir per corpus fingerprint; stale-fingerprint siblings
-    (the corpus changed) are swept on entry, the ``_scratch`` discipline."""
+    """One dir per corpus fingerprint, bounded at ARTIFACT_KEEP live
+    corpora: entering a fingerprint refreshes its mtime and sweeps the
+    oldest siblings past the cap (LRU, the ``_scratch`` bounded-disk
+    discipline — a rewritten corpus's stale labels age out and can never
+    be served anyway, the fingerprint no longer matches)."""
     base = tempfile.gettempdir()
     keep = os.path.join(base, f"{ARTIFACT_PREFIX}{fingerprint}")
-    for name in os.listdir(base):
-        p = os.path.join(base, name)
-        if name.startswith(ARTIFACT_PREFIX) and p != keep:
-            shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(keep, exist_ok=True)
+    os.utime(keep)
+    siblings = sorted(
+        (
+            p
+            for name in os.listdir(base)
+            if name.startswith(ARTIFACT_PREFIX)
+            and (p := os.path.join(base, name)) != keep
+        ),
+        key=lambda p: os.path.getmtime(p),
+    )
+    for p in siblings[: max(0, len(siblings) - (ARTIFACT_KEEP - 1))]:
+        shutil.rmtree(p, ignore_errors=True)
     return keep
 
 

@@ -59,6 +59,7 @@ def main_sf1() -> None:
         queries[name](spark, "/root/testdata/sf0.01").write.format(
             "noop"
         ).mode("overwrite").save()
+    bench.ensure_artifacts(spark, big_dir)  # untimed, like bench's own run
     measured: dict[str, float] = {}
     for name in bench.BIG_HEADLINE:
         spark.catalog.clearCache()
@@ -172,8 +173,50 @@ def main_add(names: list[str]) -> None:
     spark.stop()
 
 
+def main_sf1_add(names: list[str]) -> None:
+    """Additively stamp sf1 baselines for ``names`` only (new
+    BIG_HEADLINE entries), preserving every existing sf1 value — the
+    ``--add`` discipline applied to the sf1 block (``--sf1`` re-measures
+    ALL of BIG_HEADLINE and resets its regression history)."""
+    from build_scale_replica import ensure_replica
+
+    path = os.path.join(ROOT, "scripts", "bench_baseline.json")
+    with open(path) as f:
+        out = json.load(f)
+
+    import bench
+
+    spark = get_spark("baseline-sf1-add")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = registry.all_queries()
+    big_dir = ensure_replica(spark)
+    for name in names:  # codegen warm at sf0.01 (cheap)
+        queries[name](spark, "/root/testdata/sf0.01").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    bench.ensure_artifacts(spark, big_dir)  # untimed, like bench's own run
+    measured: dict[str, float] = {}
+    for name in names:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        queries[name](spark, big_dir).write.format("noop").mode("overwrite").save()
+        measured[name] = round(time.perf_counter() - t0, 3)
+    out.setdefault("sf1_queries", {}).update(measured)
+    out.setdefault("_meta", {}).setdefault("sf1_added", {})[
+        datetime.date.today().isoformat()
+    ] = sorted(measured)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2, sort_keys=True)
+        f.write("\n")
+    for n, v in sorted(measured.items()):
+        print(f"  added sf1 {n}: {v:.3f}s")
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if "--sf1" in sys.argv:
+    if "--sf1-add" in sys.argv:
+        main_sf1_add(sys.argv[sys.argv.index("--sf1-add") + 1].split(","))
+    elif "--sf1" in sys.argv:
         main_sf1()
     elif "--add" in sys.argv:
         main_add(sys.argv[sys.argv.index("--add") + 1].split(","))

@@ -69,11 +69,24 @@ def test_fingerprint_tracks_corpus_changes(sf_dir, tmp_path):
     assert corpus_fingerprint(str(d1)) != fp1
 
 
-def test_stale_fingerprint_dirs_are_swept(sf_dir):
-    """Only the live corpus fingerprint keeps an artifact dir (bounded
-    disk, the _scratch discipline)."""
+def test_artifact_dirs_are_lru_bounded(sf_dir):
+    """At most ARTIFACT_KEEP corpora keep artifact dirs; entering a new
+    fingerprint sweeps the least-recently-used past the cap."""
+    from redix_stream_spark.llm.artifacts import ARTIFACT_KEEP
+
+    _clear_artifacts()
     base = tempfile.gettempdir()
-    stale = os.path.join(base, f"{ARTIFACT_PREFIX}deadbeefdeadbeef")
-    os.makedirs(stale, exist_ok=True)
+    stale = []
+    for i in range(ARTIFACT_KEEP):
+        p = os.path.join(base, f"{ARTIFACT_PREFIX}stale{i:011x}")
+        os.makedirs(p, exist_ok=True)
+        os.utime(p, ns=(i + 1, i + 1))  # distinct, ancient mtimes
+        stale.append(p)
     artifacts._artifact_root(corpus_fingerprint(sf_dir))
-    assert not os.path.exists(stale)
+    assert not os.path.exists(stale[0])  # oldest swept
+    for p in stale[1:]:  # newer ones survive up to the cap
+        assert os.path.exists(p)
+    live = [
+        n for n in os.listdir(base) if n.startswith(ARTIFACT_PREFIX)
+    ]
+    assert len(live) == ARTIFACT_KEEP
