@@ -685,12 +685,14 @@ AUDIO_FEATURES_SCHEMA = StructType(
 
 
 def parse_audio_meta(payload: bytes) -> dict | None:
-    """REAL WAV (RIFF) header decode: sample rate / channels / bit depth /
-    duration from the fmt and data chunks — no audio library needed for
-    container metadata. Returns None for non-WAV payloads."""
+    """REAL audio metadata: WAV (RIFF header decode — sample rate /
+    channels / bit depth / duration from the fmt and data chunks) and
+    MP3 (per-frame walk, ``parse_mp3_meta`` — exact duration, None bit
+    depth). No audio library needed for container/frame metadata.
+    Returns None for other formats."""
     n = len(payload)
     if n < 36 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        return None
+        return parse_mp3_meta(payload) if n >= 4 else None
     i = 12
     fmt = None
     data_size = None
@@ -721,6 +723,84 @@ def parse_audio_meta(payload: bytes) -> dict | None:
         "channels": fmt["channels"],
         "bits_per_sample": fmt["bits_per_sample"],
         "duration_ms": duration_ms,
+    }
+
+
+#: MPEG audio Layer III tables (ISO/IEC 11172-3 / 13818-3): kbps by
+#: bitrate index (0 = free-format, unsupported; 15 = invalid) and Hz by
+#: samplerate index, per version.
+_MP3_BITRATE = {
+    1: [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    2: [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_SAMPLERATE = {1: [44100, 48000, 32000], 2: [22050, 24000, 16000], 25: [11025, 12000, 8000]}
+
+
+def _mp3_frame(payload: bytes, i: int) -> tuple[int, int, int, int] | None:
+    """Parse one Layer III frame header at offset ``i`` →
+    (frame_bytes, samples, sample_rate, channels), or None."""
+    if i + 4 > len(payload):
+        return None
+    b0, b1, b2, b3 = payload[i : i + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    ver_bits = (b1 >> 3) & 3  # 0=MPEG2.5 1=reserved 2=MPEG2 3=MPEG1
+    layer_bits = (b1 >> 1) & 3  # 1=Layer III
+    if ver_bits == 1 or layer_bits != 1:
+        return None
+    version = {0: 25, 2: 2, 3: 1}[ver_bits]
+    br_idx = (b2 >> 4) & 15
+    sr_idx = (b2 >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format / invalid: frame size unknowable
+    bitrate = _MP3_BITRATE[1 if version == 1 else 2][br_idx] * 1000
+    sample_rate = _MP3_SAMPLERATE[version][sr_idx]
+    padding = (b2 >> 1) & 1
+    samples = 1152 if version == 1 else 576
+    frame_bytes = (samples // 8) * bitrate // sample_rate + padding
+    channels = 1 if ((b3 >> 6) & 3) == 3 else 2
+    if frame_bytes < 4:
+        return None
+    return frame_bytes, samples, sample_rate, channels
+
+
+def parse_mp3_meta(payload: bytes) -> dict | None:
+    """REAL MP3 (MPEG Layer III) metadata by walking EVERY frame header —
+    exact frame-accurate duration, correct for VBR streams where the
+    header-extrapolation shortcut (first frame × size) is wrong. Skips a
+    leading ID3v2 tag (syncsafe size), stops at the first non-frame byte
+    (trailing ID3v1 'TAG' etc.). Sample DECODE stays an honest stub —
+    Huffman-coded subband samples need a real codec — so
+    ``bits_per_sample`` is None; this narrows the E25b gate to the
+    entropy-coded sample path only."""
+    n = len(payload)
+    i = 0
+    if payload[:3] == b"ID3" and n >= 10:
+        size = 0
+        for b in payload[6:10]:  # syncsafe: 7 bits per byte
+            if b & 0x80:
+                return None
+            size = (size << 7) | b
+        i = 10 + size
+    first = _mp3_frame(payload, i)
+    if first is None:
+        return None
+    sample_rate, channels = first[2], first[3]
+    n_frames = 0
+    total_samples = 0
+    while True:
+        fr = _mp3_frame(payload, i)
+        if fr is None or fr[2] != sample_rate:
+            break  # end of stream / trailer; sr change = corrupt, stop
+        n_frames += 1
+        total_samples += fr[1]
+        i += fr[0]
+    return {
+        "format": "mp3",
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "bits_per_sample": None,  # entropy-coded: no fixed PCM width
+        "duration_ms": total_samples * 1000 // sample_rate,
     }
 
 
@@ -869,9 +949,10 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload") -> DataF
 # numpy/stdlib — the container format is simple enough that no audio
 # library is needed), and per-window RMS energy / zero-crossing rate /
 # peak are the classic speech-vs-music/silence-trim features a training
-# pipeline computes before filtering audio corpora. Entropy-coded
-# formats (MP3/AAC) remain honest stubs — see the codec policy at
-# decode_image_stub.
+# pipeline computes before filtering audio corpora. MP3 gets REAL
+# frame-accurate METADATA (parse_mp3_meta walks every frame header);
+# its Huffman-coded SAMPLES — and AAC entirely — remain honest stubs,
+# see the codec policy at decode_image_stub.
 
 AUDIO_WINDOW = 1024  # samples per analysis window
 

@@ -359,6 +359,66 @@ def test_real_audio_video_header_decode(spark):
     assert rows[2]["format"] == "fake" and rows[2]["n_bytes"] == 12
 
 
+def _mp3_frame_bytes(
+    *, version=1, br_idx=9, sr_idx=0, padding=0, mono=False
+) -> bytes:
+    """One syntactically-valid Layer III frame: real 4-byte header +
+    zero-filled payload of exactly the computed frame length."""
+    ver_bits = {1: 3, 2: 2, 25: 0}[version]
+    b1 = 0xE0 | (ver_bits << 3) | (1 << 1) | 1  # sync tail+ver+layerIII
+    b2 = (br_idx << 4) | (sr_idx << 2) | (padding << 1)
+    b3 = 0xC0 if mono else 0x00
+    from redix_stream_spark.llm.multimodal import _MP3_BITRATE, _MP3_SAMPLERATE
+
+    bitrate = _MP3_BITRATE[1 if version == 1 else 2][br_idx] * 1000
+    sr = _MP3_SAMPLERATE[version][sr_idx]
+    samples = 1152 if version == 1 else 576
+    n = (samples // 8) * bitrate // sr + padding
+    return bytes([0xFF, b1, b2, b3]) + b"\x00" * (n - 4)
+
+
+def test_mp3_frame_walk_is_frame_accurate():
+    """Duration comes from summing every frame's samples — exact for VBR
+    (mixed bitrates), robust to ID3v2 prefixes and ID3v1 trailers."""
+    from redix_stream_spark.llm.multimodal import parse_audio_meta, parse_mp3_meta
+
+    # 38 CBR frames at 128kbps/44100: duration = 38*1152*1000//44100 = 992ms
+    stream = b"".join(
+        _mp3_frame_bytes(br_idx=9, padding=i % 2) for i in range(38)
+    )
+    meta = parse_mp3_meta(stream)
+    assert meta == {
+        "format": "mp3",
+        "sample_rate": 44100,
+        "channels": 2,
+        "bits_per_sample": None,
+        "duration_ms": 38 * 1152 * 1000 // 44100,
+    }
+    # VBR: per-frame bitrates differ; frame count and duration stay exact
+    vbr = b"".join(_mp3_frame_bytes(br_idx=i) for i in (1, 9, 14, 5))
+    assert parse_mp3_meta(vbr)["duration_ms"] == 4 * 1152 * 1000 // 44100
+    # ID3v2 prefix (syncsafe size) + ID3v1 trailer are skipped/stopped at
+    id3v2 = b"ID3\x03\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+    id3v1 = b"TAG" + b"\x00" * 125
+    tagged = id3v2 + stream + id3v1
+    assert parse_mp3_meta(tagged)["duration_ms"] == meta["duration_ms"]
+    # dispatcher: MP3 rides parse_audio_meta next to WAV
+    assert parse_audio_meta(tagged)["format"] == "mp3"
+    # MPEG2 mono at 16kHz: 576-sample frames
+    m2 = b"".join(
+        _mp3_frame_bytes(version=2, br_idx=4, sr_idx=2, mono=True)
+        for _ in range(10)
+    )
+    got = parse_mp3_meta(m2)
+    assert got["sample_rate"] == 16000 and got["channels"] == 1
+    assert got["duration_ms"] == 10 * 576 * 1000 // 16000
+    # honest negatives: free-format, junk, truncated header
+    free = bytes([0xFF, 0xFB, 0x02, 0x00]) + b"\x00" * 100
+    assert parse_mp3_meta(free) is None
+    assert parse_mp3_meta(b"\xff\xe0") is None
+    assert parse_mp3_meta(b"random bytes here") is None
+
+
 def test_sequence_packing_invariants(spark, sf_dir):
     """Every doc lands in exactly one pack; no pack exceeds the budget
     unless it holds a single over-budget doc; pack ids are dense per
