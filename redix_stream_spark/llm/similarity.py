@@ -394,3 +394,150 @@ def q43b_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+# --- q169: kNN graph (every vector's top-k neighbours) ----------------------
+
+KNN_K = 3
+
+
+def _gen_knn_graph_sql() -> str:
+    """Generated oracle for q169: q42's bucket expressions feed an
+    all-within-bucket candidate self-join instead of a single probe; the
+    exact-cosine left fold and the per-source rank mirror the Spark plan
+    term for term."""
+    planes = _hyperplanes()
+
+    def proj_sql(vec: str, plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        return (
+            f"list_reduce(list_transform(list_zip({vec}, {arr}::DOUBLE[]), "
+            f"p -> CAST(p[1] AS DOUBLE) * p[2]), (acc, x) -> acc + x)"
+        )
+
+    def bucket_sql(vec: str, t: int) -> str:
+        bits = [
+            f"(CASE WHEN {proj_sql(vec, planes[t * LSH_BITS + i])} > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(LSH_BITS)
+        ]
+        return " + ".join(bits)
+
+    tagged_buckets = ",\n         ".join(
+        f"{bucket_sql('embedding', t)} AS bucket{t}" for t in range(LSH_TABLES)
+    )
+    entry_selects = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, bucket{t} AS bucket FROM tagged"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+WITH tagged AS (
+  SELECT vec_id, embedding,
+         {tagged_buckets}
+  FROM embeddings
+),
+entries AS (
+  {entry_selects}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM entries a JOIN entries b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT c.src, c.dst, ea.label AS src_label, eb.label AS nbr_label,
+         {_sql_cosine('ea.embedding', 'eb.embedding')} AS sim
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.src
+  JOIN embeddings eb ON eb.vec_id = c.dst
+)
+SELECT src AS vec_id, dst AS nbr_id, src_label, nbr_label, sim, rank FROM (
+  SELECT src, dst, src_label, nbr_label, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst)
+              AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {KNN_K}
+"""
+
+
+@register("q169_knn_graph", _gen_knn_graph_sql())
+def q169_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN GRAPH construction: every vector's top-KNN_K neighbours by
+    exact cosine among its LSH-bucket candidates — the batch companion
+    to q42's single-probe ANN, and the primitive behind semantic-dedup
+    graphs, diversity sampling, and embedding-space cluster seeding.
+
+    Scale shape — three deliberate choices:
+    1. Candidate generation self-joins the SLIM (vec_id, table, bucket)
+       relation — no array column rides through the bucket join or the
+       pair dedupe, so the shuffle is id-sized (the q36 lesson applied
+       preemptively).
+    2. Embeddings join back BY KEY only for the deduped pairs, pinned
+       ``shuffle_hash`` on the fat side — Spark's size estimator
+       undercounts array columns and auto-broadcast OOMs at scale
+       (measured, SCALING.md; plan-asserted in tests/test_plans.py).
+    3. The top-k is a PER-SOURCE rank window (state bounded by bucket
+       candidate count per vector), not a global sort.
+    Every step is engine-deterministic (left-fold projections and
+    cosine), so the whole approximate index is hash-checked; recall vs
+    exact brute force is additionally pinned in tests/test_llm.py —
+    CALIBRATED to the corpus geometry (sign-LSH recall is a function of
+    the neighbour angle; this near-uniform corpus caps top-1 recall at
+    ~0.5 by math, while >0.8-cosine near-dup pairs recall >0.97)."""
+    planes = _hyperplanes()
+    e = load_table(spark, sf_dir, "embeddings")
+    tagged = e.select(
+        "vec_id", "embedding", *lsh_table_buckets(F.col("embedding"), planes)
+    )
+    entries = tagged.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"bucket{t}") for t in range(LSH_TABLES)])
+        ).alias("table", "bucket"),
+    ).localCheckpoint(eager=False)
+    a = entries.select(
+        F.col("vec_id").alias("src"), "table", "bucket"
+    )
+    b = entries.select(
+        F.col("vec_id").alias("dst"), "table", "bucket"
+    )
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    ea = e.select(
+        F.col("vec_id").alias("src"),
+        F.col("label").alias("src_label"),
+        F.col("embedding").alias("e_src"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("dst"),
+        F.col("label").alias("nbr_label"),
+        F.col("embedding").alias("e_dst"),
+    )
+    scored = (
+        cand.join(ea.hint("shuffle_hash"), "src")
+        .join(eb.hint("shuffle_hash"), "dst")
+        .select(
+            "src",
+            "dst",
+            "src_label",
+            "nbr_label",
+            cosine(F.col("e_src"), F.col("e_dst")).alias("sim"),
+        )
+    )
+    win = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("dst").alias("nbr_id"),
+            "src_label",
+            "nbr_label",
+            "sim",
+            "rank",
+        )
+    )

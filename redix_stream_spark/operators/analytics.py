@@ -2353,3 +2353,71 @@ def q165_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- q170: single-pass column profiling (the ingest "describe") -------------
+
+PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _gen_profile_sql() -> str:
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
+    for c in PROFILE_COLS:
+        aggs.append(f"CAST(COUNT({c}) AS BIGINT) AS nn_{c}")
+        aggs.append(f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}")
+    rows = "\nUNION ALL ".join(
+        f"SELECT '{c}' AS col_name, n_rows, n_rows - nn_{c} AS n_nulls, "
+        f"nd_{c} AS n_distinct FROM a"
+        for c in PROFILE_COLS
+    )
+    return f"""
+WITH a AS (SELECT {', '.join(aggs)} FROM orders)
+{rows}
+ORDER BY col_name
+"""
+
+
+@register("q170_column_profile", _gen_profile_sql())
+def q170_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the orders table — row count,
+    null count, exact distinct count for every column, in ONE scan (the
+    ingest-time "describe" a pipeline lands next to each batch; feeds
+    schema-drift alerts and join-key cardinality sanity checks).
+
+    Scale: Spark compiles the multi-column COUNT(DISTINCT) into a single
+    Expand pass (one scan, ncols x rows expanded map-side, one shuffle);
+    the 1-row wide aggregate then unpivots to one row per column with
+    ``stack`` — no per-column re-scan. All-integer outputs, hash-exact.
+    At 100 TB you would swap exact distincts for HLL sketches (q51/q53,
+    mergeable across batches); the exact face is the oracle-able one.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs.append(F.count(c).cast("long").alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).cast("long").alias(f"nd_{c}"))
+    one = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', n_rows - nn_{c}, nd_{c}" for c in PROFILE_COLS
+    )
+    return (
+        one.selectExpr(
+            "n_rows",
+            f"stack({len(PROFILE_COLS)}, {stack}) AS "
+            "(col_name, n_nulls, n_distinct)",
+        )
+        .select(
+            "col_name",
+            "n_rows",
+            F.col("n_nulls").cast("long").alias("n_nulls"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+        )
+        .orderBy("col_name")
+    )

@@ -552,3 +552,153 @@ def q157_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels over fixed data: hash-verifiable; the oracle unrolls the
     frontier rounds as CTEs mirroring the Spark loop exactly."""
     return bfs_levels(_edges(spark, sf_dir), BFS_SOURCE, BFS_HOPS)
+
+
+# --- q167: bounded weighted shortest paths (Bellman-Ford) --------------------
+
+SSSP_SOURCE = "s:1"
+#: Bounded relaxation rounds: dist after K rounds = cheapest path using
+#: at most K edges — well-defined bounded semantics (the q157 discipline
+#: for weighted graphs), and exactly CTE-unrollable for the oracle.
+SSSP_ROUNDS = 4
+
+
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trade graph with integer costs: edge weight 11 - min(cnt, 10)
+    where cnt = distinct orders linking the customer and supplier —
+    strong trade relationships are cheap to traverse, so min-cost routes
+    prefer high-volume partners. BIGINT weights in [1, 10]."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .agg(F.countDistinct("o_orderkey").alias("cnt"))
+        .select(
+            "c",
+            "s",
+            (F.lit(11) - F.least(F.col("cnt"), F.lit(10)))
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    fwd = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"), "w")
+    rev = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
+    return fwd.union(rev)
+
+
+def sssp_bounded(
+    edges: DataFrame, source: str, rounds: int = SSSP_ROUNDS
+) -> DataFrame:
+    """Min-cost distance from ``source`` over at most ``rounds`` edges —
+    frontier-relaxed Bellman-Ford. ``edges`` is (src, dst, w), w > 0.
+
+    Each round relaxes ONLY from the frontier (nodes whose distance
+    improved last round — the delta-stepping insight in its simplest
+    form): candidates are one keyed join frontier⋈edges plus a min per
+    dst, then a full-outer min-merge into the running distances. Unlike
+    BFS, a visited anti-join would be WRONG (a later path can be
+    cheaper); the frontier restriction preserves correctness because a
+    node's outgoing relaxations only matter in the round after its
+    distance last improved. Relations stay node-sized; the edge list is
+    materialized once (localCheckpoint) and joined per round. At
+    10^9-node scale this is the textbook distributed SSSP shape: keyed
+    shuffles, no driver-side state (convergence is implicit in the
+    bounded round count)."""
+    edges = edges.localCheckpoint()
+    spark = edges.sparkSession
+    dist = spark.range(1).select(
+        F.lit(source).alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    frontier = dist
+    for _ in range(rounds):
+        cand = (
+            edges.join(
+                frontier.select(
+                    F.col("node").alias("src"), F.col("dist").alias("fd")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("fd") + F.col("w")).alias("cd"))
+        )
+        merged = (
+            dist.join(cand, "node", "full_outer")
+            .select(
+                "node",
+                F.col("dist").alias("old"),
+                F.when(F.col("dist").isNull(), F.col("cd"))
+                .when(F.col("cd").isNull(), F.col("dist"))
+                .otherwise(F.least("dist", "cd"))
+                .alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.filter(
+            F.col("old").isNull() | (F.col("dist") < F.col("old"))
+        ).select("node", "dist")
+        dist = merged.select("node", "dist")
+    return dist
+
+
+def _sql_relax(prev_d: str, prev_f: str, k: int) -> str:
+    """One Bellman-Ford round: min candidate per frontier-successor,
+    full-outer min-merge, improved rows become the next frontier."""
+    return f"""
+c{k} AS (
+  SELECT e.dst AS node, MIN(f.dist + e.w) AS cd
+  FROM {prev_f} f JOIN edges e ON e.src = f.node
+  GROUP BY e.dst
+),
+d{k} AS (
+  SELECT COALESCE(d.node, c.node) AS node,
+         CASE WHEN d.dist IS NULL THEN c.cd
+              WHEN c.cd IS NULL THEN d.dist
+              WHEN c.cd < d.dist THEN c.cd ELSE d.dist END AS dist
+  FROM {prev_d} d FULL OUTER JOIN c{k} c ON d.node = c.node
+),
+f{k} AS (
+  SELECT n.node, n.dist FROM d{k} n LEFT JOIN {prev_d} o ON o.node = n.node
+  WHERE o.node IS NULL OR n.dist < o.dist
+)"""
+
+
+def _gen_sssp_sql() -> str:
+    relax = ",".join(
+        _sql_relax(f"d{k - 1}", f"f{k - 1}", k)
+        for k in range(1, SSSP_ROUNDS + 1)
+    )
+    return f"""
+WITH pairs AS (
+  SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS c,
+         's:' || CAST(l.l_suppkey AS VARCHAR) AS s,
+         CAST(11 - LEAST(COUNT(DISTINCT o.o_orderkey), 10) AS BIGINT) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT c AS src, s AS dst, w FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst, w FROM pairs
+),
+d0 AS (SELECT '{SSSP_SOURCE}' AS node, CAST(0 AS BIGINT) AS dist),
+f0 AS (SELECT node, dist FROM d0),{relax}
+SELECT node, dist FROM d{SSSP_ROUNDS}
+"""
+
+
+@register("q167_sssp_bounded", _gen_sssp_sql())
+def q167_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min trade cost (edge weight = 11 - min(distinct orders, 10)) from
+    supplier SSSP_SOURCE to every node reachable within SSSP_ROUNDS
+    edges — bounded Bellman-Ford with frontier-only relaxation. The
+    weighted companion to q157's BFS: integer distances over fixed data
+    are hash-exact, and the oracle unrolls the relaxation rounds as CTEs
+    mirroring the Spark loop exactly (same full-outer min-merge, same
+    frontier definition)."""
+    return sssp_bounded(
+        _weighted_edges(spark, sf_dir), SSSP_SOURCE, SSSP_ROUNDS
+    )

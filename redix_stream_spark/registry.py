@@ -84,6 +84,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q166_corpus_pipeline",
     "q146b_merge_schema_evolution",
     "q162_image_neardup",  # corpus now mixes PNG+JPEG (rows-only face)
+    "q167_sssp_bounded",
+    "q168_table_restore",
+    "q169_knn_graph",
+    "q170_column_profile",
     "q163_bpe_encode",
     "q147_binary_ann_topk",
     "q81_clean_corpus",
@@ -127,13 +131,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q94_product_profit",
     "q95_min_cost_supplier",
     "q96_important_parts",
-    "q97_supplier_variety",
-    "q98_promo_part_suppliers",
     # -- latest driver row is r3; helpers touched in r4-r5 --
     "q107_containment_dup",
     "q130_corpus_report",
-    "q102_semantic_dedup",
-    "q99_passage_dedup",
 )
 
 

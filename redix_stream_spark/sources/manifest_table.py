@@ -567,6 +567,21 @@ class ManifestTable:
         self._commit(entries, self.schema(base_gen), base_gen=base_gen)
         return before
 
+    def restore(self, gen: int) -> dict:
+        """Roll the table back to snapshot ``gen`` — as a NEW commit
+        (Delta RESTORE semantics): the target generation's manifest and
+        schema are re-published under a fresh generation number, so the
+        rollback itself is in the history (auditable, itself restorable)
+        and readers pinned to intermediate snapshots are untouched. Pure
+        metadata — zero data files move. Raises for expired/unknown
+        generations (``manifest``'s contract) and CommitConflict if a
+        writer lands between the read and the commit."""
+        base_gen = self.state.current_gen()
+        entries = self.manifest(gen)
+        schema = self.schema(gen)
+        self._commit(entries, schema, base_gen=base_gen)
+        return {"restored_gen": gen, "files": len(entries)}
+
     def vacuum(self) -> int:
         """Delete data files the current generation doesn't reference
         (expires older snapshots — the Delta VACUUM trade, explicit),
@@ -690,6 +705,20 @@ GROUP BY COALESCE(o_note, 'carried')
 ORDER BY note
 """
 
+#: q168 oracle is the PLAIN orders aggregate: after merge + restore the
+#: table must be byte-equivalent to its first snapshot, so any leaked
+#: merged row (or dropped original) diverges the hash.
+Q168_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
 
 def _register_queries() -> None:
     from ..catalog import load_table
@@ -810,6 +839,44 @@ def _register_queries() -> None:
                 dsum(money("o_totalprice"), "sum_price"),
             )
             .orderBy("note")
+        )
+
+    @register("q168_table_restore", Q168_SQL)
+    def q168_table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """orders → ManifestTable → COW merge (updates + inserts) →
+        RESTORE to the pre-merge snapshot → read back → aggregate. The
+        oracle is the PLAIN orders aggregate: restore must make the
+        merge hash-invisible — one leaked upserted row, one dropped
+        original, or a stale schema diverges it. The rollback is a new
+        commit (metadata-only), so the merge snapshot stays readable."""
+        root = _scratch("q168_mtable_")
+        shutil.rmtree(root, ignore_errors=True)
+        tbl = ManifestTable(os.path.join(root, "orders"), "o_orderkey")
+        o = load_table(spark, sf_dir, "orders")
+        tbl.write(o, target_files=8)
+        g0 = tbl.state.current_gen()
+        upd = o.filter(
+            F.col("o_orderkey").between(Q146_UPD_LO, Q146_UPD_HI)
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        tbl.merge(spark, upd)
+        tbl.restore(g0)
+        return (
+            tbl.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                dsum(money("o_totalprice"), "sum_price"),
+                F.min("o_orderkey").cast("bigint").alias("min_key"),
+                F.max("o_orderkey").cast("bigint").alias("max_key"),
+            )
+            .orderBy("o_orderstatus")
         )
 
 

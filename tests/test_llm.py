@@ -1470,3 +1470,42 @@ def test_audio_windows_spark_pipeline(spark):
     by_win = {r["win"]: r for r in rows}
     assert by_win[0]["n_samples"] == AUDIO_WINDOW
     assert by_win[1]["n_samples"] == 100
+
+
+def test_q169_knn_graph_recall_vs_exact(spark, sf_dir):
+    """Calibrated per-vector recall of the LSH-candidate kNN graph vs
+    exact brute force. This corpus is near-uniform (true top-1 cosines
+    ~0.32-0.43, i.e. ~68 degrees), so sign-LSH collision probability per
+    5-bit table is (1 - theta/pi)^5 ~ 0.09 and across 6 tables
+    ~1-(1-0.09)^6 ~ 0.43 — ~50% top-1 recall is the STRUCTURAL ceiling
+    here, not an implementation defect (on clustered corpora, where
+    near-dups are >0.8 cosine, the same config recalls >0.97 — the q41
+    threshold regime). The assert pins the calibrated floor; the oracle
+    hash already proves the exact algorithm (buckets, candidates,
+    ranking) end to end."""
+    import numpy as np
+
+    from redix_stream_spark.llm.similarity import KNN_K, q169_knn_graph
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in e}
+    ids = sorted(vecs)
+    mat = np.stack([vecs[i] for i in ids])
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    np.fill_diagonal(sims, -2.0)
+    true_top1 = {
+        ids[i]: ids[int(np.argmax(sims[i]))] for i in range(len(ids))
+    }
+    got = {}
+    ranks: dict[int, list[int]] = {}
+    for r in q169_knn_graph(spark, sf_dir).collect():
+        ranks.setdefault(r["vec_id"], []).append(r["rank"])
+        if r["rank"] == 1:
+            got[r["vec_id"]] = r["nbr_id"]
+    assert len(got) == len(ids)  # every vector has candidates
+    # ranks are contiguous from 1 per source (no gaps from the window)
+    for v, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
+    hit = sum(1 for i in ids if got.get(i) == true_top1[i])
+    assert hit / len(ids) >= 0.4  # calibrated floor, see docstring

@@ -155,6 +155,39 @@ def test_merge_into_empty_table_is_a_write(spark, tmp_path):
     assert tbl.read(spark).count() == 100
 
 
+def test_restore_rolls_back_as_a_new_commit(spark, orders_table):
+    """RESTORE republishes the target snapshot under a NEW generation:
+    contents revert exactly, the merge snapshot stays readable, and the
+    rollback itself is in the history (auditable, re-restorable)."""
+    o = load_table(spark, SF_DIR, "orders")
+    g0 = orders_table.state.current_gen()
+    before = _sorted_rows(orders_table.read(spark))
+    orders_table.merge(
+        spark,
+        o.filter(F.col("o_orderkey").between(200, 299)).withColumn(
+            "o_orderstatus", F.lit("U")
+        ),
+    )
+    g1 = orders_table.state.current_gen()
+    stats = orders_table.restore(g0)
+    assert stats["restored_gen"] == g0
+    g2 = orders_table.state.current_gen()
+    assert g2 not in (g0, g1)  # a NEW commit, not a pointer rewind
+    assert _sorted_rows(orders_table.read(spark)) == before
+    # the intermediate merge snapshot is still time-travelable
+    assert (
+        orders_table.read(spark, gen=g1)
+        .filter(F.col("o_orderstatus") == "U")
+        .count()
+        == 100
+    )
+
+
+def test_restore_unknown_generation_raises(spark, orders_table):
+    with pytest.raises(ValueError, match="generation"):
+        orders_table.restore(999)
+
+
 def test_delete_is_cow_and_exact(spark, orders_table):
     o = load_table(spark, SF_DIR, "orders")
     stats = orders_table.delete(spark, "o_orderkey", 200, 399)

@@ -631,3 +631,16 @@ def test_q165_sessionize_rides_one_user_shuffle(spark, sf_dir):
     plan = plan_of(QUERIES["q165_sessionize"](spark, sf_dir))
     assert plan.count("hashpartitioning(user_id") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_q169_knn_graph_fat_joins_are_shuffle_hash(spark, sf_dir):
+    """q169's embedding joins carry one fat float array per row on the
+    build side — pinned shuffle_hash (the q36/q102 estimator-undercount
+    discipline); the bucket self-join itself is id-only and free to pick
+    any strategy, but nothing carrying 'embedding' may broadcast."""
+    plan = plan_of(QUERIES["q169_knn_graph"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line and "embedding" in line:
+            raise AssertionError(f"embedding relation broadcast: {line}")

@@ -17,6 +17,12 @@ MUST_BE_IN_WINDOW = {
     "q146b_merge_schema_evolution",
     # Corpus now synthesizes mixed PNG+JPEG payloads (VERDICT r05 item 5).
     "q162_image_neardup",
+    # New round-6 faces: bounded weighted SSSP, table RESTORE, kNN graph,
+    # single-pass column profile.
+    "q167_sssp_bounded",
+    "q168_table_restore",
+    "q169_knn_graph",
+    "q170_column_profile",
     # Oracle is new this round (r5 row was no_oracle).
     "q163_bpe_encode",
     # Oracle's probe CTE now generated from BQ_WORDS (ADVICE r05).
