@@ -1744,3 +1744,47 @@ def q166_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_canonical"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+def _gen_cluster_histogram_sql() -> str:
+    cluster_sql = _gen_cluster_oracle_sql().strip().rstrip(";")
+    return f"""
+WITH clusters AS (
+  {cluster_sql}
+),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM clusters GROUP BY cluster_id
+)
+SELECT sz AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs
+FROM sizes
+GROUP BY sz
+ORDER BY sz
+"""
+
+
+@register("q171_cluster_histogram", _gen_cluster_histogram_sql())
+def q171_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster SIZE distribution — the corpus-health readout a
+    dedup run ships (a fat tail of giant clusters means boilerplate or
+    scraper loops; mostly-pairs means organic duplication). Third
+    consumer of the SHARED cluster-labels artifact (llm/artifacts.py):
+    two cluster-sized aggregates on the materialized relation, zero
+    clustering recompute. Integer outputs, hash-exact."""
+    from .artifacts import cluster_labels
+
+    labels = cluster_labels(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return (
+        sizes.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+        )
+        .select(F.col("sz").alias("cluster_size"), "n_clusters", "n_docs")
+        .orderBy("cluster_size")
+    )

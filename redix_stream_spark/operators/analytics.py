@@ -2421,3 +2421,110 @@ def q170_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+# --- q172: top session paths (product-analytics path mining) ----------------
+
+PATH_MAX = 5  # events per session contributing to the path key
+PATH_TOP = 20
+
+Q172_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+               OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+numbered AS (
+  SELECT user_id, sid, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rn
+  FROM s
+),
+paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM numbered WHERE rn <= {PATH_MAX}
+  GROUP BY user_id, sid
+)
+SELECT path, n_sessions, rank FROM (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS BIGINT)
+           AS rank
+  FROM paths GROUP BY path
+) WHERE rank <= {PATH_TOP}
+"""
+
+
+@register("q172_top_paths", Q172_SQL)
+def q172_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PATH_TOP most common session paths — each session's first
+    PATH_MAX event types in order, '>-joined — the path-mining readout
+    behind funnel discovery (q160 verifies a KNOWN funnel; this finds
+    the candidates).
+
+    Scale shape: sessionization is q165's lag/cumsum idiom (per-user
+    window, event-bounded partitions); the path key is built from a
+    per-session sorted collect CAPPED at PATH_MAX events, so state per
+    session is bounded no matter how long a bot session runs; the final
+    top-k is orderBy+limit (TakeOrdered) with rank stamped on the k
+    rows — never a full-relation rank window."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_start = F.when(
+        prev.isNull()
+        | (
+            F.expr("timestampdiff(MICROSECOND, __prev_ts, ts)")
+            > F.lit(SESSION_GAP_MIN * 60 * 1_000_000)
+        ),
+        1,
+    ).otherwise(0)
+    s = (
+        ev.withColumn("__prev_ts", prev)
+        .withColumn("is_start", is_start)
+        .withColumn(
+            "sid",
+            F.sum("is_start").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    paths = s.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    1,
+                    PATH_MAX,
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    top = (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOP)
+    )
+    rank_w = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return top.withColumn(
+        "rank", F.row_number().over(rank_w).cast("long")
+    )

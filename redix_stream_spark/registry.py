@@ -88,6 +88,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q168_table_restore",
     "q169_knn_graph",
     "q170_column_profile",
+    "q171_cluster_histogram",
+    "q172_top_paths",
     "q163_bpe_encode",
     "q147_binary_ann_topk",
     "q81_clean_corpus",
@@ -129,8 +131,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q90_late_lines_by_status",
     "q91_waiting_suppliers",
     "q94_product_profit",
-    "q95_min_cost_supplier",
-    "q96_important_parts",
     # -- latest driver row is r3; helpers touched in r4-r5 --
     "q107_containment_dup",
     "q130_corpus_report",

@@ -23,6 +23,9 @@ MUST_BE_IN_WINDOW = {
     "q168_table_restore",
     "q169_knn_graph",
     "q170_column_profile",
+    # Third artifact consumer + session path mining.
+    "q171_cluster_histogram",
+    "q172_top_paths",
     # Oracle is new this round (r5 row was no_oracle).
     "q163_bpe_encode",
     # Oracle's probe CTE now generated from BQ_WORDS (ADVICE r05).
