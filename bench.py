@@ -234,12 +234,20 @@ HEADLINE = [
     "q163_bpe_encode",
     "q164_trend_ols",
     "q165_sessionize",
-    # round-6 add: the composed clean∘split pipeline off the shared
+    # round-6 adds: the composed clean∘split pipeline off the shared
     # cluster-labels artifact. The untimed warm pass builds the artifact
-    # once, so the timed q81/q118/q166 readings measure exactly what the
-    # design buys: consume-from-materialized-labels cost, with q80 (also
-    # timed) still charging the full clustering pipeline every run.
+    # once, so the timed q81/q118/q166/q171 readings measure exactly what
+    # the design buys: consume-from-materialized-labels cost, with q80
+    # (also timed) still charging the full clustering pipeline every run.
     "q166_corpus_pipeline",
+    "q146b_merge_schema_evolution",
+    "q167_sssp_bounded",
+    "q168_table_restore",
+    "q169_knn_graph",
+    "q170_column_profile",
+    "q171_cluster_histogram",
+    "q172_top_paths",
+    "q173_incremental_clusters",
 ]
 
 

@@ -85,6 +85,44 @@ def _artifact_root(fingerprint: str) -> str:
     return keep
 
 
+def _tables(spark: SparkSession, sf_dir: str):
+    """(labels, bands) ManifestTables for the corpus, built on miss.
+
+    ONE build populates both: labels are the CC output; bands are the
+    (doc_id, band_key) LSH index relation the pair join consumed — the
+    piece incremental refresh needs so OLD docs' signatures are never
+    recomputed. Both doc_id-keyed (zone-mapped point lookups/joins)."""
+    from ..catalog import load_table
+    from ..sources.manifest_table import ManifestTable
+    from .dedup import (
+        JACCARD_THRESHOLD,
+        _sym_edges,
+        banded_keys,
+        exact_jaccard,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        propagate_min_labels,
+    )
+    from pyspark.sql import functions as F
+
+    root = _artifact_root(corpus_fingerprint(sf_dir))
+    labels_t = ManifestTable(os.path.join(root, "labels"), key="doc_id")
+    bands_t = ManifestTable(os.path.join(root, "bands"), key="doc_id")
+    if not labels_t.generations():
+        d = load_table(spark, sf_dir, "documents")
+        sig = minhash_signatures(d).cache()
+        bands = banded_keys(sig)
+        pairs = (
+            exact_jaccard(d, lsh_candidate_pairs(sig))
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_id_a", "doc_id_b")
+        )
+        labels = propagate_min_labels(_sym_edges(pairs))
+        labels_t.write(labels, target_files=4)
+        bands_t.write(bands, target_files=4)
+    return labels_t, bands_t
+
+
 def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster labels (doc_id, cluster_id, is_canonical) for
     ``sf_dir``'s documents corpus — materialized once per corpus
@@ -97,13 +135,91 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result exactly like ``neardup_clusters(d)`` output — same
     schema, same values (pinned in tests/test_artifacts.py).
     """
-    from ..catalog import load_table
-    from ..sources.manifest_table import ManifestTable
-    from .dedup import neardup_clusters
+    labels_t, _ = _tables(spark, sf_dir)
+    return labels_t.read(spark)
 
-    root = _artifact_root(corpus_fingerprint(sf_dir))
-    table = ManifestTable(root, key="doc_id")
-    if not table.generations():
-        labels = neardup_clusters(load_table(spark, sf_dir, "documents"))
-        table.write(labels, target_files=4)
-    return table.read(spark)
+
+def corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted (doc_id, band_key) LSH index for the corpus —
+    built by the same artifact miss as the labels."""
+    _, bands_t = _tables(spark, sf_dir)
+    return bands_t.read(spark)
+
+
+def incremental_cluster_labels(
+    spark: SparkSession, sf_dir: str, new_docs: DataFrame
+) -> DataFrame:
+    """Cluster labels for (base corpus ∪ ``new_docs``) computed
+    INCREMENTALLY — the refresh path a growing 100 TB corpus runs per
+    ingest batch instead of re-clustering from scratch.
+
+    What is and is not recomputed:
+    - new docs: signatures + band keys (batch-sized map work);
+    - candidate pairs: new-bands probed against the PERSISTED band
+      index ∪ new-bands — old docs' signatures are never re-derived,
+      and old↔old candidates are never re-generated (bucket equality is
+      pairwise, so adding docs cannot create or destroy old↔old
+      candidates);
+    - verification: exact Jaccard only for pairs involving a new doc;
+    - connectivity: label propagation over the NEW edges plus the old
+      labels compressed to STAR edges (doc→cluster_id) — each old
+      cluster participates as one supernode, which preserves components
+      exactly, including the case where one new doc BRIDGES two old
+      clusters into one.
+    Equivalence to the from-scratch recompute on the union corpus is
+    hash-checked by q173's oracle and pinned value-for-value in
+    tests/test_artifacts.py.
+    """
+    from ..catalog import load_table
+    from .dedup import (
+        JACCARD_THRESHOLD,
+        _sym_edges,
+        banded_keys,
+        exact_jaccard,
+        minhash_signatures,
+        propagate_min_labels,
+    )
+    from pyspark.sql import functions as F
+
+    labels_old = cluster_labels(spark, sf_dir)
+    bands_old = corpus_bands(spark, sf_dir)
+    bands_new = banded_keys(minhash_signatures(new_docs))
+    all_bands = bands_old.unionByName(bands_new)
+    cand = (
+        bands_new.alias("a")
+        .join(
+            all_bands.hint("shuffle_hash").alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_id_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    combined = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).unionByName(new_docs.select("doc_id", "text"))
+    # Shingle only candidate PARTICIPANTS: exact_jaccard reads docs via
+    # the pair join anyway, but its sets relation would otherwise map
+    # the whole combined corpus — this semi-join keeps the verify stage
+    # batch-neighborhood-sized, the point of being incremental. (At
+    # even larger scale the shingle sets become a persisted artifact
+    # themselves, exact_jaccard's own docstring note.)
+    participants = (
+        cand.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    new_pairs = (
+        exact_jaccard(combined.join(participants, "doc_id", "left_semi"), cand)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_id_a", "doc_id_b")
+    )
+    star = labels_old.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("cluster_id").alias("doc_id_b")
+    ).filter(F.col("doc_id_a") != F.col("doc_id_b"))
+    return propagate_min_labels(
+        _sym_edges(new_pairs.unionByName(star))
+    )

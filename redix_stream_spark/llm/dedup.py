@@ -109,14 +109,17 @@ def minhash_signatures(
     return hashed.select("doc_id", *cols)
 
 
-def lsh_candidate_pairs(sig: DataFrame, n_bands: int | None = None) -> DataFrame:
-    """Band the signatures and self-join band buckets → candidate pairs.
-
-    The only shuffle in the LSH pipeline: (band, band_key) is the join key,
-    so co-bucketed docs — and nothing else — meet. The signature width is
-    read off the frame's mh columns; ``n_bands`` defaults to the demo
-    configuration's band count.
-    """
+def banded_keys(sig: DataFrame, n_bands: int | None = None) -> DataFrame:
+    """(doc_id, band_key) — one md5 band key per band per doc, the
+    materialized LSH index relation. The band index j is hashed INTO the
+    key, so band_key alone is the bucket identity. Materialized ONCE
+    (localCheckpoint): every consumer self-joins or probes it, and
+    without truncation each side re-evaluates the full signature
+    expressions — #perms md5+mod per shingle per doc, the pipeline's
+    real compute (measured 4.6 → 2.6 s for the candidate phase at
+    sf0.1). Narrow (doc_id + one md5 per band), cheap at any corpus
+    size; this is also the relation the artifact layer PERSISTS so
+    incremental refresh never recomputes old docs' bands."""
     n_perms = sum(1 for c in sig.columns if c.startswith("mh"))
     if n_bands is None:
         n_bands = N_BANDS
@@ -131,20 +134,22 @@ def lsh_candidate_pairs(sig: DataFrame, n_bands: int | None = None) -> DataFrame
         ).alias(f"band{j}")
         for j in range(n_bands)
     ]
-    # Materialize the banded relation ONCE (localCheckpoint): both self-
-    # join sides read it, and without this each side re-evaluates the
-    # full signature expressions — #perms md5+mod per shingle per doc,
-    # the pipeline's real compute — twice (measured 4.6 → 2.6 s for the
-    # candidate phase at sf0.1). The relation is narrow (doc_id + one
-    # md5 per band), so the checkpoint is cheap at any corpus size; the
-    # join is then PINNED shuffle_hash because the checkpoint also
-    # exposes the relation's true test-SF size to the planner, which
-    # would otherwise auto-broadcast a corpus-sized relation (the
-    # CLAUDE.md size-estimator trap, in reverse).
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(F.array(*bands)).alias("band_key"),
     ).localCheckpoint()
+
+
+def lsh_candidate_pairs(sig: DataFrame, n_bands: int | None = None) -> DataFrame:
+    """Band the signatures and self-join band buckets → candidate pairs.
+
+    The only shuffle in the LSH pipeline: band_key is the join key, so
+    co-bucketed docs — and nothing else — meet. The join is PINNED
+    shuffle_hash: the checkpointed band relation exposes its true
+    test-SF size to the planner, which would otherwise auto-broadcast a
+    corpus-sized relation (the CLAUDE.md size-estimator trap, in
+    reverse)."""
+    banded = banded_keys(sig, n_bands=n_bands)
     a = banded.alias("a")
     b = banded.hint("shuffle_hash").alias("b")
     return (
@@ -192,14 +197,18 @@ def exact_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def _gen_minhash_oracle_sql(
-    params: list[tuple[int, int]] | None = None, n_bands: int | None = None
+    params: list[tuple[int, int]] | None = None,
+    n_bands: int | None = None,
+    source: str = "documents",
 ) -> str:
     """Generate the DuckDB oracle mirroring the exact MinHash+LSH pipeline
     (same md5-derived shingle hashes, same permutation parameters, same
     band-key construction — stage-for-stage parity with the Spark plan).
     Parameterized by signature width/band count so the production-sized
     configuration (q36b, 64/16) is verified by the same generator as the
-    demo configuration (q36, 16/4)."""
+    demo configuration (q36, 16/4), and by ``source`` (any relation with
+    doc_id + text, e.g. a UNION corpus) so q173's incremental refresh is
+    checked against the from-scratch recompute."""
     if params is None:
         params = PERM_PARAMS
     if n_bands is None:
@@ -218,7 +227,7 @@ def _gen_minhash_oracle_sql(
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  SELECT doc_id, string_split(text, ' ') AS t FROM {source}
 ),
 sh AS (
   SELECT DISTINCT doc_id,
@@ -513,11 +522,11 @@ def simhash_near_dup_pairs(
     ).filter(F.col("hamming") <= hamming_max)
 
 
-def _gen_cluster_oracle_sql() -> str:
+def _gen_cluster_oracle_sql(source: str = "documents") -> str:
     """Oracle for near-dup clustering: the q36 pair pipeline feeds a
     recursive transitive closure; a component's id is its minimum doc_id.
     (DuckDB's WITH RECURSIVE converges because UNION deduplicates.)"""
-    pair_sql = _gen_minhash_oracle_sql().strip().rstrip(";")
+    pair_sql = _gen_minhash_oracle_sql(source=source).strip().rstrip(";")
     return f"""
 WITH RECURSIVE pairs AS (
   {pair_sql}
@@ -572,14 +581,24 @@ def neardup_clusters(d: DataFrame) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_id_a", "doc_id_b")
     )
-    edges = (
-        pairs.select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
-            )
+    return propagate_min_labels(_sym_edges(pairs))
+
+
+def _sym_edges(pairs: DataFrame) -> DataFrame:
+    """Symmetric (src, dst) edge list from (doc_id_a, doc_id_b) pairs."""
+    return pairs.select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
         )
     )
+
+
+def propagate_min_labels(edges: DataFrame) -> DataFrame:
+    """Min-label propagation to a fixed point over a SYMMETRIC edge list
+    → (doc_id, cluster_id, is_canonical). The shared CC kernel behind
+    q80 and the artifact layer's incremental refresh."""
     # The loop runs on LINEAGE-TRUNCATED relations (localCheckpoint, the
     # q80b discipline): with cache() instead, every round re-analyzes
     # and re-AQE-plans a plan that still contains the whole MinHash pair
@@ -1788,3 +1807,42 @@ def q171_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("sz").alias("cluster_size"), "n_clusters", "n_docs")
         .orderBy("cluster_size")
     )
+
+
+# --- q173: incremental cluster refresh (the growing-corpus path) ------------
+
+#: Synthetic ingest batch: every 7th doc re-arrives under a new id with
+#: IDENTICAL text — guaranteed near-dups of their originals, plus
+#: copy↔copy dups inherited wherever the originals were near-dups.
+INC_BATCH_MOD, INC_BATCH_OFFSET = 7, 10_000_000
+
+_INC_SOURCE = f"""(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {INC_BATCH_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % {INC_BATCH_MOD} = 3
+)"""
+
+
+@register(
+    "q173_incremental_clusters", _gen_cluster_oracle_sql(source=_INC_SOURCE)
+)
+def q173_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labels after an ingest batch lands — computed
+    INCREMENTALLY off the persisted artifact (llm/artifacts.py): new
+    docs' signatures + band keys only, candidates probed against the
+    PERSISTED band index, exact Jaccard only on new-involving pairs,
+    label propagation over new edges plus old labels compressed to star
+    edges. The ORACLE IS THE FROM-SCRATCH RECOMPUTE on the union corpus
+    — the strongest possible check that the incremental path changes
+    cost, never results (the q158 salting discipline applied to
+    incremental maintenance). The batch re-ingests every 7th doc under
+    a new id with identical text, exercising both new↔old edges and a
+    new doc bridging old clusters."""
+    from .artifacts import incremental_cluster_labels
+
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % INC_BATCH_MOD == 3).select(
+        (F.col("doc_id") + INC_BATCH_OFFSET).alias("doc_id"), "text"
+    )
+    return incremental_cluster_labels(spark, sf_dir, batch)

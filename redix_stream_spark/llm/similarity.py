@@ -478,6 +478,14 @@ def q169_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
        (measured, SCALING.md; plan-asserted in tests/test_plans.py).
     3. The top-k is a PER-SOURCE rank window (state bounded by bucket
        candidate count per vector), not a global sort.
+    Candidate volume is ~n²·L/2^bits per table — with FIXED bucket
+    width it grows quadratically in corpus size, so at scale LSH_BITS
+    must track the corpus (bits ≈ log2(n / target_bucket_size), e.g.
+    ~20 bits for 10^9 vectors at ~1k-vector buckets); recall per table
+    drops as buckets narrow and is bought back with more tables — the
+    standard LSH tuning surface. The test-SF config (6 tables × 5 bits)
+    is the oracle-checkable instantiation of that family, not a
+    universal constant.
     Every step is engine-deterministic (left-fold projections and
     cosine), so the whole approximate index is hash-checked; recall vs
     exact brute force is additionally pinned in tests/test_llm.py —

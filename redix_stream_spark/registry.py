@@ -90,6 +90,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q170_column_profile",
     "q171_cluster_histogram",
     "q172_top_paths",
+    "q173_incremental_clusters",
     "q163_bpe_encode",
     "q147_binary_ann_topk",
     "q81_clean_corpus",
@@ -130,7 +131,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q89_priority_late_orders",
     "q90_late_lines_by_status",
     "q91_waiting_suppliers",
-    "q94_product_profit",
     # -- latest driver row is r3; helpers touched in r4-r5 --
     "q107_containment_dup",
     "q130_corpus_report",

@@ -40,17 +40,20 @@ def test_artifact_matches_inline_computation(spark, sf_dir):
 
 
 def test_artifact_built_once_then_reused(spark, sf_dir, monkeypatch):
-    """The second consumer call must NOT re-run the clustering pipeline."""
+    """The second consumer call must NOT re-run the clustering pipeline
+    (signature computation is the pipeline's entry stage — zero calls on
+    a warm artifact)."""
+    from redix_stream_spark.llm.dedup import minhash_signatures
+
     _clear_artifacts()
     calls = []
-    real = neardup_clusters
 
-    def counting(d):
+    def counting(docs, *a, **kw):
         calls.append(1)
-        return real(d)
+        return minhash_signatures(docs, *a, **kw)
 
     monkeypatch.setattr(
-        "redix_stream_spark.llm.dedup.neardup_clusters", counting
+        "redix_stream_spark.llm.dedup.minhash_signatures", counting
     )
     cluster_labels(spark, sf_dir).count()
     cluster_labels(spark, sf_dir).count()
@@ -67,6 +70,75 @@ def test_fingerprint_tracks_corpus_changes(sf_dir, tmp_path):
     fp1 = corpus_fingerprint(str(d1))
     os.utime(d1 / "documents.parquet", ns=(1, 1))
     assert corpus_fingerprint(str(d1)) != fp1
+
+
+def test_incremental_equals_from_scratch(spark, sf_dir):
+    """The incremental refresh must be value-identical to re-clustering
+    the union corpus from scratch — including new docs bridging old
+    clusters (every 7th doc re-arrives as an exact copy)."""
+    from pyspark.sql import functions as F
+
+    from redix_stream_spark.llm.artifacts import incremental_cluster_labels
+    from redix_stream_spark.llm.dedup import (
+        INC_BATCH_MOD,
+        INC_BATCH_OFFSET,
+    )
+
+    _clear_artifacts()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch = d.filter(F.col("doc_id") % INC_BATCH_MOD == 3).select(
+        (F.col("doc_id") + INC_BATCH_OFFSET).alias("doc_id"), "text"
+    )
+    incremental = {
+        tuple(r)
+        for r in incremental_cluster_labels(spark, sf_dir, batch).collect()
+    }
+    scratch = {
+        tuple(r)
+        for r in neardup_clusters(d.unionByName(batch)).collect()
+    }
+    assert incremental == scratch
+    # the batch actually connected to the base corpus
+    assert any(doc_id >= INC_BATCH_OFFSET for doc_id, _, _ in incremental)
+
+
+def test_incremental_never_recomputes_base_signatures(spark, sf_dir, monkeypatch):
+    """With a warm artifact, the refresh computes signatures for the
+    BATCH only — old docs ride the persisted band index."""
+    from pyspark.sql import functions as F
+
+    from redix_stream_spark.llm.artifacts import (
+        cluster_labels,
+        incremental_cluster_labels,
+    )
+    from redix_stream_spark.llm.dedup import (
+        INC_BATCH_MOD,
+        INC_BATCH_OFFSET,
+        minhash_signatures,
+    )
+
+    _clear_artifacts()
+    cluster_labels(spark, sf_dir).count()  # warm the artifact
+    sizes = []
+
+    def counting(docs, *a, **kw):
+        sizes.append(docs.count())
+        return minhash_signatures(docs, *a, **kw)
+
+    # artifacts.py imports dedup names inside the function body, so the
+    # patched module attribute IS what the refresh binds.
+    monkeypatch.setattr(
+        "redix_stream_spark.llm.dedup.minhash_signatures", counting
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = d.filter(F.col("doc_id") % INC_BATCH_MOD == 3).select(
+        (F.col("doc_id") + INC_BATCH_OFFSET).alias("doc_id"), "text"
+    )
+    n_batch = batch.count()
+    incremental_cluster_labels(spark, sf_dir, batch).count()
+    assert sizes == [n_batch]  # exactly one signature pass, batch-sized
 
 
 def test_artifact_dirs_are_lru_bounded(sf_dir):

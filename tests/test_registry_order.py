@@ -26,6 +26,9 @@ MUST_BE_IN_WINDOW = {
     # Third artifact consumer + session path mining.
     "q171_cluster_histogram",
     "q172_top_paths",
+    # Incremental cluster refresh off the persisted band index; oracle =
+    # from-scratch recompute on the union corpus.
+    "q173_incremental_clusters",
     # Oracle is new this round (r5 row was no_oracle).
     "q163_bpe_encode",
     # Oracle's probe CTE now generated from BQ_WORDS (ADVICE r05).
