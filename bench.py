@@ -248,6 +248,7 @@ HEADLINE = [
     "q171_cluster_histogram",
     "q172_top_paths",
     "q173_incremental_clusters",
+    "q174_density_clusters",
 ]
 
 

@@ -549,3 +549,180 @@ def q169_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --- q174: density clustering over the LSH candidate graph ------------------
+
+DBS_EPS = 0.35
+DBS_MINPTS = 3
+
+
+def _gen_density_sql() -> str:
+    """Generated oracle for q174: q169's bucket/candidate/cosine stages
+    feed DBSCAN's core/border classification and a recursive CC over
+    core-core edges — stage-for-stage with the Spark plan, including
+    the deterministic border tie-break (MIN adjacent core cluster)."""
+    planes = _hyperplanes()
+
+    def proj_sql(vec: str, plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        return (
+            f"list_reduce(list_transform(list_zip({vec}, {arr}::DOUBLE[]), "
+            f"p -> CAST(p[1] AS DOUBLE) * p[2]), (acc, x) -> acc + x)"
+        )
+
+    def bucket_sql(vec: str, t: int) -> str:
+        bits = [
+            f"(CASE WHEN {proj_sql(vec, planes[t * LSH_BITS + i])} > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(LSH_BITS)
+        ]
+        return " + ".join(bits)
+
+    tagged_buckets = ",\n         ".join(
+        f"{bucket_sql('embedding', t)} AS bucket{t}" for t in range(LSH_TABLES)
+    )
+    entry_selects = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, bucket{t} AS bucket FROM tagged"
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+WITH RECURSIVE tagged AS (
+  SELECT vec_id, embedding,
+         {tagged_buckets}
+  FROM embeddings
+),
+entries AS (
+  {entry_selects}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM entries a JOIN entries b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+edges AS (
+  SELECT c.src, c.dst
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.src
+  JOIN embeddings eb ON eb.vec_id = c.dst
+  WHERE {_sql_cosine('ea.embedding', 'eb.embedding')} >= {DBS_EPS}
+),
+sym AS (
+  SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
+core AS (SELECT node FROM deg WHERE d >= {DBS_MINPTS}),
+core_edges AS (
+  SELECT s.src, s.dst FROM sym s
+  JOIN core c1 ON c1.node = s.src JOIN core c2 ON c2.node = s.dst
+),
+conn(src, dst) AS (
+  SELECT node, node FROM core
+  UNION
+  SELECT conn.src, e.dst FROM conn JOIN core_edges e ON conn.dst = e.src
+),
+core_labels AS (SELECT src AS vec_id, MIN(dst) AS cluster_id FROM conn GROUP BY src),
+border AS (
+  SELECT s.src AS vec_id, MIN(cl.cluster_id) AS cluster_id
+  FROM sym s
+  JOIN core_labels cl ON cl.vec_id = s.dst
+  WHERE s.src NOT IN (SELECT node FROM core)
+  GROUP BY s.src
+)
+SELECT vec_id, cluster_id, CAST(1 AS BIGINT) AS is_core FROM core_labels
+UNION ALL
+SELECT vec_id, cluster_id, CAST(0 AS BIGINT) AS is_core FROM border
+"""
+
+
+@register("q174_density_clusters", _gen_density_sql())
+def q174_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN-style density clustering over the LSH candidate graph:
+    eps-neighbor edges (cosine >= DBS_EPS among bucket candidates), core
+    points = degree >= DBS_MINPTS, clusters = connected components of
+    the core-core subgraph, border points attach to the MIN adjacent
+    core cluster (classic DBSCAN's border assignment is scan-order-
+    dependent; the MIN rule makes it deterministic and engine-
+    mirrorable). Noise — neither core nor core-adjacent — is excluded.
+
+    This is the density companion to q80's transitive near-dup CC: CC
+    merges through every chance pair, density clustering requires
+    DBS_MINPTS-fold corroboration before a point can glue clusters —
+    the standard embedding-space cluster-seeding primitive. Scale shape
+    inherits q169 (slim bucket self-join, shuffle_hash array join-back);
+    the core-subgraph CC uses STAR CONTRACTION, not min-label
+    propagation — eps-graphs at moderate thresholds form long chains
+    (diameter ≫ near-dup components; measured: >20 propagation rounds
+    already at sf0.1), and star contraction is O(log² n) rounds
+    regardless of diameter. Degrees are LSH-candidate degrees (the
+    approximation is in candidate generation only, mirrored exactly by
+    the oracle)."""
+    from .dedup import connected_components_star
+
+    planes = _hyperplanes()
+    e = load_table(spark, sf_dir, "embeddings")
+    tagged = e.select(
+        "vec_id", "embedding", *lsh_table_buckets(F.col("embedding"), planes)
+    )
+    entries = tagged.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"bucket{t}") for t in range(LSH_TABLES)])
+        ).alias("table", "bucket"),
+    ).localCheckpoint(eager=False)
+    a = entries.select(F.col("vec_id").alias("src"), "table", "bucket")
+    b = entries.select(F.col("vec_id").alias("dst"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("e_src"))
+    eb = e.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("e_dst"))
+    edges = (
+        cand.join(ea.hint("shuffle_hash"), "src")
+        .join(eb.hint("shuffle_hash"), "dst")
+        .filter(cosine(F.col("e_src"), F.col("e_dst")) >= DBS_EPS)
+        .select("src", "dst")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    core = deg.filter(F.col("d") >= DBS_MINPTS).select("node")
+    core_edges = (
+        sym.join(core.withColumnRenamed("node", "src"), "src", "left_semi")
+        .join(core.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        .select(
+            F.col("src").alias("doc_id_a"), F.col("dst").alias("doc_id_b")
+        )
+    )
+    propagated = connected_components_star(core_edges).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+    # isolated cores (no core neighbor) are their own clusters
+    isolated = core.join(
+        propagated.withColumnRenamed("vec_id", "node"), "node", "left_anti"
+    ).select(F.col("node").alias("vec_id"), F.col("node").alias("cluster_id"))
+    core_labels = propagated.unionByName(isolated)
+    border = (
+        sym.join(core.withColumnRenamed("node", "src"), "src", "left_anti")
+        .join(
+            core_labels.select(
+                F.col("vec_id").alias("dst"), "cluster_id"
+            ),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("vec_id"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    return core_labels.select(
+        "vec_id", "cluster_id", F.lit(1).cast("long").alias("is_core")
+    ).unionByName(
+        border.select(
+            "vec_id", "cluster_id", F.lit(0).cast("long").alias("is_core")
+        )
+    )

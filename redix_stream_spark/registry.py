@@ -91,6 +91,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q171_cluster_histogram",
     "q172_top_paths",
     "q173_incremental_clusters",
+    "q174_density_clusters",
     "q163_bpe_encode",
     "q147_binary_ann_topk",
     "q81_clean_corpus",
@@ -133,7 +134,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q91_waiting_suppliers",
     # -- latest driver row is r3; helpers touched in r4-r5 --
     "q107_containment_dup",
-    "q130_corpus_report",
 )
 
 

@@ -29,6 +29,8 @@ MUST_BE_IN_WINDOW = {
     # Incremental cluster refresh off the persisted band index; oracle =
     # from-scratch recompute on the union corpus.
     "q173_incremental_clusters",
+    # DBSCAN-style density clustering over the LSH candidate graph.
+    "q174_density_clusters",
     # Oracle is new this round (r5 row was no_oracle).
     "q163_bpe_encode",
     # Oracle's probe CTE now generated from BQ_WORDS (ADVICE r05).
