@@ -249,6 +249,7 @@ HEADLINE = [
     "q172_top_paths",
     "q173_incremental_clusters",
     "q174_density_clusters",
+    "q43c_ann_ivf_exact",
 ]
 
 

@@ -133,9 +133,12 @@ def kmeans_update(assign: DataFrame) -> DataFrame:
     )
 
 
-def kmeans(vecs: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
+def kmeans_fit(
+    vecs: DataFrame, k: int = KM_K, iters: int = KM_ITERS
+) -> tuple[DataFrame, DataFrame]:
     """``iters`` assignment rounds with ``iters - 1`` centroid updates in
-    between (Lloyd's); returns the final (vec_id, cluster, dist).
+    between (Lloyd's); returns (final assignment, the centroids that
+    final assignment used) — the codebook an IVF index probes (q43c).
 
     Clusters emptied by a reassignment drop out (their centroid simply
     has no members to average) — standard Lloyd behavior, identical in
@@ -146,6 +149,12 @@ def kmeans(vecs: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
     for _ in range(iters - 1):
         cents = kmeans_update(assign)
         assign = kmeans_assign(vecs, cents)
+    return assign, cents
+
+
+def kmeans(vecs: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
+    """``kmeans_fit`` returning just the (vec_id, cluster, dist) rows."""
+    assign, _ = kmeans_fit(vecs, k, iters)
     return assign.select("vec_id", "cluster", "dist")
 
 

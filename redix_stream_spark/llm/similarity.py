@@ -726,3 +726,95 @@ def q174_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "cluster_id", F.lit(0).cast("long").alias("is_core")
         )
     )
+
+
+# --- q43c: oracle-backed IVF — the repo quantizer instead of MLlib ----------
+
+IVF_NPROBE = 3
+
+
+def _gen_ivf_exact_sql() -> str:
+    """Generated oracle for q43c: q141's unrolled k-means CTE chain is
+    the quantizer; the probe ranks cells by centroid cosine, unions the
+    top-IVF_NPROBE cells' members, and exact-cosine re-ranks — every
+    stage the same deterministic fold arithmetic as the Spark plan."""
+    from .kmeans import _gen_kmeans_oracle_sql
+
+    km = _gen_kmeans_oracle_sql().strip()
+    # reuse the full kmeans WITH-chain, swap the final SELECT for probes
+    km_body = km[: km.rindex("SELECT")].rstrip().rstrip(",")
+    cos_cent = _sql_cosine("c.cvec", "q.qv")
+    cos_vec = _sql_cosine("e.embedding", "q.qv")
+    return f"""{km_body},
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+cells AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           ROW_NUMBER() OVER (ORDER BY {cos_cent} DESC, c.cid) AS rk
+    FROM c1 c CROSS JOIN qv q
+  ) WHERE rk <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT a.vec_id FROM a2 a JOIN cells ON cells.cid = a.cluster
+  WHERE a.vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, label, sim, rank FROM (
+  SELECT e.vec_id, e.label, {cos_vec} AS sim,
+         CAST(ROW_NUMBER() OVER (ORDER BY {cos_vec} DESC, e.vec_id) AS BIGINT)
+           AS rank
+  FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id CROSS JOIN qv q
+) WHERE rank <= 10
+"""
+
+
+@register("q43c_ann_ivf_exact", _gen_ivf_exact_sql())
+def q43c_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the REPO's deterministic k-means as the coarse
+    quantizer — the oracle-backed sibling of q43b (which deliberately
+    exercises the MLlib KMeans integration; its cells are
+    engine-internal). Here the codebook is q141's seedless md5-ordered
+    Lloyd fit, so cell boundaries, probe choice (top-IVF_NPROBE cells by
+    centroid cosine, cid tie-break) and the exact re-rank are ALL
+    hash-checked cross-engine — with q42 (LSH) and q147 (binary) this
+    makes every ANN index family oracle-verifiable end to end.
+
+    Scale shape: at 100 TB the cell id is the partition key (a probe
+    reads nprobe/k of the corpus — partition-pruned, q43b's note), the
+    codebook broadcasts, and the fit runs on a bounded sample
+    (seed_centroids + two Lloyd rounds here keep the fit itself
+    corpus-exact for the oracle)."""
+    from .kmeans import KM_ITERS, KM_K, kmeans_fit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assign, cents = kmeans_fit(
+        e.select("vec_id", "embedding"), KM_K, KM_ITERS
+    )
+    probe = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    cells = (
+        cents.crossJoin(F.broadcast(probe))
+        .select("cid", cosine(F.col("cvec"), F.col("qv")).alias("csim"))
+        .orderBy(F.col("csim").desc(), F.col("cid"))
+        .limit(IVF_NPROBE)
+        .select(F.col("cid").alias("cluster"))
+    )
+    cand = (
+        assign.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(cells), "cluster")
+        .select("vec_id")
+    )
+    scored = (
+        cand.join(
+            e.select("vec_id", "label", "embedding").hint("shuffle_hash"),
+            "vec_id",
+        )
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", "label", cosine(F.col("embedding"), F.col("qv")).alias("sim"))
+    )
+    rank_w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+    )

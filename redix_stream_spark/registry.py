@@ -92,6 +92,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q172_top_paths",
     "q173_incremental_clusters",
     "q174_density_clusters",
+    "q43c_ann_ivf_exact",
     "q163_bpe_encode",
     "q147_binary_ann_topk",
     "q81_clean_corpus",
@@ -131,7 +132,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q87_sequence_packing",
     "q89_priority_late_orders",
     "q90_late_lines_by_status",
-    "q91_waiting_suppliers",
     # -- latest driver row is r3; helpers touched in r4-r5 --
     "q107_containment_dup",
 )

@@ -31,6 +31,8 @@ MUST_BE_IN_WINDOW = {
     "q173_incremental_clusters",
     # DBSCAN-style density clustering over the LSH candidate graph.
     "q174_density_clusters",
+    # Oracle-backed IVF (repo quantizer) completing the ANN-index oracle set.
+    "q43c_ann_ivf_exact",
     # Oracle is new this round (r5 row was no_oracle).
     "q163_bpe_encode",
     # Oracle's probe CTE now generated from BQ_WORDS (ADVICE r05).
