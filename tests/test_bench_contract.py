@@ -81,7 +81,10 @@ def test_bench_line_fits_driver_window():
     assert len(line) <= bench.LINE_LIMIT
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_wall_sec"
-    assert parsed["value"] == round(sum(timings.values()), 2)
+    # budget_line rounds the 3-decimal INPUT value to 2 decimals; deriving
+    # the expectation from the raw sum instead double-rounds differently
+    # when the sum lands on a .xx5 boundary (bit the round-6 headline).
+    assert parsed["value"] == round(result["value"], 2)
     assert parsed["queries"]  # slowest entries survive any trim
     # a trimmed map must say how many entries were dropped
     total_kept = len(parsed["queries"]) + parsed.get("omitted", 0)
