@@ -136,6 +136,11 @@ BIG_HEADLINE = [
     "q156_kcore_decomposition",
     "q157_bfs_levels",
     "q166_corpus_pipeline",
+    # round-6: incremental refresh is the sublinear-by-design face (the
+    # fixed-width kNN/density faces are deliberately NOT gated at sf1 —
+    # their measured 10x blowup and the bits-scaling law live in
+    # SCALING.md "round-6 faces").
+    "q173_incremental_clusters",
 ]
 
 #: Representative spread: scan-agg, star join, range/as-of join, windows,
