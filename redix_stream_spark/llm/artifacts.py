@@ -42,10 +42,27 @@ ARTIFACT_PREFIX = "redix_cluster_labels_"
 ARTIFACT_KEEP = 4
 
 
+def _pipeline_digest() -> str:
+    """Digest of the clustering parameters baked into the artifact.
+
+    The fingerprint must cover BOTH inputs of the materialized labels:
+    the corpus bytes AND the pipeline that derived them. Without this,
+    changing PERM_PARAMS / N_BANDS / SHINGLE_K / JACCARD_THRESHOLD
+    serves stale labels from a warm /tmp artifact — loud in
+    oracle-checked paths, silently wrong in bench timings (ADVICE r6)."""
+    from .dedup import JACCARD_THRESHOLD, N_BANDS, PERM_PARAMS, SHINGLE_K
+
+    return hashlib.md5(
+        repr((PERM_PARAMS, N_BANDS, SHINGLE_K, JACCARD_THRESHOLD)).encode()
+    ).hexdigest()
+
+
 def corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
-    """Deterministic fingerprint of a parquet table's files: md5 over
-    (relative name, size, mtime_ns) of every data file. Cheap (stat-only,
-    no reads) and conservative — any rewrite changes the fingerprint."""
+    """Deterministic fingerprint of a parquet table's files AND the
+    clustering parameters: md5 over (relative name, size, mtime_ns) of
+    every data file plus :func:`_pipeline_digest`. Cheap (stat-only, no
+    reads) and conservative — any corpus rewrite or parameter change
+    invalidates the artifact."""
     path = os.path.join(sf_dir, f"{table}.parquet")
     entries = []
     if os.path.isdir(path):
@@ -57,7 +74,9 @@ def corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
     else:
         st = os.stat(path)
         entries.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
-    h = hashlib.md5(repr(sorted(entries)).encode()).hexdigest()
+    h = hashlib.md5(
+        (repr(sorted(entries)) + _pipeline_digest()).encode()
+    ).hexdigest()
     return h[:16]
 
 
@@ -67,6 +86,12 @@ def _artifact_root(fingerprint: str) -> str:
     oldest siblings past the cap (LRU, the ``_scratch`` bounded-disk
     discipline — a rewritten corpus's stale labels age out and can never
     be served anyway, the fingerprint no longer matches)."""
+    def _mtime_or_zero(p: str) -> float:
+        try:
+            return os.path.getmtime(p)
+        except OSError:
+            return 0.0
+
     base = tempfile.gettempdir()
     keep = os.path.join(base, f"{ARTIFACT_PREFIX}{fingerprint}")
     os.makedirs(keep, exist_ok=True)
@@ -78,7 +103,10 @@ def _artifact_root(fingerprint: str) -> str:
             if name.startswith(ARTIFACT_PREFIX)
             and (p := os.path.join(base, name)) != keep
         ),
-        key=lambda p: os.path.getmtime(p),
+        # A concurrent session (or tmp cleanup) can remove a sibling
+        # between the listdir and this stat — missing dirs sort oldest
+        # and the rmtree below is already ignore_errors (ADVICE r6).
+        key=lambda p: _mtime_or_zero(p),
     )
     for p in siblings[: max(0, len(siblings) - (ARTIFACT_KEEP - 1))]:
         shutil.rmtree(p, ignore_errors=True)
@@ -118,8 +146,12 @@ def _tables(spark: SparkSession, sf_dir: str):
             .select("doc_id_a", "doc_id_b")
         )
         labels = propagate_min_labels(_sym_edges(pairs))
-        labels_t.write(labels, target_files=4)
+        # Bands land FIRST: the rebuild gate is labels_t.generations(),
+        # so the gate table must commit LAST — a crash between the two
+        # writes then leaves a retryable miss, never a half-built
+        # artifact that passes the gate with empty bands (ADVICE r6).
         bands_t.write(bands, target_files=4)
+        labels_t.write(labels, target_files=4)
     return labels_t, bands_t
 
 

@@ -782,6 +782,11 @@ def parse_mp3_meta(payload: bytes) -> dict | None:
                 return None
             size = (size << 7) | b
         i = 10 + size
+        if payload[5] & 0x10:
+            # ID3v2.4 footer flag: a 10-byte '3DI' footer follows the
+            # tag body; without this skip the first-frame probe lands
+            # on the footer and the whole stream parses as None.
+            i += 10
     first = _mp3_frame(payload, i)
     if first is None:
         return None

@@ -2473,11 +2473,15 @@ def q172_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     the candidates).
 
     Scale shape: sessionization is q165's lag/cumsum idiom (per-user
-    window, event-bounded partitions); the path key is built from a
-    per-session sorted collect CAPPED at PATH_MAX events, so state per
-    session is bounded no matter how long a bot session runs; the final
-    top-k is orderBy+limit (TakeOrdered) with rank stamped on the k
-    rows — never a full-relation rank window."""
+    window, event-bounded partitions); events are numbered WITHIN their
+    session (running max of the session-start sequence — stays on the
+    user_id exchange, unlike a (user_id, sid)-partitioned row_number)
+    and rows past PATH_MAX are FILTERED before the collect, so per-group
+    aggregation state holds at most PATH_MAX structs no matter how long
+    a bot session runs (a post-hoc slice would still buffer the whole
+    session — the collect_list shape q165's notes warn against); the
+    final top-k is orderBy+limit (TakeOrdered) with rank stamped on the
+    k rows — never a full-relation rank window."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
@@ -2491,27 +2495,27 @@ def q172_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         1,
     ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
     s = (
         ev.withColumn("__prev_ts", prev)
         .withColumn("is_start", is_start)
+        .withColumn("sid", F.sum("is_start").over(run))
+        .withColumn("seq", F.row_number().over(w))
         .withColumn(
-            "sid",
-            F.sum("is_start").over(
-                w.rowsBetween(Window.unboundedPreceding, 0)
-            ),
+            "rn",
+            F.col("seq")
+            - F.max(
+                F.when(F.col("is_start") == 1, F.col("seq"))
+            ).over(run)
+            + F.lit(1),
         )
+        .filter(F.col("rn") <= PATH_MAX)
     )
     paths = s.groupBy("user_id", "sid").agg(
         F.array_join(
             F.transform(
-                F.slice(
-                    F.sort_array(
-                        F.collect_list(
-                            F.struct("ts", "event_id", "event_type")
-                        )
-                    ),
-                    1,
-                    PATH_MAX,
+                F.sort_array(
+                    F.collect_list(F.struct("rn", "event_type"))
                 ),
                 lambda x: x["event_type"],
             ),

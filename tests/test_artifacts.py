@@ -162,3 +162,69 @@ def test_artifact_dirs_are_lru_bounded(sf_dir):
         n for n in os.listdir(base) if n.startswith(ARTIFACT_PREFIX)
     ]
     assert len(live) == ARTIFACT_KEEP
+
+
+def test_fingerprint_tracks_pipeline_parameters(sf_dir, monkeypatch):
+    """Changing a clustering parameter invalidates the artifact exactly
+    like a corpus rewrite does — a warm /tmp artifact built with the old
+    N_BANDS/threshold must never be served for the new pipeline
+    (ADVICE r6: silently stale bench timings in unchecked paths)."""
+    from redix_stream_spark.llm import dedup
+
+    fp1 = corpus_fingerprint(sf_dir)
+    monkeypatch.setattr(dedup, "N_BANDS", dedup.N_BANDS + 1)
+    fp2 = corpus_fingerprint(sf_dir)
+    assert fp2 != fp1
+    monkeypatch.setattr(
+        dedup, "JACCARD_THRESHOLD", dedup.JACCARD_THRESHOLD + 0.01
+    )
+    assert corpus_fingerprint(sf_dir) not in (fp1, fp2)
+
+
+def test_lru_sweep_survives_vanishing_sibling(sf_dir, monkeypatch):
+    """A sibling removed between listdir and the mtime stat (concurrent
+    session / tmp cleanup) must sort harmlessly, not kill the consumer
+    query with FileNotFoundError (ADVICE r6)."""
+    _clear_artifacts()
+    real_listdir = os.listdir
+
+    def ghost_listdir(path):
+        return real_listdir(path) + [f"{ARTIFACT_PREFIX}ghost_gone"]
+
+    monkeypatch.setattr(os, "listdir", ghost_listdir)
+    root = artifacts._artifact_root(corpus_fingerprint(sf_dir))
+    assert os.path.isdir(root)
+
+
+def test_build_commits_gate_table_last(spark, sf_dir, monkeypatch):
+    """The rebuild gate is labels_t.generations(), so labels must commit
+    LAST: a crash between the two artifact writes then leaves a
+    retryable miss — never a gate-passing artifact with empty bands
+    (ADVICE r6). Simulates the crash and checks self-repair."""
+    import pytest
+
+    from redix_stream_spark.sources.manifest_table import ManifestTable
+
+    _clear_artifacts()
+    real_write = ManifestTable.write
+
+    class Boom(RuntimeError):
+        pass
+
+    order = []
+
+    def crashing_write(self, df, **kw):
+        order.append(os.path.basename(self.root))
+        if self.root.endswith("labels"):
+            raise Boom("crash between artifact writes")
+        return real_write(self, df, **kw)
+
+    monkeypatch.setattr(ManifestTable, "write", crashing_write)
+    with pytest.raises(Boom):
+        artifacts._tables(spark, sf_dir)
+    assert order == ["bands", "labels"]  # bands landed first
+    monkeypatch.setattr(ManifestTable, "write", real_write)
+    labels_t, bands_t = artifacts._tables(spark, sf_dir)  # self-repairs
+    assert labels_t.generations() and bands_t.generations()
+    assert labels_t.read(spark).count() > 0
+    assert bands_t.read(spark).count() > 0

@@ -1509,3 +1509,24 @@ def test_q169_knn_graph_recall_vs_exact(spark, sf_dir):
         assert sorted(rs) == list(range(1, len(rs) + 1))
     hit = sum(1 for i in ids if got.get(i) == true_top1[i])
     assert hit / len(ids) >= 0.4  # calibrated floor, see docstring
+
+
+def test_mp3_id3v24_footer_is_skipped():
+    """ID3v2.4 footer flag (header byte 5 & 0x10) adds a 10-byte '3DI'
+    footer after the tag body; the first-frame probe must skip it or a
+    footered stream parses as None and its metadata is lost (ADVICE r6)."""
+    from redix_stream_spark.llm.multimodal import parse_mp3_meta
+
+    stream = b"".join(
+        _mp3_frame_bytes(br_idx=9, padding=i % 2) for i in range(12)
+    )
+    want = 12 * 1152 * 1000 // 44100
+    body = b"\x00" * 20  # syncsafe size 0x14, covers body only
+    header = b"ID3\x04\x00\x10\x00\x00\x00\x14"
+    footer = b"3DI\x04\x00\x10\x00\x00\x00\x14"
+    footered = header + body + footer + stream
+    meta = parse_mp3_meta(footered)
+    assert meta is not None and meta["duration_ms"] == want
+    # without the footer flag the same layout must NOT double-skip
+    plain = b"ID3\x04\x00\x00\x00\x00\x00\x14" + body + stream
+    assert parse_mp3_meta(plain)["duration_ms"] == want

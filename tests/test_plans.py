@@ -644,3 +644,15 @@ def test_q169_knn_graph_fat_joins_are_shuffle_hash(spark, sf_dir):
     for line in plan.splitlines():
         if "BroadcastHashJoin" in line and "embedding" in line:
             raise AssertionError(f"embedding relation broadcast: {line}")
+
+
+def test_q172_top_paths_caps_state_before_collect(spark, sf_dir):
+    """q172's sessionize + in-session numbering + path collect all ride
+    ONE user-keyed exchange (the in-session row number is a running max
+    of the start sequence, NOT a (user_id, sid)-partitioned window —
+    that would re-shuffle), and the PATH_MAX cap is a Filter BEFORE the
+    aggregate so per-group state is bounded (ADVICE r6: the previous
+    slice-after-collect buffered whole bot sessions)."""
+    plan = plan_of(QUERIES["q172_top_paths"](spark, sf_dir))
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "CartesianProduct" not in plan
