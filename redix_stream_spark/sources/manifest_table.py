@@ -71,6 +71,54 @@ def _stat_json(v):
     )
 
 
+#: Per-file bloom filter sizing: BLOOM_BITS bits (as BLOOM_BITS//64
+#: signed longs in the manifest), BLOOM_K hash probes per value. All
+#: probes derive from ONE md5 of the value's string form — 4 disjoint
+#: 32-bit hex slices — so the Spark aggregate and the driver-side probe
+#: share the hash by construction (the repo's md5-derived-hash rule).
+#: At 10k distinct values/file, 1024 bits / 4 probes gives ~1 false
+#: positive per ~3 probed files at worst — false positives only cost an
+#: extra file read; false negatives are impossible.
+BLOOM_BITS = 1024
+BLOOM_K = 4
+BLOOM_WORDS = BLOOM_BITS // 64
+_U64 = (1 << 64) - 1
+
+
+def _bloom_word_expr(col: str, word: int) -> str:
+    """SQL aggregate producing word ``word`` of a file's bloom filter
+    for ``col``: each row contributes BLOOM_K bit positions (md5 hex
+    slices mod BLOOM_BITS); positions landing in this 64-bit word OR a
+    shifted bit in, BIT_OR folds the file. NULL values contribute no
+    bits (IF's NULL condition takes the else branch)."""
+    parts = []
+    for i in range(BLOOM_K):
+        p = (
+            f"(CAST(CONV(SUBSTR(MD5(CAST(`{col}` AS STRING)), "
+            f"{1 + 8 * i}, 8), 16, 10) AS BIGINT) % {BLOOM_BITS})"
+        )
+        parts.append(
+            f"IF({p} DIV 64 = {word}, "
+            f"SHIFTLEFT(CAST(1 AS BIGINT), CAST({p} % 64 AS INT)), "
+            f"CAST(0 AS BIGINT))"
+        )
+    return f"BIT_OR({' | '.join(parts)})"
+
+
+def _bloom_probe_bits(value) -> list[tuple[int, int]]:
+    """Driver-side twin of :func:`_bloom_word_expr`: the (word, bit)
+    pairs a value sets — identical md5-slice derivation, so a committed
+    bloom can never false-negative a value the aggregate saw."""
+    import hashlib
+
+    h = hashlib.md5(str(value).encode()).hexdigest()
+    out = []
+    for i in range(BLOOM_K):
+        p = int(h[8 * i : 8 * i + 8], 16) % BLOOM_BITS
+        out.append((p // 64, 1 << (p % 64)))
+    return out
+
+
 #: _commit sentinel: "no OCC check" (full-overwrite semantics). Distinct
 #: from base_gen=None, which means "I snapshotted an EMPTY table and my
 #: commit must be its first" — the empty-table race is still a race.
@@ -108,12 +156,25 @@ class ManifestTable:
 
     HISTORY_CAP = 16
 
-    def __init__(self, root: str, key: str, stats_cols: list[str] | None = None):
+    def __init__(
+        self,
+        root: str,
+        key: str,
+        stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+    ):
         self.root = root
         self.key = key
         self.stats_cols = [key] + [
             c for c in (stats_cols or []) if c != key
         ]
+        #: Columns carrying a per-file bloom filter in the manifest —
+        #: point-lookup skipping for columns the range clustering does
+        #: NOT order (the key's zone maps already handle the key; a
+        #: non-cluster column's zones span the whole domain in every
+        #: file, so only a membership sketch can skip). Int/string
+        #: columns only (the probe hashes the CAST-AS-STRING form).
+        self.bloom_cols = list(bloom_cols or [])
         self.state = GenerationState(root)
         self.data_dir = os.path.join(root, "data")
         os.makedirs(self.data_dir, exist_ok=True)
@@ -221,6 +282,11 @@ class ManifestTable:
         for c in self.stats_cols:
             aggs.append(F.min(c).alias(f"min_{c}"))
             aggs.append(F.max(c).alias(f"max_{c}"))
+        for c in self.bloom_cols:
+            for w in range(BLOOM_WORDS):
+                aggs.append(
+                    F.expr(_bloom_word_expr(c, w)).alias(f"bloom_{c}_{w}")
+                )
         stats = (
             spark.read.schema(df.schema)
             .parquet(stage)
@@ -234,19 +300,26 @@ class ManifestTable:
             src = r["f"]
             src = src[len("file:"):] if src.startswith("file:") else src
             os.rename(src, os.path.join(self.data_dir, name))
-            entries.append(
-                {
-                    "file": os.path.join("data", name),
-                    "rows": r["rows"],
-                    "stats": {
-                        c: [
-                            _stat_json(r[f"min_{c}"]),
-                            _stat_json(r[f"max_{c}"]),
-                        ]
-                        for c in self.stats_cols
-                    },
+            entry = {
+                "file": os.path.join("data", name),
+                "rows": r["rows"],
+                "stats": {
+                    c: [
+                        _stat_json(r[f"min_{c}"]),
+                        _stat_json(r[f"max_{c}"]),
+                    ]
+                    for c in self.stats_cols
+                },
+            }
+            if self.bloom_cols:
+                entry["bloom"] = {
+                    c: [
+                        int(r[f"bloom_{c}_{w}"] or 0)
+                        for w in range(BLOOM_WORDS)
+                    ]
+                    for c in self.bloom_cols
                 }
-            )
+            entries.append(entry)
         shutil.rmtree(stage, ignore_errors=True)
         return entries
 
@@ -326,6 +399,51 @@ class ManifestTable:
                 and not (e["stats"][col][1] < lo or e["stats"][col][0] > hi)
             ]
         return kept, total
+
+    def prune_values(
+        self, col: str, values: list, gen: int | None = None
+    ) -> tuple[list[dict], int]:
+        """Driver-side bloom pruning for a point-lookup value set: a
+        file survives if ANY probe value has all its BLOOM_K bits set in
+        the file's filter for ``col``. Files committed without a bloom
+        for the column are kept (a sketch may only SKIP, never decide
+        membership) — false positives cost one extra file read, false
+        negatives are structurally impossible (the probe and the write
+        aggregate derive bits from the same md5 slices)."""
+        entries = self.manifest(gen)
+        total = len(entries)
+        probes = [_bloom_probe_bits(v) for v in values]
+        kept = []
+        for e in entries:
+            words = (e.get("bloom") or {}).get(col)
+            if words is None:
+                kept.append(e)
+                continue
+            uw = [w & _U64 for w in words]
+            if any(
+                all(uw[wi] & bit == bit for wi, bit in probe)
+                for probe in probes
+            ):
+                kept.append(e)
+        return kept, total
+
+    def lookup(self, spark: SparkSession, col: str, values: list) -> DataFrame:
+        """Point lookup on a (typically non-cluster) column: bloom
+        filters drop files at plan time, the residual IN-filter applies
+        on the survivors and pushes to parquet row groups — the
+        secondary-index story for a table whose placement is owned by a
+        different key."""
+        gen = self.state.current_gen()
+        if gen is None:
+            return spark.createDataFrame([], StructType())
+        kept, _total = self.prune_values(col, values, gen=gen)
+        schema = self.schema(gen)
+        if not kept:
+            return spark.createDataFrame([], schema or StructType())
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, e["file"]) for e in kept]
+        )
+        return df.filter(F.col(col).isin(values))
 
     def scan(self, spark: SparkSession, col: str, lo, hi) -> DataFrame:
         """Range scan with file skipping: zone maps drop non-overlapping
@@ -705,6 +823,67 @@ GROUP BY COALESCE(o_note, 'carried')
 ORDER BY note
 """
 
+#: q178 range delete: the oracle is the anti-range aggregate — a file
+#: rewritten with one surviving row dropped, or a non-overlapping file
+#: touched and corrupted, diverges the hash.
+Q178_DEL_LO, Q178_DEL_HI = 1000, 2999
+
+Q178_SQL = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+WHERE o_orderkey NOT BETWEEN {Q178_DEL_LO} AND {Q178_DEL_HI}
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+#: q179 fragmentation inserts: three out-of-range batches (disjoint key
+#: offsets, so each merge appends files without rewriting any) — the
+#: small-file/zone-overlap debt OPTIMIZE then pays down. The oracle is
+#: the union aggregate: compaction + vacuum must be hash-invisible.
+Q179_OFFS = (20_000_000, 30_000_000, 40_000_000)
+
+Q179_SQL = f"""
+WITH t AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  UNION ALL
+  SELECT o_orderkey + {Q179_OFFS[0]}, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 89 = 0
+  UNION ALL
+  SELECT o_orderkey + {Q179_OFFS[1]}, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 89 = 1
+  UNION ALL
+  SELECT o_orderkey + {Q179_OFFS[2]}, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 89 = 2
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM t
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+#: q182 probe keys: fixed low custkeys that exist at every SF (TPC-H
+#: customer keys are dense from 1); missing keys would simply yield no
+#: group, so the face stays well-defined on any corpus.
+Q182_KEYS = (3, 41, 77, 111, 149)
+
+Q182_SQL = f"""
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_custkey IN {Q182_KEYS!r}
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
 #: q168 oracle is the PLAIN orders aggregate: after merge + restore the
 #: table must be byte-equivalent to its first snapshot, so any leaked
 #: merged row (or dropped original) diverges the hash.
@@ -877,6 +1056,99 @@ def _register_queries() -> None:
                 F.max("o_orderkey").cast("bigint").alias("max_key"),
             )
             .orderBy("o_orderstatus")
+        )
+
+    @register("q178_table_delete", Q178_SQL)
+    def q178_table_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """orders → ManifestTable → COW range DELETE → read back →
+        aggregate. The oracle is the anti-range aggregate: only files
+        whose key zone overlaps the deleted range may be rewritten
+        (pinned in tests/test_manifest_table.py); every surviving row in
+        them — and every byte of the untouched files — must carry
+        forward exactly, or the hash diverges."""
+        root = _scratch("q178_mtable_")
+        shutil.rmtree(root, ignore_errors=True)
+        tbl = ManifestTable(os.path.join(root, "orders"), "o_orderkey")
+        tbl.write(load_table(spark, sf_dir, "orders"), target_files=8)
+        tbl.delete(spark, "o_orderkey", Q178_DEL_LO, Q178_DEL_HI)
+        return (
+            tbl.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                dsum(money("o_totalprice"), "sum_price"),
+                F.min("o_orderkey").cast("bigint").alias("min_key"),
+                F.max("o_orderkey").cast("bigint").alias("max_key"),
+            )
+            .orderBy("o_orderstatus")
+        )
+
+    @register("q179_compact_reclaim", Q179_SQL)
+    def q179_compact_reclaim(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The table-maintenance lifecycle end to end: orders →
+        ManifestTable → three out-of-range insert merges (each appends
+        small files and loosens zone disjointness — writer-commits-fast
+        debt) → OPTIMIZE (re-range-cluster to target_files) → VACUUM
+        (reclaim unreferenced files, trim expired snapshots) → read →
+        aggregate. The oracle is the plain union aggregate: both
+        maintenance commands are layout-only and must be hash-invisible;
+        file-count mechanics are pinned separately in
+        tests/test_manifest_table.py."""
+        root = _scratch("q179_mtable_")
+        shutil.rmtree(root, ignore_errors=True)
+        tbl = ManifestTable(os.path.join(root, "orders"), "o_orderkey")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        tbl.write(o, target_files=8)
+        for i, off in enumerate(Q179_OFFS):
+            batch = o.filter(F.col("o_orderkey") % 89 == i).select(
+                (F.col("o_orderkey") + F.lit(off)).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+            tbl.merge(spark, batch)
+        tbl.compact(spark, target_files=8)
+        tbl.vacuum()
+        return (
+            tbl.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                dsum(money("o_totalprice"), "sum_price"),
+                F.min("o_orderkey").cast("bigint").alias("min_key"),
+                F.max("o_orderkey").cast("bigint").alias("max_key"),
+            )
+            .orderBy("o_orderstatus")
+        )
+
+    @register("q182_bloom_point_lookup", Q182_SQL)
+    def q182_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Point lookup on a NON-cluster column via per-file bloom
+        filters: orders range-clustered on o_orderkey (so o_custkey zone
+        maps are useless — every file spans the whole custkey domain)
+        with a bloom on o_custkey; ``lookup`` consults the blooms to
+        skip files, the residual IN-filter makes survivors exact. The
+        oracle is the plain IN aggregate — a bloom false NEGATIVE (the
+        only way a sketch can corrupt results) drops a group's rows and
+        diverges the hash; skip effectiveness is pinned in
+        tests/test_manifest_table.py."""
+        root = _scratch("q182_mtable_")
+        shutil.rmtree(root, ignore_errors=True)
+        tbl = ManifestTable(
+            os.path.join(root, "orders"),
+            "o_orderkey",
+            bloom_cols=["o_custkey"],
+        )
+        tbl.write(load_table(spark, sf_dir, "orders"), target_files=16)
+        return (
+            tbl.lookup(spark, "o_custkey", list(Q182_KEYS))
+            .groupBy(F.col("o_custkey").cast("bigint").alias("o_custkey"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                dsum(money("o_totalprice"), "sum_price"),
+            )
+            .orderBy("o_custkey")
         )
 
 

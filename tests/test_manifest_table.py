@@ -561,3 +561,68 @@ def test_timestamp_stats_cols_are_supported(spark, tmp_path):
     got = tbl.scan_box(spark, {"o_orderdate": (lo, hi)})
     want = o.filter(F.col("o_orderdate").between(lo, hi))
     assert got.count() == want.count()
+
+
+# -- per-file bloom filters (q182's machinery) ------------------------------
+
+
+@pytest.fixture()
+def bloom_table(spark, tmp_path):
+    tbl = ManifestTable(
+        str(tmp_path / "orders"), "o_orderkey", bloom_cols=["o_custkey"]
+    )
+    tbl.write(load_table(spark, SF_DIR, "orders"), target_files=16)
+    return tbl
+
+
+def test_bloom_lookup_skips_files_and_is_exact(spark, bloom_table):
+    """The point of the bloom is SKIPPING: a single custkey's orders
+    live in a bounded subset of the range-clustered files, and the
+    lookup must read fewer files than the table has — while returning
+    exactly the plain-filter rows (false positives only cost reads;
+    a false negative would drop rows and is structurally impossible)."""
+    kept, total = bloom_table.prune_values("o_custkey", [3])
+    assert total == 16 and len(kept) < total
+    got = _sorted_rows(bloom_table.lookup(spark, "o_custkey", [3, 41]))
+    want = _sorted_rows(
+        bloom_table.read(spark).filter(F.col("o_custkey").isin([3, 41]))
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bloom_never_false_negatives_across_domain(spark, bloom_table):
+    """Every custkey that truly exists must survive pruning with ALL its
+    rows — checked per key across a sample of the domain (the write
+    aggregate and the driver probe share the md5 slice derivation, so
+    this is a parity test of the two implementations)."""
+    truth = {
+        r["o_custkey"]: r["n"]
+        for r in bloom_table.read(spark)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    sample = sorted(truth)[::17]  # every 17th key, ~9 keys at sf0.001
+    for k in sample:
+        n = bloom_table.lookup(spark, "o_custkey", [k]).count()
+        assert n == truth[k], f"custkey {k}: {n} != {truth[k]}"
+
+
+def test_bloom_rebuilt_on_cow_rewrite(spark, bloom_table):
+    """Files rewritten by DELETE get fresh blooms (the write path owns
+    bloom construction), and lookups stay exact afterwards."""
+    bloom_table.delete(spark, "o_orderkey", 1, 400)
+    for e in bloom_table.manifest():
+        assert "o_custkey" in (e.get("bloom") or {})
+    got = _sorted_rows(bloom_table.lookup(spark, "o_custkey", [7]))
+    want = _sorted_rows(
+        bloom_table.read(spark).filter(F.col("o_custkey") == 7)
+    )
+    assert got == want
+
+
+def test_tables_without_blooms_keep_every_file(orders_table):
+    """prune_values on a table committed without blooms must keep all
+    files — a sketch may only skip, never decide membership."""
+    kept, total = orders_table.prune_values("o_custkey", [3])
+    assert len(kept) == total == 8
