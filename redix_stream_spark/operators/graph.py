@@ -47,7 +47,7 @@ past ~10, the q80 lesson).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -702,3 +702,217 @@ def q167_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp_bounded(
         _weighted_edges(spark, sf_dir), SSSP_SOURCE, SSSP_ROUNDS
     )
+
+
+# ---------------------------------------------------------------------------
+# q176 — link prediction on the part co-occurrence graph.
+# Common-neighbors + resource-allocation scores for NON-edges: the
+# classic "which products will be bought together next" / "which docs
+# will cluster next" primitive (Liben-Nowell & Kleinberg 2003; RA index
+# from Zhou, Lü & Zhang 2009). Scores are pure integers — CN is a count
+# and RA is fixed-point (RA_SCALE // deg) — so the whole prediction is
+# hash-verifiable cross-engine, the q144 fixed-point discipline.
+# ---------------------------------------------------------------------------
+
+#: Fixed-point scale for the resource-allocation index Σ 1/deg(w):
+#: 1/deg becomes RA_SCALE DIV deg (exact integer floor both engines).
+RA_SCALE = 10**6
+LP_TOP = 50
+
+#: Shared oracle fragment: the co-occurrence edge list (pa < pb), the
+#: same self-join formulation TRI_SQL uses (the Spark side builds it
+#: with the collapse-explode shape instead — same relation, no
+#: fact-table self-join).
+_COOCCUR_E_CTE = f"""
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {TRI_MIN_COOCCUR}
+),
+sym AS (
+  SELECT pa AS src, pb AS dst FROM e
+  UNION ALL SELECT pb, pa FROM e
+)"""
+
+LP_SQL = f"""
+WITH {_COOCCUR_E_CTE},
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY src),
+wedge AS (
+  SELECT x.dst AS u, y.dst AS v, x.src AS w
+  FROM sym x JOIN sym y ON x.src = y.src AND x.dst < y.dst
+),
+cand AS (
+  SELECT wedge.u, wedge.v,
+         CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM({RA_SCALE} // deg.d) AS BIGINT) AS ra_scaled
+  FROM wedge JOIN deg ON wedge.w = deg.node
+  WHERE NOT EXISTS (
+    SELECT 1 FROM e WHERE e.pa = wedge.u AND e.pb = wedge.v
+  )
+  GROUP BY wedge.u, wedge.v
+)
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, cn, ra_scaled,
+       CAST(ROW_NUMBER() OVER (ORDER BY cn DESC, ra_scaled DESC, u, v)
+            AS BIGINT) AS rank
+FROM cand
+ORDER BY rank
+LIMIT {LP_TOP}
+"""
+
+
+@register("q176_link_prediction", LP_SQL)
+def q176_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top LP_TOP predicted links on the part co-occurrence graph:
+    non-adjacent pairs ranked by common-neighbor count, tie-broken by
+    the fixed-point resource-allocation index Σ RA_SCALE//deg(w) over
+    shared neighbors w (hub-discounted — a shared rare part is stronger
+    evidence than a shared bestseller).
+
+    Scale shape: wedges are generated the _cooccur_edges way — each
+    node's neighbor set collapses to one sorted array (one shuffle),
+    C(n,2) pairs explode MAP-SIDE with deg(w)=size(set) attached free,
+    so there is no sym⋈sym self-join and no separate degree join;
+    existing edges leave via one left_anti on the edge list; the final
+    top-k is orderBy+limit (TakeOrdered) with rank stamped on the k
+    rows. Hub fanout is C(deg, 2) — at 100 TB you cap or sample hub
+    adjacency before the explode (the q128 guard discipline); the
+    co-occurrence graph's TRI_MIN_COOCCUR floor already bounds it here.
+    """
+    e = _cooccur_edges(spark, sf_dir)
+    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    adj = sym.groupBy("src").agg(
+        F.sort_array(F.collect_set("dst")).alias("ns")
+    )
+    wedges = adj.select(
+        F.size("ns").alias("d"),
+        F.explode(
+            F.expr(
+                "flatten(transform(ns, (x, i) -> "
+                "transform(slice(ns, i + 2, size(ns)), "
+                "y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p"),
+    ).select("p.u", "p.v", "d")
+    cand = (
+        wedges.join(
+            e,
+            (wedges["u"] == e["pa"]) & (wedges["v"] == e["pb"]),
+            "left_anti",
+        )
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum(F.expr(f"{RA_SCALE} DIV d")).cast("bigint").alias(
+                "ra_scaled"
+            ),
+        )
+    )
+    top = cand.orderBy(
+        F.desc("cn"), F.desc("ra_scaled"), F.asc("u"), F.asc("v")
+    ).limit(LP_TOP)
+    rank_w = Window.orderBy(
+        F.desc("cn"), F.desc("ra_scaled"), F.asc("u"), F.asc("v")
+    )
+    return top.select(
+        F.col("u").cast("bigint").alias("u"),
+        F.col("v").cast("bigint").alias("v"),
+        "cn",
+        "ra_scaled",
+        F.row_number().over(rank_w).cast("bigint").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q180 — community detection via synchronous label propagation (LPA,
+# Raghavan et al. 2007) on the part co-occurrence graph. Distinct from
+# q80's min-label CONNECTED COMPONENTS: LPA's majority vote splits a
+# connected graph into dense communities instead of finding reachable
+# sets. Deterministic variant: synchronous rounds, most-frequent
+# neighbor label, ties to the SMALLEST label — classic LPA's random
+# scan order is not engine-mirrorable, min-tie-break is.
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 3
+
+
+def lpa_communities(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """(node, community) after ``rounds`` synchronous LPA updates from
+    label(v)=v. Each round is one keyed join (edges ⋈ labels on src) +
+    one (node, label) count + one per-node argmax — all partitioned by
+    node id, no global step. Bounded rounds keep the face
+    oracle-unrollable; production LPA iterates to stability with the
+    localCheckpoint-per-round discipline of q80/q144."""
+    sym = edges.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).union(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    pick = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        votes = (
+            sym.join(labels, sym["src"] == labels["node"])
+            .groupBy(sym["dst"].alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("label").cast("bigint").alias("community"),
+    ).orderBy("node")
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT node, label FROM (
+    SELECT v.node, v.label,
+           ROW_NUMBER() OVER (PARTITION BY v.node
+                              ORDER BY v.c DESC, v.label) AS rn
+    FROM (
+      SELECT s.dst AS node, p.label, COUNT(*) AS c
+      FROM sym s JOIN {prev} p ON s.src = p.node
+      GROUP BY s.dst, p.label
+    ) v
+  ) WHERE rn = 1
+)"""
+
+
+def _gen_lpa_sql() -> str:
+    chain = ",".join(
+        _lpa_round_sql(f"l{i}" if i else "l0", f"l{i + 1}")
+        for i in range(LPA_ROUNDS)
+    )
+    return f"""
+WITH {_COOCCUR_E_CTE},
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+{chain}
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(label AS BIGINT) AS community
+FROM l{LPA_ROUNDS}
+ORDER BY node
+"""
+
+
+LPA_SQL = _gen_lpa_sql()
+
+
+@register("q180_lpa_communities", LPA_SQL)
+def q180_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part community assignment after LPA_ROUNDS synchronous
+    label-propagation rounds — dense-community structure next to q80's
+    transitive components and q174's density clusters. Pure integer
+    labels and deterministic min-tie-breaks make the full per-node
+    assignment hash-verifiable; the oracle unrolls each round as a CTE
+    mirroring the Spark loop's vote-count + argmax exactly."""
+    return lpa_communities(_cooccur_edges(spark, sf_dir))

@@ -656,3 +656,21 @@ def test_q172_top_paths_caps_state_before_collect(spark, sf_dir):
     plan = plan_of(QUERIES["q172_top_paths"](spark, sf_dir))
     assert plan.count("hashpartitioning(user_id") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_q176_link_prediction_topk_and_no_cartesian(spark, sf_dir):
+    """q176's wedges explode map-side from per-node adjacency arrays (no
+    sym-self-join), the non-edge filter is a left_anti, and the global
+    top-k must be TakeOrdered — a full-relation rank window over the
+    candidate set would sort every wedge pair."""
+    plan = plan_of(QUERIES["q176_link_prediction"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q180_lpa_rounds_are_keyed_joins(spark, sf_dir):
+    """Every LPA round is a keyed join + keyed agg + node-partitioned
+    argmax — nothing cartesian, nothing single-partition (the rank
+    window is PARTITION BY node, never global)."""
+    plan = plan_of(QUERIES["q180_lpa_communities"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
