@@ -2532,3 +2532,215 @@ def q172_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rank", F.row_number().over(rank_w).cast("long")
     )
+
+
+# --- q177: rolling correlation (windowed co-movement monitor) ---------------
+
+#: Trailing window width in OBSERVED days (ROWS frame, not RANGE: gaps
+#: in the calendar contribute nothing on either engine, so the frame is
+#: "last 7 days with any orders" — deterministic regardless of
+#: sparsity at small SF).
+ROLL_DAYS = 7
+
+Q177_SQL = f"""
+WITH daily AS (
+  SELECT o_orderpriority AS prio,
+         CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders
+  GROUP BY o_orderpriority,
+           datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+),
+rolled AS (
+  SELECT prio, day,
+         CAST(COUNT(*) OVER w AS HUGEINT) AS n,
+         CAST(SUM(x) OVER w AS HUGEINT) AS sx,
+         CAST(SUM(y) OVER w AS HUGEINT) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * x) OVER w AS HUGEINT) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * y) OVER w AS HUGEINT) AS syy,
+         CAST(SUM(CAST(x AS HUGEINT) * y) OVER w AS HUGEINT) AS sxy
+  FROM daily
+  WINDOW w AS (PARTITION BY prio ORDER BY day
+               ROWS BETWEEN {ROLL_DAYS - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT prio, CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n_days,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) END AS corr
+FROM rolled
+ORDER BY prio, day
+"""
+
+
+@register("q177_rolling_corr", Q177_SQL)
+def q177_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-ROLL_DAYS Pearson correlation between daily order count
+    and daily revenue-cents, per order priority — the co-movement
+    monitor behind demand-shift alerts (a correlation break says volume
+    and value decoupled).
+
+    Numeric discipline: every moment (n, Σx, Σy, Σx², Σy², Σxy) is an
+    exact integer — cents via the q164 ROUND(×100) idiom, squares
+    widened to DECIMAL(38,0)/HUGEINT BEFORE multiplying (Σy² overflows
+    BIGINT already at sf1) — and the correlation is the ONLY double:
+    num/sqrt(dx)/sqrt(dy) where each operand is an exactly-represented
+    cast of the same integer on both engines, and /, sqrt are
+    correctly-rounded IEEE ops. No a*b−c*d double shape exists (the
+    differences are computed in exact decimal). Overflow envelope:
+    n·Σy² ~ 7·(SF·1e10)²·1e-? — at SF1000, daily cents ~1e13, Σy²(7d)
+    ~7e26, n·Σy² ~5e27, inside DECIMAL(38,0)/HUGEINT.
+
+    Scale: the daily rollup is a keyed map-side-combined aggregate; the
+    rolling window partitions by priority over DAY-cardinality rows
+    (bounded: days × priorities, ~12k rows at any SF) — the window
+    input is the aggregate, never the fact table."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01"))
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    daily = o.groupBy("prio", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum("cents").cast("long").alias("y"),
+    )
+    w = (
+        Window.partitionBy("prio")
+        .orderBy("day")
+        .rowsBetween(-(ROLL_DAYS - 1), 0)
+    )
+    dec = "decimal(38,0)"
+    rolled = daily.select(
+        "prio",
+        "day",
+        F.count(F.lit(1)).over(w).cast(dec).alias("n"),
+        F.sum("x").over(w).cast(dec).alias("sx"),
+        F.sum("y").over(w).cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).over(w).cast(dec).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).over(w).cast(dec).alias("syy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).over(w).cast(dec).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return rolled.select(
+        "prio",
+        F.col("day").cast("long").alias("day"),
+        F.col("n").cast("long").alias("n_days"),
+        F.when((dx == 0) | (dy == 0), F.lit(None).cast("double"))
+        .otherwise(
+            num.cast("double")
+            / F.sqrt(dx.cast("double"))
+            / F.sqrt(dy.cast("double"))
+        )
+        .alias("corr"),
+    ).orderBy("prio", "day")
+
+
+# --- q181: winsorized robust statistics -------------------------------------
+
+#: Winsorization tail mass: clamp below the p05 and above the p95 exact
+#: order statistics (k = ceil(p·n) computed in integer arithmetic).
+
+Q181_SQL = """
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+cuts AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = (n + 19) // 20 THEN value END) AS lo_cut,
+         MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS hi_cut
+  FROM r GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(c.lo_cut) AS lo_cut,
+       MAX(c.hi_cut) AS hi_cut,
+       CAST(SUM(CAST(LEAST(GREATEST(e.value, c.lo_cut), c.hi_cut)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS wsum,
+       CAST(SUM(CAST(LEAST(GREATEST(e.value, c.lo_cut), c.hi_cut)
+                     AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS wmean
+FROM events e JOIN cuts c ON e.event_type = c.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+@register("q181_winsorized_stats", Q181_SQL)
+def q181_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: clamp values below the exact p05
+    / above the exact p95 order statistic, then average — the robust
+    location estimate quality pipelines use when trimming (dropping
+    outliers, q152's 3-MAD route) would bias counts.
+
+    Exactness: cut points are ORDER STATISTICS (value at integer rank
+    ceil(p·n), rank arithmetic in integers — no interpolation, no float
+    ceil), so both engines pick identical data values; the clamp is
+    LEAST/GREATEST on identical doubles; the mean is the decimal-exact
+    sum (the q20 DECIMAL(18,6) idiom) cast once to double and divided
+    by an integer — every double op has bit-identical inputs.
+
+    Scale: one type-keyed exchange carries BOTH window functions (rank
+    + group count share the partitioning), cut points are a bounded
+    per-type relation broadcast back, and the final aggregate is
+    map-side-combined on the same key. The per-type sort is the honest
+    cost of exact order statistics (q152/q153's note); q52's
+    approx_percentile is the sketch path at 100 TB."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    cuts = r.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n + 19) DIV 20"), F.col("value")
+            )
+        ).alias("lo_cut"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(19 * n + 19) DIV 20"), F.col("value")
+            )
+        ).alias("hi_cut"),
+    )
+    clamped = e.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("lo_cut")), F.col("hi_cut"))
+        .alias("wv"),
+        "lo_cut",
+        "hi_cut",
+    )
+    return (
+        clamped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("lo_cut").alias("lo_cut"),
+            F.max("hi_cut").alias("hi_cut"),
+            F.sum(F.col("wv").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("wsum"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "lo_cut",
+            "hi_cut",
+            "wsum",
+            (F.col("wsum") / F.col("n")).alias("wmean"),
+        )
+        .orderBy("event_type")
+    )

@@ -674,3 +674,26 @@ def test_q180_lpa_rounds_are_keyed_joins(spark, sf_dir):
     window is PARTITION BY node, never global)."""
     plan = plan_of(QUERIES["q180_lpa_communities"](spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_q181_winsorize_single_type_exchange_and_broadcast_cuts(spark, sf_dir):
+    """q181's rank + group-count windows and the final aggregate all key
+    on event_type — one exchange family — and the bounded cut-point
+    relation must broadcast back (it is per-type-sized)."""
+    plan = plan_of(QUERIES["q181_winsorized_stats"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q177_rolling_window_runs_on_the_daily_aggregate(spark, sf_dir):
+    """q177's rolling-moment window must consume the (prio, day) rollup,
+    never the orders scan: exactly one HashAggregate pair below the
+    Window (the daily rollup), with the window's sort keyed by prio —
+    a window over the fact table would put Exchange(prio) directly
+    above the scan."""
+    plan = plan_of(QUERIES["q177_rolling_corr"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]  # operator tree, parent-first
+    assert "Window" in tree
+    below_window = tree[tree.index("Window"):]
+    assert "HashAggregate" in below_window  # rollup feeds the window
