@@ -1530,3 +1530,46 @@ def test_mp3_id3v24_footer_is_skipped():
     # without the footer flag the same layout must NOT double-skip
     plain = b"ID3\x04\x00\x00\x00\x00\x00\x14" + body + stream
     assert parse_mp3_meta(plain)["duration_ms"] == want
+
+
+def test_q183_pps_draws_exactly_target_with_size_bias(spark, sf_dir):
+    """Systematic PPS invariants the oracle hash can't articulate:
+    total multiplicity is EXACTLY PPS_TARGET (zero sample-size
+    variance), and inclusion is size-biased — the mean weight of drawn
+    docs exceeds the corpus mean."""
+    from redix_stream_spark.llm.sampling import PPS_TARGET, q183_pps_sample
+    from redix_stream_spark.catalog import load_table
+
+    rows = q183_pps_sample(spark, sf_dir).collect()
+    assert sum(r["times_drawn"] for r in rows) == PPS_TARGET
+    drawn_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.avg("n_chars").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert drawn_mean > corpus_mean
+
+
+def test_q175_epoch_shuffle_is_a_permutation_and_seed_sensitive(spark, sf_dir):
+    """Every doc appears exactly once, positions are dense per shard,
+    and a different epoch seed yields a different order (the whole point
+    of an epoch shuffle)."""
+    from redix_stream_spark.llm import sampling
+
+    rows = sampling.q175_epoch_shuffle(spark, sf_dir).collect()
+    n_docs = len({r["doc_id"] for r in rows})
+    assert n_docs == len(rows)
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    order1 = [r["doc_id"] for r in rows]
+    old = sampling.EPOCH_SEED
+    try:
+        sampling.EPOCH_SEED = old + 1
+        rows2 = sampling.q175_epoch_shuffle(spark, sf_dir).collect()
+    finally:
+        sampling.EPOCH_SEED = old
+    assert [r["doc_id"] for r in rows2] != order1

@@ -697,3 +697,23 @@ def test_q177_rolling_window_runs_on_the_daily_aggregate(spark, sf_dir):
     assert "Window" in tree
     below_window = tree[tree.index("Window"):]
     assert "HashAggregate" in below_window  # rollup feeds the window
+
+
+def test_q175_epoch_shuffle_has_no_global_sort_window(spark, sf_dir):
+    """q175's rank must ride a SHARD-partitioned exchange — a global
+    row_number (empty partition spec) would serialize the corpus through
+    one partition, the exact failure mode the face exists to avoid."""
+    plan = plan_of(QUERIES["q175_epoch_shuffle"](spark, sf_dir))
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan.split("TakeOrdered")[0].split(
+        "Window"
+    )[0]  # nothing upstream of the window collapses to one partition
+
+
+def test_q183_pps_corpus_cumsum_is_bucket_partitioned(spark, sf_dir):
+    """q183's corpus-sized running sum must be computed under a
+    hashpartitioning(bucket) window (two-phase prefix sum); only the
+    PPS_BUCKETS-row offsets relation may see a single-partition window."""
+    plan = plan_of(QUERIES["q183_pps_sample"](spark, sf_dir))
+    assert "hashpartitioning(bucket" in plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
