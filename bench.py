@@ -141,6 +141,15 @@ BIG_HEADLINE = [
     # their measured 10x blowup and the bits-scaling law live in
     # SCALING.md "round-6 faces").
     "q173_incremental_clusters",
+    # round-7: the corpus-sized new faces — wedge-explode link prediction
+    # and LPA rounds (graph), the full maintenance lifecycle (storage),
+    # epoch shuffle + bucketed prefix-sum PPS (whole-corpus ordering).
+    # q177/q178/q181/q182 are bounded or range-local and stay sf0.1-only.
+    "q176_link_prediction",
+    "q179_compact_reclaim",
+    "q180_lpa_communities",
+    "q175_epoch_shuffle",
+    "q183_pps_sample",
 ]
 
 #: Representative spread: scan-agg, star join, range/as-of join, windows,
@@ -255,6 +264,19 @@ HEADLINE = [
     "q173_incremental_clusters",
     "q174_density_clusters",
     "q43c_ann_ivf_exact",
+    # round-7 adds: training-data ordering/sampling (epoch shuffle, PPS),
+    # link prediction + LPA communities, rolling correlation, winsorized
+    # stats, and the storage lifecycle faces (range delete, compact+vacuum,
+    # bloom point lookup).
+    "q175_epoch_shuffle",
+    "q176_link_prediction",
+    "q177_rolling_corr",
+    "q178_table_delete",
+    "q179_compact_reclaim",
+    "q180_lpa_communities",
+    "q181_winsorized_stats",
+    "q182_bloom_point_lookup",
+    "q183_pps_sample",
 ]
 
 

@@ -799,18 +799,24 @@ def q176_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("p.u", "p.v", "d")
+    # Aggregate BEFORE the existing-edge anti-join: the wedge relation is
+    # Σ C(deg,2) rows (the quadratic-in-density regime — 10× corpus
+    # density multiplied wedges ~20× on the replica, SCALING.md), while
+    # its (u, v) aggregate is bounded by distinct candidate pairs; the
+    # anti-join is a (u, v)-level filter, so it commutes with the
+    # aggregation and should see the small side.
     cand = (
-        wedges.join(
-            e,
-            (wedges["u"] == e["pa"]) & (wedges["v"] == e["pb"]),
-            "left_anti",
-        )
-        .groupBy("u", "v")
+        wedges.groupBy("u", "v")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("cn"),
             F.sum(F.expr(f"{RA_SCALE} DIV d")).cast("bigint").alias(
                 "ra_scaled"
             ),
+        )
+        .join(
+            e,
+            (F.col("u") == e["pa"]) & (F.col("v") == e["pb"]),
+            "left_anti",
         )
     )
     top = cand.orderBy(
