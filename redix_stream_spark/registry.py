@@ -65,75 +65,72 @@ def _load() -> None:
 # Window policy: a query needs ONE green driver row, ever — but stale
 # evidence rots as shared helpers evolve, so the window ROTATES: after
 # new/changed faces take their slots, remaining slots go to the names
-# whose latest driver row is OLDEST (VERDICT r05 item 6 — after r5,
-# 10 names' latest row was r1 and 36 were r2). The ROUND-6 window leads
-# with: q166 (new composed corpus-pipeline face); q163, whose oracle is
-# new this round (its r5 row was no_oracle); q147, whose oracle's probe
-# CTE is now generated from BQ_WORDS; q81/q118, whose execution switched
-# to the shared cluster-labels artifact (hash-invisible — the fresh row
-# proves it); q80, the artifact's producer. Then every r1-only
-# oracle-backed name (9), every r2-only oracle-backed name (31 — the
-# TPC-H block q70–q98 exercises numeric.py's decimal discipline, touched
-# in r4–r5), and 4 r3-only names led by q107 (PPJoin rewrite landed r5)
-# and q130 (shares q81's quality/cluster helpers). Rows-only faces are
-# excluded from rotation slots — a no_oracle row adds nothing over their
-# pytest pins. Rotated out: the r5-window names — all with permanent
-# rows (tests/test_registry_order.py R1_GREEN/R2/R3/R4/R5_CHECKED).
+# whose latest driver row is OLDEST. The ROUND-7 window leads with the
+# nine new faces (storage lifecycle q178/q179/q182, graph q176/q180,
+# analytics q177/q181, sampling q175/q183); q172, whose implementation
+# changed (state-capped in-session numbering — same results, fresh row
+# proves it); and q166, the shared-artifact composed face, whose cache
+# keying/build order changed this round (hash-invisible by contract —
+# the fresh row re-proves it for all artifact consumers). Then every
+# name whose latest row is r2 (6) or r3 (31), and two r4-only headline
+# representatives (q01, q06). Rotated out: the r6-window names — all
+# with permanent rows (tests/test_registry_order.py R1–R6 sets).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- new or changed in round 6 --
-    "q166_corpus_pipeline",
-    "q146b_merge_schema_evolution",
-    "q162_image_neardup",  # corpus now mixes PNG+JPEG (rows-only face)
-    "q167_sssp_bounded",
-    "q168_table_restore",
-    "q169_knn_graph",
-    "q170_column_profile",
-    "q171_cluster_histogram",
+    # -- new in round 7 --
+    "q175_epoch_shuffle",
+    "q176_link_prediction",
+    "q177_rolling_corr",
+    "q178_table_delete",
+    "q179_compact_reclaim",
+    "q180_lpa_communities",
+    "q181_winsorized_stats",
+    "q182_bloom_point_lookup",
+    "q183_pps_sample",
+    # -- changed in round 7 --
     "q172_top_paths",
-    "q173_incremental_clusters",
-    "q174_density_clusters",
-    "q43c_ann_ivf_exact",
-    "q163_bpe_encode",
-    "q147_binary_ann_topk",
-    "q81_clean_corpus",
-    "q118_leakage_safe_split",
-    "q80_neardup_clusters",
-    # -- latest driver row is r1 --
-    "q27_moment_stats",
-    "q28_pivot_events",
-    "q29_map_ops",
-    "q32_doc_quality",
-    "q33_lang_id",
-    "q34_fingerprint",
-    "q50_full_outer_join",
-    "q62_forecast_revenue",
-    "q63_promo_ratio",
+    "q166_corpus_pipeline",
     # -- latest driver row is r2 --
-    "q23b_replay_scaled",
-    "q58_pii_scrub",
-    "q59_token_counting",
-    "q64_returned_items",
-    "q67_left_outer_join",
-    "q68_right_outer_join",
-    "q70_shipping_priority",
-    "q71_local_supplier_volume",
-    "q72_volume_shipping",
-    "q73_market_share",
-    "q74_order_distribution",
-    "q75_small_qty_revenue",
-    "q76_large_orders",
-    "q77_bracket_revenue",
-    "q78_dormant_customers",
-    "q79_top_supplier",
-    "q82_token_rarity",
-    "q83_repetition_quality",
-    "q84_decontamination",
-    "q86_tfidf_keywords",
-    "q87_sequence_packing",
-    "q89_priority_late_orders",
-    "q90_late_lines_by_status",
-    # -- latest driver row is r3; helpers touched in r4-r5 --
-    "q107_containment_dup",
+    "q91_waiting_suppliers",
+    "q94_product_profit",
+    "q95_min_cost_supplier",
+    "q96_important_parts",
+    "q97_supplier_variety",
+    "q98_promo_part_suppliers",
+    # -- latest driver row is r3 --
+    "q100_dup_ngram_fraction",
+    "q101_mixture_sample",
+    "q102_semantic_dedup",
+    "q103_gapfill",
+    "q104_decayed_avg",
+    "q105_matview_rollup",
+    "q106_latest_state",
+    "q108_source_drift",
+    "q110_rate_anomaly",
+    "q112_quality_report",
+    "q113_fuzzy_join",
+    "q114_ohlc_bars",
+    "q115_event_transitions",
+    "q116_bloom_decontaminate",
+    "q117_boilerplate_passages",
+    "q119_zorder_key",
+    "q119b_hilbert_key",
+    "q123_phrase_search",
+    "q126_histogram",
+    "q128_cooccurrence_lift",
+    "q129_cohort_matrix",
+    "q130_corpus_report",
+    "q133_interevent_gaps",
+    "q35_shingle_fingerprint",
+    "q37_ngram_jaccard_dup",
+    "q38_simhash",
+    "q38b_simhash_weighted",
+    "q39_multimodal_meta",
+    "q92_forecast_revenue",
+    "q93_promo_revenue",
+    "q99_passage_dedup",
+    # -- latest driver row is r4; headline representatives --
+    "q01_pricing_summary",
+    "q06_range_join",
 )
 
 

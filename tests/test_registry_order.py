@@ -11,38 +11,26 @@ from __future__ import annotations
 from redix_stream_spark import registry
 
 MUST_BE_IN_WINDOW = {
-    # New round-6 faces (shared-artifact composed pipeline; COW merge
-    # with schema evolution).
-    "q166_corpus_pipeline",
-    "q146b_merge_schema_evolution",
-    # Corpus now synthesizes mixed PNG+JPEG payloads (VERDICT r05 item 5).
-    "q162_image_neardup",
-    # New round-6 faces: bounded weighted SSSP, table RESTORE, kNN graph,
-    # single-pass column profile.
-    "q167_sssp_bounded",
-    "q168_table_restore",
-    "q169_knn_graph",
-    "q170_column_profile",
-    # Third artifact consumer + session path mining.
-    "q171_cluster_histogram",
+    # New round-7 faces: storage lifecycle (COW delete, compact+vacuum,
+    # bloom point lookup), graph (link prediction, LPA communities),
+    # analytics (rolling correlation, winsorized stats), training-data
+    # sampling (epoch shuffle, systematic PPS).
+    "q175_epoch_shuffle",
+    "q176_link_prediction",
+    "q177_rolling_corr",
+    "q178_table_delete",
+    "q179_compact_reclaim",
+    "q180_lpa_communities",
+    "q181_winsorized_stats",
+    "q182_bloom_point_lookup",
+    "q183_pps_sample",
+    # Implementation changed in round 7 (state-capped in-session
+    # numbering, ADVICE r6) — fresh row proves result identity.
     "q172_top_paths",
-    # Incremental cluster refresh off the persisted band index; oracle =
-    # from-scratch recompute on the union corpus.
-    "q173_incremental_clusters",
-    # DBSCAN-style density clustering over the LSH candidate graph.
-    "q174_density_clusters",
-    # Oracle-backed IVF (repo quantizer) completing the ANN-index oracle set.
-    "q43c_ann_ivf_exact",
-    # Oracle is new this round (r5 row was no_oracle).
-    "q163_bpe_encode",
-    # Oracle's probe CTE now generated from BQ_WORDS (ADVICE r05).
-    "q147_binary_ann_topk",
-    # Execution switched to the shared cluster-labels artifact — the
-    # fresh row proves the artifact is hash-invisible.
-    "q81_clean_corpus",
-    "q118_leakage_safe_split",
-    # The artifact's producer pipeline.
-    "q80_neardup_clusters",
+    # Artifact cache keying/build order changed in round 7 (ADVICE r6);
+    # the composed face's fresh row re-proves hash-invisibility for all
+    # artifact consumers.
+    "q166_corpus_pipeline",
 }
 
 # The 50 queries the r2 driver window checked (CORRECTNESS_r02 rows —
@@ -162,8 +150,32 @@ R5_CHECKED = {
 }
 
 
+# The 50 queries the r6 driver window checked (CORRECTNESS_r06 rows —
+# permanent evidence; 49 hash-green + q162 rows-only, pytest-pinned).
+R6_CHECKED = {
+    "q107_containment_dup", "q118_leakage_safe_split",
+    "q146b_merge_schema_evolution", "q147_binary_ann_topk",
+    "q162_image_neardup", "q163_bpe_encode", "q166_corpus_pipeline",
+    "q167_sssp_bounded", "q168_table_restore", "q169_knn_graph",
+    "q170_column_profile", "q171_cluster_histogram", "q172_top_paths",
+    "q173_incremental_clusters", "q174_density_clusters", "q23b_replay_scaled",
+    "q27_moment_stats", "q28_pivot_events", "q29_map_ops", "q32_doc_quality",
+    "q33_lang_id", "q34_fingerprint", "q43c_ann_ivf_exact",
+    "q50_full_outer_join", "q58_pii_scrub", "q59_token_counting",
+    "q62_forecast_revenue", "q63_promo_ratio", "q64_returned_items",
+    "q67_left_outer_join", "q68_right_outer_join", "q70_shipping_priority",
+    "q71_local_supplier_volume", "q72_volume_shipping", "q73_market_share",
+    "q74_order_distribution", "q75_small_qty_revenue", "q76_large_orders",
+    "q77_bracket_revenue", "q78_dormant_customers", "q79_top_supplier",
+    "q80_neardup_clusters", "q81_clean_corpus", "q82_token_rarity",
+    "q83_repetition_quality", "q84_decontamination", "q86_tfidf_keywords",
+    "q87_sequence_packing", "q89_priority_late_orders",
+    "q90_late_lines_by_status",
+}
+
+
 def test_every_query_has_a_driver_row_across_rounds():
-    """The r6 window + the r1–r5 rows must cover every registered
+    """The r7 window + the r1–r6 rows must cover every registered
     query, so that after this round no query has ever gone
     driver-unchecked."""
     window = set(list(registry.all_queries())[:50])
@@ -175,6 +187,7 @@ def test_every_query_has_a_driver_row_across_rounds():
         - R3_CHECKED
         - R4_CHECKED
         - R5_CHECKED
+        - R6_CHECKED
     )
     assert not uncovered, f"queries with no driver row in any round: {uncovered}"
 
