@@ -1089,3 +1089,140 @@ def q131_token_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") / F.col("n_w1")).alias("p_cond"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q184 — top collocations by pointwise mutual information (PMI), the
+# association-mining readout over the corpus bigram model (q131 is the
+# table; this is its ranking). Church & Hanks 1990's word-association
+# ratio, computed INTEGER-EXACT: PMI = log(c_xy·N / (c1_x·c2_y)) is
+# monotone in its argument, so ranking and reporting use the scaled
+# rational (c_xy·N·PMI_SCALE) DIV (c1_x·c2_y) and no log/float ever
+# exists (the q176 RA_SCALE discipline).
+# ---------------------------------------------------------------------------
+
+#: Fixed-point scale for the PMI ratio (ppm). Envelope: c_xy ≤ N and the
+#: numerator c_xy·N·PMI_SCALE ~ 1e12·1e12·1e6 = 1e30 at 100 TB token
+#: counts — inside DECIMAL(38,0)/HUGEINT; the DIV result ≤ N·PMI_SCALE
+#: ~ 1e18 stays inside BIGINT.
+PMI_SCALE = 10**6
+#: Noise floor: a pair seen fewer times cannot rank (rare-pair PMI is
+#: maximal by construction — the classic PMI pathology).
+PMI_MIN_COUNT = 5
+PMI_TOP = 40
+
+Q184_SQL = f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+  WHERE LEN(string_split(text, ' ')) >= 2
+),
+bi AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL (SELECT UNNEST(range(1, LEN(t))) AS i)
+),
+pair AS (
+  SELECT w1, w2, COUNT(*) AS n_xy FROM bi GROUP BY w1, w2
+),
+lft AS (SELECT w1, COUNT(*) AS n_x FROM bi GROUP BY w1),
+rgt AS (SELECT w2, COUNT(*) AS n_y FROM bi GROUP BY w2),
+tot AS (SELECT COUNT(*) AS nn FROM bi),
+scored AS (
+  SELECT p.w1, p.w2,
+         CAST(p.n_xy AS BIGINT) AS n_xy,
+         CAST(l.n_x AS BIGINT) AS n_x,
+         CAST(r.n_y AS BIGINT) AS n_y,
+         CAST(CAST(p.n_xy AS HUGEINT) * t.nn * {PMI_SCALE}
+              // (CAST(l.n_x AS HUGEINT) * r.n_y) AS BIGINT)
+           AS pmi_ratio_ppm
+  FROM pair p
+  JOIN lft l USING (w1)
+  JOIN rgt r USING (w2)
+  CROSS JOIN tot t
+  WHERE p.n_xy >= {PMI_MIN_COUNT}
+)
+SELECT w1, w2, n_xy, n_x, n_y, pmi_ratio_ppm,
+       CAST(ROW_NUMBER() OVER (ORDER BY pmi_ratio_ppm DESC, w1, w2)
+            AS BIGINT) AS rank
+FROM scored
+ORDER BY pmi_ratio_ppm DESC, w1, w2
+LIMIT {PMI_TOP}
+"""
+
+
+@register("q184_pmi_collocations", Q184_SQL)
+def q184_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top PMI_TOP collocations: adjacent word pairs whose co-occurrence
+    most exceeds chance — PMI = log(c_xy·N / (c1(x)·c2(y))) over bigram
+    events (c1 = count as left word, c2 = count as right word, N = all
+    bigrams; the self-consistent bigram-event model, so marginals sum
+    to N exactly). The phrase-discovery readout behind tokenizer vocab
+    curation and stopword-collocation audits (q131's conditional table
+    ranks by P(w2|w1); PMI symmetrizes away both words' frequency).
+
+    Exactness: log is monotone, so ranking and the reported score use
+    the scaled integer rational (c_xy·N·PMI_SCALE) DIV (c1·c2) widened
+    to DECIMAL(38,0)/HUGEINT before the multiply — no float path, the
+    face is hash-exact (envelope in PMI_SCALE's note). PMI_MIN_COUNT
+    floors away the rare-pair pathology (a hapax pair maximizes PMI).
+
+    Scale: the bigram explode is map-side (q131); pair counts group on
+    (w1, w2), marginals on w1 / w2 — three map-side-combined aggregates
+    over one pass shape. The min-count filter lands on the PAIR relation
+    before both marginal joins, so the joins see only plausible
+    collocations; marginals are vocabulary-sized (NOT bounded — keyed
+    shuffle joins, never broadcast: the q82/q86 stopword-skew regime,
+    salting guidance applies past ~1e9 vocab). N is a broadcast 1-row
+    relation; top-k is orderBy+limit (TakeOrdered) with rank stamped on
+    the PMI_TOP rows."""
+    d = load_table(spark, sf_dir, "documents")
+    bigr = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> struct(toks[i - 1] as w1, toks[i] as w2))"
+    )
+    bi = (
+        d.select(F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(F.explode(bigr).alias("b"))
+        .select("b.w1", "b.w2")
+    )
+    pair = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+        .filter(F.col("n_xy") >= PMI_MIN_COUNT)
+    )
+    lft = bi.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("n_x"))
+    rgt = bi.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n_y"))
+    tot = bi.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    dec = "decimal(38,0)"
+    # Marginals are vocabulary-sized (unbounded at 100 TB) — pin the
+    # keyed shuffle so the size estimator can never auto-broadcast them
+    # (the SCALING.md fat-relation OOM discipline).
+    scored = (
+        pair.join(lft.hint("shuffle_hash"), "w1")
+        .join(rgt.hint("shuffle_hash"), "w2")
+        .join(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.expr(
+                f"CAST((CAST(n_xy AS {dec}) * nn * {PMI_SCALE})"
+                f" DIV (CAST(n_x AS {dec}) * n_y) AS BIGINT)"
+            ).alias("pmi_ratio_ppm"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("pmi_ratio_ppm"), F.asc("w1"), F.asc("w2")
+    ).limit(PMI_TOP)
+    rank_w = Window.orderBy(F.desc("pmi_ratio_ppm"), F.asc("w1"), F.asc("w2"))
+    return top.select(
+        "w1",
+        "w2",
+        "n_xy",
+        "n_x",
+        "n_y",
+        "pmi_ratio_ppm",
+        F.row_number().over(rank_w).cast("bigint").alias("rank"),
+    )

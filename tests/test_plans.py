@@ -717,3 +717,20 @@ def test_q183_pps_corpus_cumsum_is_bucket_partitioned(spark, sf_dir):
     plan = plan_of(QUERIES["q183_pps_sample"](spark, sf_dir))
     assert "hashpartitioning(bucket" in plan
     assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_q184_pmi_topk_is_takeordered_and_marginals_not_broadcast(spark, sf_dir):
+    """q184's global top-k must compile to TakeOrderedAndProject (the
+    rank stamp runs AFTER the limit, over PMI_TOP rows only), and the
+    vocabulary-sized marginal joins must stay keyed shuffles — only the
+    1-row N relation may broadcast (vocab size is unbounded at 100 TB;
+    the auto-broadcast OOM regime)."""
+    plan = plan_of(QUERIES["q184_pmi_collocations"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # both marginal joins pinned to keyed shuffles...
+    assert plan.count("ShuffledHashJoin") >= 2
+    # ...and no keyed broadcast join exists: the only broadcast is the
+    # 1-row bigram total (IdentityBroadcastMode nested-loop, the zorder
+    # 1-row-stats precedent).
+    assert "BroadcastHashJoin" not in plan
