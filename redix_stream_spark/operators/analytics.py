@@ -2744,3 +2744,135 @@ def q181_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- q185: CUSUM changepoint detection ---------------------------------------
+
+# Single level-shift localization per series (Page 1954's CUSUM statistic,
+# Hinkley 1970's changepoint estimator): over the centered prefix sums
+# S_t = prefix_t − t·mean, the changepoint estimate is argmax |S_t|. Scaled
+# by n to stay integer: D_t = n·prefix_t − t·total (same argmax — positive
+# constant factor), so the whole statistic is exact arithmetic and only
+# the reported segment means are (exactly-derived) doubles.
+
+
+Q185_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS prio,
+         DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+           AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+),
+curve AS (
+  SELECT prio, day, cents,
+         ROW_NUMBER() OVER (PARTITION BY prio ORDER BY day) AS t,
+         SUM(cents)   OVER (PARTITION BY prio ORDER BY day) AS pre,
+         COUNT(*)     OVER (PARTITION BY prio) AS n,
+         SUM(cents)   OVER (PARTITION BY prio) AS total
+  FROM daily
+),
+scored AS (
+  SELECT prio, day, t, n, pre, total,
+         ABS(CAST(n AS HUGEINT) * pre - CAST(t AS HUGEINT) * total)
+           AS d_abs,
+         ROW_NUMBER() OVER (
+           PARTITION BY prio
+           ORDER BY ABS(CAST(n AS HUGEINT) * pre
+                        - CAST(t AS HUGEINT) * total) DESC, day
+         ) AS pick
+  FROM curve WHERE t < n
+)
+SELECT prio,
+       CAST(day AS BIGINT) AS cp_day,
+       CAST(t AS BIGINT) AS t,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(d_abs AS BIGINT) AS cusum_abs,
+       CAST(pre AS BIGINT) AS before_cents,
+       CAST(total - pre AS BIGINT) AS after_cents,
+       CAST(pre AS DOUBLE) / t AS mean_before,
+       CAST(total - pre AS DOUBLE) / (n - t) AS mean_after
+FROM scored WHERE pick = 1
+ORDER BY prio
+"""
+
+
+@register("q185_cusum_changepoint", Q185_SQL)
+def q185_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The day each priority's daily revenue LEVEL most plausibly
+    shifted: argmax_t |n·prefix_t − t·total| over the daily-cents
+    series — the CUSUM changepoint estimator (Page 1954; Hinkley 1970),
+    the alerting primitive behind "did the mixture change and when"
+    monitors (q108's drift face asks IF two snapshots differ; this one
+    localizes WHEN a single series broke). Ties break to the earliest
+    day; t ranges over proper splits (t < n).
+
+    Exactness: D_t = n·prefix_t − t·total is computed entirely in
+    DECIMAL(38,0)/HUGEINT (cents via the q164 ROUND(×100) idiom) —
+    no float enters the argmax; the reported segment means are single
+    IEEE divides of exactly-cast integers. Envelope: n·prefix ≤
+    n·total ~ 2.4e3·2.4e16 ≈ 6e19 at SF1000 — past BIGINT, inside
+    DECIMAL(38,0); the BIGINT output cast documents the same bound.
+
+    Scale: the fact scan collapses to a (prio, day) map-side-combined
+    rollup; every window — prefix, totals, argmax — partitions by prio
+    over the DAY-cardinality rollup (bounded: days × priorities, the
+    q177 shape; never the fact table), so one keyed exchange carries
+    all of them and no single-partition window exists."""
+    dec = "decimal(38,0)"
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01"))
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    daily = o.groupBy("prio", "day").agg(F.sum("cents").alias("cents"))
+    w_ord = Window.partitionBy("prio").orderBy("day")
+    w_all = Window.partitionBy("prio")
+    curve = daily.select(
+        "prio",
+        "day",
+        F.row_number().over(w_ord).cast("long").alias("t"),
+        F.sum("cents").over(w_ord).cast(dec).alias("pre"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        F.sum("cents").over(w_all).cast(dec).alias("total"),
+    ).filter(F.col("t") < F.col("n"))
+    d_abs = F.abs(
+        F.col("n").cast(dec) * F.col("pre") - F.col("t").cast(dec) * F.col("total")
+    )
+    w_pick = Window.partitionBy("prio").orderBy(
+        F.abs(
+            F.col("n").cast(dec) * F.col("pre")
+            - F.col("t").cast(dec) * F.col("total")
+        ).desc(),
+        F.asc("day"),
+    )
+    scored = curve.select(
+        "prio",
+        "day",
+        "t",
+        "n",
+        "pre",
+        "total",
+        d_abs.alias("d_abs"),
+        F.row_number().over(w_pick).alias("pick"),
+    )
+    return (
+        scored.filter(F.col("pick") == 1)
+        .select(
+            "prio",
+            F.col("day").cast("bigint").alias("cp_day"),
+            F.col("t").cast("bigint").alias("t"),
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("d_abs").cast("bigint").alias("cusum_abs"),
+            F.col("pre").cast("bigint").alias("before_cents"),
+            (F.col("total") - F.col("pre")).cast("bigint").alias("after_cents"),
+            (F.col("pre").cast("double") / F.col("t")).alias("mean_before"),
+            (
+                (F.col("total") - F.col("pre")).cast("double")
+                / (F.col("n") - F.col("t"))
+            ).alias("mean_after"),
+        )
+        .orderBy("prio")
+    )

@@ -153,3 +153,173 @@ def q28_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in ("click", "view", "purchase", "signup", "error")
         ],
     )
+
+
+# --- q186: oracle-backed HyperLogLog ------------------------------------------
+
+# q53 demonstrates the mergeable-sketch ROLLUP pattern on Spark's native
+# datasketches HLL (engine-internal bytes — correct, but only Spark can
+# read them). This face is the cross-engine twin: a from-scratch HLL
+# (Flajolet et al. 2007) whose registers AND estimate are bit-identical
+# in any engine, because every step is integer arithmetic over md5 bits —
+# hash = 60 bits of md5, register index = low 6 bits, rho = leading-zero
+# rank of the remaining 54 bits via a generated comparison ladder (never
+# floor(log2): a float log at an exact power boundary is off-by-one), and
+# the harmonic mean Σ 2^-r is scaled by 2^HLL_SHIFT into exact integers.
+# The raw-HLL estimator is used VERBATIM on both sides (no small-range
+# linear-counting branch — that needs ln(); the face reports the exact
+# distinct next to the estimate, so accuracy is visible, and determinism
+# is what the oracle checks).
+
+HLL_M = 64  # registers (2^6); index = low 6 hash bits
+HLL_WBITS = 54  # remaining hash bits scanned for the leading 1
+HLL_SHIFT = 62  # Σ 2^-r scaled by 2^62: max term (empty reg) = 2^62
+#: alpha_64 = 0.709 exactly (Flajolet et al. 2007, Fig. 3) as a rational.
+HLL_ALPHA_NUM, HLL_ALPHA_DEN = 709, 1000
+
+
+def _hll_bitlen_case(var: str) -> str:
+    """CASE ladder: exact bit length of a HLL_WBITS-bit integer."""
+    whens = " ".join(
+        f"WHEN {var} >= {1 << (k - 1)} THEN {k}"
+        for k in range(HLL_WBITS, 0, -1)
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+def _hll_sql() -> str:
+    bitlen = _hll_bitlen_case("w")
+    est = (
+        f"CAST(CAST({HLL_ALPHA_NUM} AS HUGEINT) * {HLL_M * HLL_M}"
+        f" * {1 << HLL_SHIFT} // ({HLL_ALPHA_DEN} * s) AS BIGINT)"
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type, user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events
+),
+b AS (
+  SELECT event_type, user_id, hv % {HLL_M} AS j, hv // {HLL_M} AS w FROM h
+),
+reg AS (
+  SELECT event_type, j,
+         MAX({HLL_WBITS} + 1 - ({bitlen})) AS r
+  FROM b GROUP BY event_type, j
+),
+reg_all AS (
+  SELECT 'ALL' AS event_type, j, MAX(r) AS r FROM reg GROUP BY j
+),
+u AS (
+  SELECT * FROM reg UNION ALL SELECT * FROM reg_all
+),
+s AS (
+  SELECT event_type,
+         SUM(CAST(CAST(1 AS BIGINT) << ({HLL_SHIFT} - r) AS HUGEINT))
+           + CAST({HLL_M} - COUNT(*) AS HUGEINT)
+             * {1 << HLL_SHIFT} AS s,
+         COUNT(*) AS n_regs
+  FROM u GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM h
+  GROUP BY event_type
+  UNION ALL
+  SELECT 'ALL', COUNT(DISTINCT user_id) FROM h
+)
+SELECT s.event_type,
+       {est} AS hll_estimate,
+       CAST(ex.n_exact AS BIGINT) AS n_exact,
+       CAST(ABS({est} - ex.n_exact) * 1000000 // ex.n_exact AS BIGINT)
+         AS err_ppm,
+       CAST(s.n_regs AS BIGINT) AS n_regs
+FROM s JOIN ex USING (event_type)
+ORDER BY s.event_type
+"""
+
+
+@register("q186_hll_distinct", _hll_sql())
+def q186_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users by a FROM-SCRATCH HyperLogLog whose
+    estimate is hash-verified cross-engine, plus the merged 'ALL' rollup
+    (register-wise MAX — the mergeability q53 demonstrates, here visible
+    to any engine) and the exact distinct with the error in ppm, so the
+    sketch's accuracy is part of the readout.
+
+    Exactness: the whole sketch is integer — md5 bits, a generated
+    comparison ladder for the leading-zero rank (see module comment: no
+    float log2), and the harmonic mean scaled by 2^HLL_SHIFT summed in
+    DECIMAL(38,0)/HUGEINT (64 terms of ≤2^62: ≤2^68, past BIGINT). The
+    raw estimator ⌊α·m²·2^62 / (den·S)⌋ is the spec on both sides.
+
+    Scale: ONE map-side-combinable aggregate per grain — state is 64
+    registers regardless of input size (the entire point of the sketch
+    at 100 TB: distinct-counting without a distinct shuffle); the ALL
+    merge consumes the 64-row-per-type register relation, never the
+    data. The exact-distinct companion columns are the demo's accuracy
+    readout — at production scale you'd drop them (they ARE the
+    expensive distinct the sketch replaces)."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = e.select(
+        "event_type",
+        "user_id",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    b = h.select(
+        "event_type",
+        "user_id",
+        (F.col("hv") % HLL_M).alias("j"),
+        F.expr(f"hv DIV {HLL_M}").alias("w"),
+    )
+    rho = F.expr(f"{HLL_WBITS} + 1 - ({_hll_bitlen_case('w')})")
+    reg = b.groupBy("event_type", "j").agg(F.max(rho).alias("r"))
+    reg_all = reg.groupBy("j").agg(F.max("r").alias("r")).select(
+        F.lit("ALL").alias("event_type"), "j", "r"
+    )
+    u = reg.select("event_type", "j", "r").unionByName(reg_all)
+    dec = "decimal(38,0)"
+    s = u.groupBy("event_type").agg(
+        (
+            F.sum(
+                F.expr(
+                    f"CAST(shiftleft(CAST(1 AS BIGINT), {HLL_SHIFT} - r)"
+                    f" AS {dec})"
+                )
+            )
+            + (HLL_M - F.count(F.lit(1))).cast(dec) * F.lit(1 << HLL_SHIFT).cast(dec)
+        ).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+    )
+    est = F.expr(
+        f"CAST(CAST({HLL_ALPHA_NUM} AS {dec}) * {HLL_M * HLL_M}"
+        f" * {1 << HLL_SHIFT} DIV ({HLL_ALPHA_DEN} * s) AS BIGINT)"
+    )
+    ex = h.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    ex = ex.unionByName(
+        h.agg(F.countDistinct("user_id").cast("long").alias("n_exact")).select(
+            F.lit("ALL").alias("event_type"), "n_exact"
+        )
+    )
+    return (
+        s.join(ex, "event_type")
+        .select(
+            "event_type",
+            est.alias("hll_estimate"),
+            "n_exact",
+            F.expr(
+                f"CAST(ABS({HLL_ALPHA_NUM} * {HLL_M * HLL_M}"
+                f" * CAST({1 << HLL_SHIFT} AS {dec})"
+                f" DIV ({HLL_ALPHA_DEN} * s) - n_exact) * 1000000"
+                f" DIV n_exact AS BIGINT)"
+            ).alias("err_ppm"),
+            "n_regs",
+        )
+        .orderBy("event_type")
+    )

@@ -309,3 +309,25 @@ def test_q06b_window_face_equals_q06_join_face(spark, sf_dir):
         for r in Q["q06b_range_join_agg"](spark, sf_dir).collect()
     }
     assert a == b and a
+
+
+@given(st.integers(min_value=0, max_value=(1 << 54) - 1))
+def test_hll_bitlen_ladder_matches_python_bit_length(w):
+    """q186's generated CASE ladder must be the exact integer bit length
+    (the reason it exists: floor(log2()) is off-by-one at power
+    boundaries). Evaluate the ladder in pure Python by translating the
+    comparisons it generates."""
+    from redix_stream_spark.operators.stats import HLL_WBITS, _hll_bitlen_case
+
+    ladder = _hll_bitlen_case("w")
+    # parse "WHEN w >= T THEN K" pairs back out and apply them in order.
+    import re
+
+    pairs = re.findall(r"WHEN w >= (\d+) THEN (\d+)", ladder)
+    got = 0
+    for thresh, k in pairs:
+        if w >= int(thresh):
+            got = int(k)
+            break
+    assert got == w.bit_length()
+    assert HLL_WBITS + 1 - got >= 1  # rho is always a valid register value
