@@ -188,3 +188,82 @@ def q183_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cum")
     )
+
+
+# --- q188: curriculum manifest ------------------------------------------------
+
+#: q188: curriculum stages (easy → hard by token count; Bengio et al.
+#: 2009's curriculum-learning schedule as a data-ordering problem) and
+#: the fixed stage boundary in tokens. Boundaries are FIXED values, not
+#: quantiles — stage assignment must be map-side and append-stable (a
+#: quantile boundary moves every time the corpus grows; a fixed one
+#:  never reshuffles already-assigned docs).
+CURR_STAGES = 4
+CURR_STAGE_TOKENS = 32
+CURR_SEED = 11
+
+Q188_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         LEAST({CURR_STAGES - 1},
+               LEN(string_split(text, ' ')) // {CURR_STAGE_TOKENS})
+           AS stage,
+         md5('c{CURR_SEED}:' || CAST(doc_id AS VARCHAR)) AS hkey
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, stage, hkey,
+         CAST(('0x' || substr(hkey, 1, 6)) AS BIGINT) % {N_SHARDS} AS shard
+  FROM s
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(stage AS BIGINT) AS stage,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                               ORDER BY stage, hkey, doc_id)
+            AS BIGINT) AS pos
+FROM sh
+ORDER BY shard, pos
+"""
+
+
+@register("q188_curriculum_manifest", Q188_SQL)
+def q188_curriculum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, stage, shard, pos): the curriculum-ordered epoch
+    manifest — q175's reproducible shuffle with stages prepended to the
+    within-shard order, so a loader reading each shard by pos sees all
+    stage-0 (short/easy) documents before stage-1 and so on, uniformly
+    shuffled WITHIN each stage, and every shard advances through the
+    curriculum in lockstep (stage boundaries land at ~the same relative
+    position in every shard, md5 uniformity).
+
+    Stage = token count at FIXED boundaries (CURR_STAGE_TOKENS-token
+    steps, capped at CURR_STAGES−1) — map-side, append-stable, no
+    order-statistic pass (see constant's note). Determinism: order and
+    placement from md5(seed ‖ doc_id) exactly as q175; a seed bump
+    reshuffles within stages but never across the curriculum.
+
+    Scale: identical shape to q175 — shard from hash bits (map-side),
+    pos from one SHARD-partitioned rank window; no global sort,
+    N_SHARDS is the parallelism knob."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    s = d.select(
+        "doc_id",
+        F.least(
+            F.lit(CURR_STAGES - 1),
+            F.floor(F.size(F.split("text", " ")) / CURR_STAGE_TOKENS),
+        )
+        .cast("long")
+        .alias("stage"),
+        _hkey(f"c{CURR_SEED}:").alias("hkey"),
+    ).withColumn(
+        "shard",
+        F.conv(F.substring("hkey", 1, 6), 16, 10).cast("long") % N_SHARDS,
+    )
+    w = Window.partitionBy("shard").orderBy("stage", "hkey", "doc_id")
+    return s.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "stage",
+        F.col("shard").cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    ).orderBy("shard", "pos")

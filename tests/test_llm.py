@@ -1573,3 +1573,29 @@ def test_q175_epoch_shuffle_is_a_permutation_and_seed_sensitive(spark, sf_dir):
     finally:
         sampling.EPOCH_SEED = old
     assert [r["doc_id"] for r in rows2] != order1
+
+
+def test_q188_curriculum_is_a_staged_permutation(spark, sf_dir):
+    """Every doc appears exactly once; within each shard the stage is
+    NON-DECREASING in pos (the curriculum invariant: a loader reading a
+    shard in order never regresses to an easier stage); every stage is
+    populated; and within a stage the order differs from plain doc_id
+    order (it is a shuffle, not a sort)."""
+    from redix_stream_spark.llm import sampling
+
+    rows = sampling.q188_curriculum_manifest(spark, sf_dir).collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    stages = {r["stage"] for r in rows}
+    assert stages == set(range(sampling.CURR_STAGES))
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in shard_rows] == list(
+            range(1, len(shard_rows) + 1)
+        )
+        st = [r["stage"] for r in shard_rows]
+        assert st == sorted(st)
+    stage0 = [r["doc_id"] for r in rows if r["stage"] == 0]
+    assert stage0 != sorted(stage0)
