@@ -16,7 +16,7 @@ tests/test_bucketing.py); only the shuffle layout changes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -103,4 +103,145 @@ def q158_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(money("l_extendedprice") * one_minus("l_discount"), "revenue"),
         )
         .withColumnRenamed("p_brand", "brand")
+    )
+
+
+# --- q187: key-skew diagnostics ----------------------------------------------
+
+# The measurement face behind this module's mitigation faces: BEFORE
+# salting (q158) or bucketing, quantify how skewed a join/groupBy key
+# actually is. Readout: Gini coefficient of the per-key row-count
+# distribution (0 = perfectly even, →1 = one key owns everything;
+# G = (2·Σ i·c_(i) − (K+1)·Σc) / (K·Σc) over counts sorted ascending)
+# plus the top-key shares. Integer-exact end to end: shares and Gini are
+# reported in ppm via DIV, and the rank index i comes from a bucketed
+# two-phase prefix rank (q183's pattern — no single-partition sort of
+# the key relation). Within equal counts Σ i·c is permutation-invariant
+# (consecutive ranks times the same c), so any deterministic tie order
+# gives the same Gini.
+
+GINI_PPM = 10**6
+#: Sub-bucket resolution: buckets are (bit_length(c), top-3-bits(c)) —
+#: value-ordered (equal counts always share a bucket), ~8 buckets per
+#: power-of-two band, so a count distribution concentrated in one band
+#: still fans out across sub-buckets.
+SKEW_KEY = "user_id"
+
+
+def _skew_bucket_case(var: str, div: str = "//") -> str:
+    """Monotone-in-count bucket id: bit_length(c)·8 + top-3-bits(c).
+    ``div`` is the engine's integer-division operator (DuckDB ``//``,
+    Spark ``DIV``)."""
+    whens = " ".join(
+        f"WHEN {var} >= {1 << (k - 1)} THEN"
+        f" {k * 8} + {var} {div} {1 << max(k - 3, 0)}"
+        for k in range(63, 0, -1)
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+def _q187_sql() -> str:
+    return f"""
+WITH counts AS (
+  SELECT {SKEW_KEY} AS k, COUNT(*) AS c FROM events GROUP BY 1
+),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c, k) AS i FROM counts
+),
+summary AS (
+  SELECT COUNT(*) AS n_keys,
+         SUM(c) AS s1,
+         SUM(CAST(i AS HUGEINT) * c) AS s2
+  FROM ranked
+),
+top AS (
+  SELECT MAX(c) AS c_max, SUM(c) AS c_top5
+  FROM (SELECT c FROM counts ORDER BY c DESC, k LIMIT 5)
+)
+SELECT CAST(s1 AS BIGINT) AS n_rows,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(CAST(c_max AS HUGEINT) * {GINI_PPM} // s1 AS BIGINT)
+         AS max_share_ppm,
+       CAST(CAST(c_top5 AS HUGEINT) * {GINI_PPM} // s1 AS BIGINT)
+         AS top5_share_ppm,
+       CAST((2 * s2 - (n_keys + 1) * CAST(s1 AS HUGEINT)) * {GINI_PPM}
+            // (n_keys * CAST(s1 AS HUGEINT)) AS BIGINT) AS gini_ppm
+FROM summary, top
+"""
+
+
+@register("q187_key_skew_report", _q187_sql())
+def q187_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row skew report for the events join key: total rows, distinct
+    keys, heaviest-key and top-5 share (ppm), and the Gini coefficient
+    of the per-key count distribution — the go/no-go readout for
+    choosing between a plain shuffle, AQE skew splitting, and q158's
+    explicit salting (docstring there: salt when one key owns a
+    partition-sized share; this face measures exactly that).
+
+    Exactness: counts are integers; every reported ratio is a scaled
+    integer DIV; the Gini rank index i is deterministic via (count, key)
+    ordering, and permutation-invariance within count ties makes the
+    statistic independent of the tie order anyway (module comment).
+
+    Scale: per-key counts are one map-side-combined aggregate; the rank
+    over the KEY relation (the potentially-billion-row side at 100 TB)
+    is the q183 two-phase prefix pattern — value-ordered buckets from a
+    generated comparison ladder (bit-band × top-3-bits: equal counts
+    share a bucket, so cross-bucket order is total), per-bucket key
+    counts make a ≤512-row offsets relation (the only single-partition
+    window), offsets broadcast back, rank = offset + bucket-partitioned
+    row_number. Σ i·c folds in the same pass; the top-5 is TakeOrdered;
+    the final join multiplies three 1-row relations (broadcast)."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy(F.col(SKEW_KEY).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    counts = counts.withColumn(
+        "bucket", F.expr(_skew_bucket_case("c", "DIV")).cast("long")
+    )
+    bkeys = counts.groupBy("bucket").agg(F.count(F.lit(1)).alias("nk"))
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bkeys.select(
+        "bucket", F.coalesce(F.sum("nk").over(woff), F.lit(0)).alias("off")
+    )
+    win = Window.partitionBy("bucket").orderBy("c", "k")
+    dec = "decimal(38,0)"
+    ranked = counts.join(F.broadcast(offsets), "bucket").select(
+        "c",
+        (F.col("off") + F.row_number().over(win)).cast("long").alias("i"),
+    )
+    summary = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("i").cast(dec) * F.col("c")).cast(dec).alias("s2"),
+    )
+    top5 = (
+        counts.select("c", "k")
+        .orderBy(F.desc("c"), F.asc("k"))
+        .limit(5)
+        .agg(
+            F.max("c").cast("long").alias("c_max"),
+            F.sum("c").cast("long").alias("c_top5"),
+        )
+    )
+    return (
+        summary.join(F.broadcast(top5))
+        .select(
+            F.col("s1").alias("n_rows"),
+            "n_keys",
+            F.expr(
+                f"CAST(CAST(c_max AS {dec}) * {GINI_PPM} DIV s1 AS BIGINT)"
+            ).alias("max_share_ppm"),
+            F.expr(
+                f"CAST(CAST(c_top5 AS {dec}) * {GINI_PPM} DIV s1 AS BIGINT)"
+            ).alias("top5_share_ppm"),
+            F.expr(
+                f"CAST((2 * s2 - (n_keys + 1) * CAST(s1 AS {dec}))"
+                f" * {GINI_PPM}"
+                f" DIV (n_keys * CAST(s1 AS {dec})) AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
     )

@@ -734,3 +734,13 @@ def test_q184_pmi_topk_is_takeordered_and_marginals_not_broadcast(spark, sf_dir)
     # 1-row bigram total (IdentityBroadcastMode nested-loop, the zorder
     # 1-row-stats precedent).
     assert "BroadcastHashJoin" not in plan
+
+
+def test_q187_skew_rank_is_bucket_partitioned_topk_takeordered(spark, sf_dir):
+    """q187's rank over the key relation must ride the bucket-partitioned
+    window (two-phase prefix rank); the top-5 must be TakeOrdered; no
+    cartesian beyond the broadcast 1-row combiners."""
+    plan = plan_of(QUERIES["q187_key_skew_report"](spark, sf_dir))
+    assert "hashpartitioning(bucket" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
