@@ -1226,3 +1226,116 @@ def q184_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pmi_ratio_ppm",
         F.row_number().over(rank_w).cast("bigint").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q189 — bigram surprisal scoring: the SEQUENCE-aware quality filter next
+# to q82's bag-of-words rarity. A document whose adjacent-word transitions
+# are corpus-improbable (inverse conditional bigram probability is high)
+# is the CCNet "high-perplexity" removal candidate; q82 can't see a doc
+# made of common words in nonsense ORDER — this face exists for exactly
+# that document.
+# ---------------------------------------------------------------------------
+
+#: Fixed-point scale for per-bigram inverse conditional probability
+#: n_w1/n_xy (≥ 1 by construction). Envelope: n_w1 ≤ N ~1e12 at 100 TB,
+#: ×SCALE 1e6 = 1e18 per term — BIGINT-safe per term; the per-doc sum is
+#: widened to DECIMAL(38,0) before aggregation.
+SURPRISAL_SCALE = 10**6
+SURPRISAL_TOP = 25
+
+Q189_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE LEN(string_split(text, ' ')) >= 2
+),
+bi AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, LATERAL (SELECT UNNEST(range(1, LEN(t))) AS i)
+),
+pair AS (SELECT w1, w2, COUNT(*) AS n_xy FROM bi GROUP BY w1, w2),
+lft  AS (SELECT w1, COUNT(*) AS n_x FROM bi GROUP BY w1),
+doc AS (
+  SELECT b.doc_id,
+         COUNT(*) AS n_bigrams,
+         SUM(CAST(CAST(l.n_x AS HUGEINT) * {SURPRISAL_SCALE} // p.n_xy
+                  AS HUGEINT)) AS surp_sum
+  FROM bi b JOIN pair p USING (w1, w2) JOIN lft l USING (w1)
+  GROUP BY b.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(surp_sum // n_bigrams AS BIGINT) AS mean_surprisal_ppm,
+       CAST(ROW_NUMBER() OVER (
+              ORDER BY surp_sum // n_bigrams DESC, doc_id)
+            AS BIGINT) AS rank
+FROM doc
+ORDER BY mean_surprisal_ppm DESC, doc_id
+LIMIT {SURPRISAL_TOP}
+"""
+
+
+@register("q189_bigram_surprisal", Q189_SQL)
+def q189_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SURPRISAL_TOP most sequence-improbable documents: per-doc
+    mean inverse conditional bigram probability, scaled —
+    mean_t [ c(w1)·SCALE DIV c(w1,w2) ] over the doc's adjacent pairs.
+    Exactly 1·SCALE when every transition is deterministic in the
+    corpus; grows with out-of-model word order. The perplexity-filter
+    surrogate that stays transcendental-free (q82's docstring: libm
+    log/exp last bits differ cross-engine; this face ranks by exact
+    integers instead — inverse probability is monotone with per-bigram
+    surprisal, and its mean is the hashable stand-in for the log-mean).
+
+    Scale: bigram explode map-side (q131/q184's shape); the model join
+    keys (w1, w2) then w1 — scalar-typed frequency relations, so AQE
+    broadcasts them while genuinely small and shuffles at 100 TB vocab
+    (q82's regime note, salting guidance included); the per-doc
+    aggregate is doc-keyed map-side-combined; top-k is orderBy+limit
+    (TakeOrdered) with rank stamped on SURPRISAL_TOP rows."""
+    d = load_table(spark, sf_dir, "documents")
+    bigr = F.expr(
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> struct(toks[i - 1] as w1, toks[i] as w2))"
+    )
+    bi = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigr).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    pair = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xy")
+    )
+    lft = bi.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("n_x"))
+    dec = "decimal(38,0)"
+    doc = (
+        bi.join(pair, ["w1", "w2"])
+        .join(lft, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(
+                F.expr(f"CAST(n_x * {SURPRISAL_SCALE} DIV n_xy AS {dec})")
+            )
+            .cast(dec)
+            .alias("surp_sum"),
+        )
+    )
+    scored = doc.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_bigrams",
+        F.expr("CAST(surp_sum DIV n_bigrams AS BIGINT)").alias(
+            "mean_surprisal_ppm"
+        ),
+    )
+    top = scored.orderBy(
+        F.desc("mean_surprisal_ppm"), F.asc("doc_id")
+    ).limit(SURPRISAL_TOP)
+    rank_w = Window.orderBy(F.desc("mean_surprisal_ppm"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "n_bigrams",
+        "mean_surprisal_ppm",
+        F.row_number().over(rank_w).cast("bigint").alias("rank"),
+    )
