@@ -239,6 +239,55 @@ ORDER BY s.event_type
 """
 
 
+def hll_registers(df: DataFrame, key: str, groups: list[str]) -> DataFrame:
+    """(groups..., j, r): HLL registers of ``key`` per group — the
+    mergeable sketch state (merge = MAX per (groups, j); lossless).
+    Shared by the q186 batch face and ``llm.stream_hll.StreamingHll``
+    so the streaming estimate is VALUE-IDENTICAL to the batch one."""
+    h = df.select(
+        *groups,
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    b = h.select(
+        *groups,
+        (F.col("hv") % HLL_M).alias("j"),
+        F.expr(f"hv DIV {HLL_M}").alias("w"),
+    )
+    rho = F.expr(f"{HLL_WBITS} + 1 - ({_hll_bitlen_case('w')})")
+    return b.groupBy(*groups, "j").agg(F.max(rho).cast("long").alias("r"))
+
+
+def hll_estimate_cols(reg: DataFrame, groups: list[str]) -> DataFrame:
+    """(groups..., s, n_regs) harmonic-mean state from a register
+    relation — ``s`` is the 2^HLL_SHIFT-scaled Σ 2^-r in DECIMAL(38,0)
+    (empty registers contribute 2^HLL_SHIFT each)."""
+    dec = "decimal(38,0)"
+    return reg.groupBy(*groups).agg(
+        (
+            F.sum(
+                F.expr(
+                    f"CAST(shiftleft(CAST(1 AS BIGINT), {HLL_SHIFT} - r)"
+                    f" AS {dec})"
+                )
+            )
+            + (HLL_M - F.count(F.lit(1))).cast(dec)
+            * F.lit(1 << HLL_SHIFT).cast(dec)
+        ).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+    )
+
+
+def hll_estimate_expr():
+    """⌊α·m²·2^HLL_SHIFT / (den·s)⌋ as a BIGINT Column over ``s``."""
+    dec = "decimal(38,0)"
+    return F.expr(
+        f"CAST(CAST({HLL_ALPHA_NUM} AS {dec}) * {HLL_M * HLL_M}"
+        f" * {1 << HLL_SHIFT} DIV ({HLL_ALPHA_DEN} * s) AS BIGINT)"
+    )
+
+
 @register("q186_hll_distinct", _hll_sql())
 def q186_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type distinct users by a FROM-SCRATCH HyperLogLog whose
@@ -261,49 +310,19 @@ def q186_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     readout — at production scale you'd drop them (they ARE the
     expensive distinct the sketch replaces)."""
     e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    h = e.select(
-        "event_type",
-        "user_id",
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-        )
-        .cast("long")
-        .alias("hv"),
-    )
-    b = h.select(
-        "event_type",
-        "user_id",
-        (F.col("hv") % HLL_M).alias("j"),
-        F.expr(f"hv DIV {HLL_M}").alias("w"),
-    )
-    rho = F.expr(f"{HLL_WBITS} + 1 - ({_hll_bitlen_case('w')})")
-    reg = b.groupBy("event_type", "j").agg(F.max(rho).alias("r"))
+    reg = hll_registers(e, "user_id", ["event_type"])
     reg_all = reg.groupBy("j").agg(F.max("r").alias("r")).select(
         F.lit("ALL").alias("event_type"), "j", "r"
     )
     u = reg.select("event_type", "j", "r").unionByName(reg_all)
     dec = "decimal(38,0)"
-    s = u.groupBy("event_type").agg(
-        (
-            F.sum(
-                F.expr(
-                    f"CAST(shiftleft(CAST(1 AS BIGINT), {HLL_SHIFT} - r)"
-                    f" AS {dec})"
-                )
-            )
-            + (HLL_M - F.count(F.lit(1))).cast(dec) * F.lit(1 << HLL_SHIFT).cast(dec)
-        ).alias("s"),
-        F.count(F.lit(1)).cast("long").alias("n_regs"),
-    )
-    est = F.expr(
-        f"CAST(CAST({HLL_ALPHA_NUM} AS {dec}) * {HLL_M * HLL_M}"
-        f" * {1 << HLL_SHIFT} DIV ({HLL_ALPHA_DEN} * s) AS BIGINT)"
-    )
-    ex = h.groupBy("event_type").agg(
+    s = hll_estimate_cols(u, ["event_type"])
+    est = hll_estimate_expr()
+    ex = e.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("long").alias("n_exact")
     )
     ex = ex.unionByName(
-        h.agg(F.countDistinct("user_id").cast("long").alias("n_exact")).select(
+        e.agg(F.countDistinct("user_id").cast("long").alias("n_exact")).select(
             F.lit("ALL").alias("event_type"), "n_exact"
         )
     )

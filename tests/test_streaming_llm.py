@@ -157,3 +157,74 @@ def test_streaming_heavy_hitters_lifecycle(spark, tmp_path):
     assert "HOT" in folded and len(folded) <= MG_COUNTERS
     assert hh.totals() == 60_000
     assert {(r["token"], r["n_occ"]) for r in hh.verify_exact(log).collect()} == exact
+
+
+def test_streaming_hll_lifecycle_matches_batch_face(spark, tmp_path):
+    # Lossless mergeable registers: the streaming estimate must be
+    # VALUE-IDENTICAL to the q186 batch estimator over the union of all
+    # ingested data — across epoch splits, duplicate redelivery, crash
+    # replay, and compaction.
+    import pyspark.sql.functions as F
+
+    from redix_stream_spark.llm.stream_hll import StreamingHll
+    from redix_stream_spark.operators.stats import (
+        hll_estimate_cols,
+        hll_estimate_expr,
+        hll_registers,
+    )
+
+    sh = StreamingHll(spark, str(tmp_path / "hllstate"), group_col="g")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.when(F.col("id") % 2 == 0, F.lit("even")).otherwise("odd")
+            .alias("g"),
+            F.col("id").cast("string").alias("key"),
+        )
+
+    full = batch(0, 3000)
+
+    def batch_face(df):
+        reg = hll_registers(df, "key", ["g"])
+        s = hll_estimate_cols(reg, ["g"])
+        return {
+            r["g"]: (r["hll_estimate"], r["n_regs"])
+            for r in s.select(
+                "g", hll_estimate_expr().alias("hll_estimate"), "n_regs"
+            ).collect()
+        }
+
+    expected = batch_face(full)
+    sh.ingest_batch(batch(0, 1000), 0)
+    sh.ingest_batch(batch(1000, 2200), 1)
+    sh.ingest_batch(batch(2200, 3000), 2)
+
+    def got():
+        return {
+            r["g"]: (r["hll_estimate"], r["n_regs"])
+            for r in sh.estimate().collect()
+        }
+
+    assert got() == expected
+
+    # raw-HLL accuracy sanity on this cardinality (1500 per group).
+    assert abs(expected["even"][0] - 1500) / 1500 < 0.25
+
+    # crash replay: re-ingesting epoch 1 overwrites its own partial.
+    sh.ingest_batch(batch(1000, 2200), 1)
+    assert got() == expected
+
+    # at-least-once redelivery: a whole OVERLAPPING epoch is absorbed
+    # by the idempotent max-merge (MG could not promise this).
+    sh.ingest_batch(batch(500, 1500), 3)
+    assert got() == expected
+
+    # lossless compaction: estimates identical, state folded to one epoch.
+    sh.compact()
+    assert got() == expected
+    import os
+
+    gen_dir = sh._state.current_dir()
+    assert sorted(
+        d for d in os.listdir(gen_dir) if d.startswith("epoch=")
+    ) == ["epoch=0"]
