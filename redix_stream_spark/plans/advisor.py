@@ -1,0 +1,237 @@
+"""Layout advisor: WHICH column should a table range-cluster by?
+
+``sources.manifest_table`` implements the mechanism (disjoint per-file
+zones → zone-map pruning, q145/q149/q182); this face quantifies the
+POLICY question a table owner actually faces: for a workload of range
+probes over several columns, how many files would each candidate layout
+let the scanner skip? The readout is the full layout × probe matrix —
+the diagonal (cluster by the probed column) shows ~all files skipped,
+off-diagonal shows zone maps degenerating to full scans when files are
+ordered by something else. Same decision Delta/Iceberg OPTIMIZE
+CLUSTER BY tooling informs; here it is an oracle-verified query.
+
+Determinism: the real writer places files with ``repartitionByRange``,
+whose boundaries come from reservoir sampling — correct but not
+reproducible in another engine. The advisor therefore SIMULATES the
+layout it scores with exact rank arithmetic: file(row) =
+(rank−1)·N_FILES DIV n under the total order (candidate, orderkey).
+That is the same disjoint-zone placement the writer converges to, and
+both engines can compute it bit-identically. At 100 TB the advisor runs
+on a sample of the table (placement share estimates converge at modest
+sample sizes); the simulation cost here is one keyed exchange + one
+bucket-partitioned rank per candidate (the q183/q187 two-phase prefix
+pattern — no single-partition sort of the fact table, plan-asserted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from .skew import _skew_bucket_case
+
+#: Simulated layout: files per candidate layout, range probes per
+#: probed column (probe k covers the k-th 1/N_PROBES of the observed
+#: domain — uniform coverage, integer bounds).
+ADV_FILES = 16
+ADV_PROBES = 8
+
+#: Candidate columns: (name, DuckDB integer expression). All strictly
+#: positive BIGINTs so the q187 value-bucket ladder applies directly.
+ADV_COLS = (
+    ("orderkey", "o_orderkey"),
+    ("custkey", "o_custkey"),
+    ("day", "DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) + 1"),
+    ("cents", "CAST(ROUND(o_totalprice * 100) AS BIGINT)"),
+)
+
+
+def _q190_sql() -> str:
+    """Generated oracle: one ranked CTE per candidate layout (global
+    ROW_NUMBER is the semantic spec of the two-phase rank), zones per
+    simulated file, probe grid per probed column, overlap matrix."""
+    base_cols = ",\n         ".join(
+        f"CAST({expr} AS BIGINT) AS {name}" for name, expr in ADV_COLS
+    )
+    names = [name for name, _ in ADV_COLS]
+    zone_ctes = []
+    for lname in names:
+        mins = ", ".join(
+            f"MIN({p}) AS zmin_{p}, MAX({p}) AS zmax_{p}" for p in names
+        )
+        zone_ctes.append(
+            f"""z_{lname} AS (
+  SELECT '{lname}' AS layout, fid, {mins}
+  FROM (
+    SELECT *, (ROW_NUMBER() OVER (ORDER BY {lname}, orderkey) - 1)
+              * {ADV_FILES} // (SELECT COUNT(*) FROM base) AS fid
+    FROM base
+  ) GROUP BY fid
+)"""
+        )
+    zone_union = " UNION ALL ".join(f"SELECT * FROM z_{n}" for n in names)
+    zone_unpivot = " UNION ALL ".join(
+        f"SELECT layout, fid, '{p}' AS probe, zmin_{p} AS zmin,"
+        f" zmax_{p} AS zmax FROM zones"
+        for p in names
+    )
+    dom_union = " UNION ALL ".join(
+        f"SELECT '{p}' AS probe, MIN({p}) AS dmin, MAX({p}) AS dmax"
+        f" FROM base"
+        for p in names
+    )
+    return f"""
+WITH base AS (
+  SELECT {base_cols} FROM orders
+),
+{','.join(zone_ctes)},
+zones AS ({zone_union}),
+zcol AS ({zone_unpivot}),
+doms AS ({dom_union}),
+probes AS (
+  SELECT probe,
+         k,
+         dmin + (dmax - dmin) * k // {ADV_PROBES} AS lo,
+         dmin + (dmax - dmin) * (k + 1) // {ADV_PROBES} AS hi
+  FROM doms, (SELECT UNNEST(range({ADV_PROBES})) AS k)
+)
+SELECT z.layout,
+       z.probe,
+       CAST(COUNT(DISTINCT z.fid) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN z.zmax < p.lo OR z.zmin > p.hi
+                     THEN 0 ELSE 1 END) AS BIGINT) AS files_kept,
+       CAST((COUNT(*) - SUM(CASE WHEN z.zmax < p.lo OR z.zmin > p.hi
+                                 THEN 0 ELSE 1 END)) * 1000000
+            // COUNT(*) AS BIGINT) AS skip_ppm
+FROM zcol z JOIN probes p USING (probe)
+GROUP BY z.layout, z.probe
+ORDER BY z.layout, z.probe
+"""
+
+
+@register("q190_layout_advisor", _q190_sql())
+def q190_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout × probe skip matrix over orders: for every candidate
+    range-clustering column and every probed column, the fraction of
+    simulated files (in ppm) a zone-map scan would skip under a uniform
+    grid of ADV_PROBES domain-range probes. Read the row for your
+    workload's probe column; the argmax layout is the CLUSTER BY
+    recommendation (and the off-diagonal ~0 rows are the proof that
+    clustering by anything else buys nothing — the q182 bloom face
+    exists precisely for those columns).
+
+    Exactness: placement is rank arithmetic (module docstring), zones
+    and probe bounds are integer min/max and DIV grids, the skip ratio
+    a scaled integer — hash-exact end to end.
+
+    Scale: per candidate, one value-bucketed two-phase prefix rank
+    (q187's ladder — bucket-partitioned window, offsets broadcast; no
+    single-partition fact sort) feeding a fid-keyed min/max aggregate;
+    everything after the zone aggregates is bounded
+    (layouts × files × probes rows). Four candidates = four passes —
+    at 100 TB you run this on a sample, not because the plan degrades
+    but because placement shares converge long before exactness
+    matters; the demo keeps it exact for the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    names = [name for name, _ in ADV_COLS]
+    base = o.select(
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.col("o_custkey").cast("long").alias("custkey"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01"))
+            + 1
+        )
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    n_total = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    zone_parts = []
+    for lname in names:
+        b = base.withColumn(
+            "bucket", F.expr(_skew_bucket_case(lname, "DIV")).cast("long")
+        )
+        bkeys = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("nk"))
+        woff = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = bkeys.select(
+            "bucket",
+            F.coalesce(F.sum("nk").over(woff), F.lit(0)).alias("off"),
+        )
+        ranked = (
+            b.join(F.broadcast(offsets), "bucket")
+            .join(F.broadcast(n_total))
+            .select(
+                *names,
+                F.expr(
+                    f"(off + row_number() OVER (PARTITION BY bucket"
+                    f" ORDER BY {lname}, orderkey) - 1)"
+                    f" * {ADV_FILES} DIV n"
+                ).alias("fid"),
+            )
+        )
+        zone_parts.append(
+            ranked.groupBy("fid").agg(
+                *[
+                    m
+                    for p in names
+                    for m in (
+                        F.min(p).alias(f"zmin_{p}"),
+                        F.max(p).alias(f"zmax_{p}"),
+                    )
+                ]
+            )
+            .select(F.lit(lname).alias("layout"), "*")
+        )
+    zones = zone_parts[0]
+    for zp in zone_parts[1:]:
+        zones = zones.unionByName(zp)
+    stack = ", ".join(
+        f"'{p}', zmin_{p}, zmax_{p}" for p in names
+    )
+    zcol = zones.select(
+        "layout",
+        "fid",
+        F.expr(
+            f"stack({len(names)}, {stack}) AS (probe, zmin, zmax)"
+        ),
+    )
+    doms = None
+    for p in names:
+        d = base.agg(
+            F.min(p).alias("dmin"), F.max(p).alias("dmax")
+        ).select(F.lit(p).alias("probe"), "dmin", "dmax")
+        doms = d if doms is None else doms.unionByName(d)
+    probes = doms.select(
+        "probe",
+        F.explode(F.sequence(F.lit(0), F.lit(ADV_PROBES - 1))).alias("k"),
+        "dmin",
+        "dmax",
+    ).select(
+        "probe",
+        "k",
+        F.expr(f"dmin + (dmax - dmin) * k DIV {ADV_PROBES}").alias("lo"),
+        F.expr(f"dmin + (dmax - dmin) * (k + 1) DIV {ADV_PROBES}").alias(
+            "hi"
+        ),
+    )
+    kept = F.when(
+        (F.col("zmax") < F.col("lo")) | (F.col("zmin") > F.col("hi")),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    return (
+        zcol.join(F.broadcast(probes), "probe")
+        .groupBy("layout", "probe")
+        .agg(
+            F.countDistinct("fid").cast("long").alias("n_files"),
+            F.sum(kept).cast("long").alias("files_kept"),
+            F.expr(
+                f"CAST((count(*) - sum(CASE WHEN zmax < lo OR zmin > hi"
+                f" THEN 0 ELSE 1 END)) * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("skip_ppm"),
+        )
+        .orderBy("layout", "probe")
+    )

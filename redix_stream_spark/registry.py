@@ -48,7 +48,7 @@ def _load() -> None:
     from .operators import analytics, extra, graph, relational, stats, streamsem, tpch, windows  # noqa: F401
     from .llm import bpe, dedup, kmeans, multimodal, packing, pq, sampling, search, semdedup, similarity, text  # noqa: F401
     from .functions import udfs  # noqa: F401
-    from .plans import skew, zorder  # noqa: F401
+    from .plans import advisor, skew, zorder  # noqa: F401
     from .sources import ingest, manifest_table  # noqa: F401
     from .streaming import manifest_log, matview, quantile  # noqa: F401
 

@@ -744,3 +744,13 @@ def test_q187_skew_rank_is_bucket_partitioned_topk_takeordered(spark, sf_dir):
     assert "hashpartitioning(bucket" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q190_advisor_ranks_are_bucket_partitioned(spark, sf_dir):
+    """q190 simulates four layouts; each rank must ride a
+    bucket-partitioned window (two-phase prefix rank) — the fact table
+    never sorts through one partition; probes/offsets relations are the
+    only broadcast/nested-loop participants."""
+    plan = plan_of(QUERIES["q190_layout_advisor"](spark, sf_dir))
+    assert "hashpartitioning(bucket" in plan
+    assert "CartesianProduct" not in plan
