@@ -150,6 +150,10 @@ BIG_HEADLINE = [
     "q180_lpa_communities",
     "q175_epoch_shuffle",
     "q183_pps_sample",
+    # round-7 session 2: the layout advisor simulates four range
+    # clusterings of the fact table (heaviest new face; the other six
+    # are bounded-output and stay sf0.1-only — 10x audit in SCALING.md).
+    "q190_layout_advisor",
 ]
 
 #: Representative spread: scan-agg, star join, range/as-of join, windows,
@@ -277,6 +281,14 @@ HEADLINE = [
     "q181_winsorized_stats",
     "q182_bloom_point_lookup",
     "q183_pps_sample",
+    # round-7 session-2 adds
+    "q184_pmi_collocations",
+    "q185_cusum_changepoint",
+    "q186_hll_distinct",
+    "q187_key_skew_report",
+    "q188_curriculum_manifest",
+    "q189_bigram_surprisal",
+    "q190_layout_advisor",
 ]
 
 

@@ -76,6 +76,15 @@ def _load() -> None:
 # representatives (q01, q06). Rotated out: the r6-window names — all
 # with permanent rows (tests/test_registry_order.py R1–R6 sets).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # -- new in round 7, session 2 (PMI, CUSUM, HLL, skew report,
+    # curriculum, surprisal, layout advisor) --
+    "q184_pmi_collocations",
+    "q185_cusum_changepoint",
+    "q186_hll_distinct",
+    "q187_key_skew_report",
+    "q188_curriculum_manifest",
+    "q189_bigram_surprisal",
+    "q190_layout_advisor",
     # -- new in round 7 --
     "q175_epoch_shuffle",
     "q176_link_prediction",
@@ -123,14 +132,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q35_shingle_fingerprint",
     "q37_ngram_jaccard_dup",
     "q38_simhash",
-    "q38b_simhash_weighted",
-    "q39_multimodal_meta",
-    "q92_forecast_revenue",
-    "q93_promo_revenue",
-    "q99_passage_dedup",
-    # -- latest driver row is r4; headline representatives --
-    "q01_pricing_summary",
-    "q06_range_join",
+    # (q38b/q39/q92/q93/q99 and the r4 representatives q01/q06 rotated
+    # out mid-round to make room for the session-2 faces — all have
+    # permanent r1-r4 rows; test_registry_order's R*_CHECKED sets keep
+    # them covered.)
 )
 
 

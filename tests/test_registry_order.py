@@ -31,6 +31,14 @@ MUST_BE_IN_WINDOW = {
     # the composed face's fresh row re-proves hash-invisibility for all
     # artifact consumers.
     "q166_corpus_pipeline",
+    # New round-7 session-2 faces.
+    "q184_pmi_collocations",
+    "q185_cusum_changepoint",
+    "q186_hll_distinct",
+    "q187_key_skew_report",
+    "q188_curriculum_manifest",
+    "q189_bigram_surprisal",
+    "q190_layout_advisor",
 }
 
 # The 50 queries the r2 driver window checked (CORRECTNESS_r02 rows —
