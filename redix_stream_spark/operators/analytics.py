@@ -2876,3 +2876,132 @@ def q185_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+# --- q191: ordered-pair funnel discovery -------------------------------------
+
+# q160 VERIFIES a known funnel; q172 mines CONTIGUOUS prefixes. This face
+# finds funnel EDGES: for every ordered event-type pair (a, b), in how
+# many sessions does some a-event precede some b-event (existential —
+# first(a) < last(b) over within-session positions), next to the number
+# of sessions containing both types in any order. fwd_ppm near 1e6 says
+# a→b is a real ordering (a funnel edge); near 500000 says mere
+# co-occurrence. The pair relation is bounded by |event types|², so the
+# face reports ALL pairs — no top-k cut to hide an edge.
+
+Q191_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+               OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+s AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS seq
+  FROM o
+),
+p AS (
+  SELECT user_id, sid, event_type,
+         MIN(seq) AS first_pos, MAX(seq) AS last_pos
+  FROM s GROUP BY user_id, sid, event_type
+)
+SELECT a.event_type AS a,
+       b.event_type AS b,
+       CAST(SUM(CASE WHEN a.first_pos < b.last_pos THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fwd,
+       CAST(COUNT(*) AS BIGINT) AS n_co,
+       CAST(SUM(CASE WHEN a.first_pos < b.last_pos THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS fwd_ppm
+FROM p a JOIN p b
+  ON a.user_id = b.user_id AND a.sid = b.sid
+ AND a.event_type <> b.event_type
+GROUP BY a.event_type, b.event_type
+ORDER BY n_fwd DESC, a, b
+"""
+
+
+@register("q191_funnel_edges", Q191_SQL)
+def q191_funnel_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All ordered event-type pairs (a, b) with the number of sessions
+    where an a-event PRECEDES a b-event (n_fwd), sessions containing
+    both (n_co), and the directionality share fwd_ppm — the
+    funnel-EDGE discovery readout (module comment above).
+
+    Correct existential semantics without a per-event self-join: a
+    session has a-before-b iff first-position(a) < last-position(b),
+    so the pair test runs on the (session, type) FIRST/LAST rollup —
+    per-session pair work is |types present|² ≤ 25 rows, never
+    events². Within-session positions use absolute per-user sequence
+    numbers (first < last comparisons are ORDER statements, invariant
+    to where the session starts numbering).
+
+    Scale: sessionization is q165/q172's lag/cumsum idiom (one
+    user-keyed exchange carries lag, cumsum, and seq); the rollup is a
+    map-side-combined keyed aggregate; the self-join keys on
+    (user_id, sid) against per-session ≤|types| rows; the final
+    aggregate lands on a ≤|types|²-row relation. Integer counts and one
+    scaled DIV — hash-exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_start = F.when(
+        prev.isNull()
+        | (
+            F.expr("timestampdiff(MICROSECOND, __prev_ts, ts)")
+            > F.lit(SESSION_GAP_MIN * 60 * 1_000_000)
+        ),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = (
+        ev.withColumn("__prev_ts", prev)
+        .withColumn("is_start", is_start)
+        .withColumn("sid", F.sum("is_start").over(run))
+        .withColumn("seq", F.row_number().over(w))
+    )
+    p = s.groupBy("user_id", "sid", "event_type").agg(
+        F.min("seq").alias("first_pos"), F.max("seq").alias("last_pos")
+    )
+    a = p.select(
+        "user_id",
+        "sid",
+        F.col("event_type").alias("a"),
+        F.col("first_pos").alias("a_first"),
+    )
+    b = p.select(
+        "user_id",
+        "sid",
+        F.col("event_type").alias("b"),
+        F.col("last_pos").alias("b_last"),
+    )
+    pairs = a.join(b, ["user_id", "sid"]).filter(F.col("a") != F.col("b"))
+    return (
+        pairs.groupBy("a", "b")
+        .agg(
+            F.sum(
+                F.when(F.col("a_first") < F.col("b_last"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_fwd"),
+            F.count(F.lit(1)).cast("long").alias("n_co"),
+        )
+        .select(
+            "a",
+            "b",
+            "n_fwd",
+            "n_co",
+            F.expr("CAST(n_fwd * 1000000 DIV n_co AS BIGINT)").alias(
+                "fwd_ppm"
+            ),
+        )
+        .orderBy(F.desc("n_fwd"), "a", "b")
+    )
