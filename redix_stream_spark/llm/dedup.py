@@ -1846,3 +1846,92 @@ def q173_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + INC_BATCH_OFFSET).alias("doc_id"), "text"
     )
     return incremental_cluster_labels(spark, sf_dir, batch)
+
+
+# --- q193: canonical representative selection --------------------------------
+
+
+def _gen_cluster_reps_sql() -> str:
+    """Oracle: the from-scratch clusters CTE + documents join + argmax —
+    the artifact must be hash-invisible exactly as in q166."""
+    cluster_sql = _gen_cluster_oracle_sql().strip().rstrip(";")
+    return f"""
+WITH clusters AS (
+  {cluster_sql}
+),
+m AS (
+  SELECT c.cluster_id, d.doc_id,
+         CAST(LEN(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+),
+r AS (
+  SELECT cluster_id, doc_id, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_tokens DESC, doc_id) AS rk,
+         COUNT(*)  OVER (PARTITION BY cluster_id) AS n_members,
+         SUM(n_tokens) OVER (PARTITION BY cluster_id) AS total_tokens
+  FROM m
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(doc_id AS BIGINT) AS rep_doc_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(n_tokens AS BIGINT) AS rep_n_tokens,
+       CAST(total_tokens AS BIGINT) AS total_tokens
+FROM r WHERE rk = 1
+ORDER BY cluster_id
+"""
+
+
+@register("q193_cluster_representatives", _gen_cluster_reps_sql())
+def q193_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which duplicate should survive? Per near-dup cluster: the member
+    count, total tokens, and the REPRESENTATIVE — the longest member
+    (ties to the smallest doc_id). q80 detects, q81 drops; this face is
+    the policy between them, made explicit: "keep one" should keep the
+    most complete variant, not whichever id sorts first (truncated
+    mirrors and boilerplate-stripped copies are shorter than their
+    source — min-id canonicalization keeps the truncation half the
+    time). The artifact's is_canonical stays min-id for STABILITY
+    (append-stable across ingests, q173); this face is the
+    quality-aware read on top.
+
+    Exactness: integer token counts; the argmax is a deterministic rank
+    (no scores, no floats). The oracle recomputes clustering from
+    scratch — the shared artifact must be hash-invisible (q166's
+    contract).
+
+    Scale: one doc_id-keyed join of the corpus against the pairs-sized
+    label table; rank/count/sum windows share ONE cluster-keyed
+    exchange over CLUSTERED docs only (the label table's size, not the
+    corpus's)."""
+    from .artifacts import cluster_labels
+    from .text import tokens as _tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    m = cluster_labels(spark, sf_dir).select("doc_id", "cluster_id").join(
+        d.select("doc_id", F.size(_tokens()).cast("long").alias("n_tokens")),
+        "doc_id",
+    )
+    wr = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    r = m.select(
+        "cluster_id",
+        "doc_id",
+        "n_tokens",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n_members"),
+        F.sum("n_tokens").over(wc).alias("total_tokens"),
+    )
+    return (
+        r.filter(F.col("rk") == 1)
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.col("doc_id").cast("bigint").alias("rep_doc_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("n_tokens").cast("bigint").alias("rep_n_tokens"),
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -3005,3 +3005,142 @@ def q191_funnel_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_fwd"), "a", "b")
     )
+
+
+# --- q192: funnel stage timing ------------------------------------------------
+
+# q160 counts WHO converts; this face measures HOW LONG each hop takes:
+# per converting user the min-chain timestamps t1 (first view) → t2
+# (first later click) → t3 (first later purchase), then per hop the
+# exact LOWER MEDIAN (order statistic at rank ⌈n/2⌉ — integer rank
+# arithmetic, both engines pick the same stored value; q181/q124's
+# discipline) and the decimal-exact mean of the hop latency in
+# microseconds. The product-analytics "where does the funnel stall"
+# readout.
+
+Q192_SQL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+  GROUP BY e.user_id
+),
+hops AS (
+  SELECT 'view>click' AS stage, t1.user_id,
+         date_diff('microseconds', t1.t1, t2.t2) AS delta_us
+  FROM t1 JOIN t2 ON t1.user_id = t2.user_id
+  UNION ALL
+  SELECT 'click>purchase', t2.user_id,
+         date_diff('microseconds', t2.t2, t3.t3)
+  FROM t2 JOIN t3 ON t2.user_id = t3.user_id
+),
+r AS (
+  SELECT stage, delta_us,
+         ROW_NUMBER() OVER (PARTITION BY stage
+                            ORDER BY delta_us, user_id) AS rn,
+         COUNT(*) OVER (PARTITION BY stage) AS n
+  FROM hops
+)
+SELECT stage,
+       CAST(MAX(n) AS BIGINT) AS n_users,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN delta_us END) AS BIGINT)
+         AS median_us,
+       CAST(SUM(CAST(delta_us AS HUGEINT)) AS DOUBLE) / MAX(n) AS mean_us
+FROM r GROUP BY stage
+ORDER BY stage
+"""
+
+
+@register("q192_funnel_timing", Q192_SQL)
+def q192_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per funnel hop (view→click, click→purchase): converting users,
+    exact lower-median hop latency, and mean latency in microseconds
+    (module comment above — q160 tells you conversion, this tells you
+    WHERE TIME IS LOST).
+
+    Exactness: latencies are integer microsecond diffs; the median is
+    an order statistic at an integer rank (no interpolation); the mean
+    is a decimal-exact integer sum cast once to double over an integer
+    count. Envelope: Σ delta_us ≤ users·session-horizon ~ 1e9·1e14 —
+    past BIGINT, summed in DECIMAL(38,0)/HUGEINT.
+
+    Scale: each chain step is a pushed-filter scan + user-keyed min
+    aggregate (q160's shape — a celebrity user costs MIN, never a
+    buffer); the rank/count windows share one stage-keyed exchange over
+    the USER-sized hop relation (per-stage sort = the honest exact-
+    order-statistic cost; q52's sketch is the 100 TB approximate path)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    h12 = (
+        t1.join(t2, "user_id")
+        .select(
+            F.lit("view>click").alias("stage"),
+            "user_id",
+            F.expr("timestampdiff(MICROSECOND, t1, t2)").alias("delta_us"),
+        )
+    )
+    h23 = (
+        t2.join(t3, "user_id")
+        .select(
+            F.lit("click>purchase").alias("stage"),
+            "user_id",
+            F.expr("timestampdiff(MICROSECOND, t2, t3)").alias("delta_us"),
+        )
+    )
+    hops = h12.unionByName(h23)
+    wr = Window.partitionBy("stage").orderBy("delta_us", "user_id")
+    wn = Window.partitionBy("stage")
+    r = hops.select(
+        "stage",
+        "delta_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        r.groupBy("stage")
+        .agg(
+            F.max("n").cast("long").alias("n_users"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("delta_us")
+                )
+            )
+            .cast("long")
+            .alias("median_us"),
+            (
+                F.sum(F.col("delta_us").cast("decimal(38,0)")).cast("double")
+                / F.max("n")
+            ).alias("mean_us"),
+        )
+        .orderBy("stage")
+    )
