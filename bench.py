@@ -289,6 +289,9 @@ HEADLINE = [
     "q188_curriculum_manifest",
     "q189_bigram_surprisal",
     "q190_layout_advisor",
+    "q191_funnel_edges",
+    "q192_funnel_timing",
+    "q193_cluster_representatives",
 ]
 
 

@@ -85,6 +85,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q188_curriculum_manifest",
     "q189_bigram_surprisal",
     "q190_layout_advisor",
+    "q191_funnel_edges",
+    "q192_funnel_timing",
+    "q193_cluster_representatives",
     # -- new in round 7 --
     "q175_epoch_shuffle",
     "q176_link_prediction",
@@ -129,10 +132,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q129_cohort_matrix",
     "q130_corpus_report",
     "q133_interevent_gaps",
-    "q35_shingle_fingerprint",
-    "q37_ngram_jaccard_dup",
-    "q38_simhash",
-    # (q38b/q39/q92/q93/q99 and the r4 representatives q01/q06 rotated
+    # (q35/q37/q38, q38b/q39/q92/q93/q99 and the r4 representatives q01/q06 rotated
     # out mid-round to make room for the session-2 faces — all have
     # permanent r1-r4 rows; test_registry_order's R*_CHECKED sets keep
     # them covered.)

@@ -39,6 +39,9 @@ MUST_BE_IN_WINDOW = {
     "q188_curriculum_manifest",
     "q189_bigram_surprisal",
     "q190_layout_advisor",
+    "q191_funnel_edges",
+    "q192_funnel_timing",
+    "q193_cluster_representatives",
 }
 
 # The 50 queries the r2 driver window checked (CORRECTNESS_r02 rows —
