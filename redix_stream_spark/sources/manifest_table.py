@@ -474,9 +474,20 @@ class ManifestTable:
 
     # -- merge (copy-on-write upsert) --------------------------------------
 
-    def merge(self, spark: SparkSession, updates: DataFrame) -> dict:
+    def merge(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        delete_keys: DataFrame | None = None,
+    ) -> dict:
         """Upsert ``updates`` by key (matched rows replaced, unmatched
-        inserted) — Delta-style copy-on-write:
+        inserted) — Delta-style copy-on-write. ``delete_keys`` (a
+        1-column frame of table keys) rides the SAME COW pass: its keys
+        widen the affected-file set and are anti-joined out of the
+        rewrite without being re-added — per-key CDC DELETE at the cost
+        of the one rewrite the upserts already pay (``merge_cdc`` is
+        the op-column front end). Deleting an absent key is a no-op by
+        construction (the anti-join finds nothing to drop).
 
         1. files whose key zone overlaps the update key set are found by
            range-joining the distinct update keys against the BROADCAST
@@ -513,6 +524,7 @@ class ManifestTable:
             # First-commit path still races (two writers can both see the
             # empty table): commit with base_gen=None so the loser gets
             # CommitConflict instead of silently erasing the winner.
+            # delete_keys against an empty table delete nothing.
             clustered = updates.repartitionByRange(8, self.key)
             new_entries = self._write_files(clustered)
             self._commit(new_entries, updates.schema, base_gen=base_gen)
@@ -526,7 +538,12 @@ class ManifestTable:
                 ranges, ["file", "lo", "hi"]
             )
         )
-        keys = updates.select(F.col(self.key).alias("_k")).distinct()
+        keys = updates.select(F.col(self.key).alias("_k"))
+        if delete_keys is not None:
+            keys = keys.unionByName(
+                delete_keys.select(F.col(delete_keys.columns[0]).alias("_k"))
+            )
+        keys = keys.distinct()
         hit = {
             r["file"]
             for r in keys.join(
@@ -579,6 +596,21 @@ class ManifestTable:
             "files_total": len(entries),
             "files_rewritten": len(affected),
         }
+
+    def merge_cdc(
+        self, spark: SparkSession, changes: DataFrame, op_col: str = "op"
+    ) -> dict:
+        """Apply a CDC batch in ONE commit: rows whose ``op_col`` is
+        'D' delete their key, every other row upserts (the usual
+        I/U/D change-feed contract, Delta's MERGE WHEN MATCHED THEN
+        DELETE). The caller must resolve multiple ops per key to one
+        final row first (``StreamingUpsert._latest_per_key`` does) —
+        one batch, one verdict per key, or the rewrite would be
+        nondeterministic. Replay-idempotent like ``merge``: re-applying
+        the same resolved batch converges to the same table."""
+        ups = changes.filter(F.col(op_col) != "D").drop(op_col)
+        dels = changes.filter(F.col(op_col) == "D").select(self.key)
+        return self.merge(spark, ups, delete_keys=dels)
 
     def delete(self, spark: SparkSession, col: str, lo, hi) -> dict:
         """Range delete, same COW discipline: only zone-overlapping
@@ -899,6 +931,46 @@ ORDER BY o_orderstatus
 """
 
 
+#: q194 CDC batch: updates in the q146 range, DELETES on a key stride
+#: excluded from the update range (the caller resolves to one op per key
+#: — merge_cdc's contract), inserts offset past every real key.
+Q194_DEL_MOD, Q194_DEL_RES = 89, 7
+
+Q194_SQL = f"""
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey BETWEEN {Q146_UPD_LO} AND {Q146_UPD_HI}
+),
+dels AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey % {Q194_DEL_MOD} = {Q194_DEL_RES}
+    AND o_orderkey NOT BETWEEN {Q146_UPD_LO} AND {Q146_UPD_HI}
+),
+ins AS (
+  SELECT o_orderkey + {Q146_INS_OFFSET} AS o_orderkey, o_custkey,
+         'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 13
+),
+merged AS (
+  SELECT * FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    AND o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+    AND o_orderkey NOT IN (SELECT o_orderkey FROM ins)
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 def _register_queries() -> None:
     from ..catalog import load_table
     from ..numeric import dsum, money
@@ -1149,6 +1221,70 @@ def _register_queries() -> None:
                 dsum(money("o_totalprice"), "sum_price"),
             )
             .orderBy("o_custkey")
+        )
+
+    @register("q194_cdc_apply", Q194_SQL)
+    def q194_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """orders → ManifestTable → ONE CDC batch mixing all three ops
+        (updates in a key range, per-key DELETES on a stride, inserts
+        past every real key) applied via ``merge_cdc`` in one COW pass /
+        one commit → read back → aggregate. The oracle applies the same
+        change semantics to the base table in SQL — a resurrected
+        deleted row, a dropped survivor, or a double-applied update all
+        diverge the hash. Completes the storage DML matrix: q146 upsert,
+        q178 range delete, q194 keyed CDC with deletes (the Delta MERGE
+        WHEN MATCHED THEN DELETE shape); file-level COW mechanics and
+        replay idempotence pinned in tests/test_manifest_table.py."""
+        root = _scratch("q194_mtable_")
+        shutil.rmtree(root, ignore_errors=True)
+        tbl = ManifestTable(os.path.join(root, "orders"), "o_orderkey")
+        o = load_table(spark, sf_dir, "orders")
+        tbl.write(o, target_files=8)
+        upd = o.filter(
+            F.col("o_orderkey").between(Q146_UPD_LO, Q146_UPD_HI)
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+            F.lit("U").alias("op"),
+        )
+        dels = o.filter(
+            (F.col("o_orderkey") % Q194_DEL_MOD == Q194_DEL_RES)
+            & ~F.col("o_orderkey").between(Q146_UPD_LO, Q146_UPD_HI)
+        ).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+            F.lit("D").alias("op"),
+        )
+        ins = o.filter(F.col("o_orderkey") % 97 == 13).select(
+            (F.col("o_orderkey") + F.lit(Q146_INS_OFFSET)).alias(
+                "o_orderkey"
+            ),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+            F.lit("I").alias("op"),
+        )
+        tbl.merge_cdc(spark, upd.unionByName(dels).unionByName(ins))
+        return (
+            tbl.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                dsum(money("o_totalprice"), "sum_price"),
+                F.min("o_orderkey").cast("bigint").alias("min_key"),
+                F.max("o_orderkey").cast("bigint").alias("max_key"),
+            )
+            .orderBy("o_orderstatus")
         )
 
 

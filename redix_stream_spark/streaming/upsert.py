@@ -42,7 +42,16 @@ from ..sources.manifest_table import ManifestTable
 class StreamingUpsert:
     """foreachBatch hook applying an update stream to a ManifestTable."""
 
-    def __init__(self, table: ManifestTable, order_col: str):
+    def __init__(
+        self, table: ManifestTable, order_col: str, op_col: str | None = None
+    ):
+        #: ``op_col``: name of a CDC op column ('D' = delete the key,
+        #: anything else = upsert). None keeps the pure-upsert contract.
+        #: The latest-per-key collapse runs BEFORE the op split, so a
+        #: key's FINAL op in the batch wins — an update followed by a
+        #: delete deletes, a delete followed by a re-insert re-inserts
+        #: (the CDC total-order contract, resolved batch-locally).
+        self.op_col = op_col
         self.table = table
         #: within-batch winner: highest ``order_col`` per key. Ties are
         #: broken by the FULL remaining row (lexicographic over the other
@@ -56,7 +65,7 @@ class StreamingUpsert:
             c
             for c in batch.columns
             if c not in (self.table.key, self.order_col)
-        ]
+        ]  # op_col (if any) rides in ``rest`` — part of the total order
         w = Window.partitionBy(self.table.key).orderBy(
             F.col(self.order_col).desc(), *[F.col(c).desc() for c in rest]
         )
@@ -70,7 +79,13 @@ class StreamingUpsert:
         """Merge one micro-batch (replay-idempotent; see module doc)."""
         if not batch.head(1):
             return
-        self.table.merge(batch.sparkSession, self._latest_per_key(batch))
+        latest = self._latest_per_key(batch)
+        if self.op_col is None:
+            self.table.merge(batch.sparkSession, latest)
+        else:
+            self.table.merge_cdc(
+                batch.sparkSession, latest, op_col=self.op_col
+            )
 
     def attach(self, stream_df: DataFrame, checkpoint_dir: str):
         """Wire to an update stream (caller starts/awaits the query)."""

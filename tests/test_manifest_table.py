@@ -626,3 +626,104 @@ def test_tables_without_blooms_keep_every_file(orders_table):
     files — a sketch may only skip, never decide membership."""
     kept, total = orders_table.prune_values("o_custkey", [3])
     assert len(kept) == total == 8
+
+
+# --- merge_cdc: per-key deletes in the COW pass ---------------------------
+
+
+def test_merge_cdc_applies_all_three_ops_in_one_commit(spark, orders_table):
+    o = load_table(spark, SF_DIR, "orders")
+    g0 = orders_table.state.current_gen()
+    upd = (
+        o.filter(F.col("o_orderkey").between(200, 299))
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("op", F.lit("U"))
+    )
+    dels = o.filter(F.col("o_orderkey").between(300, 349)).withColumn(
+        "op", F.lit("D")
+    )
+    ins = (
+        o.limit(3)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10**7))
+        .withColumn("op", F.lit("I"))
+    )
+    n_upd, n_del = upd.count(), dels.count()
+    stats = orders_table.merge_cdc(
+        spark, upd.unionByName(dels).unionByName(ins)
+    )
+    assert 0 < stats["files_rewritten"] < stats["files_total"]
+    assert orders_table.state.current_gen() == g0 + 1  # ONE commit
+    after = orders_table.read(spark)
+    assert after.filter(F.col("o_orderkey").between(300, 349)).count() == 0
+    assert after.filter(F.col("o_orderstatus") == "U").count() == n_upd
+    assert after.count() == o.count() - n_del + 3
+
+
+def test_merge_cdc_delete_of_absent_key_is_a_noop(spark, orders_table):
+    o = load_table(spark, SF_DIR, "orders")
+    before = orders_table.read(spark).count()
+    ghost = o.limit(2).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10**8)
+    ).withColumn("op", F.lit("D"))
+    orders_table.merge_cdc(spark, ghost)
+    assert orders_table.read(spark).count() == before
+
+
+def test_merge_cdc_is_replay_idempotent(spark, orders_table):
+    o = load_table(spark, SF_DIR, "orders")
+    batch = (
+        o.filter(F.col("o_orderkey").between(100, 149))
+        .withColumn("op", F.lit("D"))
+        .unionByName(
+            o.filter(F.col("o_orderkey").between(150, 199))
+            .withColumn("o_orderstatus", F.lit("U"))
+            .withColumn("op", F.lit("U"))
+        )
+    )
+    orders_table.merge_cdc(spark, batch)
+    first = sorted(
+        (r["o_orderkey"], r["o_orderstatus"])
+        for r in orders_table.read(spark).collect()
+    )
+    orders_table.merge_cdc(spark, batch)  # crash-replay of the same batch
+    second = sorted(
+        (r["o_orderkey"], r["o_orderstatus"])
+        for r in orders_table.read(spark).collect()
+    )
+    assert first == second
+
+
+def test_streaming_upsert_with_op_column_deletes_and_reinserts(
+    spark, orders_table
+):
+    """op-aware StreamingUpsert: within one batch the FINAL op per key
+    wins (update-then-delete deletes; delete-then-reinsert reinserts)."""
+    from redix_stream_spark.streaming.upsert import StreamingUpsert
+
+    o = load_table(spark, SF_DIR, "orders")
+    su = StreamingUpsert(orders_table, order_col="_seq", op_col="op")
+    k1 = o.filter(F.col("o_orderkey") == 42)
+    batch = (
+        # key 42: U at seq 1 then D at seq 2 → deleted
+        k1.withColumn("op", F.lit("U")).withColumn("_seq", F.lit(1))
+        .unionByName(
+            k1.withColumn("op", F.lit("D")).withColumn("_seq", F.lit(2))
+        )
+        # key 43: D at seq 1 then U at seq 2 → survives updated
+        .unionByName(
+            o.filter(F.col("o_orderkey") == 43)
+            .withColumn("op", F.lit("D"))
+            .withColumn("_seq", F.lit(1))
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") == 43)
+            .withColumn("o_orderstatus", F.lit("U"))
+            .withColumn("op", F.lit("U"))
+            .withColumn("_seq", F.lit(2))
+        )
+    )
+    su.update(batch, epoch_id=0)
+    after = orders_table.read(spark)
+    assert after.filter(F.col("o_orderkey") == 42).count() == 0
+    r43 = after.filter(F.col("o_orderkey") == 43).collect()
+    assert len(r43) == 1 and r43[0]["o_orderstatus"] == "U"
