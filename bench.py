@@ -292,6 +292,8 @@ HEADLINE = [
     "q191_funnel_edges",
     "q192_funnel_timing",
     "q193_cluster_representatives",
+    "q194_cdc_apply",
+    "q195_audience_overlap",
 ]
 
 

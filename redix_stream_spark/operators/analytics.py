@@ -3144,3 +3144,94 @@ def q192_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+# --- q195: audience overlap matrix --------------------------------------------
+
+# Which behaviors share an audience? For every unordered event-type pair,
+# the distinct-user intersection, union, and Jaccard similarity (ppm) —
+# the audience-overlap readout behind segmentation and campaign targeting
+# (and the set-similarity primitive q36 approximates with MinHash, here
+# EXACT over a bounded type domain). All integers; one scaled DIV.
+
+Q195_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+sizes AS (
+  SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type
+),
+inter AS (
+  SELECT a.event_type AS a, b.event_type AS b, COUNT(*) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT i.a, i.b,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(i.n_both AS BIGINT) AS n_both,
+       CAST(sa.n + sb.n - i.n_both AS BIGINT) AS n_union,
+       CAST(i.n_both * 1000000 // (sa.n + sb.n - i.n_both) AS BIGINT)
+         AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.a
+JOIN sizes sb ON sb.event_type = i.b
+ORDER BY i.a, i.b
+"""
+
+
+@register("q195_audience_overlap", Q195_SQL)
+def q195_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered event-type pairs with exact distinct-user intersection,
+    union, and Jaccard ppm (module comment above). Pairs where no user
+    overlaps are absent (inner join semantics — an absent row IS the
+    zero).
+
+    Scale: the (user, type) de-dup is one map-side-combinable distinct
+    over a bounded-width relation; the self-join keys on user_id with
+    per-user fan-out ≤ C(|types|, 2) = 10 rows; sizes are a |types|-row
+    broadcast. At 100 TB this is one user-keyed exchange — the exact
+    counterpart of q36's MinHash estimate, affordable here because the
+    set family (event types) is bounded; for unbounded families
+    (documents) the sketch is the only affordable path — see llm/dedup.py."""
+    ut = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    sizes = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("a"))
+    b = ut.select("user_id", F.col("event_type").alias("b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("event_type").alias("a"),
+                                     F.col("n").alias("n_a"))), "a"
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("b"),
+                                     F.col("n").alias("n_b"))), "b"
+        )
+        .select(
+            "a",
+            "b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            .cast("long")
+            .alias("n_union"),
+            F.expr(
+                "CAST(n_both * 1000000 DIV (n_a + n_b - n_both) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("a", "b")
+    )

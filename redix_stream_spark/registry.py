@@ -88,6 +88,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q191_funnel_edges",
     "q192_funnel_timing",
     "q193_cluster_representatives",
+    "q194_cdc_apply",
+    "q195_audience_overlap",
     # -- new in round 7 --
     "q175_epoch_shuffle",
     "q176_link_prediction",
@@ -130,9 +132,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q126_histogram",
     "q128_cooccurrence_lift",
     "q129_cohort_matrix",
-    "q130_corpus_report",
-    "q133_interevent_gaps",
-    # (q35/q37/q38, q38b/q39/q92/q93/q99 and the r4 representatives q01/q06 rotated
+    # (q130/q133, q35/q37/q38, q38b/q39/q92/q93/q99 and the r4 representatives q01/q06 rotated
     # out mid-round to make room for the session-2 faces — all have
     # permanent r1-r4 rows; test_registry_order's R*_CHECKED sets keep
     # them covered.)

@@ -42,6 +42,8 @@ MUST_BE_IN_WINDOW = {
     "q191_funnel_edges",
     "q192_funnel_timing",
     "q193_cluster_representatives",
+    "q194_cdc_apply",
+    "q195_audience_overlap",
 }
 
 # The 50 queries the r2 driver window checked (CORRECTNESS_r02 rows —
