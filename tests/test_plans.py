@@ -754,3 +754,17 @@ def test_q190_advisor_ranks_are_bucket_partitioned(spark, sf_dir):
     plan = plan_of(QUERIES["q190_layout_advisor"](spark, sf_dir))
     assert "hashpartitioning(bucket" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q185_cusum_windows_run_on_the_daily_rollup(spark, sf_dir):
+    """q185's prefix/argmax windows must consume the (prio, day) rollup,
+    never the orders scan (q177's shape: a HashAggregate below every
+    Window), and the argmax must stay a prio-partitioned rank — no
+    single-partition window may exist anywhere in the plan."""
+    plan = plan_of(QUERIES["q185_cusum_changepoint"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    assert "Window" in tree
+    below_window = tree[tree.index("Window"):]
+    assert "HashAggregate" in below_window  # rollup feeds the windows
+    assert "SinglePartition" not in plan
