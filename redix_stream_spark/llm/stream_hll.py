@@ -62,6 +62,11 @@ class StreamingHll:
             gen, _ = self._state.stage()
             self._state.commit(gen)
 
+    #: Reserved partition for compacted history — OUTSIDE the caller's
+    #: epoch-id namespace, so a checkpoint restarting at epoch 0 after a
+    #: compact() can never overwrite the folded registers.
+    BASE_EPOCH = -1
+
     def _epoch_path(self, epoch_id: int) -> str:
         return os.path.join(self._state.current_dir(), f"epoch={epoch_id}")
 
@@ -71,7 +76,15 @@ class StreamingHll:
         is HLL_M registers per group; the written partial is bounded by
         groups × HLL_M rows however large the batch. OVERWRITE per
         epoch ⇒ replaying a failed epoch is idempotent (and max-merge
-        absorbs duplicate data anyway — see module docstring)."""
+        absorbs duplicate data anyway — see module docstring). Negative
+        epoch ids are refused: ``BASE_EPOCH`` holds compacted history,
+        and an ingest overwriting it would silently drop every
+        pre-compact register."""
+        if epoch_id < 0:
+            raise ValueError(
+                f"epoch_id must be >= 0 (epoch={self.BASE_EPOCH} is the "
+                "reserved compacted-history partition)"
+            )
         reg = hll_registers(
             batch.select(F.col(self.group_col).alias("g"), "key"),
             "key",
@@ -105,15 +118,19 @@ class StreamingHll:
         )
 
     def compact(self) -> None:
-        """Fold every epoch partial into epoch=0 (staged pointer swap).
-        Lossless and budget-free — the fold IS the merge (max per
-        (g, j)); estimates before and after are identical, pinned in
-        tests. Keeps state at one bounded relation however many epochs
-        have accumulated."""
+        """Fold every epoch partial into the reserved ``BASE_EPOCH``
+        partition (staged pointer swap). Lossless and budget-free — the
+        fold IS the merge (max per (g, j)); estimates before and after
+        are identical, pinned in tests. Keeps state at one bounded
+        relation however many epochs have accumulated. The fold lives
+        OUTSIDE the caller's epoch-id namespace (epoch=-1): a stream
+        that restarts at epoch 0 after a compact writes a fresh epoch=0
+        partial next to the base instead of overwriting folded history
+        (``ingest_batch`` additionally refuses negative ids)."""
         folded = self.registers()
         gen, gen_dir = self._state.stage()
         folded.write.mode("overwrite").parquet(
-            os.path.join(gen_dir, "epoch=0")
+            os.path.join(gen_dir, f"epoch={self.BASE_EPOCH}")
         )
         self._state.commit(gen)
         self._state.cleanup()

@@ -2650,7 +2650,7 @@ Q181_SQL = """
 WITH r AS (
   SELECT event_type, value,
          ROW_NUMBER() OVER (PARTITION BY event_type
-                            ORDER BY value, event_id) AS rn,
+                            ORDER BY value NULLS LAST, event_id) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
   FROM events
 ),
@@ -2697,7 +2697,13 @@ def q181_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_type", "event_id", "value"
     )
-    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    # asc_nulls_last pins the rank's null placement to the oracle's
+    # NULLS LAST — Spark ASC defaults to NULLS FIRST, DuckDB to NULLS
+    # LAST, so a NULL value would silently shift every cut point
+    # cross-engine otherwise.
+    wr = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_last("value"), "event_id"
+    )
     wn = Window.partitionBy("event_type")
     r = e.select(
         "event_type",
@@ -3047,7 +3053,7 @@ hops AS (
 r AS (
   SELECT stage, delta_us,
          ROW_NUMBER() OVER (PARTITION BY stage
-                            ORDER BY delta_us, user_id) AS rn,
+                            ORDER BY delta_us NULLS LAST, user_id) AS rn,
          COUNT(*) OVER (PARTITION BY stage) AS n
   FROM hops
 )
@@ -3118,7 +3124,11 @@ def q192_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hops = h12.unionByName(h23)
-    wr = Window.partitionBy("stage").orderBy("delta_us", "user_id")
+    # asc_nulls_last: same null-placement pin as q181 — the median rank
+    # arithmetic must see the same order both engines.
+    wr = Window.partitionBy("stage").orderBy(
+        F.asc_nulls_last("delta_us"), "user_id"
+    )
     wn = Window.partitionBy("stage")
     r = hops.select(
         "stage",

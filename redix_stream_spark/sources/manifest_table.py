@@ -556,6 +556,13 @@ class ManifestTable:
         }
         affected = [e for e in entries if e["file"] in hit]
         untouched = [e for e in entries if e["file"] not in hit]
+        if not affected and updates.isEmpty():
+            # Pure no-op batch (e.g. a delete-only CDC batch whose keys
+            # hit no file zones): nothing to rewrite, nothing to insert.
+            # Returning without a commit keeps history clean — otherwise
+            # an empty rewrite burns a generation and can push a rows=0
+            # NULL-stats entry into the manifest.
+            return {"files_total": len(entries), "files_rewritten": 0}
         schema = self.schema(base_gen)
         evolved = _evolve_schema(schema, updates.schema)
 

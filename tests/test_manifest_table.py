@@ -660,13 +660,20 @@ def test_merge_cdc_applies_all_three_ops_in_one_commit(spark, orders_table):
 
 
 def test_merge_cdc_delete_of_absent_key_is_a_noop(spark, orders_table):
+    """A delete-only batch whose keys hit no file zones must not touch
+    the table AT ALL — no rewrite, and (the r7 ADVICE fix) no commit:
+    a pure no-op burning a generation would pollute history/CDF and
+    could push a rows=0 NULL-stats entry into the manifest."""
     o = load_table(spark, SF_DIR, "orders")
     before = orders_table.read(spark).count()
+    gen_before = orders_table.state.current_gen()
     ghost = o.limit(2).withColumn(
         "o_orderkey", F.col("o_orderkey") + F.lit(10**8)
     ).withColumn("op", F.lit("D"))
-    orders_table.merge_cdc(spark, ghost)
+    stats = orders_table.merge_cdc(spark, ghost)
     assert orders_table.read(spark).count() == before
+    assert stats["files_rewritten"] == 0
+    assert orders_table.state.current_gen() == gen_before  # zero commits
 
 
 def test_merge_cdc_is_replay_idempotent(spark, orders_table):

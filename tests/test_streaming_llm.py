@@ -219,7 +219,9 @@ def test_streaming_hll_lifecycle_matches_batch_face(spark, tmp_path):
     sh.ingest_batch(batch(500, 1500), 3)
     assert got() == expected
 
-    # lossless compaction: estimates identical, state folded to one epoch.
+    # lossless compaction: estimates identical, state folded to ONE
+    # partial living in the RESERVED base partition (epoch=-1), outside
+    # the caller's epoch-id namespace.
     sh.compact()
     assert got() == expected
     import os
@@ -227,4 +229,18 @@ def test_streaming_hll_lifecycle_matches_batch_face(spark, tmp_path):
     gen_dir = sh._state.current_dir()
     assert sorted(
         d for d in os.listdir(gen_dir) if d.startswith("epoch=")
-    ) == ["epoch=0"]
+    ) == ["epoch=-1"]
+
+    # a checkpoint restarting at epoch 0 AFTER the compact must not
+    # overwrite folded history (the pre-fix bug: fold lived at epoch=0
+    # and a fresh run's first batch silently erased it). New data lands,
+    # old registers survive.
+    sh.ingest_batch(batch(3000, 3500), 0)
+    expected_plus = batch_face(batch(0, 3500))
+    assert got() == expected_plus
+
+    # the reserved id itself is refused at the API edge.
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sh.ingest_batch(batch(0, 10), -1)
