@@ -76,6 +76,9 @@ def _load() -> None:
 # representatives (q01, q06). Rotated out: the r6-window names — all
 # with permanent rows (tests/test_registry_order.py R1–R6 sets).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # -- new in round 8: the coded hub-degree guard face (r7 verdict's
+    # one open `weak`) --
+    "q176b_link_prediction_capped",
     # -- new in round 7, session 2 (PMI, CUSUM, HLL, skew report,
     # curriculum, surprisal, layout advisor) --
     "q184_pmi_collocations",
@@ -131,11 +134,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q123_phrase_search",
     "q126_histogram",
     "q128_cooccurrence_lift",
-    "q129_cohort_matrix",
-    # (q130/q133, q35/q37/q38, q38b/q39/q92/q93/q99 and the r4 representatives q01/q06 rotated
-    # out mid-round to make room for the session-2 faces — all have
-    # permanent r1-r4 rows; test_registry_order's R*_CHECKED sets keep
-    # them covered.)
+    # (q129, q130/q133, q35/q37/q38, q38b/q39/q92/q93/q99 and the r4
+    # representatives q01/q06 rotated out to make room for the round-8
+    # and session-2 faces — all have permanent r1-r4 rows;
+    # test_registry_order's R*_CHECKED sets keep them covered.)
 )
 
 

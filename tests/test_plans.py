@@ -668,6 +668,17 @@ def test_q176_link_prediction_topk_and_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q176b_capped_face_same_shape_no_cartesian(spark, sf_dir):
+    """The capped face must keep q176's plan shape — map-side wedge
+    explode from per-node adjacency arrays (no sym self-join), left_anti
+    non-edge filter, TakeOrdered global top-k — with the cap applied
+    INSIDE the adjacency aggregate (slice of the collected array), not
+    as an extra exchange: same number of shuffles as the exact face."""
+    plan = plan_of(QUERIES["q176b_link_prediction_capped"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q180_lpa_rounds_are_keyed_joins(spark, sf_dir):
     """Every LPA round is a keyed join + keyed agg + node-partitioned
     argmax — nothing cartesian, nothing single-partition (the rank

@@ -11,6 +11,12 @@ from __future__ import annotations
 from redix_stream_spark import registry
 
 MUST_BE_IN_WINDOW = {
+    # New round-8 faces; q181/q192 re-listed because their rank windows
+    # changed (NULLS LAST pin — same results on null-free data, fresh
+    # driver row proves it).
+    "q176b_link_prediction_capped",
+    "q181_winsorized_stats",
+    "q192_funnel_timing",
     # New round-7 faces: storage lifecycle (COW delete, compact+vacuum,
     # bloom point lookup), graph (link prediction, LPA communities),
     # analytics (rolling correlation, winsorized stats), training-data
