@@ -77,8 +77,9 @@ def _load() -> None:
 # with permanent rows (tests/test_registry_order.py R1–R6 sets).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new in round 8: the coded hub-degree guard face (r7 verdict's
-    # one open `weak`) --
+    # one open `weak`) and merge-on-read deletes --
     "q176b_link_prediction_capped",
+    "q196_mor_delete",
     # -- new in round 7, session 2 (PMI, CUSUM, HLL, skew report,
     # curriculum, surprisal, layout advisor) --
     "q184_pmi_collocations",
@@ -133,10 +134,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q119b_hilbert_key",
     "q123_phrase_search",
     "q126_histogram",
-    "q128_cooccurrence_lift",
-    # (q129, q130/q133, q35/q37/q38, q38b/q39/q92/q93/q99 and the r4
-    # representatives q01/q06 rotated out to make room for the round-8
-    # and session-2 faces — all have permanent r1-r4 rows;
+    # (q128/q129, q130/q133, q35/q37/q38, q38b/q39/q92/q93/q99 and the
+    # r4 representatives q01/q06 rotated out to make room for the
+    # round-8 and session-2 faces — all have permanent r1-r4 rows;
     # test_registry_order's R*_CHECKED sets keep them covered.)
 )
 

@@ -177,6 +177,10 @@ class ManifestTable:
         self.bloom_cols = list(bloom_cols or [])
         self.state = GenerationState(root)
         self.data_dir = os.path.join(root, "data")
+        #: Merge-on-read delete sidecars (``delete_mor``) live here, one
+        #: directory of key-parquet per delete commit; created lazily by
+        #: the first sidecar write.
+        self.deletes_dir = os.path.join(root, "deletes")
         os.makedirs(self.data_dir, exist_ok=True)
 
     # -- manifest plumbing -------------------------------------------------
@@ -365,13 +369,34 @@ class ManifestTable:
             gen = self.state.current_gen()
             if gen is None:
                 return spark.createDataFrame([], StructType())
-        files = [
-            os.path.join(self.root, e["file"]) for e in self.manifest(gen)
-        ]
-        schema = self.schema(gen)
-        if not files:
+        return self._read_entries(spark, self.manifest(gen), self.schema(gen))
+
+    def _read_entries(
+        self, spark: SparkSession, entries: list[dict], schema
+    ) -> DataFrame:
+        """Materialize the LOGICAL rows of ``entries``: the physical
+        data files minus their merge-on-read delete sidecars — ONE
+        anti-join on the key against the union of the sidecars the
+        scanned entries reference (nothing loads for entries without
+        deletes; a pruned scan therefore also prunes delete keys to the
+        surviving files' sidecars). Sidecars are trickle-delete-sized
+        and carry accurate parquet size stats, so Spark broadcasts the
+        anti-join's build side while they are small and falls back to
+        shuffle as they grow — ``compact`` folds them away either way."""
+        if not entries:
             return spark.createDataFrame([], schema or StructType())
-        return spark.read.schema(schema).parquet(*files)
+        df = spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, e["file"]) for e in entries]
+        )
+        refs = sorted({r for e in entries for r in e.get("deletes", ())})
+        if refs:
+            dels = spark.read.parquet(
+                *[os.path.join(self.root, r) for r in refs]
+            ).select(F.col(self.key).alias("_dk"))
+            df = df.join(
+                dels, df[self.key] == F.col("_dk"), "left_anti"
+            )
+        return df
 
     def prune(self, col: str, lo, hi) -> tuple[list[dict], int]:
         """Driver-side zone-map pruning: entries whose [min,max] for
@@ -437,12 +462,7 @@ class ManifestTable:
         if gen is None:
             return spark.createDataFrame([], StructType())
         kept, _total = self.prune_values(col, values, gen=gen)
-        schema = self.schema(gen)
-        if not kept:
-            return spark.createDataFrame([], schema or StructType())
-        df = spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, e["file"]) for e in kept]
-        )
+        df = self._read_entries(spark, kept, self.schema(gen))
         return df.filter(F.col(col).isin(values))
 
     def scan(self, spark: SparkSession, col: str, lo, hi) -> DataFrame:
@@ -460,12 +480,7 @@ class ManifestTable:
         if gen is None:
             return spark.createDataFrame([], StructType())
         kept, _total = self.prune_box(preds, gen=gen)
-        schema = self.schema(gen)
-        if not kept:
-            return spark.createDataFrame([], schema or StructType())
-        df = spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, e["file"]) for e in kept]
-        )
+        df = self._read_entries(spark, kept, self.schema(gen))
         cond = None
         for col, (lo, hi) in preds.items():
             c = (F.col(col) >= lo) & (F.col(col) <= hi)
@@ -579,9 +594,9 @@ class ManifestTable:
 
         parts = [conform(updates)]
         if affected:
-            old = spark.read.schema(schema).parquet(
-                *[os.path.join(self.root, e["file"]) for e in affected]
-            )
+            # logical rows: a merge-on-read-deleted key in an affected
+            # file must NOT resurrect through the COW rewrite.
+            old = self._read_entries(spark, affected, schema)
             parts.append(
                 conform(
                     old.join(
@@ -634,15 +649,90 @@ class ManifestTable:
         untouched = [
             e for e in self.manifest(base_gen) if e["file"] not in hit
         ]
-        old = spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, e["file"]) for e in kept]
-        )
+        old = self._read_entries(spark, kept, schema)
         remain = old.filter(~((F.col(col) >= lo) & (F.col(col) <= hi)))
         new_entries = self._write_files(
             remain.repartitionByRange(max(len(kept), 1), self.key)
         )
         self._commit(untouched + new_entries, schema, base_gen=base_gen)
         return {"files_total": total, "files_rewritten": len(kept)}
+
+    def delete_mor(self, spark: SparkSession, keys: DataFrame) -> dict:
+        """Merge-on-read delete (Delta deletion vectors / Iceberg
+        equality deletes, keyed): drop ``keys`` (a 1-column frame of
+        table keys) by COMMITTING A SIDECAR, rewriting ZERO data files —
+        the trickle-delete path (GDPR erasure against a 100 TB table)
+        where copy-on-write's rewrite-every-overlapping-file cost is
+        unpayable per request.
+
+        Mechanics: the distinct keys range-join the BROADCAST manifest
+        zone ranges (metadata-sized — keys never leave the executors);
+        only zone-plausible keys are written, once, as one parquet
+        sidecar under ``deletes/``; every zone-overlapping file's
+        manifest entry gains a reference to it. Readers anti-join the
+        sidecars of exactly the files they scan (``_read_entries``), so
+        pruning prunes delete keys too. A key can only be PRESENT in a
+        file whose zone covers it, so attaching the shared sidecar to
+        all hit files over-approximates safely (the anti-join ignores
+        keys a file never held). Absent keys are a metadata-only no-op.
+
+        Lifecycle: ``merge``/``delete`` rewrites apply sidecars before
+        rewriting (no resurrection), a re-upsert of a deleted key lands
+        in a NEW file no sidecar covers (visible again), ``compact``
+        folds all sidecars into a clean COW rewrite, and ``vacuum``
+        reclaims unreferenced sidecars. Per-entry ``rows`` stay PHYSICAL
+        counts (the manifest's size accounting), which is why
+        ``delete_mor`` reports ``files_affected`` instead of a row
+        delta — computing one would force the data scan this path
+        exists to avoid. Replay-idempotent in effect (re-deleting the
+        same keys re-commits a redundant sidecar; reads are unchanged)
+        and OCC-checked like every other writer."""
+        base_gen = self.state.current_gen()
+        if base_gen is None:
+            return {
+                "files_total": 0,
+                "files_rewritten": 0,
+                "files_affected": 0,
+            }
+        entries = self.manifest(base_gen)
+        ranges = [
+            (e["file"], e["stats"][self.key][0], e["stats"][self.key][1])
+            for e in entries
+        ]
+        rdf = F.broadcast(
+            spark.createDataFrame(ranges, ["file", "lo", "hi"])
+        )
+        kdf = keys.select(F.col(keys.columns[0]).alias("_k")).distinct()
+        matched = kdf.join(
+            rdf, (F.col("_k") >= F.col("lo")) & (F.col("_k") <= F.col("hi"))
+        )
+        hit = {
+            r["file"] for r in matched.select("file").distinct().collect()
+        }
+        if not hit:
+            # every key is outside every zone: nothing to delete, and a
+            # commit would burn a history slot (the merge() no-op rule).
+            return {
+                "files_total": len(entries),
+                "files_rewritten": 0,
+                "files_affected": 0,
+            }
+        ref = os.path.join("deletes", uuid.uuid4().hex)
+        matched.select(F.col("_k").alias(self.key)).distinct().coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(self.root, ref))
+        new_entries = [
+            {**e, "deletes": list(e.get("deletes", ())) + [ref]}
+            if e["file"] in hit
+            else e
+            for e in entries
+        ]
+        self._commit(new_entries, self.schema(base_gen), base_gen=base_gen)
+        return {
+            "files_total": len(entries),
+            "files_rewritten": 0,
+            "files_affected": len(hit),
+        }
 
     def table_changes(
         self, spark: SparkSession, gen_from: int, gen_to: int | None = None
@@ -663,8 +753,8 @@ class ManifestTable:
         manifests are scanned)."""
         if gen_to is None:
             gen_to = self.state.current_gen()
-        man_a = {e["file"] for e in self.manifest(gen_from)}
-        man_b = {e["file"] for e in self.manifest(gen_to)}
+        ents_a = self.manifest(gen_from)
+        ents_b = self.manifest(gen_to)
         schema = self.schema(gen_to)
         schema_a = self.schema(gen_from)
         if schema_a != schema:
@@ -675,16 +765,22 @@ class ManifestTable:
             )
         cols = schema.fieldNames()
 
-        def read_files(files: set[str]) -> DataFrame:
-            if not files:
-                return spark.createDataFrame([], schema)
-            return spark.read.schema(schema).parquet(
-                *[os.path.join(self.root, f) for f in files]
-            )
+        # shared-file skip identity = (file, delete sidecars): a file
+        # carried forward BY REFERENCE holds identical logical rows only
+        # if its merge-on-read delete set is also unchanged — a
+        # delete_mor commit changes logical content with zero data-file
+        # churn, and must surface here as delete rows.
+        def ident(e: dict):
+            return (e["file"], tuple(e.get("deletes", ())))
 
-        # shared files hold identical rows on both sides — skip them.
-        a = read_files(man_a - man_b)
-        b = read_files(man_b - man_a)
+        ids_a = {ident(e) for e in ents_a}
+        ids_b = {ident(e) for e in ents_b}
+        a = self._read_entries(
+            spark, [e for e in ents_a if ident(e) not in ids_b], schema
+        )
+        b = self._read_entries(
+            spark, [e for e in ents_b if ident(e) not in ids_a], schema
+        )
         aj = a.select(
             F.col(self.key).alias("_k"), F.struct(*cols).alias("_a")
         )
@@ -747,21 +843,47 @@ class ManifestTable:
         whose files are gone (they would otherwise fail mid-scan with
         PATH_NOT_FOUND instead of the contracted expired-gen error)."""
         cur = self.state.current_gen()
-        live = {os.path.basename(e["file"]) for e in self.manifest()}
+        cur_man = self.manifest()
+        live = {os.path.basename(e["file"]) for e in cur_man}
+        live_refs = {
+            os.path.basename(r)
+            for e in cur_man
+            for r in e.get("deletes", ())
+        }
         removed = 0
         for name in os.listdir(self.data_dir):
             if name not in live:
                 os.remove(os.path.join(self.data_dir, name))
                 removed += 1
+        if os.path.isdir(self.deletes_dir):
+            # delete sidecars are snapshot state like data files: reclaim
+            # the ones the current generation no longer references
+            # (compact folds them into the rewrite, orphaning them).
+            for name in os.listdir(self.deletes_dir):
+                if name not in live_refs:
+                    shutil.rmtree(
+                        os.path.join(self.deletes_dir, name),
+                        ignore_errors=True,
+                    )
+                    removed += 1
         if cur is not None and removed:
             survivors = [
                 g
                 for g in self.generations()
                 if g == cur
-                or {
-                    os.path.basename(e["file"]) for e in self.manifest(g)
-                }
-                <= live
+                or (
+                    {
+                        os.path.basename(e["file"])
+                        for e in self.manifest(g)
+                    }
+                    <= live
+                    and {
+                        os.path.basename(r)
+                        for e in self.manifest(g)
+                        for r in e.get("deletes", ())
+                    }
+                    <= live_refs
+                )
             ]
             meta = self.state.meta()
             self.state.commit(
@@ -875,6 +997,28 @@ SELECT o_orderstatus,
        CAST(MAX(o_orderkey) AS BIGINT) AS max_key
 FROM orders
 WHERE o_orderkey NOT BETWEEN {Q178_DEL_LO} AND {Q178_DEL_HI}
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+#: q196 merge-on-read delete batches: one contiguous key range (stacks a
+#: sidecar on few zone-overlapping files) and one scattered modular set
+#: (touches EVERY file — the GDPR-style point-erasure shape), so the
+#: face exercises both one-file and all-file sidecar attachment plus
+#: sidecar STACKING on the overlap. Both riders rewrite zero data files
+#: (pinned in tests/test_manifest_table.py).
+Q196_DEL_LO, Q196_DEL_HI = 500, 900
+Q196_MOD, Q196_REM = 131, 7
+
+Q196_SQL = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+WHERE NOT (o_orderkey BETWEEN {Q196_DEL_LO} AND {Q196_DEL_HI})
+  AND NOT (o_orderkey % {Q196_MOD} = {Q196_REM})
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
@@ -1150,6 +1294,48 @@ def _register_queries() -> None:
         tbl = ManifestTable(os.path.join(root, "orders"), "o_orderkey")
         tbl.write(load_table(spark, sf_dir, "orders"), target_files=8)
         tbl.delete(spark, "o_orderkey", Q178_DEL_LO, Q178_DEL_HI)
+        return (
+            tbl.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                dsum(money("o_totalprice"), "sum_price"),
+                F.min("o_orderkey").cast("bigint").alias("min_key"),
+                F.max("o_orderkey").cast("bigint").alias("max_key"),
+            )
+            .orderBy("o_orderstatus")
+        )
+
+    @register("q196_mor_delete", Q196_SQL)
+    def q196_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """orders → ManifestTable → TWO merge-on-read deletes (a key
+        range, then a scattered modular key set — the second STACKS a
+        sidecar on files the first already covers) → read back →
+        aggregate. The oracle is the double-anti-predicate aggregate:
+        the sidecar anti-join must hide exactly the deleted keys — a
+        resurrected row, an over-deleted neighbor zone, or a lost
+        stacked sidecar all diverge the hash. Zero data files are
+        rewritten by either delete (files_rewritten==0 pinned in
+        tests/test_manifest_table.py — the property this path exists
+        for; Delta deletion vectors / Iceberg equality deletes are the
+        public designs, re-expressed at the manifest level)."""
+        root = _scratch("q196_mtable_")
+        shutil.rmtree(root, ignore_errors=True)
+        tbl = ManifestTable(os.path.join(root, "orders"), "o_orderkey")
+        o = load_table(spark, sf_dir, "orders")
+        tbl.write(o, target_files=8)
+        tbl.delete_mor(
+            spark,
+            o.filter(
+                F.col("o_orderkey").between(Q196_DEL_LO, Q196_DEL_HI)
+            ).select("o_orderkey"),
+        )
+        tbl.delete_mor(
+            spark,
+            o.filter(
+                F.col("o_orderkey") % Q196_MOD == Q196_REM
+            ).select("o_orderkey"),
+        )
         return (
             tbl.read(spark)
             .groupBy("o_orderstatus")

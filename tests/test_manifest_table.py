@@ -734,3 +734,194 @@ def test_streaming_upsert_with_op_column_deletes_and_reinserts(
     assert after.filter(F.col("o_orderkey") == 42).count() == 0
     r43 = after.filter(F.col("o_orderkey") == 43).collect()
     assert len(r43) == 1 and r43[0]["o_orderstatus"] == "U"
+
+
+# --- delete_mor: merge-on-read deletes (deletion-vector sidecars) ----------
+
+
+def test_mor_delete_rewrites_zero_data_files(spark, orders_table):
+    """The property this path exists for: a delete commits a key
+    sidecar and touches ZERO data files — the trickle-delete workload
+    COW cannot afford (a 1-row delete rewrites every overlapping
+    file)."""
+    o = load_table(spark, SF_DIR, "orders")
+    before_files = set(os.listdir(orders_table.data_dir))
+    g0 = orders_table.state.current_gen()
+    n_before = orders_table.read(spark).count()
+    keys = o.filter(F.col("o_orderkey").between(500, 900)).select(
+        "o_orderkey"
+    )
+    n_del = keys.count()
+    stats = orders_table.delete_mor(spark, keys)
+    assert stats["files_rewritten"] == 0
+    assert stats["files_affected"] >= 1
+    assert set(os.listdir(orders_table.data_dir)) == before_files
+    assert orders_table.state.current_gen() == g0 + 1
+    after = orders_table.read(spark)
+    assert after.count() == n_before - n_del
+    assert (
+        after.filter(F.col("o_orderkey").between(500, 900)).count() == 0
+    )
+
+
+def test_mor_delete_absent_keys_is_a_commitless_noop(spark, orders_table):
+    g0 = orders_table.state.current_gen()
+    ghost = spark.range(10**8, 10**8 + 5).select(
+        F.col("id").alias("o_orderkey")
+    )
+    stats = orders_table.delete_mor(spark, ghost)
+    assert stats["files_affected"] == 0
+    assert orders_table.state.current_gen() == g0  # zero commits
+
+
+def test_mor_delete_snapshot_and_cdf_interaction(spark, orders_table):
+    """Time travel must still see the deleted rows in the pre-delete
+    snapshot, and the CDF between the two snapshots must emit exactly
+    the deleted PRESENT keys as `delete` rows — a delete_mor commit
+    changes logical content with zero file churn, so the CDF's
+    shared-file skip has to key on (file, sidecars), not file id."""
+    o = load_table(spark, SF_DIR, "orders")
+    g0 = orders_table.state.current_gen()
+    keys = o.filter(F.col("o_orderkey").between(300, 420)).select(
+        "o_orderkey"
+    )
+    expect = {r["o_orderkey"] for r in keys.collect()}
+    orders_table.delete_mor(spark, keys)
+    g1 = orders_table.state.current_gen()
+    # snapshot isolation: the old generation still reads the rows.
+    old = orders_table.read(spark, gen=g0)
+    assert (
+        old.filter(F.col("o_orderkey").between(300, 420)).count()
+        == len(expect)
+    )
+    # CDF: exactly the deleted keys, all tagged delete.
+    ch = orders_table.table_changes(spark, g0, g1).collect()
+    assert {r["_change_type"] for r in ch} == {"delete"}
+    assert {r["o_orderkey"] for r in ch} == expect
+
+
+def test_mor_deleted_keys_do_not_resurrect_through_cow_merge(
+    spark, orders_table
+):
+    """A COW rewrite of a file carrying a sidecar must apply the
+    sidecar first (no resurrection), while an explicit re-upsert of a
+    deleted key lands in a fresh file and becomes visible again."""
+    o = load_table(spark, SF_DIR, "orders")
+    dead = o.filter(F.col("o_orderkey").between(200, 260)).select(
+        "o_orderkey"
+    )
+    orders_table.delete_mor(spark, dead)
+    # merge OTHER keys in the same zone: forces the COW rewrite of the
+    # sidecar-carrying file.
+    upd = o.filter(F.col("o_orderkey").between(261, 299)).withColumn(
+        "o_orderstatus", F.lit("U")
+    )
+    orders_table.merge(spark, upd)
+    after = orders_table.read(spark)
+    assert after.filter(F.col("o_orderkey").between(200, 260)).count() == 0
+    # explicit re-upsert of one deleted key: visible again.
+    back = o.filter(F.col("o_orderkey") == 233)
+    if back.count():  # key 233 exists at this SF
+        orders_table.merge(spark, back)
+        assert (
+            orders_table.read(spark)
+            .filter(F.col("o_orderkey") == 233)
+            .count()
+            == back.count()
+        )
+
+
+def test_mor_compact_folds_sidecars_and_vacuum_reclaims(
+    spark, orders_table
+):
+    o = load_table(spark, SF_DIR, "orders")
+    orders_table.delete_mor(
+        spark,
+        o.filter(F.col("o_orderkey").between(100, 180)).select(
+            "o_orderkey"
+        ),
+    )
+    rows = _sorted_rows(orders_table.read(spark))
+    orders_table.compact(spark)
+    assert all(
+        not e.get("deletes") for e in orders_table.manifest()
+    )  # folded into the rewrite
+    orders_table.vacuum()
+    assert not os.path.isdir(orders_table.deletes_dir) or not os.listdir(
+        orders_table.deletes_dir
+    )
+    assert _sorted_rows(orders_table.read(spark)) == rows
+
+
+def test_mor_delete_occ_conflict_detected(spark, orders_table):
+    """delete_mor is a writer like any other: committing against a
+    stale base generation must raise, not silently drop the winner."""
+    import pytest as _pytest
+
+    from redix_stream_spark.sources.manifest_table import (
+        CommitConflict,
+        ManifestTable,
+    )
+
+    o = load_table(spark, SF_DIR, "orders")
+    w2 = ManifestTable(orders_table.root, "o_orderkey")
+    base = w2.state.current_gen()
+    entries = w2.manifest(base)
+    # winner lands a MOR delete...
+    orders_table.delete_mor(
+        spark,
+        o.filter(F.col("o_orderkey").between(700, 750)).select(
+            "o_orderkey"
+        ),
+    )
+    # ...loser planned against the stale base.
+    with _pytest.raises(CommitConflict):
+        w2._commit(entries, w2.schema(), base_gen=base)
+
+
+def test_mor_deletes_apply_on_scan_and_lookup_paths(spark, orders_table):
+    o = load_table(spark, SF_DIR, "orders")
+    orders_table.delete_mor(
+        spark,
+        o.filter(F.col("o_orderkey").between(1000, 1100)).select(
+            "o_orderkey"
+        ),
+    )
+    assert (
+        orders_table.scan(spark, "o_orderkey", 1000, 1100).count() == 0
+    )
+    present = [
+        r["o_orderkey"]
+        for r in o.filter(
+            F.col("o_orderkey").between(1000, 1100)
+        ).limit(3).collect()
+    ]
+    if present:
+        assert (
+            orders_table.lookup(spark, "o_orderkey", present).count() == 0
+        )
+
+
+def test_mor_pruned_scan_loads_no_sidecar_for_untouched_files(
+    spark, orders_table
+):
+    """Pruning prunes delete keys too: a scan whose zone survivors carry
+    no sidecar must plan NO anti-join at all — the sidecar read rides
+    only the files it covers."""
+    o = load_table(spark, SF_DIR, "orders")
+    lo_zone_max = min(
+        e["stats"]["o_orderkey"][1] for e in orders_table.manifest()
+    )
+    # delete keys confined to the LOWEST file's zone
+    orders_table.delete_mor(
+        spark,
+        o.filter(F.col("o_orderkey") <= lo_zone_max // 2).select(
+            "o_orderkey"
+        ),
+    )
+    assert any(e.get("deletes") for e in orders_table.manifest())
+    hi = max(e["stats"]["o_orderkey"][1] for e in orders_table.manifest())
+    plan = orders_table.scan(
+        spark, "o_orderkey", hi - 10, hi
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Anti" not in plan

@@ -15,6 +15,7 @@ MUST_BE_IN_WINDOW = {
     # changed (NULLS LAST pin — same results on null-free data, fresh
     # driver row proves it).
     "q176b_link_prediction_capped",
+    "q196_mor_delete",
     "q181_winsorized_stats",
     "q192_funnel_timing",
     # New round-7 faces: storage lifecycle (COW delete, compact+vacuum,
