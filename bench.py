@@ -294,6 +294,10 @@ HEADLINE = [
     "q193_cluster_representatives",
     "q194_cdc_apply",
     "q195_audience_overlap",
+    # round-8 adds: the hub-capped link-prediction production face and
+    # merge-on-read deletes (two sidecar commits + anti-join read).
+    "q176b_link_prediction_capped",
+    "q196_mor_delete",
 ]
 
 
