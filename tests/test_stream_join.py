@@ -116,3 +116,118 @@ def test_interval_join_batch_face_matches_semantics(spark):
         (4, 3),
         (4, 5),
     ]
+
+
+# --- left_outer: null-padded unmatched left rows emitted at watermark ------
+
+#: Outer-face scenario: user 9's view never gets a click — in
+#: left_outer it must surface null-padded, but ONLY once the watermark
+#: passes view_ts + interval (before that a matching click could still
+#: arrive). The minute-130 pusher pair exists purely to advance the
+#: watermark and must ride BOTH branches: each withWatermark node tracks
+#: its own max event time and the GLOBAL watermark is their MIN, so a
+#: pusher on one side alone leaves the global clock behind (measured —
+#: the first cut of this test pushed only clicks and the null row never
+#: emitted). Neither pusher reaches the output: the view (u99) stays in
+#: state past end-of-stream, the click matches nothing.
+OUTER_FILES = [
+    [_ev(1, 0, 7, "view"), _ev(2, 30, 7, "click"), _ev(7, 0, 9, "view")],
+    [
+        _ev(4, 80, 7, "view"),
+        _ev(3, 90, 7, "click"),
+        _ev(5, 100, 7, "click"),
+        _ev(6, 10, 8, "click"),
+        _ev(90, 130, 99, "view"),   # watermark pusher, views branch
+        _ev(92, 130, 98, "click"),  # pusher, clicks branch (distinct user
+        #                             — same user would self-join)
+    ],
+    # batch 3 then runs with global watermark t130−60 = t70 > t60, so
+    # view 7's null-padded row flushes during it.
+    [_ev(91, 300, 98, "click")],
+]
+
+
+def test_stream_stream_left_outer_emits_null_padded_at_watermark(
+    spark, tmp_path
+):
+    """The programming-guide outer pattern: matched pairs emit as in the
+    inner join; the unmatched left row (view 7) emits null-padded only
+    after the watermark clears view_ts + interval (t60) — here in the
+    third micro-batch, whose watermark (max event t130 − 1h = t70) is
+    the first past the bound."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(OUTER_FILES):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    views = stream.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("uid"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("uid"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = interval_join(
+        views,
+        clicks,
+        key="uid",
+        left_ts="view_ts",
+        right_ts="click_ts",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["view_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ssj_outer").collect()
+    )
+    assert got == [(1, 2), (4, 3), (4, 5), (7, None)]
+    # the null-padded row carries nulls on EVERY right column, not just
+    # the id (the pad is the whole side).
+    pad = [
+        r
+        for r in spark.sql("SELECT * FROM ssj_outer").collect()
+        if r["click_id"] is None
+    ]
+    assert len(pad) == 1 and pad[0]["click_ts"] is None
+    assert pad[0]["view_id"] == 7 and pad[0]["uid"] == 9
+
+
+def test_interval_join_left_outer_batch_face_matches(spark):
+    """Batch face: the same operator over bounded frames (watermarks are
+    no-ops) null-pads EVERY unmatched left row — including pusher view
+    90, which the streaming run correctly withholds because its match
+    window is still open at end-of-stream. The difference is the
+    semantics, not a bug: batch is a closed world, streaming emits an
+    unmatched row only once the watermark proves no match can come."""
+    all_rows = [r for f in OUTER_FILES for r in f]
+    views, clicks = _views_clicks(spark, all_rows)
+    out = interval_join(
+        views,
+        clicks,
+        key="uid",
+        left_ts="view_ts",
+        right_ts="click_ts",
+        how="left_outer",
+    )
+    assert sorted(
+        (r["view_id"], r["click_id"]) for r in out.collect()
+    ) == [(1, 2), (4, 3), (4, 5), (7, None), (90, None)]
