@@ -314,6 +314,55 @@ def ensure_artifacts(spark, sf_dir: str) -> None:
     cluster_labels(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
 
+#: Approximate-ANN quality trend (VERDICT r7 item 6): recall is recorded
+#: next to wall time so a codebook/layout change that silently degrades
+#: retrieval quality trips the driver's gate, not just the local suite.
+#: q121b/q138/q147 are top-10 overlap against q40's exact brute-force
+#: top-10 (same probe, same sf_dir); q169 is top-1 neighbor agreement
+#: with the exact cosine matrix (numpy — embeddings are driver-sized at
+#: bench SF; the ~0.5 ceiling on this near-uniform corpus is structural,
+#: see tests/test_llm.py::test_q169_knn_graph_recall_vs_exact).
+RECALL_FACES = (
+    "q121b_pq_ann_production",
+    "q138_sq8_ann_topk",
+    "q147_binary_ann_topk",
+)
+
+
+def measure_recall(spark, queries, sf_dir: str) -> dict[str, float]:
+    import numpy as np
+
+    exact = {
+        r["vec_id"]
+        for r in queries["q40_cosine_topk"](spark, sf_dir).collect()
+    }
+    out: dict[str, float] = {}
+    for name in RECALL_FACES:
+        got = {
+            r["vec_id"] for r in queries[name](spark, sf_dir).collect()
+        }
+        out[name] = round(len(got & exact) / max(len(exact), 1), 3)
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in rows
+    }
+    ids = sorted(vecs)
+    mat = np.stack([vecs[i] for i in ids])
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    np.fill_diagonal(sims, -2.0)
+    true_top1 = {ids[i]: ids[int(np.argmax(sims[i]))] for i in range(len(ids))}
+    got_top1 = {
+        r["vec_id"]: r["nbr_id"]
+        for r in queries["q169_knn_graph"](spark, sf_dir).collect()
+        if r["rank"] == 1
+    }
+    hit = sum(1 for i in ids if got_top1.get(i) == true_top1[i])
+    out["q169_knn_graph"] = round(hit / len(ids), 3)
+    return out
+
+
 def main() -> None:
     spark = get_spark("redix-stream-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -364,6 +413,7 @@ def main() -> None:
     }
     if flagged:
         result["retimed"] = flagged
+    result["recall"] = measure_recall(spark, queries, SF_DIR)
 
     if os.environ.get("SPARK_GRAFT_BIG", "1") != "0":
         import sys

@@ -21,6 +21,22 @@ import os
 import sys
 
 TOLERANCE = 2.0
+
+#: Approximate-ANN recall floors (VERDICT r7 item 6): bench.py records
+#: recall next to wall time; a codebook/layout/banding change that
+#: silently degrades retrieval quality fails the gate even when it gets
+#: FASTER. Floors mirror the pytest bars on this corpus: PQ/SQ8 re-rank
+#: true candidates (measured 1.0 at sf0.1), the sign-bit shortlist and
+#: the LSH kNN graph have STRUCTURAL ceilings on the near-uniform
+#: synthetic corpus (~0.5 — tests/test_llm.py q147/q169 docstrings);
+#: all four are deterministic per (data, config), so readings are
+#: stable, not sampled.
+RECALL_FLOORS = {
+    "q121b_pq_ann_production": 0.9,
+    "q138_sq8_ann_topk": 0.9,
+    "q147_binary_ann_topk": 0.5,
+    "q169_knn_graph": 0.4,
+}
 #: ONE stamped baseline source (round-4 consolidation): r01 values for the
 #: original headline, one-clean-session re-measurements for everything
 #: added later. Regenerate with scripts/consolidate_baseline.py when new
@@ -134,6 +150,20 @@ def main() -> int:
     failures = gate_block(current, baseline, "sf0.1")
     if sf1_current:
         failures += gate_block(sf1_current, sf1_baseline, "sf1", sf1=True)
+
+    recall = parsed.get("recall", {})
+    if recall:
+        for name, floor in sorted(RECALL_FLOORS.items()):
+            got = recall.get(name)
+            if got is None:
+                print(f"NOTE  recall {name}: not recorded in this run")
+                continue
+            flag = "FAIL " if got < floor else "ok   "
+            print(f"{flag}recall {name}: {got:.3f} (floor {floor})")
+            if got < floor:
+                failures.append(f"recall:{name}")
+    else:
+        print("note: no recall block in this recording (pre-round-8 run)")
 
     missing = sorted(set(baseline) - set(current))
     if missing:
