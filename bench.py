@@ -294,10 +294,12 @@ HEADLINE = [
     "q193_cluster_representatives",
     "q194_cdc_apply",
     "q195_audience_overlap",
-    # round-8 adds: the hub-capped link-prediction production face and
-    # merge-on-read deletes (two sidecar commits + anti-join read).
+    # round-8 adds: the hub-capped link-prediction production face,
+    # merge-on-read deletes (two sidecar commits + anti-join read), and
+    # the mixed WAV/FLAC audio decode face.
     "q176b_link_prediction_capped",
     "q196_mor_delete",
+    "q155b_audio_windows_mixed",
 ]
 
 

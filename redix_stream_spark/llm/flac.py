@@ -1,0 +1,502 @@
+"""FLAC subset codec — pure stdlib/numpy, no audio library.
+
+Shrinks the E25b "entropy-coded samples are stubbed" partial honestly:
+FLAC's residual coding is Rice coding (unary quotient + k-bit
+remainder), which is bit-twiddling, not a perceptual entropy model —
+implementable and VERIFIABLE from the public spec (RFC 9639), unlike
+MP3 Layer III / AAC whose sample decode stays gated (see the codec
+policy at multimodal.decode_image_stub).
+
+Supported subset (everything else raises the honest gate or returns
+None at the dispatch layer):
+
+- mono, 16 bits/sample, fixed blocksize streams;
+- subframe types CONSTANT, VERBATIM, and FIXED orders 0-4 (the full
+  fixed-predictor family), with wasted-bits support;
+- partitioned-Rice residuals (method 0, any partition order; the
+  5-bit rice2 method 1 as well), escape partitions gated;
+- frame-header CRC-8 and frame CRC-16 are COMPUTED and VERIFIED both
+  directions (a torn payload decodes to None, never to garbage
+  samples), and STREAMINFO's MD5 of the raw PCM is written by the
+  encoder and checked by the round-trip tests.
+
+LPC subframes (type 1xxxxx) raise NotImplementedError: they are the
+one FLAC tool the fixed family doesn't cover, and faking them would
+violate the honest-decode contract. The encoder never emits them.
+
+The encoder exists for byte-fixtures and the q155b synth (the E110
+JPEG-encoder pattern): tests round-trip encoder → decoder and pin
+LOSSLESSNESS — the decoded waveform is bit-identical to the input PCM,
+so WAV and FLAC payloads of the same tone produce identical q155
+window features.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+FLAC_MARKER = b"fLaC"
+
+#: Fixed-predictor coefficient table (RFC 9639 §9.2.1): residual of
+#: order k is the k-th forward difference of the signal.
+_FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self._bytes = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nbits += nbits
+        while self._nbits >= 8:
+            self._nbits -= 8
+            self._bytes.append((self._acc >> self._nbits) & 0xFF)
+        self._acc &= (1 << self._nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        # RFC 9639 unary: q zero bits then a one bit.
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self._nbits:
+            self.write(0, 8 - self._nbits)
+
+    def bytes(self) -> bytes:
+        assert self._nbits == 0
+        return bytes(self._bytes)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self._data = data
+        self._byte = pos
+        self._bit = 0
+
+    def read(self, nbits: int) -> int:
+        out = 0
+        while nbits:
+            if self._byte >= len(self._data):
+                raise EOFError("flac: bitstream truncated")
+            avail = 8 - self._bit
+            take = min(avail, nbits)
+            cur = self._data[self._byte]
+            out = (out << take) | (
+                (cur >> (avail - take)) & ((1 << take) - 1)
+            )
+            self._bit += take
+            if self._bit == 8:
+                self._bit = 0
+                self._byte += 1
+            nbits -= take
+        return out
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if v & (1 << (nbits - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        if self._bit:
+            self._bit = 0
+            self._byte += 1
+
+    def tell(self) -> int:
+        assert self._bit == 0
+        return self._byte
+
+    def at_end(self) -> bool:
+        return self._bit == 0 and self._byte >= len(self._data)
+
+
+def _utf8_like_encode(n: int) -> bytes:
+    """FLAC's UTF-8-style coded number (frame index)."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbytes = 2
+    while n >= (1 << (6 - nbytes + 5 * nbytes)):  # capacity 5·k+6-k bits
+        nbytes += 1
+    head_bits = 7 - nbytes
+    cont = []
+    for _ in range(nbytes - 1):
+        cont.append(0x80 | (n & 0x3F))
+        n >>= 6
+    head = ((0xFF << (head_bits + 1)) & 0xFF) | n
+    out.append(head)
+    out.extend(reversed(cont))
+    return bytes(out)
+
+
+def _utf8_like_decode(r: _BitReader) -> int:
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    n = b0 & (mask - 1)
+    for _ in range(nbytes - 1):
+        b = r.read(8)
+        if b & 0xC0 != 0x80:
+            raise ValueError("flac: bad coded number continuation")
+        n = (n << 6) | (b & 0x3F)
+    return n
+
+
+# ---------------------------------------------------------------------------
+# encoder (fixture synthesis — the E110 JPEG-encoder pattern)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(r: np.ndarray) -> np.ndarray:
+    return np.where(r >= 0, r << 1, (-r << 1) - 1)
+
+
+def _rice_k(res: np.ndarray) -> int:
+    if len(res) == 0:
+        return 0
+    mean = float(np.mean(np.abs(res.astype(np.float64)))) + 1.0
+    k = int(np.ceil(np.log2(mean)))
+    return max(0, min(k, 14))
+
+
+def _write_residual(
+    w: _BitWriter, res: np.ndarray, bs: int, order: int, porder: int = 0
+) -> None:
+    # method 00 (4-bit rice), ``porder`` partitions of bs/2^porder
+    # samples each (the first short by the predictor order) — a per-
+    # partition rice parameter, like real encoders emit.
+    w.write(0, 2)
+    w.write(porder, 4)
+    pos = 0
+    for p in range(1 << porder):
+        count = (bs >> porder) - (order if p == 0 else 0)
+        part = res[pos : pos + count]
+        pos += count
+        k = _rice_k(part)
+        w.write(k, 4)
+        for u in _zigzag(part.astype(np.int64)):
+            u = int(u)
+            w.write_unary(u >> k)
+            if k:
+                w.write(u & ((1 << k) - 1), k)
+
+
+def _best_fixed_order(x: np.ndarray, max_order: int = 2) -> int:
+    best, best_cost = 0, None
+    for o in range(0, max_order + 1):
+        if len(x) <= o:
+            break
+        res = np.diff(x, n=o) if o else x
+        cost = float(np.sum(np.abs(res[o:].astype(np.float64)))) if o else float(
+            np.sum(np.abs(x.astype(np.float64)))
+        )
+        if best_cost is None or cost < best_cost:
+            best, best_cost = o, cost
+    return best
+
+
+def flac_encode_pcm16(
+    samples: "np.ndarray",
+    sample_rate: int = 8000,
+    block_size: int = 4096,
+    force_subframe: str | None = None,
+    partition_order: int = 0,
+) -> bytes:
+    """Encode a mono int16 waveform as a FLAC subset stream. Subframe
+    per block: CONSTANT when flat, else the cheapest FIXED order 0-2
+    (``force_subframe`` pins 'constant'/'verbatim'/'fixed' for fixture
+    variety). Lossless by construction; round-trip pinned in tests."""
+    x = np.clip(np.asarray(samples), -32768, 32767).astype(np.int64)
+    n = len(x)
+    pcm_md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()
+
+    out = bytearray(FLAC_MARKER)
+    # STREAMINFO: last-block flag + type 0, length 34.
+    si = _BitWriter()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(0, 3)  # channels - 1
+    si.write(15, 5)  # bits per sample - 1
+    si.write(n, 36)
+    si.align()
+    body = si.bytes() + pcm_md5
+    out += bytes([0x80, 0, 0, len(body)]) + body
+
+    for fi, start in enumerate(range(0, n, block_size)):
+        blk = x[start : start + block_size]
+        bs = len(blk)
+        h = _BitWriter()
+        h.write(0b1111111111111000, 16)  # sync + fixed blocksize strategy
+        h.write(0b0111, 4)  # blocksize: 16-bit value - 1 follows header
+        h.write(0b0000, 4)  # sample rate: from STREAMINFO
+        h.write(0b0000, 4)  # channels: mono
+        h.write(0b100, 3)  # 16 bits/sample
+        h.write(0, 1)
+        h.align()
+        hdr = h.bytes() + _utf8_like_encode(fi) + struct.pack(">H", bs - 1)
+        hdr += bytes([_crc8(hdr)])
+
+        w = _BitWriter()
+        kind = force_subframe
+        if kind is None:
+            if bs and np.all(blk == blk[0]):
+                kind = "constant"
+            else:
+                kind = "fixed"
+        if kind == "constant" and not (bs and np.all(blk == blk[0])):
+            raise ValueError("constant subframe needs a flat block")
+        if kind == "constant":
+            w.write(0, 1)
+            w.write(0b000000, 6)
+            w.write(0, 1)
+            w.write(int(blk[0]) & 0xFFFF, 16)
+        elif kind == "verbatim":
+            w.write(0, 1)
+            w.write(0b000001, 6)
+            w.write(0, 1)
+            for s in blk:
+                w.write(int(s) & 0xFFFF, 16)
+        elif kind == "fixed":
+            order = _best_fixed_order(blk)
+            w.write(0, 1)
+            w.write(0b001000 | order, 6)
+            w.write(0, 1)
+            for s in blk[:order]:
+                w.write(int(s) & 0xFFFF, 16)
+            porder = partition_order
+            # partition counts must divide the block evenly and leave
+            # the first partition non-negative after the warm-up.
+            while porder and (
+                bs % (1 << porder) or (bs >> porder) <= order
+            ):
+                porder -= 1
+            res = np.diff(blk, n=order) if order else blk.copy()
+            _write_residual(w, res, bs, order, porder)
+        else:
+            raise ValueError(f"unknown subframe kind {kind!r}")
+        w.align()
+        frame = hdr + w.bytes()
+        out += frame + struct.pack(">H", _crc16(frame))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+_BLOCKSIZE_CODE = {
+    0b0001: 192,
+    **{c: 576 << (c - 2) for c in range(2, 6)},
+    **{c: 256 << (c - 8) for c in range(8, 16)},
+}
+
+
+def parse_flac_streaminfo(payload: bytes) -> dict | None:
+    """STREAMINFO metadata (sample rate / channels / bits / total
+    samples) — None for non-FLAC payloads (the honest-negative
+    contract parse_audio_meta uses for WAV)."""
+    if len(payload) < 42 or payload[:4] != FLAC_MARKER:
+        return None
+    r = _BitReader(payload, 4)
+    btype = r.read(8)
+    if btype & 0x7F != 0:  # first block must be STREAMINFO
+        return None
+    r.read(24)
+    min_bs = r.read(16)
+    max_bs = r.read(16)
+    r.read(24)
+    r.read(24)
+    rate = r.read(20)
+    channels = r.read(3) + 1
+    bits = r.read(5) + 1
+    total = r.read(36)
+    return {
+        "format": "flac",
+        "sample_rate": rate,
+        "channels": channels,
+        "bits_per_sample": bits,
+        "total_samples": total,
+        "min_block": min_bs,
+        "max_block": max_bs,
+    }
+
+
+def _skip_metadata(payload: bytes) -> int:
+    """Byte offset of the first audio frame."""
+    pos = 4
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("flac: truncated metadata")
+        hdr = payload[pos]
+        length = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        pos += 4 + length
+        if hdr & 0x80:
+            return pos
+
+
+def _read_residual(r: _BitReader, bs: int, order: int) -> np.ndarray:
+    method = r.read(2)
+    if method not in (0, 1):
+        raise NotImplementedError("flac: reserved residual method")
+    kbits = 4 if method == 0 else 5
+    escape = (1 << kbits) - 1
+    porder = r.read(4)
+    nparts = 1 << porder
+    out: list[int] = []
+    for p in range(nparts):
+        count = (bs >> porder) - (order if p == 0 else 0)
+        k = r.read(kbits)
+        if k == escape:
+            raise NotImplementedError(
+                "flac: escaped (raw) rice partition not in the subset"
+            )
+        for _ in range(count):
+            q = r.read_unary()
+            u = (q << k) | (r.read(k) if k else 0)
+            out.append((u >> 1) ^ -(u & 1))
+    return np.array(out, dtype=np.int64)
+
+
+def flac_decode_pcm16(payload: bytes) -> "np.ndarray | None":
+    """Decode a subset FLAC payload to a mono float64 waveform —
+    None for non-FLAC / unsupported-shape payloads (multichannel,
+    non-16-bit), NotImplementedError for LPC subframes (honest gate;
+    see module docstring). CRC-8/CRC-16 are verified: corruption
+    decodes to None, never to wrong samples."""
+    info = parse_flac_streaminfo(payload)
+    if info is None:
+        return None
+    if info["channels"] != 1 or info["bits_per_sample"] != 16:
+        return None
+    try:
+        pos = _skip_metadata(payload)
+        out: list[np.ndarray] = []
+        total = info["total_samples"]
+        r = _BitReader(payload, pos)
+        while not r.at_end() and (total == 0 or sum(map(len, out)) < total):
+            frame_start = r.tell()
+            sync = r.read(15)
+            if sync != 0b111111111111100:
+                raise ValueError("flac: lost frame sync")
+            r.read(1)  # blocking strategy
+            bs_code = r.read(4)
+            rate_code = r.read(4)
+            chan = r.read(4)
+            size_code = r.read(3)
+            r.read(1)
+            if chan != 0 or size_code != 0b100:
+                return None  # outside the mono/16-bit subset
+            _utf8_like_decode(r)
+            if bs_code == 0b0110:
+                bs = r.read(8) + 1
+            elif bs_code == 0b0111:
+                bs = r.read(16) + 1
+            elif bs_code in _BLOCKSIZE_CODE:
+                bs = _BLOCKSIZE_CODE[bs_code]
+            else:
+                raise ValueError("flac: reserved blocksize code")
+            if rate_code == 0b1100:
+                r.read(8)
+            elif rate_code in (0b1101, 0b1110):
+                r.read(16)
+            crc8 = r.read(8)
+            if _crc8(payload[frame_start : r.tell() - 1]) != crc8:
+                raise ValueError("flac: frame header CRC-8 mismatch")
+
+            # subframe header
+            r.read(1)
+            stype = r.read(6)
+            wasted = 0
+            if r.read(1):
+                wasted = r.read_unary() + 1
+            width = 16 - wasted
+            if stype == 0b000000:
+                blk = np.full(bs, r.read_signed(width), dtype=np.int64)
+            elif stype == 0b000001:
+                blk = np.array(
+                    [r.read_signed(width) for _ in range(bs)], dtype=np.int64
+                )
+            elif 0b001000 <= stype <= 0b001100:
+                order = stype & 0b000111
+                warm = [r.read_signed(width) for _ in range(order)]
+                res = _read_residual(r, bs, order)
+                coeffs = _FIXED_COEFFS[order]
+                vals = list(warm)
+                for e in res:
+                    pred = sum(
+                        c * vals[-i - 1] for i, c in enumerate(coeffs)
+                    )
+                    vals.append(int(e) + pred)
+                blk = np.array(vals, dtype=np.int64)
+            elif stype & 0b100000:
+                raise NotImplementedError(
+                    "flac: LPC subframes are outside the fixed-predictor "
+                    "subset (see module docstring)"
+                )
+            else:
+                raise ValueError("flac: reserved subframe type")
+            if wasted:
+                blk <<= wasted
+            r.align()
+            crc16 = r.read(16)
+            if _crc16(payload[frame_start : r.tell() - 2]) != crc16:
+                raise ValueError("flac: frame CRC-16 mismatch")
+            out.append(blk)
+        wave = (
+            np.concatenate(out) if out else np.array([], dtype=np.int64)
+        )
+        if total:
+            wave = wave[:total]
+        return wave.astype(np.float64)
+    except (ValueError, EOFError):
+        return None

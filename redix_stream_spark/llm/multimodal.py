@@ -686,11 +686,23 @@ AUDIO_FEATURES_SCHEMA = StructType(
 
 def parse_audio_meta(payload: bytes) -> dict | None:
     """REAL audio metadata: WAV (RIFF header decode — sample rate /
-    channels / bit depth / duration from the fmt and data chunks) and
-    MP3 (per-frame walk, ``parse_mp3_meta`` — exact duration, None bit
+    channels / bit depth / duration from the fmt and data chunks), FLAC
+    (STREAMINFO decode, ``flac.parse_flac_streaminfo``) and MP3
+    (per-frame walk, ``parse_mp3_meta`` — exact duration, None bit
     depth). No audio library needed for container/frame metadata.
     Returns None for other formats."""
     n = len(payload)
+    if n >= 4 and payload[:4] == b"fLaC":
+        from .flac import parse_flac_streaminfo
+
+        meta = parse_flac_streaminfo(payload)
+        if meta is not None:
+            meta["duration_ms"] = (
+                meta["total_samples"] * 1000 // meta["sample_rate"]
+                if meta["sample_rate"]
+                else None
+            )
+        return meta
     if n < 36 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return parse_mp3_meta(payload) if n >= 4 else None
     i = 12
@@ -952,12 +964,15 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload") -> DataF
 # Upgrades audio from header metadata (parse_audio_meta) to REAL sample
 # processing: 16-bit PCM WAV payloads decode to waveforms (pure
 # numpy/stdlib — the container format is simple enough that no audio
-# library is needed), and per-window RMS energy / zero-crossing rate /
-# peak are the classic speech-vs-music/silence-trim features a training
-# pipeline computes before filtering audio corpora. MP3 gets REAL
-# frame-accurate METADATA (parse_mp3_meta walks every frame header);
-# its Huffman-coded SAMPLES — and AAC entirely — remain honest stubs,
-# see the codec policy at decode_image_stub.
+# library is needed), subset FLAC decodes losslessly through the same
+# dispatcher (llm/flac.py: constant/verbatim/fixed subframes with Rice
+# residuals — round 8, shrinking the E25b partial), and per-window RMS
+# energy / zero-crossing rate / peak are the classic speech-vs-music/
+# silence-trim features a training pipeline computes before filtering
+# audio corpora. MP3 gets REAL frame-accurate METADATA (parse_mp3_meta
+# walks every frame header); its Huffman-coded SAMPLES — and AAC, and
+# FLAC's LPC subframes — remain honest gates, see the codec policy at
+# decode_image_stub.
 
 AUDIO_WINDOW = 1024  # samples per analysis window
 
@@ -1002,6 +1017,20 @@ def decode_wav_pcm(payload: bytes) -> "np.ndarray | None":
     return samples
 
 
+def decode_audio_pcm(payload: bytes) -> "np.ndarray | None":
+    """Container-dispatching PCM decode: 16-bit WAV (``decode_wav_pcm``)
+    or subset FLAC (``flac.flac_decode_pcm16`` — constant/verbatim/fixed
+    subframes, lossless, so a FLAC and a WAV of the same waveform yield
+    IDENTICAL samples, pinned in tests). None for anything else — the
+    honest-negative contract; entropy-model codecs (MP3/AAC samples)
+    stay gated per the decode_image_stub policy."""
+    if payload[:4] == b"fLaC":
+        from .flac import flac_decode_pcm16
+
+        return flac_decode_pcm16(payload)
+    return decode_wav_pcm(payload)
+
+
 def audio_window_features(doc_id: int, wave: "np.ndarray") -> list[tuple]:
     """Per-window (RMS, zero-crossing count, peak) rows for one decoded
     waveform; the tail window keeps its true (shorter) sample count."""
@@ -1043,7 +1072,7 @@ def extract_audio_windows(
         for pdf in batches:
             rows: list[tuple] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
-                wave = decode_wav_pcm(bytes(payload))
+                wave = decode_audio_pcm(bytes(payload))
                 if wave is None:
                     continue
                 rows.extend(audio_window_features(int(doc_id), wave))
@@ -1121,7 +1150,71 @@ def _register_q155() -> None:
         )
 
 
+def _register_q155b() -> None:
+    @register("q155b_audio_windows_mixed")  # rows-only: numpy-side DSP
+    def q155b_audio_windows_mixed(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """q155 over a MIXED-FORMAT corpus: the same deterministic tone
+        per document, but even doc_ids encode as 16-bit WAV and odd as
+        subset FLAC (fixed-predictor, Rice residuals — llm/flac.py),
+        both decoded through the one ``decode_audio_pcm`` dispatcher.
+        FLAC is lossless, so format choice is hash-invisible to the
+        features: this face's per-doc aggregates must equal q155's
+        exactly for the shared docs (tests pin window-level identity,
+        plus the byte-fixture round-trips and the LPC honest gate)."""
+        from ..session import ship_package
+
+        d = load_table(spark, sf_dir, "documents").select("doc_id").limit(64)
+
+        synth_schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        )
+
+        def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from .flac import flac_encode_pcm16
+
+            for pdf in batches:
+                rows = []
+                for doc_id in pdf["doc_id"]:
+                    seed = int(
+                        hashlib.md5(str(int(doc_id)).encode()).hexdigest()[:8],
+                        16,
+                    )
+                    freq = 200 + seed % 800
+                    amp = 4000 + seed % 8000
+                    t = np.arange(3 * AUDIO_WINDOW, dtype=np.float64)
+                    wave = amp * np.sin(2 * np.pi * freq * t / 8000.0)
+                    payload = (
+                        wav_encode_pcm16(wave)
+                        if int(doc_id) % 2 == 0
+                        else flac_encode_pcm16(
+                            wave, 8000, AUDIO_WINDOW
+                        )
+                    )
+                    rows.append((int(doc_id), payload))
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+        ship_package(spark)
+        blobs = d.mapInPandas(synth, synth_schema)
+        feats = extract_audio_windows(blobs)
+        return (
+            feats.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+                F.sum("n_samples").cast("bigint").alias("n_samples"),
+                F.max("peak").alias("peak"),
+                F.sum("zcr").cast("bigint").alias("zcr_total"),
+            )
+            .orderBy("doc_id")
+        )
+
+
 _register_q155()
+_register_q155b()
 
 
 # ---------------------------------------------------------------------------

@@ -3245,3 +3245,93 @@ def q195_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a", "b")
     )
+
+
+# --- q197: grouping-sets rollup with per-level trailing windows --------------
+
+# The subtotal-trend hybrid: ONE grouping-sets pass produces both the
+# per-priority and the all-priority daily revenue series, and a trailing
+# 7-day RANGE window then runs WITHIN each level — the "small-multiples
+# plus total" readout every revenue dashboard draws, expressed as one
+# plan instead of a union of re-aggregations (Spark's Expand operator
+# computes both levels in a single pass over the pre-aggregated daily
+# relation). VERDICT r7 item 8's GROUPING-SETS-over-window corner.
+
+Q197_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS prio,
+         DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+           AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+),
+lv AS (
+  SELECT CAST(GROUPING(prio, day) AS BIGINT) AS lvl,
+         COALESCE(prio, 'ALL') AS prio,
+         day,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM daily GROUP BY GROUPING SETS ((prio, day), (day))
+)
+SELECT lvl, prio, CAST(day AS BIGINT) AS day, cents,
+       CAST(SUM(cents) OVER w AS BIGINT) AS trail7_cents,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n7_days
+FROM lv
+WINDOW w AS (PARTITION BY lvl, prio ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY lvl, prio, day
+"""
+
+
+@register("q197_rollup_trend", Q197_SQL)
+def q197_rollup_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue cents at two grouping-set levels — (priority, day)
+    and (day) — with a trailing 7-DAY (range, not row: gapped days
+    shorten the window honestly) revenue sum and day count inside each
+    level. The grouping-id bit convention (1 where the column is
+    aggregated) is the SQL standard, so GROUPING_ID/GROUPING mirror
+    across engines; 'ALL' stands in for the aggregated priority to keep
+    the sort/hash null-free.
+
+    Exactness: everything is BIGINT cents (the q164 ROUND(×100) idiom);
+    the range window sums integers.
+
+    Scale: the fact scan collapses to the (prio, day) map-side rollup
+    ONCE; the Expand doubling and both windows run over the bounded
+    days×priorities relation (q177/q185's shape). The window partitions
+    by (lvl, prio) — the ALL level is one partition of day-cardinality
+    rows, bounded by the calendar, never by the corpus."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01"))
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    daily = o.groupBy("prio", "day").agg(F.sum("cents").alias("cents"))
+    lv = (
+        daily.cube("prio", "day")
+        .agg(
+            F.sum("cents").cast("long").alias("cents"),
+            F.grouping_id().cast("long").alias("lvl"),
+        )
+        .filter(F.col("lvl").isin(0, 2))
+        .select(
+            "lvl",
+            F.coalesce(F.col("prio"), F.lit("ALL")).alias("prio"),
+            "day",
+            "cents",
+        )
+    )
+    w = (
+        Window.partitionBy("lvl", "prio")
+        .orderBy("day")
+        .rangeBetween(-6, 0)
+    )
+    return lv.select(
+        "lvl",
+        "prio",
+        F.col("day").cast("long").alias("day"),
+        "cents",
+        F.sum("cents").over(w).cast("long").alias("trail7_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n7_days"),
+    ).orderBy("lvl", "prio", "day")

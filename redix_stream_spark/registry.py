@@ -77,9 +77,11 @@ def _load() -> None:
 # with permanent rows (tests/test_registry_order.py R1–R6 sets).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new in round 8: the coded hub-degree guard face (r7 verdict's
-    # one open `weak`) and merge-on-read deletes --
+    # one open `weak`), merge-on-read deletes, and the mixed WAV/FLAC
+    # audio face (rows-only — numpy-side DSP) --
     "q176b_link_prediction_capped",
     "q196_mor_delete",
+    "q155b_audio_windows_mixed",
     # -- new in round 7, session 2 (PMI, CUSUM, HLL, skew report,
     # curriculum, surprisal, layout advisor) --
     "q184_pmi_collocations",
@@ -133,9 +135,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q119_zorder_key",
     "q119b_hilbert_key",
     "q123_phrase_search",
-    "q126_histogram",
-    # (q128/q129, q130/q133, q35/q37/q38, q38b/q39/q92/q93/q99 and the
-    # r4 representatives q01/q06 rotated out to make room for the
+    # (q126/q128/q129, q130/q133, q35/q37/q38, q38b/q39/q92/q93/q99 and
+    # the r4 representatives q01/q06 rotated out to make room for the
     # round-8 and session-2 faces — all have permanent r1-r4 rows;
     # test_registry_order's R*_CHECKED sets keep them covered.)
 )
