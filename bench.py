@@ -300,6 +300,7 @@ HEADLINE = [
     "q176b_link_prediction_capped",
     "q196_mor_delete",
     "q155b_audio_windows_mixed",
+    "q197_rollup_trend",
 ]
 
 

@@ -710,6 +710,22 @@ def test_q177_rolling_window_runs_on_the_daily_aggregate(spark, sf_dir):
     assert "HashAggregate" in below_window  # rollup feeds the window
 
 
+def test_q197_expand_and_window_run_on_the_daily_rollup(spark, sf_dir):
+    """q197's grouping-sets levels come from ONE Expand over the daily
+    (prio, day) rollup — not a union of re-aggregations (exactly one
+    Expand node) — and the trailing window consumes that bounded
+    relation, with the fact-table aggregate below it all."""
+    plan = plan_of(QUERIES["q197_rollup_trend"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Expand") == 1
+    assert "Window" in tree
+    # parent-first: the Expand (grouping sets) sits below the Window,
+    # the daily rollup aggregate below the Expand.
+    assert tree.index("Window") < tree.index("Expand")
+    assert "HashAggregate" in tree[tree.index("Expand"):]
+
+
 def test_q175_epoch_shuffle_has_no_global_sort_window(spark, sf_dir):
     """q175's rank must ride a SHARD-partitioned exchange — a global
     row_number (empty partition spec) would serialize the corpus through

@@ -17,6 +17,7 @@ MUST_BE_IN_WINDOW = {
     "q176b_link_prediction_capped",
     "q196_mor_delete",
     "q155b_audio_windows_mixed",
+    "q197_rollup_trend",
     "q181_winsorized_stats",
     "q192_funnel_timing",
     # New round-7 faces: storage lifecycle (COW delete, compact+vacuum,
