@@ -154,6 +154,9 @@ BIG_HEADLINE = [
     # clusterings of the fact table (heaviest new face; the other six
     # are bounded-output and stay sf0.1-only — 10x audit in SCALING.md).
     "q190_layout_advisor",
+    # round 8: the advisor's CODED sample-first production path — gated
+    # at sf1 next to the exact face so the 4× win stays measured.
+    "q190b_layout_advisor_sampled",
 ]
 
 #: Representative spread: scan-agg, star join, range/as-of join, windows,
@@ -301,6 +304,8 @@ HEADLINE = [
     "q196_mor_delete",
     "q155b_audio_windows_mixed",
     "q197_rollup_trend",
+    "q198_metadata_agg",
+    "q190b_layout_advisor_sampled",
 ]
 
 

@@ -48,12 +48,27 @@ ADV_COLS = (
 )
 
 
-def _q190_sql() -> str:
+#: q190b sampling rate: the md5-deterministic row sample the 100 TB
+#: path runs the advisor on (placement shares converge long before
+#: exactness matters — the module docstring's claim, now CODED and
+#: oracle-verified at this rate rather than documented prose).
+ADV_SAMPLE_PPM = 250_000
+
+
+def _q190_sql(sample_ppm: int | None = None) -> str:
     """Generated oracle: one ranked CTE per candidate layout (global
     ROW_NUMBER is the semantic spec of the two-phase rank), zones per
-    simulated file, probe grid per probed column, overlap matrix."""
+    simulated file, probe grid per probed column, overlap matrix.
+    ``sample_ppm`` prepends the md5-deterministic row filter (the q87
+    shard idiom — engine-identical md5 of the key's decimal string)."""
     base_cols = ",\n         ".join(
         f"CAST({expr} AS BIGINT) AS {name}" for name, expr in ADV_COLS
+    )
+    where = (
+        f"\n  WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR))"
+        f", 1, 6)) AS BIGINT) % 1000000 < {sample_ppm}"
+        if sample_ppm is not None
+        else ""
     )
     names = [name for name, _ in ADV_COLS]
     zone_ctes = []
@@ -84,7 +99,7 @@ def _q190_sql() -> str:
     )
     return f"""
 WITH base AS (
-  SELECT {base_cols} FROM orders
+  SELECT {base_cols} FROM orders{where}
 ),
 {','.join(zone_ctes)},
 zones AS ({zone_union}),
@@ -111,29 +126,13 @@ ORDER BY z.layout, z.probe
 """
 
 
-@register("q190_layout_advisor", _q190_sql())
-def q190_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The layout × probe skip matrix over orders: for every candidate
-    range-clustering column and every probed column, the fraction of
-    simulated files (in ppm) a zone-map scan would skip under a uniform
-    grid of ADV_PROBES domain-range probes. Read the row for your
-    workload's probe column; the argmax layout is the CLUSTER BY
-    recommendation (and the off-diagonal ~0 rows are the proof that
-    clustering by anything else buys nothing — the q182 bloom face
-    exists precisely for those columns).
-
-    Exactness: placement is rank arithmetic (module docstring), zones
-    and probe bounds are integer min/max and DIV grids, the skip ratio
-    a scaled integer — hash-exact end to end.
-
-    Scale: per candidate, one value-bucketed two-phase prefix rank
-    (q187's ladder — bucket-partitioned window, offsets broadcast; no
-    single-partition fact sort) feeding a fid-keyed min/max aggregate;
-    everything after the zone aggregates is bounded
-    (layouts × files × probes rows). Four candidates = four passes —
-    at 100 TB you run this on a sample, not because the plan degrades
-    but because placement shares converge long before exactness
-    matters; the demo keeps it exact for the oracle."""
+def _layout_matrix(
+    spark: SparkSession, sf_dir: str, sample_ppm: int | None = None
+) -> DataFrame:
+    """Shared body of q190/q190b — see q190_layout_advisor. When
+    ``sample_ppm`` is set, the whole simulation runs on the
+    md5-deterministic row sample (keep iff md5(orderkey) % 1e6 < ppm),
+    so the sampled matrix is itself hash-exact cross-engine."""
     o = load_table(spark, sf_dir, "orders")
     names = [name for name, _ in ADV_COLS]
     base = o.select(
@@ -147,6 +146,18 @@ def q190_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("day"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
+    if sample_ppm is not None:
+        base = base.filter(
+            F.conv(
+                F.substring(
+                    F.md5(F.col("orderkey").cast("string")), 1, 6
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1_000_000
+            < sample_ppm
+        )
     n_total = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
     zone_parts = []
     for lname in names:
@@ -235,3 +246,44 @@ def q190_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout", "probe")
     )
+
+
+@register("q190_layout_advisor", _q190_sql())
+def q190_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout × probe skip matrix over orders: for every candidate
+    range-clustering column and every probed column, the fraction of
+    simulated files (in ppm) a zone-map scan would skip under a uniform
+    grid of ADV_PROBES domain-range probes. Read the row for your
+    workload's probe column; the argmax layout is the CLUSTER BY
+    recommendation (and the off-diagonal ~0 rows are the proof that
+    clustering by anything else buys nothing — the q182 bloom face
+    exists precisely for those columns).
+
+    Exactness: placement is rank arithmetic (module docstring), zones
+    and probe bounds are integer min/max and DIV grids, the skip ratio
+    a scaled integer — hash-exact end to end.
+
+    Scale: per candidate, one value-bucketed two-phase prefix rank
+    (q187's ladder — bucket-partitioned window, offsets broadcast; no
+    single-partition fact sort) feeding a fid-keyed min/max aggregate;
+    everything after the zone aggregates is bounded
+    (layouts × files × probes rows). Four candidates = four passes —
+    this exact face keeps the full table for the oracle; q190b is the
+    CODED 100 TB path (md5-deterministic sample, itself oracle-exact)."""
+    return _layout_matrix(spark, sf_dir)
+
+
+@register("q190b_layout_advisor_sampled", _q190_sql(ADV_SAMPLE_PPM))
+def q190b_layout_advisor_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q190's matrix computed on the md5-deterministic ADV_SAMPLE_PPM
+    row sample — the production path at 100 TB (the advisor is a POLICY
+    readout; placement shares converge long before exactness matters,
+    and the q176b discipline applies: a documented scale mitigation must
+    be code, not prose). The sample predicate is md5(orderkey) — the
+    q87/q85 split idiom — so the sampled matrix is bit-identical
+    cross-engine and the oracle verifies the SAMPLED computation
+    itself; the policy signal (diagonal ≈ full skip, off-diagonal ≈ 0)
+    is pinned to agree with the exact face in tests."""
+    return _layout_matrix(spark, sf_dir, ADV_SAMPLE_PPM)

@@ -83,6 +83,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q196_mor_delete",
     "q155b_audio_windows_mixed",
     "q197_rollup_trend",
+    "q198_metadata_agg",
+    "q190b_layout_advisor_sampled",
     # -- new in round 7, session 2 (PMI, CUSUM, HLL, skew report,
     # curriculum, surprisal, layout advisor) --
     "q184_pmi_collocations",
@@ -133,12 +135,11 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q115_event_transitions",
     "q116_bloom_decontaminate",
     "q117_boilerplate_passages",
-    "q119_zorder_key",
-    "q119b_hilbert_key",
-    # (q123, q126/q128/q129, q130/q133, q35/q37/q38, q38b/q39/q92/q93/
-    # q99 and the r4 representatives q01/q06 rotated out to make room
-    # for the round-8 and session-2 faces — all have permanent r1-r4
-    # rows; test_registry_order's R*_CHECKED sets keep them covered.)
+    # (q119/q119b/q123, q126/q128/q129, q130/q133, q35/q37/q38,
+    # q38b/q39/q92/q93/q99 and the r4 representatives q01/q06 rotated
+    # out to make room for the round-8 and session-2 faces — all have
+    # permanent r1-r4 rows; test_registry_order's R*_CHECKED sets keep
+    # them covered.)
 )
 
 

@@ -734,6 +734,71 @@ class ManifestTable:
             "files_affected": len(hit),
         }
 
+    def delete_mor_where(
+        self, spark: SparkSession, col: str, lo, hi
+    ) -> dict:
+        """Predicate merge-on-read delete: drop every row whose ``col``
+        falls in [lo, hi] — the "erase this user's rows" shape where the
+        predicate column is NOT the table key. One zone/bloom-agnostic
+        pass derives the matching KEYS from the pruned file subset
+        (``prune_box`` when ``col`` carries zone maps, every file
+        otherwise), then the key batch rides the ``delete_mor`` sidecar
+        path — still ZERO data files rewritten; the scan this performs
+        is a read, which the table was going to pay to find the rows
+        under any design (Delta's DV flow scans to build the vector
+        too)."""
+        base_gen = self.state.current_gen()
+        if base_gen is None:
+            return {
+                "files_total": 0,
+                "files_rewritten": 0,
+                "files_affected": 0,
+            }
+        if col in self.stats_cols:
+            kept, _ = self.prune_box({col: (lo, hi)}, gen=base_gen)
+        else:
+            kept = self.manifest(base_gen)
+        matching = self._read_entries(
+            spark, kept, self.schema(base_gen)
+        ).filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        return self.delete_mor(spark, matching.select(self.key))
+
+    def stats_agg(self, gen: int | None = None) -> dict:
+        """Metadata-only COUNT/MIN/MAX over every stats column: answered
+        from the manifest's per-file row counts and zone maps without
+        opening a single data file — Delta/Iceberg's stats-based query
+        answering, the reason the writer pays for per-file stats at all
+        (tests pin the property by DELETING the data files first: the
+        answer must survive). REFUSES (ValueError) when any entry
+        carries merge-on-read delete sidecars — physical counts then
+        overstate logical rows, and a silently stale answer is the worst
+        failure mode for a metadata shortcut; ``compact()`` folds the
+        sidecars and re-enables it. MIN/MAX are copied values, never
+        arithmetic, so they are exact for every type the zone maps
+        carry."""
+        entries = self.manifest(gen)
+        if any(e.get("deletes") for e in entries):
+            raise ValueError(
+                "stats_agg would be stale under merge-on-read deletes "
+                "(physical row counts exclude no sidecar keys); run "
+                "compact() first or read() the table"
+            )
+        out: dict = {"rows": sum(e["rows"] for e in entries)}
+        for c in self.stats_cols:
+            los = [
+                e["stats"][c][0]
+                for e in entries
+                if e["stats"][c][0] is not None
+            ]
+            his = [
+                e["stats"][c][1]
+                for e in entries
+                if e["stats"][c][1] is not None
+            ]
+            out[f"min_{c}"] = min(los) if los else None
+            out[f"max_{c}"] = max(his) if his else None
+        return out
+
     def table_changes(
         self, spark: SparkSession, gen_from: int, gen_to: int | None = None
     ) -> DataFrame:
@@ -1021,6 +1086,18 @@ WHERE NOT (o_orderkey BETWEEN {Q196_DEL_LO} AND {Q196_DEL_HI})
   AND NOT (o_orderkey % {Q196_MOD} = {Q196_REM})
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
+"""
+
+#: q198: the metadata-only aggregate must equal the plain table scan's
+#: answer exactly — COUNT from per-file row counts, MIN/MAX from zone
+#: maps (copied values, never arithmetic, so doubles compare bit-exact).
+Q198_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders
 """
 
 #: q179 fragmentation inserts: three out-of-range batches (disjoint key
@@ -1346,6 +1423,40 @@ def _register_queries() -> None:
                 F.max("o_orderkey").cast("bigint").alias("max_key"),
             )
             .orderBy("o_orderstatus")
+        )
+
+    @register("q198_metadata_agg", Q198_SQL)
+    def q198_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """orders → ManifestTable (key zone maps + o_totalprice stats)
+        → ``stats_agg`` — COUNT/MIN/MAX answered from the MANIFEST
+        ALONE, zero data files opened (pinned in
+        tests/test_manifest_table.py by deleting the data files and
+        asking again). The oracle is the full-scan aggregate: if the
+        writer's per-file stats ever drift from the data (a lost row, a
+        zone map computed after a cast), this hash diverges. The
+        stats-based answering path every table format sells; honest
+        under MOR deletes by REFUSING while sidecars are pending."""
+        root = _scratch("q198_mtable_")
+        shutil.rmtree(root, ignore_errors=True)
+        tbl = ManifestTable(
+            os.path.join(root, "orders"),
+            "o_orderkey",
+            stats_cols=["o_totalprice"],
+        )
+        tbl.write(load_table(spark, sf_dir, "orders"), target_files=8)
+        s = tbl.stats_agg()
+        return spark.createDataFrame(
+            [
+                (
+                    int(s["rows"]),
+                    int(s["min_o_orderkey"]),
+                    int(s["max_o_orderkey"]),
+                    float(s["min_o_totalprice"]),
+                    float(s["max_o_totalprice"]),
+                )
+            ],
+            "n_rows long, min_key long, max_key long, "
+            "min_price double, max_price double",
         )
 
     @register("q179_compact_reclaim", Q179_SQL)

@@ -925,3 +925,62 @@ def test_mor_pruned_scan_loads_no_sidecar_for_untouched_files(
         spark, "o_orderkey", hi - 10, hi
     )._jdf.queryExecution().executedPlan().toString()
     assert "Anti" not in plan
+
+
+def test_mor_delete_where_non_key_predicate_zero_rewrites(
+    spark, orders_table
+):
+    """Predicate MOR delete on a NON-key column: derives the matching
+    keys with one read, commits a sidecar, rewrites nothing — the
+    'erase this customer's rows' GDPR shape."""
+    o = load_table(spark, SF_DIR, "orders")
+    before_files = set(os.listdir(orders_table.data_dir))
+    want_gone = o.filter(F.col("o_custkey").between(10, 20))
+    n_gone = want_gone.count()
+    assert n_gone > 0
+    stats = orders_table.delete_mor_where(spark, "o_custkey", 10, 20)
+    assert stats["files_rewritten"] == 0
+    assert set(os.listdir(orders_table.data_dir)) == before_files
+    after = orders_table.read(spark)
+    assert after.filter(F.col("o_custkey").between(10, 20)).count() == 0
+    assert after.count() == o.count() - n_gone
+
+
+def test_stats_agg_is_metadata_only_and_exact(spark, orders_table):
+    """COUNT/MIN/MAX from the manifest alone must equal the scan's
+    answer — and must SURVIVE the data files being deleted, which is
+    the proof no data file is opened."""
+    import shutil as _shutil
+
+    o = load_table(spark, SF_DIR, "orders")
+    want = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("lo"),
+        F.max("o_orderkey").alias("hi"),
+    ).collect()[0]
+    s = orders_table.stats_agg()
+    assert s["rows"] == want["n"]
+    assert s["min_o_orderkey"] == want["lo"]
+    assert s["max_o_orderkey"] == want["hi"]
+    # burn the data: the metadata answer must not notice.
+    _shutil.rmtree(orders_table.data_dir)
+    assert orders_table.stats_agg() == s
+
+
+def test_stats_agg_refuses_stale_answer_under_mor_deletes(
+    spark, orders_table
+):
+    o = load_table(spark, SF_DIR, "orders")
+    orders_table.delete_mor(
+        spark,
+        o.filter(F.col("o_orderkey").between(100, 120)).select(
+            "o_orderkey"
+        ),
+    )
+    with pytest.raises(ValueError, match="stale"):
+        orders_table.stats_agg()
+    # compact folds the sidecars; the metadata path reopens and the
+    # logical count now reflects the delete.
+    n_logical = orders_table.read(spark).count()
+    orders_table.compact(spark)
+    assert orders_table.stats_agg()["rows"] == n_logical

@@ -783,6 +783,36 @@ def test_q190_advisor_ranks_are_bucket_partitioned(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q190b_sampled_advisor_agrees_on_the_policy_signal(spark, sf_dir):
+    """The sampled face exists to make the SAME recommendation cheaper:
+    for every probe column, argmax-layout(sampled) must equal
+    argmax-layout(exact), the diagonal must stay the clear winner
+    (skip_ppm > 500000), and off-diagonal skip must stay weak — the
+    policy signal survives 4× less data. Also pins the pushed sample
+    filter (md5 predicate sits at the scan, sample runs 4× fewer rows
+    through every rank)."""
+    QQ = QUERIES
+    def matrix(name):
+        return {
+            (r["layout"], r["probe"]): r["skip_ppm"]
+            for r in QQ[name](spark, sf_dir).collect()
+        }
+    exact = matrix("q190_layout_advisor")
+    samp = matrix("q190b_layout_advisor_sampled")
+    assert set(exact) == set(samp)
+    probes = {p for (_l, p) in exact}
+    for p in probes:
+        best_e = max((l for (l, pp) in exact if pp == p),
+                     key=lambda l: exact[(l, p)])
+        best_s = max((l for (l, pp) in samp if pp == p),
+                     key=lambda l: samp[(l, p)])
+        assert best_e == best_s == p  # diagonal wins in both
+        assert samp[(p, p)] > 500_000
+    plan = plan_of(QQ["q190b_layout_advisor_sampled"](spark, sf_dir))
+    assert "hashpartitioning(bucket" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q185_cusum_windows_run_on_the_daily_rollup(spark, sf_dir):
     """q185's prefix/argmax windows must consume the (prio, day) rollup,
     never the orders scan (q177's shape: a HashAggregate below every

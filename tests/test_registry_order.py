@@ -18,6 +18,8 @@ MUST_BE_IN_WINDOW = {
     "q196_mor_delete",
     "q155b_audio_windows_mixed",
     "q197_rollup_trend",
+    "q198_metadata_agg",
+    "q190b_layout_advisor_sampled",
     "q181_winsorized_stats",
     "q192_funnel_timing",
     # New round-7 faces: storage lifecycle (COW delete, compact+vacuum,
