@@ -306,6 +306,7 @@ HEADLINE = [
     "q197_rollup_trend",
     "q198_metadata_agg",
     "q190b_layout_advisor_sampled",
+    "q199_vocab_growth",
 ]
 
 

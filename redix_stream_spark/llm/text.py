@@ -1339,3 +1339,112 @@ def q189_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_surprisal_ppm",
         F.row_number().over(rank_w).cast("bigint").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q199 — vocabulary growth curve (Heaps' law readout). How fast does the
+# corpus stop teaching the tokenizer new types? Deciles of the ingestion
+# order (doc_id range), per decile: documents, token occurrences, NEW
+# types (tokens first seen there), cumulative vocabulary. The curve a
+# data-mixture owner reads before buying more of the same source — a
+# flattening tail means marginal docs add occurrences, not coverage
+# (Heaps 1978: V ~ K·n^beta). All integer arithmetic, hash-exact.
+# ---------------------------------------------------------------------------
+
+VOCAB_DECILES = 10
+
+Q199_SQL = f"""
+WITH bounds AS (
+  SELECT MIN(doc_id) AS lo, MAX(doc_id) + 1 AS hi FROM documents
+),
+docs AS (
+  SELECT doc_id,
+         (doc_id - lo) * {VOCAB_DECILES} // (hi - lo) AS decile,
+         LEN(string_split(text, ' ')) AS n_toks
+  FROM documents, bounds
+),
+occ AS (
+  SELECT d.decile, t.token
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+        FROM documents) t
+  JOIN docs d ON d.doc_id = t.doc_id
+),
+firsts AS (
+  SELECT token, MIN(decile) AS first_decile FROM occ GROUP BY token
+),
+per AS (
+  SELECT decile,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+  FROM docs GROUP BY decile
+),
+news AS (
+  SELECT first_decile AS decile, CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM firsts GROUP BY first_decile
+)
+SELECT p.decile, p.n_docs, p.n_tokens,
+       CAST(COALESCE(n.new_types, 0) AS BIGINT) AS new_types,
+       CAST(SUM(COALESCE(n.new_types, 0))
+            OVER (ORDER BY p.decile) AS BIGINT) AS cum_types
+FROM per p LEFT JOIN news n ON n.decile = p.decile
+ORDER BY p.decile
+"""
+
+
+@register("q199_vocab_growth", Q199_SQL)
+def q199_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth by ingestion decile: documents, token
+    occurrences, first-seen types, and the cumulative vocabulary curve
+    (module comment — the Heaps-law readout behind "does more of this
+    source still buy coverage?").
+
+    Exactness: the decile is integer range arithmetic on doc_id (no
+    NTILE — rank-free, shuffle-free, append-stable: a grown corpus
+    shifts boundaries but never re-ranks within them); first-seen is a
+    keyed MIN; everything is BIGINT.
+
+    Scale: one explode feeds a map-side-combined (token → MIN decile)
+    aggregate — vocabulary-sized state, the q31 regime; per-decile
+    rollups are map-side; the only window orders the 10-row decile
+    relation. A celebrity token costs a MIN, never a buffer."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.agg(
+        F.min("doc_id").alias("lo"),
+        (F.max("doc_id") + 1).alias("hi"),
+    )
+    docs = d.join(F.broadcast(b)).select(
+        "doc_id",
+        F.expr(
+            f"(doc_id - lo) * {VOCAB_DECILES} DIV (hi - lo)"
+        ).alias("decile"),
+        F.size(tokens()).cast("long").alias("n_toks"),
+        "text",
+    )
+    firsts = (
+        docs.select("decile", F.explode(tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.min("decile").alias("first_decile"))
+    )
+    per = docs.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+    )
+    news = firsts.groupBy(
+        F.col("first_decile").alias("decile")
+    ).agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    w = Window.orderBy("decile")
+    return (
+        per.join(news, "decile", "left")
+        .select(
+            "decile",
+            "n_docs",
+            "n_tokens",
+            F.coalesce(F.col("new_types"), F.lit(0))
+            .cast("long")
+            .alias("new_types"),
+        )
+        .withColumn(
+            "cum_types", F.sum("new_types").over(w).cast("long")
+        )
+        .orderBy("decile")
+    )

@@ -620,7 +620,11 @@ class ManifestTable:
         }
 
     def merge_cdc(
-        self, spark: SparkSession, changes: DataFrame, op_col: str = "op"
+        self,
+        spark: SparkSession,
+        changes: DataFrame,
+        op_col: str = "op",
+        mor_deletes: bool = False,
     ) -> dict:
         """Apply a CDC batch in ONE commit: rows whose ``op_col`` is
         'D' delete their key, every other row upserts (the usual
@@ -629,9 +633,19 @@ class ManifestTable:
         final row first (``StreamingUpsert._latest_per_key`` does) —
         one batch, one verdict per key, or the rewrite would be
         nondeterministic. Replay-idempotent like ``merge``: re-applying
-        the same resolved batch converges to the same table."""
+        the same resolved batch converges to the same table.
+
+        ``mor_deletes=True`` routes a DELETE-ONLY batch through the
+        merge-on-read sidecar path (``delete_mor`` — zero data files
+        rewritten) instead of the COW rewrite. Only the pure-delete
+        case routes: a mixed batch is already paying the COW rewrite
+        for its upserts, so its deletes ride that one commit for free —
+        splitting it into two commits would break the one-batch
+        one-commit contract for nothing."""
         ups = changes.filter(F.col(op_col) != "D").drop(op_col)
         dels = changes.filter(F.col(op_col) == "D").select(self.key)
+        if mor_deletes and ups.isEmpty():
+            return self.delete_mor(spark, dels)
         return self.merge(spark, ups, delete_keys=dels)
 
     def delete(self, spark: SparkSession, col: str, lo, hi) -> dict:

@@ -984,3 +984,46 @@ def test_stats_agg_refuses_stale_answer_under_mor_deletes(
     n_logical = orders_table.read(spark).count()
     orders_table.compact(spark)
     assert orders_table.stats_agg()["rows"] == n_logical
+
+
+def test_merge_cdc_mor_routes_delete_only_batches(spark, orders_table):
+    """mor_deletes=True: a pure-delete CDC batch commits a sidecar
+    (zero files rewritten); a MIXED batch stays one COW commit (its
+    deletes ride the rewrite the upserts already pay for)."""
+    o = load_table(spark, SF_DIR, "orders")
+    before_files = set(os.listdir(orders_table.data_dir))
+    del_only = o.filter(F.col("o_orderkey").between(400, 450)).withColumn(
+        "op", F.lit("D")
+    )
+    n_del = del_only.count()
+    stats = orders_table.merge_cdc(spark, del_only, mor_deletes=True)
+    assert stats["files_rewritten"] == 0
+    assert set(os.listdir(orders_table.data_dir)) == before_files
+    assert (
+        orders_table.read(spark)
+        .filter(F.col("o_orderkey").between(400, 450))
+        .count()
+        == 0
+    )
+    # mixed batch: ONE COW commit applies both ops.
+    g0 = orders_table.state.current_gen()
+    mixed = (
+        o.filter(F.col("o_orderkey").between(500, 520))
+        .withColumn("op", F.lit("D"))
+        .unionByName(
+            o.filter(F.col("o_orderkey").between(521, 540))
+            .withColumn("o_orderstatus", F.lit("M"))
+            .withColumn("op", F.lit("U"))
+        )
+    )
+    stats = orders_table.merge_cdc(spark, mixed, mor_deletes=True)
+    assert stats["files_rewritten"] >= 1  # COW path, not a sidecar
+    assert orders_table.state.current_gen() == g0 + 1  # ONE commit
+    after = orders_table.read(spark)
+    assert after.filter(F.col("o_orderkey").between(500, 520)).count() == 0
+    assert after.filter(F.col("o_orderstatus") == "M").count() == (
+        o.filter(F.col("o_orderkey").between(521, 540)).count()
+    )
+    assert after.count() == o.count() - n_del - o.filter(
+        F.col("o_orderkey").between(500, 520)
+    ).count()
