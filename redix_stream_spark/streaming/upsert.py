@@ -43,7 +43,11 @@ class StreamingUpsert:
     """foreachBatch hook applying an update stream to a ManifestTable."""
 
     def __init__(
-        self, table: ManifestTable, order_col: str, op_col: str | None = None
+        self,
+        table: ManifestTable,
+        order_col: str,
+        op_col: str | None = None,
+        mor_deletes: bool = False,
     ):
         #: ``op_col``: name of a CDC op column ('D' = delete the key,
         #: anything else = upsert). None keeps the pure-upsert contract.
@@ -52,6 +56,13 @@ class StreamingUpsert:
         #: delete deletes, a delete followed by a re-insert re-inserts
         #: (the CDC total-order contract, resolved batch-locally).
         self.op_col = op_col
+        #: ``mor_deletes``: route DELETE-ONLY micro-batches through the
+        #: merge-on-read sidecar path (zero data files rewritten — the
+        #: steady trickle-delete stream's economics); mixed batches
+        #: keep the one-COW-commit contract. Replay stays idempotent:
+        #: re-applying a delete-only batch re-commits a redundant
+        #: sidecar, reads unchanged.
+        self.mor_deletes = mor_deletes
         self.table = table
         #: within-batch winner: highest ``order_col`` per key. Ties are
         #: broken by the FULL remaining row (lexicographic over the other
@@ -84,7 +95,10 @@ class StreamingUpsert:
             self.table.merge(batch.sparkSession, latest)
         else:
             self.table.merge_cdc(
-                batch.sparkSession, latest, op_col=self.op_col
+                batch.sparkSession,
+                latest,
+                op_col=self.op_col,
+                mor_deletes=self.mor_deletes,
             )
 
     def attach(self, stream_df: DataFrame, checkpoint_dir: str):

@@ -1027,3 +1027,47 @@ def test_merge_cdc_mor_routes_delete_only_batches(spark, orders_table):
     assert after.count() == o.count() - n_del - o.filter(
         F.col("o_orderkey").between(500, 520)
     ).count()
+
+
+def test_streaming_upsert_mor_delete_only_batches_skip_rewrites(
+    spark, orders_table
+):
+    """StreamingUpsert(mor_deletes=True): a delete-only micro-batch
+    commits a sidecar (zero files rewritten); a mixed batch keeps the
+    one-COW-commit contract through merge_cdc."""
+    from redix_stream_spark.streaming.upsert import StreamingUpsert
+
+    o = load_table(spark, SF_DIR, "orders")
+    su = StreamingUpsert(
+        orders_table, order_col="_seq", op_col="op", mor_deletes=True
+    )
+    before_files = set(os.listdir(orders_table.data_dir))
+    dels = (
+        o.filter(F.col("o_orderkey").between(600, 640))
+        .withColumn("op", F.lit("D"))
+        .withColumn("_seq", F.lit(1))
+    )
+    su.update(dels, epoch_id=0)
+    assert set(os.listdir(orders_table.data_dir)) == before_files
+    assert (
+        orders_table.read(spark)
+        .filter(F.col("o_orderkey").between(600, 640))
+        .count()
+        == 0
+    )
+    mixed = dels.unionByName(
+        o.filter(F.col("o_orderkey") == 650)
+        .withColumn("o_orderstatus", F.lit("S"))
+        .withColumn("op", F.lit("U"))
+        .withColumn("_seq", F.lit(2))
+    )
+    g0 = orders_table.state.current_gen()
+    su.update(mixed, epoch_id=1)
+    assert orders_table.state.current_gen() == g0 + 1  # one COW commit
+    assert set(os.listdir(orders_table.data_dir)) != before_files
+    assert (
+        orders_table.read(spark)
+        .filter(F.col("o_orderstatus") == "S")
+        .count()
+        == o.filter(F.col("o_orderkey") == 650).count()
+    )
