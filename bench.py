@@ -307,6 +307,7 @@ HEADLINE = [
     "q198_metadata_agg",
     "q190b_layout_advisor_sampled",
     "q199_vocab_growth",
+    "q200_robust_trend",
 ]
 
 

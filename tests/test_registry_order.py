@@ -21,6 +21,7 @@ MUST_BE_IN_WINDOW = {
     "q198_metadata_agg",
     "q190b_layout_advisor_sampled",
     "q199_vocab_growth",
+    "q200_robust_trend",
     "q181_winsorized_stats",
     "q192_funnel_timing",
     # New round-7 faces: storage lifecycle (COW delete, compact+vacuum,
