@@ -231,3 +231,70 @@ def test_interval_join_left_outer_batch_face_matches(spark):
     assert sorted(
         (r["view_id"], r["click_id"]) for r in out.collect()
     ) == [(1, 2), (4, 3), (4, 5), (7, None), (90, None)]
+
+
+def _run_outer(spark, tmp_path, how, name):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for rows in OUTER_FILES:
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    views = stream.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("uid"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("uid"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = interval_join(
+        views, clicks, key="uid", left_ts="view_ts",
+        right_ts="click_ts", how=how,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return sorted(
+        (
+            (r["view_id"], r["click_id"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        ),
+        key=lambda p: (
+            -1 if p[0] is None else p[0],
+            -1 if p[1] is None else p[1],
+        ),
+    )
+
+
+def test_stream_stream_right_outer_emits_unmatched_clicks(spark, tmp_path):
+    """right_outer mirror of the left_outer scenario: the clickless
+    view stays silent; click 6 (user 8, t10 — no view ever) emits
+    null-padded once the watermark clears its lookback window
+    (view_ts in [t10−60, t10], so expiry t10 < t70 at batch 3). The
+    minute-130/300 pusher clicks stay withheld — their windows are
+    still open at end-of-stream."""
+    got = _run_outer(spark, tmp_path, "right_outer", "ssj_router")
+    assert got == [(None, 6), (1, 2), (4, 3), (4, 5)]
+
+
+def test_stream_stream_full_outer_is_union_of_both_sides(spark, tmp_path):
+    """full_outer = inner pairs + each side's watermark-expired
+    unmatched rows: view 7 null-padded right, click 6 null-padded
+    left, in one query."""
+    got = _run_outer(spark, tmp_path, "full_outer", "ssj_full")
+    assert got == [(None, 6), (1, 2), (4, 3), (4, 5), (7, None)]
