@@ -158,7 +158,12 @@ def _utf8_like_encode(n: int) -> bytes:
         return bytes([n])
     out = []
     nbytes = 2
-    while n >= (1 << (6 - nbytes + 5 * nbytes)):  # capacity 5·k+6-k bits
+    # A k-byte coded number carries (7-k) head bits + 6·(k-1)
+    # continuation bits = 5k+1 payload bits (RFC 9639 §9.1.5): 2 bytes
+    # hold < 2^11, 3 < 2^16, 4 < 2^21, … — the previous 4k+6 threshold
+    # overstated capacity and desynced decoders at frame index ≥ 2048
+    # (ADVICE r8; boundary round-trips pinned in tests/test_flac.py).
+    while n >= (1 << (5 * nbytes + 1)):
         nbytes += 1
     head_bits = 7 - nbytes
     cont = []

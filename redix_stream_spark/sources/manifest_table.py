@@ -375,14 +375,26 @@ class ManifestTable:
         self, spark: SparkSession, entries: list[dict], schema
     ) -> DataFrame:
         """Materialize the LOGICAL rows of ``entries``: the physical
-        data files minus their merge-on-read delete sidecars — ONE
-        anti-join on the key against the union of the sidecars the
-        scanned entries reference (nothing loads for entries without
-        deletes; a pruned scan therefore also prunes delete keys to the
-        surviving files' sidecars). Sidecars are trickle-delete-sized
-        and carry accurate parquet size stats, so Spark broadcasts the
-        anti-join's build side while they are small and falls back to
-        shuffle as they grow — ``compact`` folds them away either way."""
+        data files minus their merge-on-read delete sidecars, each
+        sidecar SCOPED to the files whose entries reference it (nothing
+        loads for entries without deletes; a pruned scan therefore also
+        prunes delete keys to the surviving files' sidecars).
+
+        Scoping is load-bearing, not an optimization: a ``delete_mor``
+        batch spanning several files attaches ONE shared sidecar to all
+        of them, and a later COW re-upsert of a deleted key rewrites
+        only that key's file — the new file carries no reference, but
+        sibling files still do. A global union anti-join would let the
+        siblings' reference hide the re-upserted row (measured: 2-file
+        table, cross-file delete, merge re-upsert → row silently lost).
+        So both scans project provenance via ``input_file_name()``
+        (data files and sidecar dirs are uuid-named — basenames are
+        identities), the manifest's (data file, sidecar) reference
+        pairs broadcast (metadata-sized), and the anti-join matches on
+        (key, data file): a delete key suppresses rows ONLY in files
+        whose own entry lists its sidecar. Sidecars stay trickle-sized,
+        so the scoped build side broadcasts while small and AQE falls
+        back to shuffle as it grows — ``compact`` folds them either way."""
         if not entries:
             return spark.createDataFrame([], schema or StructType())
         df = spark.read.schema(schema).parquet(
@@ -390,12 +402,37 @@ class ManifestTable:
         )
         refs = sorted({r for e in entries for r in e.get("deletes", ())})
         if refs:
-            dels = spark.read.parquet(
-                *[os.path.join(self.root, r) for r in refs]
-            ).select(F.col(self.key).alias("_dk"))
-            df = df.join(
-                dels, df[self.key] == F.col("_dk"), "left_anti"
+            pairs = spark.createDataFrame(
+                [
+                    (os.path.basename(e["file"]), os.path.basename(r))
+                    for e in entries
+                    for r in e.get("deletes", ())
+                ],
+                ["_dfile", "_sdir"],
             )
+            dels = (
+                spark.read.parquet(
+                    *[os.path.join(self.root, r) for r in refs]
+                )
+                .select(
+                    F.col(self.key).alias("_dk"),
+                    F.element_at(
+                        F.split(F.input_file_name(), "/"), -2
+                    ).alias("_sdir"),
+                )
+                .join(F.broadcast(pairs), "_sdir")
+                .select("_dk", F.col("_dfile").alias("_dfk"))
+            )
+            tagged = df.withColumn(
+                "_dfile",
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+            )
+            df = tagged.join(
+                dels,
+                (tagged[self.key] == dels["_dk"])
+                & (tagged["_dfile"] == dels["_dfk"]),
+                "left_anti",
+            ).drop("_dfile")
         return df
 
     def prune(self, col: str, lo, hi) -> tuple[list[dict], int]:

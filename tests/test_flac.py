@@ -51,6 +51,38 @@ def test_constant_blocks_and_compression():
     assert len(fixed) < len(verb) < len(wave) * 2 + 4096
 
 
+def test_coded_number_boundaries_round_trip():
+    """ADVICE r8: the UTF-8-style coded number holds 5k+1 payload bits
+    for k bytes (2 bytes < 2^11, 3 < 2^16, 4 < 2^21, …); the old 4k+6
+    threshold encoded frame index 2048 as 2 bytes (e080 — invalid
+    continuation) and desynced every decoder. Pin exact byte widths and
+    decode round trips at each capacity boundary up to the 36-bit max."""
+    from redix_stream_spark.llm.flac import _BitReader, _utf8_like_decode
+
+    widths = {
+        127: 1, 128: 2, 2047: 2, 2048: 3, 5000: 3, 16384: 3,
+        65535: 3, 65536: 4, 100000: 4, 2**21 - 1: 4, 2**21: 5,
+        2**26: 6, 2**31: 7, 2**36 - 1: 7,
+    }
+    for n, k in widths.items():
+        b = _utf8_like_encode(n)
+        assert len(b) == k, (n, b.hex())
+        assert _utf8_like_decode(_BitReader(b)) == n
+    assert _utf8_like_encode(2048).hex() == "e0a080"  # the r8 repro
+
+
+def test_stream_with_over_2048_frames_round_trips():
+    """The r8 repro at stream level: ≥2048 frames forces 3-byte coded
+    frame numbers; the whole stream must still decode losslessly (the
+    old encoder emitted an invalid 2-byte number at frame 2048 → header
+    CRC mismatch → entire stream decoded to None)."""
+    wave = _tone(n=16 * 2100)  # 2100 frames at block_size=16
+    enc = flac_encode_pcm16(wave, 8000, block_size=16)
+    dec = flac_decode_pcm16(enc)
+    assert dec is not None
+    assert np.array_equal(dec.astype(np.int64), _as_pcm(wave))
+
+
 def test_multi_partition_rice_round_trip():
     wave = _tone(n=4096)
     enc = flac_encode_pcm16(wave, 8000, 2048, partition_order=3)

@@ -117,6 +117,31 @@ def _simulate_capped_lpa(edges, cap: int, rounds: int):
     return dict(sorted(labels.items()))
 
 
+def test_lpa_unbounded_vote_volume_is_edge_linear_on_planted_hub(spark):
+    """WHY lpa_communities may default deg_cap=None while the wedge
+    explode refuses (r8 verdict item 6): the per-round vote join emits
+    exactly one row per directed edge — Σ deg(v) = 2·|E|, linear in
+    edges however skewed. A 500-leaf planted hub's vote relation is
+    1000 rows (the wedge explode of the same star would be C(500,2) =
+    124,750 pairs), and the (node,label) count that follows is
+    map-side combinable, so nothing downstream amplifies it."""
+    n_leaves = 500
+    e = _star_edges(spark, n_leaves)
+    sym = e.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).union(e.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    votes = sym.join(labels, sym["src"] == labels["node"])
+    assert votes.count() == 2 * n_leaves  # == 2·|E|, not C(deg,2)
+    # and the unbounded API itself runs the star without any guard:
+    communities = lpa_communities(e, rounds=2).collect()
+    assert len(communities) == n_leaves + 1
+
+
 def test_lpa_deg_cap_matches_python_simulation_and_stays_total(spark):
     """K12 with cap 4: the capped vote join must follow exactly the
     md5-capped re-symmetrized edge relation (pure-Python twin), and the

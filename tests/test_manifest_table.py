@@ -831,6 +831,63 @@ def test_mor_deleted_keys_do_not_resurrect_through_cow_merge(
         )
 
 
+def test_mor_cross_file_sidecar_scoped_to_referencing_files(
+    spark, orders_table
+):
+    """ADVICE r8 (high): a delete_mor batch spanning multiple files
+    attaches ONE shared sidecar to every hit file. A later COW
+    re-upsert of one deleted key rewrites only that key's file — the
+    new file carries no sidecar reference, but sibling files still do,
+    and a GLOBAL union anti-join would hide the re-upserted row through
+    their reference (measured: the row was silently lost). The read
+    must scope each sidecar to the files whose entries list it: the
+    re-upserted key is visible again, the other deleted key stays
+    hidden, and the total count is exact."""
+    o = load_table(spark, SF_DIR, "orders")
+    spans = sorted(
+        tuple(e["stats"]["o_orderkey"]) for e in orders_table.manifest()
+    )
+    k1 = spans[0][0]  # zone min of the first file — present by stats
+    k2 = spans[4][0]  # a different file's zone — forces a shared sidecar
+    n0 = orders_table.read(spark).count()
+    stats = orders_table.delete_mor(
+        spark, spark.createDataFrame([(k1,), (k2,)], ["o_orderkey"])
+    )
+    assert stats["files_affected"] == 2  # one sidecar, two referencing files
+    orders_table.merge(spark, o.filter(F.col("o_orderkey") == k1))
+    after = orders_table.read(spark)
+    assert after.filter(F.col("o_orderkey") == k1).count() == 1
+    assert after.filter(F.col("o_orderkey") == k2).count() == 0
+    assert after.count() == n0 - 1
+
+
+def test_mor_cross_file_reupsert_surfaces_in_cdf(spark, orders_table):
+    """table_changes inherits the sidecar-scoping fix. Diffing from the
+    PRE-delete generation to the post-re-upsert one, the post-image
+    side reads both the rewritten file (holding the re-upserted key,
+    no sidecar ref) and the sibling file (still referencing the shared
+    sidecar): under the global-union shape the sibling's reference
+    hid the re-upserted row from the post-image, and the CDF emitted a
+    phantom `delete` for a key the table still logically holds. Net
+    truth: k1 (deleted then re-upserted identically) is NO change;
+    k2 is the only delete."""
+    o = load_table(spark, SF_DIR, "orders")
+    spans = sorted(
+        tuple(e["stats"]["o_orderkey"]) for e in orders_table.manifest()
+    )
+    k1, k2 = spans[0][0], spans[4][0]
+    g0 = orders_table.state.current_gen()
+    orders_table.delete_mor(
+        spark, spark.createDataFrame([(k1,), (k2,)], ["o_orderkey"])
+    )
+    orders_table.merge(spark, o.filter(F.col("o_orderkey") == k1))
+    g2 = orders_table.state.current_gen()
+    ch = orders_table.table_changes(spark, g0, g2).collect()
+    assert {
+        (r["o_orderkey"], r["_change_type"]) for r in ch
+    } == {(k2, "delete")}
+
+
 def test_mor_compact_folds_sidecars_and_vacuum_reclaims(
     spark, orders_table
 ):
