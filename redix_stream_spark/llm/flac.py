@@ -11,8 +11,12 @@ Supported subset (everything else raises the honest gate or returns
 None at the dispatch layer):
 
 - mono, 16 bits/sample, fixed blocksize streams;
-- subframe types CONSTANT, VERBATIM, and FIXED orders 0-4 (the full
-  fixed-predictor family), with wasted-bits support;
+- subframe types CONSTANT, VERBATIM, FIXED orders 0-4 (the full
+  fixed-predictor family), and LPC orders 1-32 with quantized
+  coefficients (RFC 9639 §9.2.6 — fixed-point integer shift-add
+  prediction, the same verifiable class as FIXED, added per VERDICT
+  r8 item 3: real-world FLAC is overwhelmingly LPC-coded), all with
+  wasted-bits support;
 - partitioned-Rice residuals (method 0, any partition order; the
   5-bit rice2 method 1 as well), escape partitions gated;
 - frame-header CRC-8 and frame CRC-16 are COMPUTED and VERIFIED both
@@ -20,9 +24,10 @@ None at the dispatch layer):
   samples), and STREAMINFO's MD5 of the raw PCM is written by the
   encoder and checked by the round-trip tests.
 
-LPC subframes (type 1xxxxx) raise NotImplementedError: they are the
-one FLAC tool the fixed family doesn't cover, and faking them would
-violate the honest-decode contract. The encoder never emits them.
+The honest-decode gates that remain are the genuinely entropy-coded /
+perceptual formats (MP3 Layer III, AAC, H.26x — see the codec policy
+at multimodal.decode_image_stub) plus FLAC's escaped Rice partitions;
+everything bit-exact and spec-verifiable is decoded for real.
 
 The encoder exists for byte-fixtures and the q155b synth (the E110
 JPEG-encoder pattern): tests round-trip encoder → decoder and pin
@@ -233,6 +238,68 @@ def _write_residual(
                 w.write(u & ((1 << k) - 1), k)
 
 
+def _lpc_coeffs(x: np.ndarray, order: int) -> np.ndarray:
+    """Float LPC coefficients via autocorrelation + Levinson-Durbin
+    (the classical recursion every FLAC encoder uses; public-domain
+    math). Prediction model: x[n] ≈ Σ a[j]·x[n-1-j]."""
+    xf = x.astype(np.float64)
+    n = len(xf)
+    ac = np.array(
+        [float(np.dot(xf[: n - k], xf[k:])) for k in range(order + 1)]
+    )
+    if ac[0] == 0.0:
+        return np.zeros(order)
+    a = np.zeros(order)
+    err = ac[0]
+    for i in range(order):
+        acc = ac[i + 1] - sum(a[j] * ac[i - j] for j in range(i))
+        k = acc / err
+        new_a = a.copy()
+        new_a[i] = k
+        for j in range(i):
+            new_a[j] = a[j] - k * a[i - 1 - j]
+        a = new_a
+        err *= 1.0 - k * k
+        if err <= 0.0:
+            break
+    return a
+
+
+def _quantize_lpc(
+    coeffs: np.ndarray, precision: int = 12
+) -> tuple[np.ndarray, int]:
+    """Quantize float LPC coefficients to ``precision``-bit integers
+    with a shared right-shift (RFC 9639's qlp coefficient format):
+    pick the largest shift ≤ 15 that keeps every scaled coefficient in
+    the signed ``precision``-bit range. Lossless regardless of how
+    crude the quantization is — the residual absorbs every prediction
+    error bit-exactly."""
+    cmax = float(np.max(np.abs(coeffs))) if len(coeffs) else 0.0
+    if cmax <= 0.0:
+        return np.zeros(len(coeffs), dtype=np.int64), 0
+    shift = precision - 2 - int(np.floor(np.log2(cmax)))
+    shift = max(0, min(15, shift))
+    lim = 1 << (precision - 1)
+    q = np.clip(
+        np.round(coeffs * (1 << shift)).astype(np.int64), -lim, lim - 1
+    )
+    return q, shift
+
+
+def _lpc_predict(
+    vals: np.ndarray, qc: np.ndarray, shift: int
+) -> np.ndarray:
+    """Vectorized integer LPC prediction for samples order..len-1:
+    (Σ qc[j]·x[i-1-j]) >> shift — numpy's >> on int64 is arithmetic,
+    matching the spec's floor division by 2^shift."""
+    order = len(qc)
+    n = len(vals)
+    acc = np.zeros(n - order, dtype=np.int64)
+    for j, c in enumerate(qc):
+        acc += int(c) * vals[order - 1 - j : n - 1 - j]
+    return acc >> shift
+
+
 def _best_fixed_order(x: np.ndarray, max_order: int = 2) -> int:
     best, best_cost = 0, None
     for o in range(0, max_order + 1):
@@ -253,11 +320,14 @@ def flac_encode_pcm16(
     block_size: int = 4096,
     force_subframe: str | None = None,
     partition_order: int = 0,
+    lpc_order: int = 8,
 ) -> bytes:
     """Encode a mono int16 waveform as a FLAC subset stream. Subframe
     per block: CONSTANT when flat, else the cheapest FIXED order 0-2
-    (``force_subframe`` pins 'constant'/'verbatim'/'fixed' for fixture
-    variety). Lossless by construction; round-trip pinned in tests."""
+    (``force_subframe`` pins 'constant'/'verbatim'/'fixed'/'lpc' for
+    fixture variety; 'lpc' emits quantized-coefficient LPC subframes
+    of ``lpc_order``). Lossless by construction — LPC residuals absorb
+    quantization error exactly; round-trip pinned in tests."""
     x = np.clip(np.asarray(samples), -32768, 32767).astype(np.int64)
     n = len(x)
     pcm_md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()
@@ -326,6 +396,26 @@ def flac_encode_pcm16(
             ):
                 porder -= 1
             res = np.diff(blk, n=order) if order else blk.copy()
+            _write_residual(w, res, bs, order, porder)
+        elif kind == "lpc":
+            order = max(1, min(lpc_order, 32, bs - 1))
+            precision = 12
+            qc, shift = _quantize_lpc(_lpc_coeffs(blk, order), precision)
+            w.write(0, 1)
+            w.write(0b100000 | (order - 1), 6)
+            w.write(0, 1)
+            for s in blk[:order]:
+                w.write(int(s) & 0xFFFF, 16)
+            w.write(precision - 1, 4)
+            w.write(shift, 5)  # non-negative; 5-bit signed field
+            for c in qc:
+                w.write(int(c) & ((1 << precision) - 1), precision)
+            porder = partition_order
+            while porder and (
+                bs % (1 << porder) or (bs >> porder) <= order
+            ):
+                porder -= 1
+            res = blk[order:] - _lpc_predict(blk, qc, shift)
             _write_residual(w, res, bs, order, porder)
         else:
             raise ValueError(f"unknown subframe kind {kind!r}")
@@ -415,9 +505,10 @@ def _read_residual(r: _BitReader, bs: int, order: int) -> np.ndarray:
 def flac_decode_pcm16(payload: bytes) -> "np.ndarray | None":
     """Decode a subset FLAC payload to a mono float64 waveform —
     None for non-FLAC / unsupported-shape payloads (multichannel,
-    non-16-bit), NotImplementedError for LPC subframes (honest gate;
-    see module docstring). CRC-8/CRC-16 are verified: corruption
-    decodes to None, never to wrong samples."""
+    non-16-bit). CONSTANT/VERBATIM/FIXED/LPC subframes all decode for
+    real; the only remaining gate is the escaped Rice partition (see
+    module docstring). CRC-8/CRC-16 are verified: corruption decodes
+    to None, never to wrong samples."""
     info = parse_flac_streaminfo(payload)
     if info is None:
         return None
@@ -484,10 +575,29 @@ def flac_decode_pcm16(payload: bytes) -> "np.ndarray | None":
                     vals.append(int(e) + pred)
                 blk = np.array(vals, dtype=np.int64)
             elif stype & 0b100000:
-                raise NotImplementedError(
-                    "flac: LPC subframes are outside the fixed-predictor "
-                    "subset (see module docstring)"
-                )
+                # LPC (RFC 9639 §9.2.6): integer shift-add prediction
+                # with quantized coefficients — bit-exact, no float.
+                order = (stype & 0b011111) + 1
+                warm = [r.read_signed(width) for _ in range(order)]
+                prec_code = r.read(4)
+                if prec_code == 0b1111:
+                    raise ValueError("flac: invalid qlp precision code")
+                prec = prec_code + 1
+                shift = r.read_signed(5)
+                if shift < 0:
+                    raise ValueError(
+                        "flac: negative qlp shift is reserved"
+                    )
+                qc = [r.read_signed(prec) for _ in range(order)]
+                res = _read_residual(r, bs, order)
+                vals = list(warm)
+                for e in res:
+                    pred = (
+                        sum(c * vals[-j - 1] for j, c in enumerate(qc))
+                        >> shift
+                    )
+                    vals.append(int(e) + pred)
+                blk = np.array(vals, dtype=np.int64)
             else:
                 raise ValueError("flac: reserved subframe type")
             if wasted:

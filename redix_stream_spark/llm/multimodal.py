@@ -965,13 +965,13 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload") -> DataF
 # processing: 16-bit PCM WAV payloads decode to waveforms (pure
 # numpy/stdlib — the container format is simple enough that no audio
 # library is needed), subset FLAC decodes losslessly through the same
-# dispatcher (llm/flac.py: constant/verbatim/fixed subframes with Rice
-# residuals — round 8, shrinking the E25b partial), and per-window RMS
-# energy / zero-crossing rate / peak are the classic speech-vs-music/
-# silence-trim features a training pipeline computes before filtering
-# audio corpora. MP3 gets REAL frame-accurate METADATA (parse_mp3_meta
-# walks every frame header); its Huffman-coded SAMPLES — and AAC, and
-# FLAC's LPC subframes — remain honest gates, see the codec policy at
+# dispatcher (llm/flac.py: constant/verbatim/fixed/LPC subframes with
+# Rice residuals — rounds 8-9, shrinking the E25b partial), and
+# per-window RMS energy / zero-crossing rate / peak are the classic
+# speech-vs-music/silence-trim features a training pipeline computes
+# before filtering audio corpora. MP3 gets REAL frame-accurate METADATA
+# (parse_mp3_meta walks every frame header); its Huffman-coded SAMPLES —
+# and AAC — remain honest gates, see the codec policy at
 # decode_image_stub.
 
 AUDIO_WINDOW = 1024  # samples per analysis window
@@ -1156,13 +1156,13 @@ def _register_q155b() -> None:
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:
         """q155 over a MIXED-FORMAT corpus: the same deterministic tone
-        per document, but even doc_ids encode as 16-bit WAV and odd as
-        subset FLAC (fixed-predictor, Rice residuals — llm/flac.py),
-        both decoded through the one ``decode_audio_pcm`` dispatcher.
-        FLAC is lossless, so format choice is hash-invisible to the
-        features: this face's per-doc aggregates must equal q155's
-        exactly for the shared docs (tests pin window-level identity,
-        plus the byte-fixture round-trips and the LPC honest gate)."""
+        per document, but even doc_ids encode as 16-bit WAV, doc_id%4==1
+        as fixed-predictor FLAC, and doc_id%4==3 as quantized-LPC FLAC
+        (llm/flac.py), all decoded through the one ``decode_audio_pcm``
+        dispatcher. FLAC is lossless either way, so codec choice is
+        hash-invisible to the features: this face's per-doc aggregates
+        must equal q155's exactly for the shared docs (tests pin
+        window-level identity, plus the byte-fixture round-trips)."""
         from ..session import ship_package
 
         d = load_table(spark, sf_dir, "documents").select("doc_id").limit(64)
@@ -1188,13 +1188,14 @@ def _register_q155b() -> None:
                     amp = 4000 + seed % 8000
                     t = np.arange(3 * AUDIO_WINDOW, dtype=np.float64)
                     wave = amp * np.sin(2 * np.pi * freq * t / 8000.0)
-                    payload = (
-                        wav_encode_pcm16(wave)
-                        if int(doc_id) % 2 == 0
-                        else flac_encode_pcm16(
-                            wave, 8000, AUDIO_WINDOW
+                    if int(doc_id) % 2 == 0:
+                        payload = wav_encode_pcm16(wave)
+                    elif int(doc_id) % 4 == 1:
+                        payload = flac_encode_pcm16(wave, 8000, AUDIO_WINDOW)
+                    else:  # doc_id % 4 == 3: the LPC-coded flavor
+                        payload = flac_encode_pcm16(
+                            wave, 8000, AUDIO_WINDOW, force_subframe="lpc"
                         )
-                    )
                     rows.append((int(doc_id), payload))
                 yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 

@@ -116,10 +116,56 @@ def test_crc_gates_corruption_to_none():
     assert flac_decode_pcm16(b"RIFFxxxxWAVE") is None
 
 
-def test_lpc_subframe_raises_honest_gate():
-    """Hand-assemble a one-frame stream whose subframe type is LPC
-    (0b100000): the decoder must raise, not guess — the fixed-predictor
-    subset is the honest boundary (module docstring policy)."""
+@pytest.mark.parametrize("order", [1, 2, 4, 8, 12, 32])
+def test_lpc_round_trip_is_lossless(order):
+    """VERDICT r8 item 3: LPC subframes decode for real. Quantized
+    integer shift-add prediction is bit-exact whatever the coefficient
+    quality — the residual absorbs every prediction error — so every
+    order round-trips losslessly."""
+    wave = _tone()
+    enc = flac_encode_pcm16(
+        wave, 8000, block_size=1024, force_subframe="lpc", lpc_order=order
+    )
+    dec = flac_decode_pcm16(enc)
+    assert dec is not None
+    assert np.array_equal(dec.astype(np.int64), _as_pcm(wave))
+
+
+def test_lpc_compresses_a_tone_and_verifies_streaminfo_md5():
+    import hashlib
+
+    wave = _tone()
+    lpc = flac_encode_pcm16(wave, 8000, 1024, force_subframe="lpc")
+    fixed = flac_encode_pcm16(wave, 8000, 1024, force_subframe="fixed")
+    verb = flac_encode_pcm16(wave, 8000, 1024, force_subframe="verbatim")
+    # a sinusoid is the textbook LPC-friendly signal: the order-8
+    # predictor must beat both the fixed family and verbatim.
+    assert len(lpc) < len(fixed) < len(verb)
+    # STREAMINFO's PCM MD5 (bytes 26:42 of the metadata block) must
+    # match the decoded waveform — the whole-stream integrity pin.
+    dec = flac_decode_pcm16(lpc)
+    md5 = hashlib.md5(
+        dec.astype(np.int64).astype("<i2").tobytes()
+    ).digest()
+    assert lpc[8 + 18 : 8 + 34] == md5
+
+
+def test_lpc_noise_and_multi_partition_round_trip():
+    rng = np.random.default_rng(7)
+    noise = rng.integers(-20000, 20000, size=8192).astype(np.float64)
+    enc = flac_encode_pcm16(
+        noise, 8000, 2048, force_subframe="lpc", partition_order=2
+    )
+    assert np.array_equal(
+        flac_decode_pcm16(enc).astype(np.int64), _as_pcm(noise)
+    )
+
+
+def test_lpc_hand_assembled_frame_decodes_to_known_samples():
+    """Spec-level pin, independent of the encoder: a hand-assembled
+    order-1 LPC subframe with coefficient 2, shift 1 (i.e. pred =
+    floor(2·prev / 2) = prev) and residuals [+1, -1, +2] over warm-up
+    [100] must decode to exactly [100, 101, 100, 102]."""
     si = _BitWriter()
     si.write(4, 16)
     si.write(4, 16)
@@ -145,13 +191,24 @@ def test_lpc_subframe_raises_honest_gate():
     sub = _BitWriter()
     sub.write(0, 1)
     sub.write(0b100000, 6)  # LPC, order 1
-    sub.write(0, 1)
-    sub.write(0, 32)  # never reached by the decoder
+    sub.write(0, 1)  # no wasted bits
+    sub.write(100 & 0xFFFF, 16)  # warm-up sample
+    sub.write(12 - 1, 4)  # precision 12
+    sub.write(1, 5)  # shift 1
+    sub.write(2, 12)  # coefficient [2]
+    # residual: method 0, partition order 0, k=2, zigzagged [1,-1,2]
+    sub.write(0, 2)
+    sub.write(0, 4)
+    sub.write(2, 4)
+    for u in (2, 1, 4):  # zigzag(1)=2, zigzag(-1)=1, zigzag(2)=4
+        sub.write_unary(u >> 2)
+        sub.write(u & 3, 2)
     sub.align()
     frame = hdr + sub.bytes()
     payload = meta + frame + _crc16(frame).to_bytes(2, "big")
-    with pytest.raises(NotImplementedError, match="LPC"):
-        flac_decode_pcm16(payload)
+    dec = flac_decode_pcm16(payload)
+    assert dec is not None
+    assert dec.astype(np.int64).tolist() == [100, 101, 100, 102]
 
 
 def test_wav_and_flac_payloads_yield_identical_features():
