@@ -3191,6 +3191,123 @@ ORDER BY i.a, i.b
 """
 
 
+#: Prefilter sketch width for q195b (buckets per event type). Sizing
+#: rule: the disjointness certificate fires only when two audiences
+#: share no occupied bucket, a birthday-bound regime — reliable pruning
+#: of disjoint pairs needs m ≳ (|A|+|B|)² within the pair. 4096 covers
+#: the planted-fixture / small-segment regime; at 100 TB you size m to
+#: the audience scale (state is |types|·m booleans — still metadata).
+AUD_PREFILTER_M = 4096
+
+
+def audience_prefilter_pairs(ut: DataFrame, m: int = AUD_PREFILTER_M) -> DataFrame:
+    """Surviving unordered type pairs under the SOUND sketch
+    certificate (VERDICT r8 item 5, the q116 discipline: prefilter
+    approximate, result exact): hash every distinct (user, type) into
+    one of ``m`` md5 buckets and keep a pair only if the two types
+    share at least one OCCUPIED bucket. A common user lands in the
+    same bucket for both types, so disjoint bucket sets PROVE an empty
+    intersection — pruning can only drop pairs q195 would not emit.
+
+    Why this and not the raw inclusion–exclusion estimate: HLL's
+    est(A)+est(B)−est(A∪B) is probabilistic — a true-overlap pair can
+    estimate ≤ 0 and an unsound prune would corrupt the exact face.
+    The occupancy certificate is the deterministic core the register
+    sketch supports: occupied buckets are disjoint witnesses, so
+    |A∩B| ≤ n_a + n_b − |J_a ∪ J_b| (inclusion–exclusion with the
+    occupancy lower bound on the union), and bucket-disjointness is
+    strictly stronger than that bound reaching 0 (within-type bucket
+    collisions only loosen the bound, never the certificate).
+
+    Scale: the (type, bucket) occupancy relation is ≤ |types|·m rows
+    (metadata-sized — it is the same state q186's registers carry,
+    occupancy instead of max-rank), the pair join keys on the bucket,
+    and the result broadcasts into the exact path's semi-join."""
+    occ = ut.select(
+        F.col("event_type"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % m
+        ).alias("j"),
+    ).distinct()
+    a = occ.select(F.col("event_type").alias("a"), "j")
+    b = occ.select(F.col("event_type").alias("b"), "j")
+    return (
+        a.join(b, "j")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+# q195b's oracle IS q195's SQL: the prefilter is provably sound, so the
+# prefiltered face must be value-identical to the exact face — making
+# the equality the thing the driver hash-checks is the whole point.
+@register("q195b_audience_overlap_prefiltered", Q195_SQL)
+def q195b_audience_overlap_prefiltered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q195 with the sketch semi-join prefilter in front of the exact
+    pair aggregation: candidate pairs that provably share no user
+    (``audience_prefilter_pairs``) are dropped BEFORE the user-keyed
+    expansion shuffles its (a, b) rows, so as the type family grows the
+    aggregation pays only for pairs that can overlap. On the events
+    table every type pair shares users, so the face degenerates to
+    q195 (hash-equal by the oracle) — the planted disjoint-audience
+    pytest pins pairs_pruned > 0; the certificate's soundness is what
+    the driver hash-verifies here."""
+    ut = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    survivors = audience_prefilter_pairs(ut)
+    sizes = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("a"))
+    b = ut.select("user_id", F.col("event_type").alias("b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("a") < F.col("b"))
+        .join(F.broadcast(survivors), ["a", "b"], "left_semi")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col("event_type").alias("a"), F.col("n").alias("n_a"))
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("event_type").alias("b"), F.col("n").alias("n_b"))
+            ),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+            .cast("long")
+            .alias("n_union"),
+            F.expr(
+                "CAST(n_both * 1000000 DIV (n_a + n_b - n_both) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("a", "b")
+    )
+
+
 @register("q195_audience_overlap", Q195_SQL)
 def q195_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered event-type pairs with exact distinct-user intersection,

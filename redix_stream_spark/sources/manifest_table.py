@@ -708,7 +708,53 @@ class ManifestTable:
         self._commit(untouched + new_entries, schema, base_gen=base_gen)
         return {"files_total": total, "files_rewritten": len(kept)}
 
-    def delete_mor(self, spark: SparkSession, keys: DataFrame) -> dict:
+    def mor_debt(self, gen: int | None = None) -> dict:
+        """Merge-on-read maintenance readout (the ``cell_skew``
+        pattern, VERDICT r8 item 4): per-file sidecar reference count
+        and bytes for every file carrying delete sidecars, plus the
+        table-wide maximum. Pure driver-side metadata — a shared
+        sidecar is counted once PER REFERENCING FILE because that is
+        what a reader pays (each scanned file contributes its own
+        refs to the anti-join build side). Feed ``max_sidecars`` into
+        ``delete_mor(fold_threshold=...)`` or schedule ``compact()``
+        when it drifts."""
+        entries = self.manifest(gen)
+        per_file = []
+        for e in entries:
+            refs = list(e.get("deletes", ()))
+            if not refs:
+                continue
+            nbytes = 0
+            for r in refs:
+                d = os.path.join(self.root, r)
+                if os.path.isdir(d):
+                    nbytes += sum(
+                        os.path.getsize(os.path.join(d, f))
+                        for f in os.listdir(d)
+                        if f.endswith(".parquet")
+                    )
+            per_file.append(
+                {
+                    "file": e["file"],
+                    "sidecars": len(refs),
+                    "sidecar_bytes": nbytes,
+                }
+            )
+        return {
+            "files_with_debt": len(per_file),
+            "max_sidecars": max(
+                (p["sidecars"] for p in per_file), default=0
+            ),
+            "total_refs": sum(p["sidecars"] for p in per_file),
+            "per_file": per_file,
+        }
+
+    def delete_mor(
+        self,
+        spark: SparkSession,
+        keys: DataFrame,
+        fold_threshold: int | None = None,
+    ) -> dict:
         """Merge-on-read delete (Delta deletion vectors / Iceberg
         equality deletes, keyed): drop ``keys`` (a 1-column frame of
         table keys) by COMMITTING A SIDECAR, rewriting ZERO data files —
@@ -737,7 +783,23 @@ class ManifestTable:
         delta — computing one would force the data scan this path
         exists to avoid. Replay-idempotent in effect (re-deleting the
         same keys re-commits a redundant sidecar; reads are unchanged)
-        and OCC-checked like every other writer."""
+        and OCC-checked like every other writer.
+
+        MAINTENANCE POLICY (``fold_threshold``, VERDICT r8 item 4): a
+        trickle-delete workload stacks one sidecar reference per commit
+        on every overlapping file, and every reader pays an anti-join
+        row per accumulated reference until someone compacts — the
+        unbounded-debt failure Delta/Iceberg prevent by pairing DVs
+        with an automatic rewrite threshold. Passing ``fold_threshold=K``
+        bounds the debt: any file whose reference count would EXCEED K
+        after this commit is instead rewritten (its sidecars applied,
+        references dropped) inside the SAME commit — the amortized
+        CO-W rewrite fires once per K deletes per file instead of per
+        delete, and read cost stays O(K) per file. Opt-in because the
+        rewrite changes this call's cost class from metadata-only to
+        O(folded files); ``mor_debt()`` is the readout for choosing K.
+        Folded files' sidecars become unreferenced and ``vacuum()``
+        reclaims them."""
         base_gen = self.state.current_gen()
         if base_gen is None:
             return {
@@ -778,10 +840,35 @@ class ManifestTable:
             else e
             for e in entries
         ]
+        folded = 0
+        if fold_threshold is not None:
+            over = [
+                e
+                for e in new_entries
+                if len(e.get("deletes", ())) > fold_threshold
+            ]
+            if over:
+                # fold ONLY the over-threshold files: read them with
+                # their sidecars applied (the just-written ref is
+                # already attached, so this delete's keys fold too)
+                # and rewrite them clean — same commit, amortized
+                # once-per-K-deletes instead of reader-pays-forever.
+                keep = [
+                    e
+                    for e in new_entries
+                    if len(e.get("deletes", ())) <= fold_threshold
+                ]
+                schema = self.schema(base_gen)
+                clean = self._write_files(
+                    self._read_entries(spark, over, schema)
+                    .repartitionByRange(max(len(over), 1), self.key)
+                )
+                new_entries = keep + clean
+                folded = len(over)
         self._commit(new_entries, self.schema(base_gen), base_gen=base_gen)
         return {
             "files_total": len(entries),
-            "files_rewritten": 0,
+            "files_rewritten": folded,
             "files_affected": len(hit),
         }
 

