@@ -89,6 +89,20 @@ def budget_line(result: dict, limit: int = LINE_LIMIT) -> str:
         return json.dumps(r, separators=(",", ":"))
 
     trimmed = json.loads(json.dumps(result))  # deep copy
+    if isinstance(trimmed.get("sf10"), dict):
+        # the full sweep lives in bench_full.json; the line carries the
+        # one-number summary (worst growth exponent over the 10x→100x
+        # decade — ≤1.0 is at-most-linear in rows).
+        qs = trimmed["sf10"].get("queries", {})
+        exps = [
+            v["exp_10_100"]
+            for v in qs.values()
+            if isinstance(v, dict) and v.get("exp_10_100") is not None
+        ]
+        trimmed["sf10"] = {
+            "faces": len(qs),
+            "max_exp_10_100": max(exps) if exps else None,
+        }
     blocks = [b for b in (trimmed.get("sf1"), trimmed) if b and "queries" in b]
     for blk in blocks:
         blk["queries"] = {k: round(v, 2) for k, v in blk["queries"].items()}
@@ -308,6 +322,12 @@ HEADLINE = [
     "q190b_layout_advisor_sampled",
     "q199_vocab_growth",
     "q200_robust_trend",
+    # round-9 adds: the soundly-prefiltered audience overlap, the
+    # cluster quality audit (artifact consumer — warm pass builds the
+    # labels like q81/q118/q166), and the seasonal profile.
+    "q195b_audience_overlap_prefiltered",
+    "q201_cluster_audit",
+    "q202_seasonal_profile",
 ]
 
 
@@ -460,6 +480,18 @@ def main() -> None:
         }
         if big_flagged:
             result["sf1"]["retimed"] = big_flagged
+
+    # sf10 spot block (VERDICT r8 item 1): measure_sf10.py records the
+    # 100× growth-exponent sweep on demand (a maintenance-window job —
+    # ~20 min, far past the per-round bench budget); fold its stamped
+    # result into bench_full.json so every round's artifact carries the
+    # scale evidence without re-paying for it.
+    sf10_path = os.path.join(
+        os.path.dirname(__file__), "scripts", "sf10_spot.json"
+    )
+    if os.path.exists(sf10_path):
+        with open(sf10_path) as f:
+            result["sf10"] = json.load(f)
 
     with open(os.path.join(os.path.dirname(__file__), "bench_full.json"), "w") as f:
         json.dump(result, f, indent=1)

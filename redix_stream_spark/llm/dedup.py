@@ -1935,3 +1935,168 @@ def q193_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --- q201: cluster quality audit ---------------------------------------------
+
+#: Per-cluster audited-member cap: the md5-min member sample whose
+#: C(cap,2) pairs get EXACT verification — the q176b deg-cap discipline
+#: applied to cluster auditing (an unbounded within-cluster pair explode
+#: is Σ C(|cluster|,2): one pathological mega-cluster would dominate the
+#: whole job; the cap bounds every cluster's audit at C(8,2)=28 pairs).
+AUDIT_CAP = 8
+AUDIT_THRESHOLD_PPM = int(round(JACCARD_THRESHOLD * 1_000_000))
+
+
+def _gen_cluster_audit_sql() -> str:
+    """Oracle: from-scratch clusters CTE + fresh shingle sets + the same
+    md5-ranked member cap + exact integer Jaccard rollup (the artifact
+    must be hash-invisible, q166's contract)."""
+    cluster_sql = _gen_cluster_oracle_sql().strip().rstrip(";")
+    return f"""
+WITH clusters AS (
+  {cluster_sql}
+),
+toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh2 AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i:i+{SHINGLE_K - 1}], ' ') AS shingle
+  FROM (SELECT doc_id, t,
+               UNNEST(range(1, GREATEST(LEN(t) - {SHINGLE_K - 1}, 1) + 1)) AS i
+        FROM toks2)
+),
+sets2 AS (SELECT doc_id, list(shingle) AS sset FROM sh2 GROUP BY doc_id),
+members AS (
+  SELECT cluster_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM clusters
+),
+nm AS (SELECT cluster_id, COUNT(*) AS n_members FROM clusters GROUP BY cluster_id),
+kept AS (SELECT cluster_id, doc_id FROM members WHERE rn <= {AUDIT_CAP}),
+apairs AS (
+  SELECT a.cluster_id, a.doc_id AS da, b.doc_id AS db
+  FROM kept a JOIN kept b
+    ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT p.cluster_id,
+         CAST(LEN(list_intersect(sa.sset, sb.sset)) AS BIGINT) * 1000000
+           // CAST(LEN(sa.sset) + LEN(sb.sset)
+                   - LEN(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS j_ppm
+  FROM apairs p
+  JOIN sets2 sa ON sa.doc_id = p.da
+  JOIN sets2 sb ON sb.doc_id = p.db
+)
+SELECT CAST(s.cluster_id AS BIGINT) AS cluster_id,
+       CAST(nm.n_members AS BIGINT) AS n_members,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs_audited,
+       CAST(MIN(j_ppm) AS BIGINT) AS min_jaccard_ppm,
+       CAST(SUM(j_ppm) // COUNT(*) AS BIGINT) AS mean_jaccard_ppm,
+       CAST(SUM(CASE WHEN j_ppm < {AUDIT_THRESHOLD_PPM} THEN 1 ELSE 0 END)
+            AS BIGINT) AS subthreshold_pairs
+FROM scored s JOIN nm ON nm.cluster_id = s.cluster_id
+GROUP BY s.cluster_id, nm.n_members
+ORDER BY cluster_id
+"""
+
+
+@register("q201_cluster_audit", _gen_cluster_audit_sql())
+def q201_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trust-but-verify for the dedup pipeline (round 9): per near-dup
+    cluster, EXACT shingle Jaccard statistics over a bounded member
+    sample — min/mean similarity in ppm and the count of audited pairs
+    BELOW the detection threshold. Clusters are transitive closures of
+    pairwise evidence (A~B, B~C puts A,C together with no direct check),
+    so a low min / nonzero subthreshold count is exactly the
+    chain-dilution a curation owner must see before "keep one per
+    cluster" destroys non-duplicates. q80 detects, q193 picks the
+    survivor, this face measures how much trust the cluster deserves.
+
+    Exactness: integer ppm Jaccard over distinct shingle sets (values
+    non-negative, so Spark DIV and DuckDB // agree); the audited member
+    subset is the md5-min ``AUDIT_CAP`` sample, deterministic
+    cross-engine (q176b's selection idiom). Consumes the shared cluster
+    artifact while the oracle recomputes from scratch — hash-invisible
+    (q166's contract).
+
+    Scale: every cluster audits at most C(AUDIT_CAP,2)=28 pairs however
+    large the cluster (the wedge-cap discipline); the pair relation is
+    label-table-sized, shingle sets join it via the pinned shuffle_hash
+    (fat arrays never broadcast); one cluster-keyed rollup ends it."""
+    from .artifacts import cluster_labels
+
+    d = load_table(spark, sf_dir, "documents")
+    labels = cluster_labels(spark, sf_dir).select("doc_id", "cluster_id")
+    wm = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    kept = (
+        labels.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= AUDIT_CAP)
+        .select("cluster_id", "doc_id")
+    )
+    nm = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    apairs = (
+        kept.select("cluster_id", F.col("doc_id").alias("doc_id_a"))
+        .join(
+            kept.select("cluster_id", F.col("doc_id").alias("doc_id_b")),
+            "cluster_id",
+        )
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+    )
+    sets = (
+        d.select(
+            "doc_id", F.array_distinct(shingles(F.col("text"))).alias("sset")
+        )
+        .cache()
+        .hint("shuffle_hash")
+    )
+    scored = (
+        apairs.join(
+            sets.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("sset").alias("set_a")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("sset").alias("set_b")
+            ),
+            "doc_id_b",
+        )
+        .select(
+            "cluster_id",
+            F.expr(
+                "CAST(CAST(size(array_intersect(set_a, set_b)) AS BIGINT)"
+                " * 1000000 DIV CAST(size(set_a) + size(set_b)"
+                " - size(array_intersect(set_a, set_b)) AS BIGINT) AS BIGINT)"
+            ).alias("j_ppm"),
+        )
+    )
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs_audited"),
+            F.min("j_ppm").cast("long").alias("min_jaccard_ppm"),
+            F.expr("CAST(sum(j_ppm) DIV count(1) AS BIGINT)").alias(
+                "mean_jaccard_ppm"
+            ),
+            F.sum(
+                (F.col("j_ppm") < AUDIT_THRESHOLD_PPM).cast("long")
+            ).cast("long").alias("subthreshold_pairs"),
+        )
+        .join(nm, "cluster_id")
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "n_members",
+            "n_pairs_audited",
+            "min_jaccard_ppm",
+            "mean_jaccard_ppm",
+            "subthreshold_pairs",
+        )
+        .orderBy("cluster_id")
+    )

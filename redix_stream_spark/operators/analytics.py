@@ -3641,3 +3641,66 @@ def q200_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+# --- q202: seasonal traffic profile -------------------------------------------
+
+# Diurnal seasonality per event type: hour-of-day share and seasonal
+# index (1e6 = flat) — the profile behind rate-anomaly baselines (q110
+# detects spikes against a global rate; real traffic has shape, and the
+# index IS that shape, integer-exact). All counts BIGINT; one scaled DIV
+# per row pair; operands non-negative so Spark DIV == DuckDB //.
+
+Q202_SQL = """
+WITH h AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod
+  FROM events
+),
+c AS (SELECT event_type, hod, COUNT(*) AS n FROM h GROUP BY 1, 2),
+t AS (SELECT event_type, SUM(n) AS n_type FROM c GROUP BY 1)
+SELECT c.event_type,
+       c.hod AS hour_of_day,
+       CAST(c.n AS BIGINT) AS n_events,
+       CAST(c.n * 1000000 // t.n_type AS BIGINT) AS share_ppm,
+       CAST(c.n * 24000000 // t.n_type AS BIGINT) AS seasonal_index_ppm
+FROM c JOIN t USING (event_type)
+ORDER BY event_type, hour_of_day
+"""
+
+
+@register("q202_seasonal_profile", Q202_SQL)
+def q202_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality per event type (round 9): event count,
+    traffic share (ppm) and the seasonal index — share × 24, so 10^6
+    means a perfectly flat profile and 2×10^6 means the hour carries
+    twice its flat-rate share. The baseline a rate-anomaly monitor
+    (q110) should normalize against before calling a daily peak a
+    spike.
+
+    Scale: ONE map-side-combinable (type, hour) count — 24×|types|
+    rows of state regardless of input size; the per-type total is a
+    rollup OF THE COUNTS (never a second scan) and joins back on the
+    bounded profile relation. All integer (counts and scaled DIVs), so
+    the face is hash-exact cross-engine."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    )
+    c = e.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.groupBy("event_type").agg(F.sum("n").cast("long").alias("n_type"))
+    return (
+        c.join(t, "event_type")
+        .select(
+            "event_type",
+            F.col("hod").alias("hour_of_day"),
+            F.col("n").alias("n_events"),
+            F.expr("CAST(n * 1000000 DIV n_type AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            F.expr("CAST(n * 24000000 DIV n_type AS BIGINT)").alias(
+                "seasonal_index_ppm"
+            ),
+        )
+        .orderBy("event_type", "hour_of_day")
+    )

@@ -65,81 +65,82 @@ def _load() -> None:
 # Window policy: a query needs ONE green driver row, ever — but stale
 # evidence rots as shared helpers evolve, so the window ROTATES: after
 # new/changed faces take their slots, remaining slots go to the names
-# whose latest driver row is OLDEST. The ROUND-7 window leads with the
-# nine new faces (storage lifecycle q178/q179/q182, graph q176/q180,
-# analytics q177/q181, sampling q175/q183); q172, whose implementation
-# changed (state-capped in-session numbering — same results, fresh row
-# proves it); and q166, the shared-artifact composed face, whose cache
-# keying/build order changed this round (hash-invisible by contract —
-# the fresh row re-proves it for all artifact consumers). Then every
-# name whose latest row is r2 (6) or r3 (31), and two r4-only headline
-# representatives (q01, q06). Rotated out: the r6-window names — all
-# with permanent rows (tests/test_registry_order.py R1–R6 sets).
+# whose latest driver row is OLDEST. The ROUND-9 window leads with the
+# three new faces (q195b — whose oracle is deliberately q195's SQL so
+# the driver hash-checks the prefilter's soundness — q201, q202); then
+# the storage faces whose shared read path changed this round (MOR
+# sidecars now scope to their referencing files — the ADVICE r8 high
+# fix — so every ManifestTable-reading face re-proves on the new code)
+# and q155b, whose mixed corpus gained LPC-coded FLAC; then rotation by
+# oldest-row: q51 (r1), the r2 five, all fourteen r3-latest names, and
+# fourteen r4 representatives. Rotated out: the round-7/8 faces — all
+# with permanent rows (tests/test_registry_order.py R1–R8 sets).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- new in round 8: the coded hub-degree guard face (r7 verdict's
-    # one open `weak`), merge-on-read deletes, and the mixed WAV/FLAC
-    # audio face (rows-only — numpy-side DSP) --
-    "q176b_link_prediction_capped",
+    # -- new in round 9: the prefiltered audience overlap (oracle = the
+    # exact face's SQL — the driver hash-checks the prune's soundness),
+    # the cluster quality audit, and the seasonal profile --
+    "q195b_audience_overlap_prefiltered",
+    "q201_cluster_audit",
+    "q202_seasonal_profile",
+    # -- changed in round 9: every ManifestTable read now applies MOR
+    # sidecars SCOPED to their referencing files (the ADVICE r8 fix) —
+    # fresh rows re-prove the whole storage read surface; q155b's mixed
+    # corpus gained LPC-coded FLAC (rows-only) --
     "q196_mor_delete",
-    "q155b_audio_windows_mixed",
-    "q197_rollup_trend",
-    "q198_metadata_agg",
-    "q190b_layout_advisor_sampled",
-    "q199_vocab_growth",
-    "q200_robust_trend",
-    # -- new in round 7, session 2 (PMI, CUSUM, HLL, skew report,
-    # curriculum, surprisal, layout advisor) --
-    "q184_pmi_collocations",
-    "q185_cusum_changepoint",
-    "q186_hll_distinct",
-    "q187_key_skew_report",
-    "q188_curriculum_manifest",
-    "q189_bigram_surprisal",
-    "q190_layout_advisor",
-    "q191_funnel_edges",
-    "q192_funnel_timing",
-    "q193_cluster_representatives",
-    "q194_cdc_apply",
-    "q195_audience_overlap",
-    # -- new in round 7 --
-    "q175_epoch_shuffle",
-    "q176_link_prediction",
-    "q177_rolling_corr",
+    "q150_table_changes",
+    "q146_merge_upsert",
+    "q146b_merge_schema_evolution",
     "q178_table_delete",
     "q179_compact_reclaim",
-    "q180_lpa_communities",
-    "q181_winsorized_stats",
+    "q194_cdc_apply",
+    "q198_metadata_agg",
+    "q168_table_restore",
+    "q149_zorder_table_scan",
     "q182_bloom_point_lookup",
-    "q183_pps_sample",
-    # -- changed in round 7 --
-    "q172_top_paths",
-    "q166_corpus_pipeline",
-    # -- latest driver row is r2 --
-    "q91_waiting_suppliers",
-    "q94_product_profit",
-    "q95_min_cost_supplier",
-    "q96_important_parts",
-    "q97_supplier_variety",
-    "q98_promo_part_suppliers",
+    "q145_skipping_scan",
+    "q155b_audio_windows_mixed",
+    # -- rotation: latest driver row is r1/r2 --
+    "q51_approx_distinct",
+    "q43b_ann_ivf_topk",
+    "q52_approx_percentiles",
+    "q53_hll_mergeable_rollup",
+    "q56_grouped_map_zscore",
+    "q57_stratified_sample",
     # -- latest driver row is r3 --
-    "q100_dup_ngram_fraction",
-    "q101_mixture_sample",
-    "q102_semantic_dedup",
-    "q103_gapfill",
-    "q104_decayed_avg",
-    "q105_matview_rollup",
-    "q106_latest_state",
-    "q108_source_drift",
-    "q110_rate_anomaly",
-    "q112_quality_report",
-    "q113_fuzzy_join",
-    "q114_ohlc_bars",
-    "q115_event_transitions",
-    # (q116/q117/q119/q119b/q123, q126/q128/q129, q130/q133, q35/q37/q38,
-    # q38b/q39/q92/q93/q99 and the r4 representatives q01/q06 rotated
-    # out to make room for the round-8 and session-2 faces — all have
-    # permanent r1-r4 rows; test_registry_order's R*_CHECKED sets keep
-    # them covered.)
+    "q109b_sliding_distinct_hll",
+    "q121_pq_ann_topk",
+    "q125_compression_ratio",
+    "q130_corpus_report",
+    "q133_interevent_gaps",
+    "q35_shingle_fingerprint",
+    "q37_ngram_jaccard_dup",
+    "q38_simhash",
+    "q38b_simhash_weighted",
+    "q39_multimodal_meta",
+    "q41b_embedding_neardup_fast",
+    "q92_forecast_revenue",
+    "q93_promo_revenue",
+    "q99_passage_dedup",
+    # -- latest driver row is r4 (oldest remaining) --
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_star_join_revenue",
+    "q04_semi_join",
+    "q05_anti_join",
+    "q06_range_join",
+    "q06b_range_join_agg",
+    "q07_asof_join",
+    "q08_agg_orders",
+    "q111_jsonl_roundtrip",
+    "q11_cube_events",
+    "q121b_pq_ann_production",
+    "q122_scd2_history",
+    "q124_exact_group_median",
+    # (The round-7/8 faces — q175–q200 — rotated out this round: all
+    # carry permanent r7/r8 rows (test_registry_order's R7/R8_CHECKED
+    # sets). Remaining slots went to the names whose latest driver row
+    # is oldest: r1 q51, the r2 five, every r3-latest name, then r4
+    # representatives.)
 )
 
 

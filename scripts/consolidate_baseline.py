@@ -145,7 +145,21 @@ def main_add(names: list[str]) -> None:
     """Additively stamp baselines for ``names`` only (new headline
     entries), preserving every existing sf0.1/sf1 value — unlike
     ``main()``, which re-measures ALL non-r01 entries and would reset
-    their regression history to today's host conditions."""
+    their regression history to today's host conditions.
+
+    STAMPING PROTOCOL (VERDICT r8 item 2): a clean-session-only stamp
+    systematically under-reads the contention the driver's bench
+    session runs under — three consecutive rounds a freshly-stamped
+    face drifted to 1.7-1.9× of its stamp in the driver session on
+    noise alone (r6 q167, r7 q87, r8 q190b/q199/q198/q196). So the
+    stamp is now the MAX of two readings: the clean-session one
+    (bench.py's warm + clearCache discipline) and an IN-BATCH one
+    taken after an untimed pass over the full headline set reproduces
+    the driver session's accumulated JVM/GC/page-cache pressure. The
+    max is the honest baseline for a gate whose readings come from a
+    58-query session."""
+    import bench
+
     path = os.path.join(ROOT, "scripts", "bench_baseline.json")
     with open(path) as f:
         out = json.load(f)
@@ -155,12 +169,27 @@ def main_add(names: list[str]) -> None:
     queries = registry.all_queries()
     for name in names:
         queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    measured: dict[str, float] = {}
+    clean: dict[str, float] = {}
     for name in names:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        measured[name] = round(time.perf_counter() - t0, 3)
+        clean[name] = round(time.perf_counter() - t0, 3)
+    # driver-like batch pressure: the full headline set, untimed.
+    for name in bench.HEADLINE:
+        try:
+            queries[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # a broken sibling must not block stamping
+            print(f"  (batch-pressure pass: {name} failed: {exc})")
+    in_batch: dict[str, float] = {}
+    for name in names:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        in_batch[name] = round(time.perf_counter() - t0, 3)
+    measured = {n: max(clean[n], in_batch[n]) for n in names}
     out["queries"].update(measured)
     out.setdefault("_meta", {}).setdefault("added", {})[
         datetime.date.today().isoformat()
@@ -168,8 +197,11 @@ def main_add(names: list[str]) -> None:
     with open(path, "w") as f:
         json.dump(out, f, indent=2, sort_keys=True)
         f.write("\n")
-    for n, v in sorted(measured.items()):
-        print(f"  added {n}: {v:.3f}s")
+    for n in sorted(measured):
+        print(
+            f"  added {n}: {measured[n]:.3f}s "
+            f"(clean {clean[n]:.3f}s, in-batch {in_batch[n]:.3f}s)"
+        )
     spark.stop()
 
 
@@ -195,12 +227,28 @@ def main_sf1_add(names: list[str]) -> None:
             "noop"
         ).mode("overwrite").save()
     bench.ensure_artifacts(spark, big_dir)  # untimed, like bench's own run
-    measured: dict[str, float] = {}
+    clean: dict[str, float] = {}
     for name in names:
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         queries[name](spark, big_dir).write.format("noop").mode("overwrite").save()
-        measured[name] = round(time.perf_counter() - t0, 3)
+        clean[name] = round(time.perf_counter() - t0, 3)
+    # driver-like batch pressure (same protocol as main_add): the full
+    # BIG_HEADLINE set untimed, then re-time and stamp the MAX.
+    for name in bench.BIG_HEADLINE:
+        try:
+            queries[name](spark, big_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:
+            print(f"  (batch-pressure pass: {name} failed: {exc})")
+    in_batch: dict[str, float] = {}
+    for name in names:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        queries[name](spark, big_dir).write.format("noop").mode("overwrite").save()
+        in_batch[name] = round(time.perf_counter() - t0, 3)
+    measured = {n: max(clean[n], in_batch[n]) for n in names}
     out.setdefault("sf1_queries", {}).update(measured)
     out.setdefault("_meta", {}).setdefault("sf1_added", {})[
         datetime.date.today().isoformat()
@@ -208,8 +256,11 @@ def main_sf1_add(names: list[str]) -> None:
     with open(path, "w") as f:
         json.dump(out, f, indent=2, sort_keys=True)
         f.write("\n")
-    for n, v in sorted(measured.items()):
-        print(f"  added sf1 {n}: {v:.3f}s")
+    for n in sorted(measured):
+        print(
+            f"  added sf1 {n}: {measured[n]:.3f}s "
+            f"(clean {clean[n]:.3f}s, in-batch {in_batch[n]:.3f}s)"
+        )
     spark.stop()
 
 

@@ -11,52 +11,27 @@ from __future__ import annotations
 from redix_stream_spark import registry
 
 MUST_BE_IN_WINDOW = {
-    # New round-8 faces; q181/q192 re-listed because their rank windows
-    # changed (NULLS LAST pin — same results on null-free data, fresh
-    # driver row proves it).
-    "q176b_link_prediction_capped",
+    # New round-9 faces.
+    "q195b_audience_overlap_prefiltered",
+    "q201_cluster_audit",
+    "q202_seasonal_profile",
+    # Changed in round 9: MOR delete sidecars now apply SCOPED to their
+    # referencing files (ADVICE r8 high — _read_entries rewrite), so
+    # every face reading through ManifestTable re-proves on the new
+    # read path; q155b's mixed corpus gained LPC-coded FLAC frames.
     "q196_mor_delete",
-    "q155b_audio_windows_mixed",
-    "q197_rollup_trend",
-    "q198_metadata_agg",
-    "q190b_layout_advisor_sampled",
-    "q199_vocab_growth",
-    "q200_robust_trend",
-    "q181_winsorized_stats",
-    "q192_funnel_timing",
-    # New round-7 faces: storage lifecycle (COW delete, compact+vacuum,
-    # bloom point lookup), graph (link prediction, LPA communities),
-    # analytics (rolling correlation, winsorized stats), training-data
-    # sampling (epoch shuffle, systematic PPS).
-    "q175_epoch_shuffle",
-    "q176_link_prediction",
-    "q177_rolling_corr",
+    "q150_table_changes",
+    "q146_merge_upsert",
+    "q146b_merge_schema_evolution",
     "q178_table_delete",
     "q179_compact_reclaim",
-    "q180_lpa_communities",
-    "q181_winsorized_stats",
-    "q182_bloom_point_lookup",
-    "q183_pps_sample",
-    # Implementation changed in round 7 (state-capped in-session
-    # numbering, ADVICE r6) — fresh row proves result identity.
-    "q172_top_paths",
-    # Artifact cache keying/build order changed in round 7 (ADVICE r6);
-    # the composed face's fresh row re-proves hash-invisibility for all
-    # artifact consumers.
-    "q166_corpus_pipeline",
-    # New round-7 session-2 faces.
-    "q184_pmi_collocations",
-    "q185_cusum_changepoint",
-    "q186_hll_distinct",
-    "q187_key_skew_report",
-    "q188_curriculum_manifest",
-    "q189_bigram_surprisal",
-    "q190_layout_advisor",
-    "q191_funnel_edges",
-    "q192_funnel_timing",
-    "q193_cluster_representatives",
     "q194_cdc_apply",
-    "q195_audience_overlap",
+    "q198_metadata_agg",
+    "q168_table_restore",
+    "q149_zorder_table_scan",
+    "q182_bloom_point_lookup",
+    "q145_skipping_scan",
+    "q155b_audio_windows_mixed",
 }
 
 # The 50 queries the r2 driver window checked (CORRECTNESS_r02 rows —
@@ -200,8 +175,56 @@ R6_CHECKED = {
 }
 
 
+# The 50 queries the r7 driver window checked (CORRECTNESS_r07 rows).
+R7_CHECKED = {
+    "q100_dup_ngram_fraction", "q101_mixture_sample", "q102_semantic_dedup",
+    "q103_gapfill", "q104_decayed_avg", "q105_matview_rollup",
+    "q106_latest_state", "q108_source_drift", "q110_rate_anomaly",
+    "q112_quality_report", "q113_fuzzy_join", "q114_ohlc_bars",
+    "q115_event_transitions", "q116_bloom_decontaminate",
+    "q117_boilerplate_passages", "q119_zorder_key", "q119b_hilbert_key",
+    "q123_phrase_search", "q126_histogram", "q128_cooccurrence_lift",
+    "q129_cohort_matrix", "q166_corpus_pipeline", "q172_top_paths",
+    "q175_epoch_shuffle", "q176_link_prediction", "q177_rolling_corr",
+    "q178_table_delete", "q179_compact_reclaim", "q180_lpa_communities",
+    "q181_winsorized_stats", "q182_bloom_point_lookup", "q183_pps_sample",
+    "q184_pmi_collocations", "q185_cusum_changepoint", "q186_hll_distinct",
+    "q187_key_skew_report", "q188_curriculum_manifest",
+    "q189_bigram_surprisal", "q190_layout_advisor", "q191_funnel_edges",
+    "q192_funnel_timing", "q193_cluster_representatives", "q194_cdc_apply",
+    "q195_audience_overlap", "q91_waiting_suppliers", "q94_product_profit",
+    "q95_min_cost_supplier", "q96_important_parts", "q97_supplier_variety",
+    "q98_promo_part_suppliers",
+}
+
+# The 50 queries the r8 driver window checked (CORRECTNESS_r08 rows —
+# 49 hash-green + q155b rows-only, pytest-pinned).
+R8_CHECKED = {
+    "q100_dup_ngram_fraction", "q101_mixture_sample", "q102_semantic_dedup",
+    "q103_gapfill", "q104_decayed_avg", "q105_matview_rollup",
+    "q106_latest_state", "q108_source_drift", "q110_rate_anomaly",
+    "q112_quality_report", "q113_fuzzy_join", "q114_ohlc_bars",
+    "q115_event_transitions", "q155b_audio_windows_mixed",
+    "q166_corpus_pipeline", "q172_top_paths", "q175_epoch_shuffle",
+    "q176_link_prediction", "q176b_link_prediction_capped",
+    "q177_rolling_corr", "q178_table_delete", "q179_compact_reclaim",
+    "q180_lpa_communities", "q181_winsorized_stats",
+    "q182_bloom_point_lookup", "q183_pps_sample", "q184_pmi_collocations",
+    "q185_cusum_changepoint", "q186_hll_distinct", "q187_key_skew_report",
+    "q188_curriculum_manifest", "q189_bigram_surprisal",
+    "q190_layout_advisor", "q190b_layout_advisor_sampled",
+    "q191_funnel_edges", "q192_funnel_timing",
+    "q193_cluster_representatives", "q194_cdc_apply",
+    "q195_audience_overlap", "q196_mor_delete", "q197_rollup_trend",
+    "q198_metadata_agg", "q199_vocab_growth", "q200_robust_trend",
+    "q91_waiting_suppliers", "q94_product_profit", "q95_min_cost_supplier",
+    "q96_important_parts", "q97_supplier_variety",
+    "q98_promo_part_suppliers",
+}
+
+
 def test_every_query_has_a_driver_row_across_rounds():
-    """The r7 window + the r1–r6 rows must cover every registered
+    """The current window + the r1–r8 rows must cover every registered
     query, so that after this round no query has ever gone
     driver-unchecked."""
     window = set(list(registry.all_queries())[:50])
@@ -214,6 +237,8 @@ def test_every_query_has_a_driver_row_across_rounds():
         - R4_CHECKED
         - R5_CHECKED
         - R6_CHECKED
+        - R7_CHECKED
+        - R8_CHECKED
     )
     assert not uncovered, f"queries with no driver row in any round: {uncovered}"
 
