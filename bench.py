@@ -328,6 +328,7 @@ HEADLINE = [
     "q195b_audience_overlap_prefiltered",
     "q201_cluster_audit",
     "q202_seasonal_profile",
+    "q203_expectations",
 ]
 
 

@@ -3704,3 +3704,147 @@ def q202_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_of_day")
     )
+
+
+# --- q203: declarative data-quality expectations -------------------------------
+
+# A Deequ/dbt-tests-style expectation suite evaluated by the engine: each
+# rule declares a per-row predicate (not-null, accepted values, range,
+# uniqueness, referential integrity) and the face reports checked rows,
+# violations, and pass/fail per rule. The engine's answer to "gate the
+# pipeline on data quality" — q112 profiles, q159 audits one FK, this
+# runs the whole declared suite in two scans + one anti-join.
+
+Q203_SQL = """
+WITH o AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_null,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_uniq,
+         SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+           AS v_status,
+         SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_price
+  FROM orders
+),
+l AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+           AS v_qty,
+         SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+           AS v_disc,
+         SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v_ship
+  FROM lineitem
+),
+fk AS (
+  SELECT COUNT(*) AS v
+  FROM lineitem li LEFT JOIN orders o ON o.o_orderkey = li.l_orderkey
+  WHERE o.o_orderkey IS NULL
+)
+SELECT rule,
+       CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(n_violations = 0 AS BIGINT) AS passed
+FROM (
+  SELECT 'lineitem.l_discount.range_0_0.1' AS rule, l.n AS n_checked, l.v_disc AS n_violations FROM l
+  UNION ALL
+  SELECT 'lineitem.l_orderkey.references_orders', l.n, fk.v FROM l, fk
+  UNION ALL
+  SELECT 'lineitem.l_quantity.range_1_50', l.n, l.v_qty FROM l
+  UNION ALL
+  SELECT 'lineitem.l_shipdate.not_null', l.n, l.v_ship FROM l
+  UNION ALL
+  SELECT 'orders.o_custkey.not_null', o.n, o.v_null FROM o
+  UNION ALL
+  SELECT 'orders.o_orderkey.unique', o.n, o.v_uniq FROM o
+  UNION ALL
+  SELECT 'orders.o_orderstatus.accepted_values', o.n, o.v_status FROM o
+  UNION ALL
+  SELECT 'orders.o_totalprice.positive', o.n, o.v_price FROM o
+)
+ORDER BY rule
+"""
+
+
+@register("q203_expectations", Q203_SQL)
+def q203_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite (round 9): eight rules over
+    orders/lineitem — not-null, accepted values, numeric ranges, key
+    uniqueness, and referential integrity — each reporting checked
+    rows, violations, and pass/fail. The data-quality gate a training
+    pipeline runs before promoting an ingest (Deequ's check suite /
+    dbt tests, engine-side).
+
+    Scale: every per-row rule on a table folds into ONE map-side
+    combinable aggregate over ONE scan (flags are SUM(CAST(pred)) —
+    adding a rule adds a column, not a pass); uniqueness rides the
+    same agg as COUNT - COUNT(DISTINCT key); the one rule that needs a
+    second relation (referential) is a single keyed anti-join. Output
+    is 8 rows at any input size. All counts integer."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    oa = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("v_null"),
+        (
+            F.count(F.lit(1)) - F.countDistinct("o_orderkey")
+        ).cast("long").alias("v_uniq"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("v_status"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("v_price"),
+    )
+    la = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast(
+                "long"
+            )
+        ).alias("v_qty"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast(
+                "long"
+            )
+        ).alias("v_disc"),
+        F.sum(F.col("l_shipdate").isNull().cast("long")).alias("v_ship"),
+    )
+    fk = (
+        li.select(F.col("l_orderkey").alias("k"))
+        .join(
+            o.select(F.col("o_orderkey").alias("k")),
+            "k",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+
+    def rule(name, n_col, v_col, src):
+        return src.select(
+            F.lit(name).alias("rule"),
+            F.col(n_col).cast("long").alias("n_checked"),
+            F.col(v_col).cast("long").alias("n_violations"),
+        )
+
+    rows = (
+        rule("lineitem.l_discount.range_0_0.1", "n", "v_disc", la)
+        .unionByName(
+            rule(
+                "lineitem.l_orderkey.references_orders",
+                "n",
+                "v",
+                la.crossJoin(F.broadcast(fk)),
+            )
+        )
+        .unionByName(rule("lineitem.l_quantity.range_1_50", "n", "v_qty", la))
+        .unionByName(rule("lineitem.l_shipdate.not_null", "n", "v_ship", la))
+        .unionByName(rule("orders.o_custkey.not_null", "n", "v_null", oa))
+        .unionByName(rule("orders.o_orderkey.unique", "n", "v_uniq", oa))
+        .unionByName(
+            rule("orders.o_orderstatus.accepted_values", "n", "v_status", oa)
+        )
+        .unionByName(rule("orders.o_totalprice.positive", "n", "v_price", oa))
+    )
+    return rows.select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("long").alias("passed"),
+    ).orderBy("rule")

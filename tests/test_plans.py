@@ -825,3 +825,23 @@ def test_q185_cusum_windows_run_on_the_daily_rollup(spark, sf_dir):
     below_window = tree[tree.index("Window"):]
     assert "HashAggregate" in below_window  # rollup feeds the windows
     assert "SinglePartition" not in plan
+
+
+def test_q201_audit_sets_never_broadcast_and_prefilter_broadcasts(spark, sf_dir):
+    """q201's shingle-set relation (fat string arrays) must join the
+    capped pair relation via shuffle hash, never broadcast (the q36
+    array-undercount trap); q195b's surviving-pair relation — thin
+    (a, b) rows — must BROADCAST into the exact path's left-semi so the
+    prefilter never adds an exchange to the user-keyed expansion."""
+    plan = plan_of(QUERIES["q201_cluster_audit"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line and "sset" in line:
+            raise AssertionError(f"sets relation broadcast: {line}")
+    plan_b = plan_of(
+        QUERIES["q195b_audience_overlap_prefiltered"](spark, sf_dir)
+    )
+    assert "LeftSemi, BuildRight" in plan_b or (
+        "LeftSemi" in plan_b and "BroadcastHashJoin" in plan_b
+    )
+    assert "CartesianProduct" not in plan_b
