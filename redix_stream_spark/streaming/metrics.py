@@ -35,17 +35,26 @@ class MetricsListener(StreamingQueryListener):
 
     def onQueryProgress(self, event) -> None:
         p = event.progress
-        self._emit(
-            {
-                "event": "progress",
-                "id": str(p.id),
-                "batchId": p.batchId,
-                "numInputRows": p.numInputRows,
-                "processedRowsPerSecond": p.processedRowsPerSecond,
-                "durationMs": dict(p.durationMs) if p.durationMs else {},
-                "watermark": (p.eventTime or {}).get("watermark"),
+        rec = {
+            "event": "progress",
+            "id": str(p.id),
+            "batchId": p.batchId,
+            "numInputRows": p.numInputRows,
+            "processedRowsPerSecond": p.processedRowsPerSecond,
+            "durationMs": dict(p.durationMs) if p.durationMs else {},
+            "watermark": (p.eventTime or {}).get("watermark"),
+        }
+        # df.observe(name, ...) metrics ride the SAME job (computed
+        # inline by the plan's CollectMetrics node — zero extra pass,
+        # unlike a side count() which would re-run the source): surface
+        # them per batch so data-quality counters (null payloads, late
+        # rows, rule violations) ship with throughput for free.
+        om = getattr(p, "observedMetrics", None)
+        if om:
+            rec["observed"] = {
+                name: row.asDict() for name, row in om.items()
             }
-        )
+        self._emit(rec)
 
     def onQueryIdle(self, event) -> None:
         pass
@@ -74,3 +83,21 @@ class MetricsListener(StreamingQueryListener):
         return sum(
             r.get("numInputRows", 0) for r in self.records if r["event"] == "progress"
         )
+
+
+def observe(df, name: str = "metrics", **exprs):
+    """Attach inline observed metrics to ``df`` (batch or streaming):
+    ``observe(df, rows=F.count(F.lit(1)), nulls=F.sum(...))``.
+
+    The aggregates are computed by a CollectMetrics node INSIDE the
+    query's own job — no second pass over the source, no extra action —
+    and surface per micro-batch in ``StreamingQueryProgress
+    .observedMetrics[name]`` (captured by MetricsListener) or, for
+    batch, via ``pyspark.sql.Observation``. This is the engine's
+    data-quality-counter surface: q203's expectation predicates can
+    ride ANY existing query as observed sums and gate the pipeline
+    without re-reading it (the Deequ "metrics repository" idea on
+    Spark's native mechanism).
+    """
+    named = [c.alias(n) for n, c in exprs.items()]
+    return df.observe(name, *named)

@@ -649,6 +649,73 @@ def test_metrics_listener_captures_progress(spark, log, ckpt, tmp_path):
     assert any(r["event"] == "progress" and r["numInputRows"] for r in lines)
 
 
+def test_observed_metrics_ride_the_query_and_reach_the_listener(
+    spark, tmp_path
+):
+    """E151: df.observe() quality counters are computed INSIDE the
+    query's own job (CollectMetrics — no second source pass) and must
+    surface per micro-batch in observedMetrics, captured by
+    MetricsListener. Two files → two batches; the observed per-batch
+    row counts must sum to the input and the null-counter must see the
+    one planted null."""
+    import os
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from redix_stream_spark.streaming.metrics import MetricsListener, observe
+
+    src = str(tmp_path / "obs-src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "a"), (2, None)], "id long, payload string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    _t.sleep(1.1)
+    spark.createDataFrame(
+        [(3, "c")], "id long, payload string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = (
+            spark.readStream.schema("id long, payload string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        observed = observe(
+            stream,
+            "quality",
+            rows=F.count(F.lit(1)),
+            null_payloads=F.sum(F.col("payload").isNull().cast("long")),
+        )
+        q = (
+            observed.writeStream.format("memory")
+            .queryName("obs_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        deadline = _t.time() + 30
+        def quality_recs():
+            return [
+                r["observed"]["quality"]
+                for r in listener.records
+                if r["event"] == "progress" and r.get("observed", {}).get("quality")
+            ]
+        while sum(m["rows"] for m in quality_recs()) < 3 and _t.time() < deadline:
+            _t.sleep(0.3)
+    finally:
+        spark.streams.removeListener(listener)
+    metrics = quality_recs()
+    assert len(metrics) >= 2  # one per micro-batch
+    assert sum(m["rows"] for m in metrics) == 3
+    assert sum(m["null_payloads"] for m in metrics) == 1
+    assert spark.sql("SELECT count(*) c FROM obs_out").collect()[0]["c"] == 3
+
+
 def test_eventlog_datasource_writer_roundtrip(spark, tmp_path):
     # The connector's sink half: write through format("eventlog"), read
     # back with the batch reader — append-only, overwrite rejected.
