@@ -329,6 +329,7 @@ HEADLINE = [
     "q201_cluster_audit",
     "q202_seasonal_profile",
     "q203_expectations",
+    "q204_personalized_pagerank",
 ]
 
 

@@ -1109,3 +1109,149 @@ def q180_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment hash-verifiable; the oracle unrolls each round as a CTE
     mirroring the Spark loop's vote-count + argmax exactly."""
     return lpa_communities(_cooccur_edges(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q204 — personalized PageRank (random walk with restart from a seed set)
+# ---------------------------------------------------------------------------
+
+#: Seed cohort: customer nodes whose key is ≡ 0 (mod 10) — a
+#: deterministic ~10% segment at every SF. In production the seeds are
+#: the caller's input (a labeled cohort, a curated doc set); the face
+#: pins the MECHANISM: teleport mass restarts at the seeds instead of
+#: uniformly, so rank measures proximity TO THE COHORT (Jeh & Widom
+#: 2003; the graph-curation primitive behind "find data like these").
+PPR_SEED_MOD = 10
+
+
+def personalized_pagerank(
+    edges: DataFrame, seed_flag: "F.Column", iters: int = PR_ITERS
+) -> DataFrame:
+    """PageRank with the teleport vector concentrated on seed nodes —
+    q144's fixed-point BIGINT discipline unchanged (mass in units of
+    PR_SCALE, integer DIVs, one final exactly-inputted double divide).
+    ``seed_flag`` is a Column over ``node`` evaluating to 1 for seeds.
+
+    Scale: identical shape to q144 — the edge relation shuffles once
+    per round keyed on src, the rank relation stays node-sized, the
+    seed count is a broadcast scalar. Nothing new materializes; the
+    personalization is arithmetic on the node relation."""
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    nodes = deg.select(F.col("src").alias("node"), "outdeg").withColumn(
+        "is_seed", seed_flag.cast("long")
+    )
+    ns = nodes.agg(F.sum("is_seed").cast("long").alias("n_seeds"))
+    ranks = nodes.join(F.broadcast(ns)).select(
+        "node",
+        "outdeg",
+        "is_seed",
+        "n_seeds",
+        F.expr(f"CASE WHEN is_seed = 1 THEN {PR_SCALE}L DIV n_seeds ELSE 0L END").alias(
+            "rank"
+        ),
+    )
+    teleport = F.expr(
+        f"CASE WHEN is_seed = 1 THEN {_TELEPORT_NUM * PR_SCALE}L"
+        f" DIV ({_PCT}L * n_seeds) ELSE 0L END"
+    )
+    for _ in range(iters):
+        contribs = (
+            ranks.join(edges, ranks["node"] == edges["src"])
+            .select("dst", F.expr("rank DIV outdeg").alias("w"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("s"))
+        )
+        sel = ranks.select("node", "outdeg", "is_seed", "n_seeds")
+        ranks = sel.join(
+            contribs, sel["node"] == contribs["dst"], "left"
+        ).select(
+            "node",
+            "outdeg",
+            "is_seed",
+            "n_seeds",
+            (
+                teleport
+                + F.coalesce(
+                    F.expr(f"({_DAMP_NUM}L * s) DIV {_PCT}L"),
+                    F.lit(0).cast("long"),
+                )
+            ).alias("rank"),
+        )
+    return ranks.select(
+        "node",
+        "is_seed",
+        "outdeg",
+        (F.col("rank").cast("double") / F.lit(float(PR_SCALE))).alias("ppr"),
+    ).orderBy("node")
+
+
+def _ppr_sql_iteration(prev: str, out: str) -> str:
+    return f"""
+{out}_c AS (
+  SELECT e.dst,
+         CAST(SUM(r.rank // r.outdeg) AS BIGINT) AS s
+  FROM {prev} r JOIN edges e ON r.node = e.src
+  GROUP BY e.dst
+),
+{out} AS (
+  SELECT r.node, r.outdeg, r.is_seed, r.n_seeds,
+         CAST((CASE WHEN r.is_seed = 1
+                    THEN {_TELEPORT_NUM * PR_SCALE} // ({_PCT} * r.n_seeds)
+                    ELSE 0 END)
+              + COALESCE(({_DAMP_NUM} * c.s) // {_PCT}, 0) AS BIGINT) AS rank
+  FROM {prev} r LEFT JOIN {out}_c c ON r.node = c.dst
+)"""
+
+
+PPR_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c:' || CAST(o.o_custkey AS VARCHAR) AS c,
+                  's:' || CAST(l.l_suppkey AS VARCHAR) AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+),
+seeded AS (
+  SELECT node, outdeg,
+         CAST(CASE WHEN node LIKE 'c:%'
+                    AND CAST(substr(node, 3) AS BIGINT) % {PPR_SEED_MOD} = 0
+                   THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+  FROM deg
+),
+nseed AS (SELECT CAST(SUM(is_seed) AS BIGINT) AS n_seeds FROM seeded),
+r0 AS (
+  SELECT node, outdeg, is_seed, n_seeds,
+         CAST(CASE WHEN is_seed = 1 THEN {PR_SCALE} // n_seeds ELSE 0 END
+              AS BIGINT) AS rank
+  FROM seeded CROSS JOIN nseed
+),{_ppr_sql_iteration('r0', 'r1')},{_ppr_sql_iteration('r1', 'r2')}
+SELECT node, is_seed, outdeg,
+       CAST(rank AS DOUBLE) / CAST({PR_SCALE} AS DOUBLE) AS ppr
+FROM r2
+ORDER BY node
+"""
+
+
+@register("q204_personalized_pagerank", PPR_SQL)
+def q204_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random walk with restart from the seed cohort over the symmetric
+    customer↔supplier trade graph — proximity-to-the-cohort ranking,
+    the "find nodes related to THESE" primitive graph-based curation
+    runs where q144 ranks global centrality. Teleport mass restarts
+    uniformly across seeds (Jeh & Widom 2003); two power-iteration
+    rounds, fixed-point BIGINT mass accounting (q144's discipline —
+    cross-engine hash-exact), non-seed nodes start and restart at
+    zero so all rank is seed-derived."""
+    seed = F.expr(
+        f"node LIKE 'c:%' AND CAST(substr(node, 3) AS BIGINT)"
+        f" % {PPR_SEED_MOD} = 0"
+    )
+    return personalized_pagerank(_edges(spark, sf_dir), seed, PR_ITERS)

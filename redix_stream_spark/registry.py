@@ -83,6 +83,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q201_cluster_audit",
     "q202_seasonal_profile",
     "q203_expectations",
+    "q204_personalized_pagerank",
     # -- changed in round 9: every ManifestTable read now applies MOR
     # sidecars SCOPED to their referencing files (the ADVICE r8 fix) —
     # fresh rows re-prove the whole storage read surface; q155b's mixed
@@ -135,7 +136,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q111_jsonl_roundtrip",
     "q11_cube_events",
     "q121b_pq_ann_production",
-    "q122_scd2_history",
     # (The round-7/8 faces — q175–q200 — rotated out this round: all
     # carry permanent r7/r8 rows (test_registry_order's R7/R8_CHECKED
     # sets). Remaining slots went to the names whose latest driver row

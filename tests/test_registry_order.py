@@ -16,6 +16,7 @@ MUST_BE_IN_WINDOW = {
     "q201_cluster_audit",
     "q202_seasonal_profile",
     "q203_expectations",
+    "q204_personalized_pagerank",
     # Changed in round 9: MOR delete sidecars now apply SCOPED to their
     # referencing files (ADVICE r8 high — _read_entries rewrite), so
     # every face reading through ManifestTable re-proves on the new
