@@ -1980,14 +1980,18 @@ apairs AS (
   FROM kept a JOIN kept b
     ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id
 ),
-scored AS (
+isects AS (
   SELECT p.cluster_id,
-         CAST(LEN(list_intersect(sa.sset, sb.sset)) AS BIGINT) * 1000000
-           // CAST(LEN(sa.sset) + LEN(sb.sset)
-                   - LEN(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS j_ppm
+         CAST(LEN(list_intersect(sa.sset, sb.sset)) AS BIGINT) AS isz,
+         CAST(LEN(sa.sset) AS BIGINT) AS sza,
+         CAST(LEN(sb.sset) AS BIGINT) AS szb
   FROM apairs p
   JOIN sets2 sa ON sa.doc_id = p.da
   JOIN sets2 sb ON sb.doc_id = p.db
+),
+scored AS (
+  SELECT cluster_id, isz * 1000000 // (sza + szb - isz) AS j_ppm
+  FROM isects
 )
 SELECT CAST(s.cluster_id AS BIGINT) AS cluster_id,
        CAST(nm.n_members AS BIGINT) AS n_members,
@@ -2070,11 +2074,21 @@ def q201_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "cluster_id",
+            # One intersect per pair (VERDICT r9 item 7): project the
+            # intersection size once, then reuse it in numerator and
+            # union denominator — this is the template future
+            # set-similarity faces copy.
             F.expr(
-                "CAST(CAST(size(array_intersect(set_a, set_b)) AS BIGINT)"
-                " * 1000000 DIV CAST(size(set_a) + size(set_b)"
-                " - size(array_intersect(set_a, set_b)) AS BIGINT) AS BIGINT)"
-            ).alias("j_ppm"),
+                "CAST(size(array_intersect(set_a, set_b)) AS BIGINT)"
+            ).alias("isz"),
+            F.expr("CAST(size(set_a) AS BIGINT)").alias("sza"),
+            F.expr("CAST(size(set_b) AS BIGINT)").alias("szb"),
+        )
+        .select(
+            "cluster_id",
+            F.expr("CAST(isz * 1000000 DIV (sza + szb - isz) AS BIGINT)").alias(
+                "j_ppm"
+            ),
         )
     )
     return (

@@ -161,6 +161,11 @@ def _utf8_like_encode(n: int) -> bytes:
     """FLAC's UTF-8-style coded number (frame index)."""
     if n < 0x80:
         return bytes([n])
+    if n >= 1 << 36:
+        # FLAC coded numbers top out at 7 bytes / 36 payload bits
+        # (RFC 9639 §9.1.5). Fail loudly instead of emitting a malformed
+        # head byte that would silently desync the stream (ADVICE r9).
+        raise ValueError(f"FLAC coded number overflow: {n} >= 2^36")
     out = []
     nbytes = 2
     # A k-byte coded number carries (7-k) head bits + 6·(k-1)

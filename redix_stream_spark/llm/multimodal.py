@@ -1020,10 +1020,11 @@ def decode_wav_pcm(payload: bytes) -> "np.ndarray | None":
 def decode_audio_pcm(payload: bytes) -> "np.ndarray | None":
     """Container-dispatching PCM decode: 16-bit WAV (``decode_wav_pcm``)
     or subset FLAC (``flac.flac_decode_pcm16`` — constant/verbatim/fixed
-    subframes, lossless, so a FLAC and a WAV of the same waveform yield
-    IDENTICAL samples, pinned in tests). None for anything else — the
-    honest-negative contract; entropy-model codecs (MP3/AAC samples)
-    stay gated per the decode_image_stub policy."""
+    AND LPC subframes, orders 1–32 per RFC 9639 §9.2.6; lossless, so a
+    FLAC and a WAV of the same waveform yield IDENTICAL samples, pinned
+    in tests). None for anything else — the honest-negative contract;
+    entropy-model codecs (MP3/AAC samples) stay gated per the
+    decode_image_stub policy."""
     if payload[:4] == b"fLaC":
         from .flac import flac_decode_pcm16
 

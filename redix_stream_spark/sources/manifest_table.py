@@ -402,6 +402,16 @@ class ManifestTable:
         )
         refs = sorted({r for e in entries for r in e.get("deletes", ())})
         if refs:
+            # The anti-join plumbing uses engine-internal temp columns;
+            # refuse a user schema that shadows them rather than
+            # silently overwriting a data column (ADVICE r9).
+            clash = {"_dfile", "_dk", "_dfk", "_sdir"} & set(df.columns)
+            if clash:
+                raise ValueError(
+                    f"table schema uses reserved internal column(s) "
+                    f"{sorted(clash)}; rename them — the MOR read path "
+                    f"needs these names for delete-sidecar scoping"
+                )
             pairs = spark.createDataFrame(
                 [
                     (os.path.basename(e["file"]), os.path.basename(r))
@@ -725,6 +735,7 @@ class ManifestTable:
             if not refs:
                 continue
             nbytes = 0
+            missing = 0
             for r in refs:
                 d = os.path.join(self.root, r)
                 if os.path.isdir(d):
@@ -733,11 +744,17 @@ class ManifestTable:
                         for f in os.listdir(d)
                         if f.endswith(".parquet")
                     )
+                else:
+                    # A historical generation can reference sidecars
+                    # vacuumed since — surface that instead of silently
+                    # counting 0 bytes and understating debt (ADVICE r9).
+                    missing += 1
             per_file.append(
                 {
                     "file": e["file"],
                     "sidecars": len(refs),
                     "sidecar_bytes": nbytes,
+                    "missing_sidecars": missing,
                 }
             )
         return {
@@ -746,6 +763,7 @@ class ManifestTable:
                 (p["sidecars"] for p in per_file), default=0
             ),
             "total_refs": sum(p["sidecars"] for p in per_file),
+            "missing_sidecars": sum(p["missing_sidecars"] for p in per_file),
             "per_file": per_file,
         }
 

@@ -71,6 +71,16 @@ def test_coded_number_boundaries_round_trip():
     assert _utf8_like_encode(2048).hex() == "e0a080"  # the r8 repro
 
 
+def test_coded_number_over_capacity_raises():
+    """ADVICE r9: coded numbers max out at 7 bytes / 36 payload bits —
+    an over-capacity frame index must fail loudly, never emit a
+    malformed head byte that desyncs the stream."""
+    with pytest.raises(ValueError, match="coded number overflow"):
+        _utf8_like_encode(1 << 36)
+    with pytest.raises(ValueError):
+        _utf8_like_encode((1 << 36) + 12345)
+
+
 def test_stream_with_over_2048_frames_round_trips():
     """The r8 repro at stream level: ≥2048 frames forces 3-byte coded
     frame numbers; the whole stream must still decode losslessly (the

@@ -1205,3 +1205,47 @@ def test_streaming_upsert_mor_delete_only_batches_skip_rewrites(
         .count()
         == o.filter(F.col("o_orderkey") == 650).count()
     )
+
+
+def test_mor_debt_flags_vacuumed_sidecars_instead_of_zero_bytes(
+    spark, orders_table
+):
+    """ADVICE r9: a sidecar dir missing on disk (vacuumed since the
+    inspected generation, or externally cleaned) must surface as
+    ``missing_sidecars`` — not fold silently into 0 bytes and
+    understate the debt."""
+    import shutil
+
+    o = load_table(spark, SF_DIR, "orders")
+    orders_table.delete_mor(
+        spark,
+        o.filter(F.col("o_orderkey").between(100, 140)).select("o_orderkey"),
+    )
+    debt = orders_table.mor_debt()
+    assert debt["files_with_debt"] >= 1
+    assert debt["missing_sidecars"] == 0
+    assert all(p["missing_sidecars"] == 0 for p in debt["per_file"])
+    assert sum(p["sidecar_bytes"] for p in debt["per_file"]) > 0
+    # Simulate the vacuumed-sidecar state: remove the dirs from disk.
+    for name in os.listdir(orders_table.deletes_dir):
+        shutil.rmtree(os.path.join(orders_table.deletes_dir, name))
+    debt2 = orders_table.mor_debt()
+    assert debt2["missing_sidecars"] == debt["total_refs"] > 0
+    assert sum(p["sidecar_bytes"] for p in debt2["per_file"]) == 0
+
+
+def test_mor_read_rejects_reserved_internal_columns(spark, tmp_path):
+    """ADVICE r9: the MOR read path's temp columns (_dfile/_dk/_dfk/
+    _sdir) are reserved — a user table whose schema shadows one must
+    fail loudly at read time (with deletes present) instead of having
+    its data column silently overwritten and dropped."""
+    tbl = ManifestTable(str(tmp_path / "clash"), "k")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.col("id").cast("string").alias("_dfile")
+    )
+    tbl.write(df, target_files=2)
+    # Without delete sidecars the reserved names never materialize.
+    assert tbl.read(spark).count() == 100
+    tbl.delete_mor(spark, spark.createDataFrame([(3,), (7,)], ["k"]))
+    with pytest.raises(ValueError, match="reserved internal column"):
+        tbl.read(spark).count()

@@ -845,3 +845,15 @@ def test_q201_audit_sets_never_broadcast_and_prefilter_broadcasts(spark, sf_dir)
         "LeftSemi" in plan_b and "BroadcastHashJoin" in plan_b
     )
     assert "CartesianProduct" not in plan_b
+
+
+def test_q203_exactly_two_scans_per_table(spark, sf_dir):
+    """q203's 8 rule rows come from a stack-unpivoted single wide
+    aggregate row (VERDICT r9 item 6): each base table's rule aggregate
+    appears ONCE in the physical plan by construction — no ReuseExchange
+    reliance — so the only scans are (rule aggregate, referential
+    anti-join) = exactly 2 per table, at 8 rules or 80."""
+    plan = plan_of(QUERIES["q203_expectations"](spark, sf_dir))
+    locs = [l for l in plan.splitlines() if "Location" in l]
+    assert len([l for l in locs if "lineitem" in l]) == 2, plan
+    assert len([l for l in locs if "orders" in l]) == 2, plan
