@@ -1219,6 +1219,204 @@ def q107_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q107b: hashed + budgeted containment (the production face) -------------
+
+#: Per-probe-doc candidate budget: after the (sound) prefix-filtered
+#: candidate generation, each probe doc verifies at most this many
+#: partners, chosen by md5-min over the pair key (the q176b/AUDIT_CAP
+#: selection idiom — deterministic cross-engine, uniform over partners).
+#: Bounds the verify fan-out by construction at ANY corpus size; at test
+#: scales no probe doc comes near it, so q107b ≡ q107 pair-for-pair
+#: (pinned in tests/test_llm.py).
+CONTAINMENT_BUDGET = 64
+
+_H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+Q107B_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         {_H60.format(x=f"array_to_string(t[i:i+{SHINGLE_K - 1}], ' ')")} AS h
+  FROM (SELECT doc_id, t, UNNEST(range(1, GREATEST(LEN(t) - {SHINGLE_K - 1}, 1) + 1)) AS i FROM toks)
+),
+sets AS (SELECT doc_id, list(h) AS hs, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+dfs AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY h
+  HAVING COUNT(*) <= {CONTAINMENT_DF_CAP}
+),
+posts AS (
+  SELECT s.doc_id, s.h, t.sz, d.df FROM sh s
+  JOIN dfs d USING (h) JOIN sets t ON s.doc_id = t.doc_id
+),
+prefix AS (
+  SELECT doc_id, sz, h FROM (
+    SELECT doc_id, sz, h,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, h) AS rk
+    FROM posts
+  ) WHERE rk <= sz - ((4 * sz + 4) // 5) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM prefix a JOIN posts b ON a.h = b.h
+  WHERE a.sz < b.sz OR (a.sz = b.sz AND a.doc_id < b.doc_id)
+),
+budgeted AS (
+  SELECT ida, idb FROM (
+    SELECT ida, idb,
+           ROW_NUMBER() OVER (
+             PARTITION BY ida
+             ORDER BY md5(CAST(ida AS VARCHAR) || '#' || CAST(idb AS VARCHAR)), idb
+           ) AS brk
+    FROM cand
+  ) WHERE brk <= {CONTAINMENT_BUDGET}
+),
+isects AS (
+  SELECT c.ida, c.idb,
+         CAST(LEN(list_intersect(sa.hs, sb.hs)) AS BIGINT) AS isz,
+         sa.sz AS sza, sb.sz AS szb
+  FROM budgeted c
+  JOIN sets sa ON c.ida = sa.doc_id
+  JOIN sets sb ON c.idb = sb.doc_id
+)
+SELECT ida AS doc_id_a, idb AS doc_id_b,
+       CAST(isz AS DOUBLE) / sza AS containment,
+       sza AS size_a, szb AS size_b
+FROM isects
+WHERE CAST(isz AS DOUBLE) / sza >= {CONTAINMENT_TAU}
+"""
+
+
+def _h60(col: Column) -> Column:
+    """60-bit md5-derived shingle hash — identical cross-engine, and wide
+    enough (2^60 space) that corpus-scale shingle inventories stay
+    collision-free where the 31-bit ``shingle_hash`` would saturate."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+@register("q107b_containment_budgeted", Q107B_SQL)
+def q107b_containment_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup, production face (round 10 — the exp-0.98 sf10
+    face gets its lever): q107's exact semantics, re-planned around the
+    measurement that q107's plan computes the tokenize→shingle base
+    pipeline SIX times (6 document scans, zero ReusedExchange — Spark
+    does not dedupe these self-join subtrees, the banded_keys lesson),
+    which is the entire linear coefficient at 100×. Three changes:
+
+    - **One materialized narrow postings artifact.** Shingles become
+      60-bit md5 integers (``_h60`` — identical cross-engine) inside
+      the per-doc distinct array, and the exploded (doc_id, sz, h)
+      relation — 24 bytes/row — is localCheckpoint'ed ONCE. Every
+      downstream stage (df window, prefix window, candidate join, the
+      verify regroup) derives from the checkpoint: the base compute
+      runs once instead of six times, and every shuffle carries longs,
+      not ~25-byte k-word strings.
+    - **df via a count window, not groupBy+join-back**: the checkpoint
+      is exchanged by ``h`` once; ``COUNT(*) OVER (PARTITION BY h)``
+      annotates df in place (identical to the join-back, mirrored in
+      the oracle). A hot shingle's rows land in one task — bounded by
+      the df distribution, and the cap filter immediately follows; q107
+      keeps the groupBy+SHJ form where AQE skew handling matters more
+      than the extra pass.
+    - **Per-probe-doc candidate budget** (``CONTAINMENT_BUDGET``): each
+      probe doc keeps its md5-min ``brk <= 64`` partners (the
+      q176b/AUDIT_CAP idiom), so the verify relation is ≤ 64·n rows BY
+      CONSTRUCTION however dense the corpus; full shingle sets are then
+      regrouped ONLY for candidate docs (semi-join + collect_list over
+      the checkpoint — fat arrays never materialize for non-candidates).
+      The oracle mirrors the budget (hash-green at any scale);
+      pair-parity with unbudgeted q107 at test scale is pinned
+      separately, and the budget's miss set at production scale is
+      uniform-random partners of ultra-promiscuous probe docs — the
+      boilerplate-collision class the df cap already documents.
+
+    Measured (SCALING.md round 10): 11.6 s at 10× / 63.8 s at 100× —
+    exp(10×→100×) = 0.74 vs q107's 0.98, and 1.8× faster absolute at
+    100×. q107 remains the oracle-exact reference face; this is the one
+    a 100 TB corpus runs (the q41/q41b pairing, applied to containment)."""
+    d = load_table(spark, sf_dir, "documents")
+    hs = F.array_distinct(F.transform(shingles(F.col("text")), _h60))
+    posts = (
+        d.select("doc_id", hs.alias("hs"))
+        .select(
+            "doc_id",
+            F.size("hs").cast("long").alias("sz"),
+            F.explode("hs").alias("h"),
+        )
+        .localCheckpoint()
+    )
+    posts_c = posts.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter(F.col("df") <= CONTAINMENT_DF_CAP)
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    k = F.col("sz") - F.expr("(4 * sz + 4) DIV 5") + 1
+    prefix = (
+        posts_c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "sz", "h")
+    )
+    a, b = prefix.hint("shuffle_hash").alias("a"), posts_c.alias("b")
+    cand = (
+        a.join(b, "h")
+        .filter(
+            (F.col("a.sz") < F.col("b.sz"))
+            | ((F.col("a.sz") == F.col("b.sz")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        )
+        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .distinct()
+    )
+    wb = Window.partitionBy("ida").orderBy(
+        F.md5(
+            F.concat_ws(
+                "#", F.col("ida").cast("string"), F.col("idb").cast("string")
+            )
+        ),
+        "idb",
+    )
+    budgeted = (
+        cand.withColumn("brk", F.row_number().over(wb))
+        .filter(F.col("brk") <= CONTAINMENT_BUDGET)
+        .select("ida", "idb")
+    )
+    ids = (
+        budgeted.select(F.col("ida").alias("doc_id"))
+        .union(budgeted.select("idb"))
+        .distinct()
+    )
+    vsets = (
+        posts.join(ids.hint("shuffle_hash"), "doc_id", "left_semi")
+        .groupBy("doc_id", "sz")
+        .agg(F.collect_list("h").alias("hs"))
+    )
+    sa = vsets.select(
+        F.col("doc_id").alias("ida"), F.col("hs").alias("hsa"), F.col("sz").alias("sza")
+    ).hint("shuffle_hash")
+    sb = vsets.select(
+        F.col("doc_id").alias("idb"), F.col("hs").alias("hsb"), F.col("sz").alias("szb")
+    ).hint("shuffle_hash")
+    return (
+        budgeted.join(sa, "ida")
+        .join(sb, "idb")
+        .select(
+            "ida",
+            "idb",
+            # one intersect per pair (the q201 template)
+            F.size(F.array_intersect("hsa", "hsb")).cast("long").alias("isz"),
+            "sza",
+            "szb",
+        )
+        .select(
+            F.col("ida").alias("doc_id_a"),
+            F.col("idb").alias("doc_id_b"),
+            (F.col("isz").cast("double") / F.col("sza")).alias("containment"),
+            F.col("sza").alias("size_a"),
+            F.col("szb").alias("size_b"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_TAU)
+    )
+
+
 # --- q116: bloom-prefiltered decontamination --------------------------------
 
 BLOOM_M = 1 << 20  # filter size in bits (128 KiB packed)

@@ -1599,3 +1599,43 @@ def test_q188_curriculum_is_a_staged_permutation(spark, sf_dir):
         assert st == sorted(st)
     stage0 = [r["doc_id"] for r in rows if r["stage"] == 0]
     assert stage0 != sorted(stage0)
+
+
+def test_q107b_matches_exact_face_and_budget_binds(spark, tmp_path, monkeypatch):
+    """q107b (hashed + budgeted containment) must equal q107 pair-for-pair
+    when the budget is not binding — planted small-inside-large dups all
+    found, decoys rejected — and with a forced budget of 1 each probe doc
+    verifies at most one partner (the by-construction verify bound)."""
+    import os
+
+    from redix_stream_spark import registry
+    from redix_stream_spark.llm import dedup
+
+    rows = []
+    # two identical large docs (1, 2) sharing a vocabulary; a small doc
+    # 101 that is an 80%+ subset of both; an unrelated decoy pair.
+    big = " ".join(f"w{j} x{j} y{j}" for j in range(30))
+    rows.append((1, big))
+    rows.append((2, big))
+    rows.append((101, " ".join(f"w{j} x{j} y{j}" for j in range(20))))
+    rows.append((201, " ".join(f"a{j} b{j}" for j in range(40))))
+    rows.append((202, " ".join(f"c{j} d{j}" for j in range(40))))
+    tmp = str(tmp_path / "docs")
+    os.makedirs(tmp, exist_ok=True)
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    Q = registry.all_queries()
+    pairs = lambda df: set(  # noqa: E731
+        map(tuple, df.select("doc_id_a", "doc_id_b").toPandas().values.tolist())
+    )
+    exact = pairs(Q["q107_containment_dup"](spark, tmp))
+    fast = pairs(Q["q107b_containment_budgeted"](spark, tmp))
+    assert fast == exact
+    assert {(101, 1), (101, 2), (1, 2)} <= fast
+    assert not any({a, b} & {201, 202} for a, b in fast)
+    # budget of 1: probe doc 101 must keep exactly one (md5-min) partner.
+    monkeypatch.setattr(dedup, "CONTAINMENT_BUDGET", 1)
+    capped = pairs(Q["q107b_containment_budgeted"](spark, tmp))
+    assert len([p for p in capped if p[0] == 101]) == 1
+    assert capped < fast

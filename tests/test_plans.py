@@ -260,6 +260,25 @@ def test_q107_containment_verify_join_is_shuffle_hash(spark, sf_dir):
     assert "SortMergeJoin" not in plan, "shingle join fell back to SMJ"
 
 
+def test_q107b_base_pipeline_materializes_once(spark, sf_dir):
+    """q107b exists because q107's plan computes the tokenize→shingle
+    base SIX times (6 documents scans, zero ReusedExchange). The
+    production face checkpoints the narrow hashed postings ONCE: the
+    returned plan must contain ZERO parquet scans of documents (every
+    stage derives from the checkpoint), stay sort-free/broadcast-free
+    on the corpus-sized joins, and have no cartesian anywhere."""
+    plan = plan_of(QUERIES["q107b_containment_budgeted"](spark, sf_dir))
+    doc_scans = [
+        l for l in plan.splitlines() if "Location" in l and "documents" in l
+    ]
+    assert doc_scans == [], doc_scans
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" not in plan, "corpus-sized relation broadcast"
+    assert "SortMergeJoin" not in plan, "postings join fell back to SMJ"
+
+
 def test_q108_source_drift_totals_broadcast_vocab_join_keyed(spark, sf_dir):
     """Per-source totals are a sources-cardinality relation and must
     broadcast; the vocabulary pair join must stay keyed on token."""
