@@ -1,0 +1,209 @@
+"""Avro OCF codec (sources/avro.py): python round-trips over the full
+scalar type matrix, container-level corruption detection, distributed
+read/write through mapInArrow, and — the compliance evidence the media
+codecs can't have — BOTH-WAYS interop with the independent Java Avro
+implementation (avro-1.12.1.jar on Spark's classpath, driven via py4j).
+"""
+
+from __future__ import annotations
+
+import datetime
+import io
+import math
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from redix_stream_spark.sources.avro import (
+    read_avro,
+    read_avro_file,
+    read_avro_header,
+    spark_schema_to_avro,
+    write_avro,
+    write_avro_file,
+)
+
+SCHEMA = {
+    "type": "record",
+    "name": "row",
+    "fields": [
+        {"name": "l", "type": "long"},
+        {"name": "i", "type": "int"},
+        {"name": "d", "type": "double"},
+        {"name": "f", "type": "float"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "b", "type": "boolean"},
+        {"name": "by", "type": "bytes"},
+        {"name": "nl", "type": ["null", "long"]},
+    ],
+}
+ROWS = [
+    (1, -7, 3.25, 1.5, "hello", True, b"\x00\xff", None),
+    (-(2**62), 2**31 - 1, -0.0, -2.0, None, False, b"", 42),
+    (2**62, -(2**31), math.pi, 0.5, "naïve ünïcode", True, b"xyz", -1),
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_python_roundtrip_all_scalars(codec):
+    buf = io.BytesIO()
+    n = write_avro_file(buf, SCHEMA, ROWS, codec=codec)
+    assert n == len(ROWS)
+    schema, back = read_avro_file(buf.getvalue())
+    assert schema == SCHEMA
+    assert back == ROWS
+
+
+def test_block_framing_and_multiblock():
+    buf = io.BytesIO()
+    rows = [(k, k, 0.0, 0.0, str(k), k % 2 == 0, b"", None) for k in range(1000)]
+    write_avro_file(buf, SCHEMA, rows, block_records=64)
+    _, back = read_avro_file(buf.getvalue())
+    assert back == rows
+
+
+def test_sync_marker_corruption_detected():
+    buf = io.BytesIO()
+    write_avro_file(buf, SCHEMA, ROWS)
+    data = bytearray(buf.getvalue())
+    data[-1] ^= 0xFF  # trailing sync marker byte
+    with pytest.raises(ValueError, match="sync marker mismatch"):
+        read_avro_file(bytes(data))
+    with pytest.raises(ValueError, match="bad magic"):
+        read_avro_header(b"PAR1" + bytes(data))
+
+
+def test_java_library_reads_our_files(spark, tmp_path):
+    """Spec compliance, direction 1: files written by the stdlib codec
+    must be readable by the independent Java Avro implementation —
+    including the deflate codec and nullable unions."""
+    jvm = spark._jvm
+    for codec in ("null", "deflate"):
+        path = str(tmp_path / f"ours_{codec}.avro")
+        with open(path, "wb") as fh:
+            write_avro_file(fh, SCHEMA, ROWS, codec=codec)
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(path),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        assert reader.getMetaString("avro.codec") == codec
+        got = []
+        while reader.hasNext():
+            rec = reader.next()
+            got.append(
+                (
+                    rec.get("l"),
+                    rec.get("i"),
+                    rec.get("d"),
+                    None if rec.get("s") is None else rec.get("s").toString(),
+                    rec.get("b"),
+                    rec.get("nl"),
+                )
+            )
+        reader.close()
+        want = [(r[0], r[1], r[2], r[4], r[5], r[7]) for r in ROWS]
+        assert got == want, codec
+
+
+def test_we_read_java_written_file(spark, tmp_path):
+    """Spec compliance, direction 2: a file produced by the Java Avro
+    library decodes bit-exactly with the stdlib reader."""
+    import json
+
+    jvm = spark._jvm
+    schema = {
+        "type": "record",
+        "name": "jrow",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "v", "type": "double"},
+            {"name": "s", "type": ["null", "string"]},
+        ],
+    }
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    path = str(tmp_path / "theirs.avro")
+    writer.create(jschema, jvm.java.io.File(path))
+    rows = [(10**15, 2.5, "a"), (-5, -1.25, None), (0, 0.0, "ζ")]
+    for k, v, s in rows:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        rec.put("k", jvm.java.lang.Long.valueOf(k))
+        rec.put("v", jvm.java.lang.Double.valueOf(v))
+        rec.put("s", s)
+        writer.append(rec)
+    writer.close()
+    with open(path, "rb") as fh:
+        got_schema, got = read_avro_file(fh.read())
+    assert [f["name"] for f in got_schema["fields"]] == ["k", "v", "s"]
+    assert got == rows
+
+
+def test_distributed_roundtrip_preserves_rows_and_types(spark, tmp_path):
+    """write_avro: one container file per partition, executor-encoded;
+    read_avro: per-file tasks. Rows, NULLs, and timestamp_ntz micros all
+    survive; the driver only ever sees the (file, rows) manifest."""
+    df = (
+        spark.range(0, 500)
+        .select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 7 == 0, None)
+            .otherwise(F.col("id").cast("double") / 8)
+            .alias("v"),
+            F.concat(F.lit("s"), F.col("id")).alias("s"),
+            F.timestamp_micros(
+                F.lit(1700000000000000) + F.col("id") * 1000003
+            ).cast("timestamp_ntz").alias("ts"),
+        )
+        .repartition(5)
+    )
+    path = str(tmp_path / "dist")
+    manifest = write_avro(df, path, codec="deflate")
+    assert len(manifest) == 5
+    assert sum(n for _, n in manifest) == 500
+    assert len([f for f in os.listdir(path) if f.endswith(".avro")]) == 5
+    back = read_avro(spark, path)
+    assert dict(back.dtypes)["ts"] == "timestamp_ntz"
+    want = sorted(tuple(r) for r in df.collect())
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == want
+
+
+def test_read_any_dispatches_avro(spark, tmp_path):
+    from redix_stream_spark.sources.ingest import read_any
+
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    path = str(tmp_path / "ra")
+    write_avro(df, path)
+    assert read_any(spark, path, "avro").count() == 10
+    with pytest.raises(ValueError, match="unsupported format"):
+        read_any(spark, path, "feather")
+
+
+def test_spark_schema_mapping_rejects_nested():
+    import pyspark.sql.types as T
+
+    nested = T.StructType(
+        [T.StructField("a", T.ArrayType(T.LongType()), True)]
+    )
+    with pytest.raises(ValueError, match="flat scalar records only"):
+        spark_schema_to_avro(nested)
+
+
+def test_date_type_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"d": [datetime.date(2024, 2, 29), datetime.date(1970, 1, 1), None]}
+        )
+    )
+    path = str(tmp_path / "dates")
+    write_avro(df, path)
+    got = sorted(
+        (r["d"] for r in read_avro(spark, path).collect()),
+        key=lambda d: (d is None, d),
+    )
+    assert got == [datetime.date(1970, 1, 1), datetime.date(2024, 2, 29), None]
