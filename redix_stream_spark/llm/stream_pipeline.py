@@ -46,13 +46,29 @@ class StreamingCorpusCleaner:
         self,
         workdir: str,
         min_quality: str = "medium",
+        expectations: dict | None = None,
         **dedup_kwargs,
     ):
+        """``expectations`` (optional): rule name → (violation predicate,
+        max violations) — the q203 shape. When set, every incoming epoch
+        is first stage-written with the counters riding that write
+        (GatedEpochWriter — zero extra pass); an epoch exceeding a
+        threshold is QUARANTINED whole: it never reaches the quality
+        gate or the dedup index, so a poisoned crawl batch can't claim
+        bands and shadow future good documents (E155 — the observe()→
+        gate loop closed over the E51 pipeline)."""
         if min_quality not in _QUALITY_RANK:
             raise ValueError(f"min_quality must be one of {sorted(_QUALITY_RANK)}")
         self.min_quality = min_quality
         self.stats_root = os.path.join(workdir, "stats")
         os.makedirs(self.stats_root, exist_ok=True)
+        self.gate = None
+        if expectations:
+            from ..streaming.gate import GatedEpochWriter
+
+            self.gate = GatedEpochWriter(
+                os.path.join(workdir, "gated"), expectations
+            )
         self.dedup = StreamingNearDupFilter(
             index_path=os.path.join(workdir, "band_index"),
             accepted_path=os.path.join(workdir, "accepted"),
@@ -65,6 +81,25 @@ class StreamingCorpusCleaner:
 
     def apply_batch(self, batch: DataFrame, epoch_id: int = 0) -> None:
         spark = batch.sparkSession
+        if self.gate is not None:
+            promoted = self.gate.apply_batch(batch, epoch_id)
+            if not promoted:
+                # Withheld epoch: record it in stats (idempotent
+                # overwrite like any epoch) and touch NOTHING else —
+                # no quality pass, no band claims.
+                spark.createDataFrame(
+                    [(0, 0, 0)],
+                    "n_in long, n_quality_rejected long, n_submitted long",
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(self.stats_root, f"epoch={epoch_id}")
+                )
+                return
+            # Promoted: continue from the published staging data (the
+            # batch was already materialized by the gate's one pass —
+            # reading it back beats recomputing an arbitrary upstream).
+            batch = spark.read.parquet(self.gate._final(epoch_id)).select(
+                "doc_id", "text"
+            )
         scored = batch.select("doc_id", "text", *quality_columns()).cache()
         good = scored.filter(self._passes()).select("doc_id", "text")
         # 1-row aggregate (bounded driver read, consumer-watermark class).

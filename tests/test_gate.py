@@ -1,0 +1,119 @@
+"""Observe-gated epoch promotion (streaming/gate.py, E155): expectation
+counters ride the staging write (CollectMetrics, zero extra pass), bad
+epochs quarantine instead of publishing, replay is idempotent, and the
+E51 cleaner integration keeps poisoned batches out of the band index."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from redix_stream_spark.streaming.gate import GatedEpochWriter
+
+RULES = lambda: {  # noqa: E731 — fresh Column objects per writer
+    "doc_id.not_null": (F.col("doc_id").isNull(), 0),
+    "text.min_words": (F.size(F.split("text", " ")) < 3, 1),
+}
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gate_promotes_clean_quarantines_bad(spark, tmp_path):
+    g = GatedEpochWriter(str(tmp_path / "out"), RULES())
+    clean = [(1, "alpha beta gamma"), (2, "delta epsilon zeta")]
+    assert g.apply_batch(_batch(spark, clean), 0) is True
+    assert os.path.isdir(g._final(0))
+    # one short text is within the tolerance of 1 → still promotes
+    assert g.apply_batch(
+        _batch(spark, [(3, "ok words here"), (4, "short")]), 1
+    ) is True
+    # two violations of min_words + a null doc_id → quarantined
+    bad = [(None, "x"), (6, "y"), (7, "long enough text here")]
+    assert g.apply_batch(_batch(spark, bad), 2) is False
+    assert not os.path.exists(g._final(2))
+    assert os.path.isdir(g._quarantine(2))
+    q = g.quarantined_epochs()
+    assert len(q) == 1 and q[0]["epoch"] == 2
+    assert q[0]["violations"] == {"doc_id.not_null": 1, "text.min_words": 2}
+    assert q[0]["n_checked"] == 3
+    pub = g.published(spark)
+    assert {r["doc_id"] for r in pub.collect()} == {1, 2, 3, 4}
+
+
+def test_gate_is_single_pass_with_collect_metrics(spark, tmp_path):
+    """The expectation counters must ride the epoch write itself: the
+    observed plan carries a CollectMetrics node over exactly ONE scan of
+    the source — never a second aggregation job over the input."""
+    src = str(tmp_path / "src")
+    _batch(spark, [(1, "a b c"), (2, "d e f")]).write.parquet(src)
+    g = GatedEpochWriter(str(tmp_path / "out"), RULES())
+    observed, _ = g.observed_df(spark.read.parquet(src))
+    plan = observed._sc._jvm.PythonSQLUtils.explainString(
+        observed._jdf.queryExecution(), "formatted"
+    )
+    assert "CollectMetrics" in plan
+    assert sum(1 for l in plan.splitlines() if "Location" in l) == 1
+
+
+def test_gate_replay_is_idempotent(spark, tmp_path):
+    g = GatedEpochWriter(str(tmp_path / "out"), RULES())
+    clean = [(1, "alpha beta gamma")]
+    assert g.apply_batch(_batch(spark, clean), 0) is True
+    n0 = g.published(spark).count()
+    # crash-after-promote replay: no rewrite, no duplication
+    assert g.apply_batch(_batch(spark, clean), 0) is True
+    assert g.published(spark).count() == n0
+    bad = [(None, "x"), (None, "y"), (9, "long enough text here")]
+    assert g.apply_batch(_batch(spark, bad), 1) is False
+    assert g.apply_batch(_batch(spark, bad), 1) is False  # replay
+    assert not os.path.exists(g._final(1))
+    assert g.published(spark).count() == n0
+
+
+def test_gate_requires_rules(tmp_path):
+    with pytest.raises(ValueError, match="at least one rule"):
+        GatedEpochWriter(str(tmp_path / "out"), {})
+
+
+GOOD = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+)
+GOOD2 = (
+    "zinc yttrium xenon tungsten titanium thorium tantalum sulfur "
+    "silver silicon scandium rhodium radium potassium platinum osmium "
+    "nitrogen neon mercury manganese"
+)
+
+
+def test_cleaner_withholds_poisoned_epoch_and_claims_no_bands(spark, tmp_path):
+    """E155 over E51: a batch violating the expectation suite is
+    quarantined WHOLE — it neither lands in accepted nor claims bands,
+    so a later near-duplicate of its content is accepted cleanly."""
+    from redix_stream_spark.llm.stream_pipeline import StreamingCorpusCleaner
+
+    c = StreamingCorpusCleaner(
+        str(tmp_path / "clean"),
+        expectations={"doc_id.not_null": (F.col("doc_id").isNull(), 0)},
+    )
+    c.apply_batch(_batch(spark, [(1, GOOD)]), 0)
+    assert {r["doc_id"] for r in c.accepted(spark).collect()} == {1}
+    # poisoned epoch: a NULL doc_id rides in with a good new document
+    c.apply_batch(_batch(spark, [(None, "x y z"), (2, GOOD2)]), 1)
+    assert {r["doc_id"] for r in c.accepted(spark).collect()} == {1}
+    assert c.gate.quarantined_epochs()[0]["epoch"] == 1
+    # epoch 2: near-dup of the QUARANTINED doc 2 content — must be
+    # accepted (the poisoned epoch never claimed bands) while a dup of
+    # accepted doc 1 still drops.
+    c.apply_batch(
+        _batch(spark, [(20, GOOD2 + " tail"), (21, GOOD + " tail")]), 2
+    )
+    accepted = {r["doc_id"] for r in c.accepted(spark).collect()}
+    assert accepted == {1, 20}
+    rep = c.report(spark).collect()[0]
+    assert rep["n_in"] == 3  # epochs 0 and 2 only; withheld epoch counts 0
+    assert rep["n_accepted"] == 2 and rep["n_dup_dropped"] == 1
