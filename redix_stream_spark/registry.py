@@ -65,82 +65,72 @@ def _load() -> None:
 # Window policy: a query needs ONE green driver row, ever — but stale
 # evidence rots as shared helpers evolve, so the window ROTATES: after
 # new/changed faces take their slots, remaining slots go to the names
-# whose latest driver row is OLDEST. The ROUND-9 window leads with the
-# three new faces (q195b — whose oracle is deliberately q195's SQL so
-# the driver hash-checks the prefilter's soundness — q201, q202); then
-# the storage faces whose shared read path changed this round (MOR
-# sidecars now scope to their referencing files — the ADVICE r8 high
-# fix — so every ManifestTable-reading face re-proves on the new code)
-# and q155b, whose mixed corpus gained LPC-coded FLAC; then rotation by
-# oldest-row: q51 (r1), the r2 five, all fourteen r3-latest names, and
-# fourteen r4 representatives. Rotated out: the round-7/8 faces — all
-# with permanent rows (tests/test_registry_order.py R1–R8 sets).
+# whose latest driver row is OLDEST. The ROUND-10 window leads with the
+# two new faces (q107b — containment's checkpointed hashed+budgeted
+# production face — and q205, the Avro round trip through the engine's
+# own OCF codec), then the two faces whose plan/oracle changed this
+# round (q203 restructured to one wide aggregate + stack unpivot with
+# CASE-sum violation counters; q201's intersect hoisted in both Spark
+# and oracle). Rotation fills the remaining 46 slots with the names
+# whose latest driver row is oldest — all thirty r4-latest names, then
+# sixteen r5-latest names ordered by name (deterministic; computed from
+# test_registry_order's R1–R9 evidence sets). Rotated out: the r9
+# window (now the R9_CHECKED permanent-evidence set).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- new in round 9: the prefiltered audience overlap (oracle = the
-    # exact face's SQL — the driver hash-checks the prune's soundness),
-    # the cluster quality audit, and the seasonal profile --
-    "q195b_audience_overlap_prefiltered",
-    "q201_cluster_audit",
-    "q202_seasonal_profile",
+    # -- new in round 10 --
+    "q107b_containment_budgeted",
+    "q205_avro_roundtrip",
+    # -- changed in round 10 (fresh rows re-prove the new plans) --
     "q203_expectations",
-    "q204_personalized_pagerank",
-    # -- changed in round 9: every ManifestTable read now applies MOR
-    # sidecars SCOPED to their referencing files (the ADVICE r8 fix) —
-    # fresh rows re-prove the whole storage read surface; q155b's mixed
-    # corpus gained LPC-coded FLAC (rows-only) --
-    "q196_mor_delete",
-    "q150_table_changes",
-    "q146_merge_upsert",
-    "q146b_merge_schema_evolution",
-    "q178_table_delete",
-    "q179_compact_reclaim",
-    "q194_cdc_apply",
-    "q198_metadata_agg",
-    "q168_table_restore",
-    "q149_zorder_table_scan",
-    "q182_bloom_point_lookup",
-    "q145_skipping_scan",
-    "q155b_audio_windows_mixed",
-    # -- rotation: latest driver row is r1/r2 --
-    "q51_approx_distinct",
-    "q43b_ann_ivf_topk",
-    "q52_approx_percentiles",
-    "q53_hll_mergeable_rollup",
-    "q56_grouped_map_zscore",
-    "q57_stratified_sample",
-    # -- latest driver row is r3 --
-    "q109b_sliding_distinct_hll",
-    "q121_pq_ann_topk",
-    "q125_compression_ratio",
-    "q130_corpus_report",
-    "q133_interevent_gaps",
-    "q35_shingle_fingerprint",
-    "q37_ngram_jaccard_dup",
-    "q38_simhash",
-    "q38b_simhash_weighted",
-    "q39_multimodal_meta",
-    "q41b_embedding_neardup_fast",
-    "q92_forecast_revenue",
-    "q93_promo_revenue",
-    "q99_passage_dedup",
-    # -- latest driver row is r4 (oldest remaining) --
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_star_join_revenue",
-    "q04_semi_join",
-    "q05_anti_join",
-    "q06_range_join",
-    "q06b_range_join_agg",
-    "q07_asof_join",
-    "q08_agg_orders",
-    "q111_jsonl_roundtrip",
-    "q11_cube_events",
-    "q121b_pq_ann_production",
-    # (The round-7/8 faces — q175–q200 — rotated out this round: all
-    # carry permanent r7/r8 rows (test_registry_order's R7/R8_CHECKED
-    # sets). Remaining slots went to the names whose latest driver row
-    # is oldest: r1 q51, the r2 five, every r3-latest name, then r4
-    # representatives.)
+    "q201_cluster_audit",
+    # -- rotation: latest driver row is r4 --
+    "q122_scd2_history",
+    "q124_exact_group_median",
+    "q127_interval_overlap",
+    "q127b_interval_overlap_agg",
+    "q12_grouping_sets",
+    "q131_token_bigrams",
+    "q132_csv_orc_roundtrip",
+    "q134_semantic_decontaminate",
+    "q135_udtf_passages",
+    "q137_schema_evolution",
+    "q138_sq8_ann_topk",
+    "q13_window_topk_per_group",
+    "q141_kmeans_clusters",
+    "q142_bpe_merges",
+    "q143_weighted_median",
+    "q14_window_analytic",
+    "q15_top_global",
+    "q16_set_ops",
+    "q17_scalar_string_math",
+    "q44_window_frames",
+    "q45_string_null_fns",
+    "q46_array_ops",
+    "q47_correlation",
+    "q48_string_agg",
+    "q49_bitwise_misc",
+    "q60_funnel",
+    "q61_retention",
+    "q65_unpivot",
+    "q66_multiset_ops",
+    "q80b_neardup_clusters_star",
+    # -- rotation: latest driver row is r5 --
+    "q09_distinct_users",
+    "q109_sliding_distinct",
+    "q10_rollup_orders",
+    "q120_heavy_hitters",
+    "q136_streaming_quantiles",
+    "q139_manifest_log",
+    "q140_bm25_search",
+    "q144_pagerank",
+    "q148_triangle_count",
+    "q151_pareto_frontier",
+    "q152_mad_outliers",
+    "q153_equidepth_bins",
+    "q154_scd2_asof_join",
+    "q155_audio_windows",
+    "q156_kcore_decomposition",
+    "q157_bfs_levels",
 )
 
 

@@ -166,14 +166,22 @@ def ensure_sfx(spark, factor: int) -> str:
     return out
 
 
-def main() -> None:
+def main(only: list[str] | None = None) -> None:
+    """Measure all FACES, or — with ``--only name1,name2`` — just those
+    faces, MERGING their rows into the existing sf10_spot.json (the
+    round-10 extension mode: new faces join the block without re-paying
+    the full 8-face measurement)."""
     spark = get_spark("sf10-spot")
     spark.sparkContext.setLogLevel("ERROR")
     dirs = {f: ensure_sfx(spark, f) for f in (1, 10, 100)}
     print("replicas ready:", dirs, flush=True)
     Q = registry.all_queries()
     results: dict[str, dict] = {}
-    for name in FACES:
+    faces = only if only else FACES
+    unknown = [n for n in faces if n not in Q]
+    if unknown:
+        raise SystemExit(f"unknown faces: {unknown}")
+    for name in faces:
         fn = Q[name]
         fn(spark, dirs[1]).write.format("noop").mode("overwrite").save()  # warm
         row: dict = {}
@@ -199,11 +207,20 @@ def main() -> None:
         "recipe": "measure_sf10.py",
         "queries": results,
     }
-    with open(os.path.join(ROOT, "scripts", "sf10_spot.json"), "w") as fh:
+    out = os.path.join(ROOT, "scripts", "sf10_spot.json")
+    if only and os.path.exists(out):
+        with open(out) as fh:
+            prev = json.load(fh)
+        prev["queries"].update(results)
+        payload = prev
+    with open(out, "w") as fh:
         json.dump(payload, fh, indent=1)
     print("wrote scripts/sf10_spot.json", flush=True)
     spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    only = None
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        only = sys.argv[2].split(",")
+    main(only)

@@ -11,29 +11,14 @@ from __future__ import annotations
 from redix_stream_spark import registry
 
 MUST_BE_IN_WINDOW = {
-    # New round-9 faces.
-    "q195b_audience_overlap_prefiltered",
-    "q201_cluster_audit",
-    "q202_seasonal_profile",
+    # New round-10 faces.
+    "q107b_containment_budgeted",
+    "q205_avro_roundtrip",
+    # Changed in round 10: q203 restructured (one wide aggregate +
+    # stack unpivot, CASE-sum violation counters); q201's pair intersect
+    # hoisted in both the Spark plan and the generated oracle.
     "q203_expectations",
-    "q204_personalized_pagerank",
-    # Changed in round 9: MOR delete sidecars now apply SCOPED to their
-    # referencing files (ADVICE r8 high — _read_entries rewrite), so
-    # every face reading through ManifestTable re-proves on the new
-    # read path; q155b's mixed corpus gained LPC-coded FLAC frames.
-    "q196_mor_delete",
-    "q150_table_changes",
-    "q146_merge_upsert",
-    "q146b_merge_schema_evolution",
-    "q178_table_delete",
-    "q179_compact_reclaim",
-    "q194_cdc_apply",
-    "q198_metadata_agg",
-    "q168_table_restore",
-    "q149_zorder_table_scan",
-    "q182_bloom_point_lookup",
-    "q145_skipping_scan",
-    "q155b_audio_windows_mixed",
+    "q201_cluster_audit",
 }
 
 # The 50 queries the r2 driver window checked (CORRECTNESS_r02 rows —
@@ -224,6 +209,31 @@ R8_CHECKED = {
     "q98_promo_part_suppliers",
 }
 
+# The 50 queries the r9 driver window checked (CORRECTNESS_r09 rows —
+# 38 hash-green + 12 declared rows-only faces, each pytest-pinned).
+R9_CHECKED = {
+    "q01_pricing_summary", "q02_filter_project", "q03_star_join_revenue",
+    "q04_semi_join", "q05_anti_join", "q06_range_join",
+    "q06b_range_join_agg", "q07_asof_join", "q08_agg_orders",
+    "q109b_sliding_distinct_hll", "q111_jsonl_roundtrip", "q11_cube_events",
+    "q121_pq_ann_topk", "q121b_pq_ann_production", "q125_compression_ratio",
+    "q130_corpus_report", "q133_interevent_gaps", "q145_skipping_scan",
+    "q146_merge_upsert", "q146b_merge_schema_evolution",
+    "q149_zorder_table_scan", "q150_table_changes",
+    "q155b_audio_windows_mixed", "q168_table_restore", "q178_table_delete",
+    "q179_compact_reclaim", "q182_bloom_point_lookup", "q194_cdc_apply",
+    "q195b_audience_overlap_prefiltered", "q196_mor_delete",
+    "q198_metadata_agg", "q201_cluster_audit", "q202_seasonal_profile",
+    "q203_expectations", "q204_personalized_pagerank",
+    "q35_shingle_fingerprint", "q37_ngram_jaccard_dup", "q38_simhash",
+    "q38b_simhash_weighted", "q39_multimodal_meta",
+    "q41b_embedding_neardup_fast", "q43b_ann_ivf_topk",
+    "q51_approx_distinct", "q52_approx_percentiles",
+    "q53_hll_mergeable_rollup", "q56_grouped_map_zscore",
+    "q57_stratified_sample", "q92_forecast_revenue", "q93_promo_revenue",
+    "q99_passage_dedup",
+}
+
 
 def test_every_query_has_a_driver_row_across_rounds():
     """The current window + the r1–r8 rows must cover every registered
@@ -241,6 +251,7 @@ def test_every_query_has_a_driver_row_across_rounds():
         - R6_CHECKED
         - R7_CHECKED
         - R8_CHECKED
+        - R9_CHECKED
     )
     assert not uncovered, f"queries with no driver row in any round: {uncovered}"
 
