@@ -1276,7 +1276,11 @@ def _synth_image(doc_id: int) -> bytes:
     touching the perturbed cell — intra-group pairs stay <=4 bits in
     ANY format combination."""
     base_id = doc_id // DHASH_GROUP
-    rs = np.random.RandomState(base_id)
+    # RandomState seeds cap at 2^32-1; replica corpora offset doc_ids by
+    # 10^9 per copy (measured crash at the sf10 100x factor, round 10).
+    # Reducing mod 2^32 leaves every small-id fixture byte-identical and
+    # keeps group-mates sharing a base (same base_id before and after).
+    rs = np.random.RandomState(base_id % (1 << 32))
     levels = np.empty((DHASH_ROWS, DHASH_COLS), dtype=np.int64)
     levels[:, 0] = rs.randint(0, 4, DHASH_ROWS)
     for x in range(1, DHASH_COLS):

@@ -181,15 +181,21 @@ def main(only: list[str] | None = None) -> None:
     unknown = [n for n in faces if n not in Q]
     if unknown:
         raise SystemExit(f"unknown faces: {unknown}")
+    failures: dict[str, str] = {}
     for name in faces:
         fn = Q[name]
-        fn(spark, dirs[1]).write.format("noop").mode("overwrite").save()  # warm
-        row: dict = {}
-        for f in (1, 10, 100):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            fn(spark, dirs[f]).write.format("noop").mode("overwrite").save()
-            row[f"t{f}x"] = round(time.perf_counter() - t0, 2)
+        try:
+            fn(spark, dirs[1]).write.format("noop").mode("overwrite").save()  # warm
+            row: dict = {}
+            for f in (1, 10, 100):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, dirs[f]).write.format("noop").mode("overwrite").save()
+                row[f"t{f}x"] = round(time.perf_counter() - t0, 2)
+        except Exception as e:  # noqa: BLE001 — a face failing at 100x IS a result
+            failures[name] = f"{type(e).__name__}: {e}"
+            print(f"{name}: FAILED — {failures[name]}", flush=True)
+            continue
         # growth exponent over each decade: e = log10(t_hi / t_lo);
         # e <= 1 is at-most-linear in rows for the 10x row growth.
         row["exp_1_10"] = round(math.log10(max(row["t10x"], 1e-9) / max(row["t1x"], 1e-9)), 2)
@@ -216,6 +222,8 @@ def main(only: list[str] | None = None) -> None:
     with open(out, "w") as fh:
         json.dump(payload, fh, indent=1)
     print("wrote scripts/sf10_spot.json", flush=True)
+    if failures:
+        raise SystemExit(f"faces failed (measured rows still written): {failures}")
     spark.stop()
 
 
