@@ -342,6 +342,7 @@ HEADLINE = [
     # Avro round trip (own OCF codec, executor-encoded deflate files).
     "q107b_containment_budgeted",
     "q205_avro_roundtrip",
+    "q206_pii_scrub",
 ]
 
 

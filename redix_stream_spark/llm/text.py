@@ -277,7 +277,7 @@ WITH ranked AS (
   SELECT lang, doc_id, n_chars,
          ROW_NUMBER() OVER (
            PARTITION BY lang
-           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ORDER BY md5(CAST(doc_id AS STRING)), doc_id
          ) AS rk
   FROM documents
 )
@@ -324,7 +324,7 @@ WITH ranked AS (
   SELECT lang, doc_id,
          ROW_NUMBER() OVER (
            PARTITION BY lang
-           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ORDER BY md5(CAST(doc_id AS STRING)), doc_id
          ) AS rk
   FROM documents
 )
@@ -606,7 +606,7 @@ def q83_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q85_SQL = """
 WITH b AS (
   SELECT doc_id, lang, n_chars,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10
+         CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 6)) AS BIGINT) % 10
            AS bucket
   FROM documents
 )
@@ -1447,4 +1447,112 @@ def q199_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_types", F.sum("new_types").over(w).cast("long")
         )
         .orderBy("decile")
+    )
+
+
+# --- q206: PII scrubbing (corpus-safety cleaning pass) ----------------------
+
+# Patterns chosen for identical semantics in Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition and \b only — no
+# lookaround, no backreferences (RE2 has neither).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+#: Deterministic planted PII (the synthetic corpus has none naturally):
+#: every 7th doc gains an email + phone + IP derived from its doc_id,
+#: every 21st a second email — identical text built on both engines, so
+#: the counters and the redacted hash are meaningfully nonzero AND
+#: hash-comparable.
+_PII_AUG_SQL = """
+CASE WHEN doc_id % 7 = 0 THEN
+  text || ' reach user' || CAST(doc_id AS STRING)
+       || '@example.com or 555-555-'
+       || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+       || ' from 10.0.' || CAST(doc_id % 200 AS STRING)
+       || '.' || CAST(doc_id % 250 AS STRING)
+       || CASE WHEN doc_id % 21 = 0
+               THEN ' cc admin' || CAST(doc_id AS STRING) || '@ex.org'
+               ELSE '' END
+ELSE text END
+"""
+
+Q206_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents
+),
+red AS (
+  SELECT doc_id,
+         CAST(LEN(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+         CAST(LEN(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+         CAST(LEN(regexp_extract_all(t, '{PII_IP_RE}')) AS BIGINT) AS n_ips,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_PHONE_RE}', '<PHONE>', 'g'),
+           '{PII_IP_RE}', '<IP>', 'g') AS clean
+  FROM aug
+)
+SELECT doc_id, n_emails, n_phones, n_ips,
+       CAST(LENGTH(clean) AS BIGINT) AS clean_len,
+       md5(clean) AS clean_hash
+FROM red
+WHERE n_emails + n_phones + n_ips > 0
+"""
+
+
+@register("q206_pii_scrub", Q206_SQL)
+def q206_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (round 10): detect-and-redact emails / NANP-style
+    phone numbers / IPv4 addresses per document — the corpus-safety
+    cleaning pass every public-web pretraining pipeline runs (the C4
+    lineage: scrub before dedup so redaction tokens, not raw contact
+    strings, participate downstream). Counters per class + the redacted
+    text's length and md5 (the hash makes the driver verify the EXACT
+    redacted string, not just the counts).
+
+    Cross-engine: patterns restricted to the Java-regex ∩ RE2 common
+    subset (classes, bounded repeats, \\b — no lookaround/backrefs);
+    patterns ride ``F.lit`` per the CLAUDE.md backslash rule; DuckDB's
+    ``regexp_replace`` gets the 'g' flag to match Spark's
+    replace-all default. The synthetic corpus has no natural PII, so a
+    deterministic doc_id-derived planting (identical expression both
+    engines) makes every counter class nonzero.
+
+    Scale: map-only — three extract_alls + three chained replaces per
+    row, whole-stage-codegen'd JVM regex, no shuffle, no UDF; the
+    filter keeps output at the PII-bearing subset."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select("doc_id", F.expr(_PII_AUG_SQL).alias("t"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), F.lit(PII_EMAIL_RE), F.lit("<EMAIL>")),
+            F.lit(PII_PHONE_RE),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(PII_IP_RE),
+        F.lit("<IP>"),
+    )
+    red = aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(PII_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all("t", F.lit(PII_IP_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        clean.alias("clean"),
+    )
+    return red.filter(
+        F.col("n_emails") + F.col("n_phones") + F.col("n_ips") > 0
+    ).select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.length("clean").cast("long").alias("clean_len"),
+        F.md5("clean").alias("clean_hash"),
     )

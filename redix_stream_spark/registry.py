@@ -80,6 +80,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new in round 10 --
     "q107b_containment_budgeted",
     "q205_avro_roundtrip",
+    "q206_pii_scrub",
     # -- changed in round 10 (fresh rows re-prove the new plans) --
     "q203_expectations",
     "q201_cluster_audit",
@@ -130,7 +131,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q154_scd2_asof_join",
     "q155_audio_windows",
     "q156_kcore_decomposition",
-    "q157_bfs_levels",
 )
 
 

@@ -876,3 +876,13 @@ def test_q203_exactly_two_scans_per_table(spark, sf_dir):
     locs = [l for l in plan.splitlines() if "Location" in l]
     assert len([l for l in locs if "lineitem" in l]) == 2, plan
     assert len([l for l in locs if "orders" in l]) == 2, plan
+
+
+def test_q206_pii_scrub_is_map_only(spark, sf_dir):
+    """PII scrubbing is three extract_alls + three chained replaces per
+    row: the plan must contain NO Exchange at all — pure map-side
+    whole-stage-codegen'd regex over the scan."""
+    plan = plan_of(QUERIES["q206_pii_scrub"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    # formatted mode tags codegen'd nodes with "[codegen id : N]"
+    assert "codegen id" in plan
