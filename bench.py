@@ -343,6 +343,7 @@ HEADLINE = [
     "q107b_containment_budgeted",
     "q205_avro_roundtrip",
     "q206_pii_scrub",
+    "q207_dup_source_matrix",
 ]
 
 

@@ -1417,6 +1417,114 @@ def q107b_containment_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q207: cross-source duplication provenance matrix -----------------------
+
+
+def _gen_dup_source_matrix_sql() -> str:
+    """Oracle: the q36b production-width pair oracle CTE-wrapped (the
+    q201 nesting precedent), labeled with each doc's source and rolled
+    into the symmetric source×source matrix."""
+    pair_sql = (
+        _gen_minhash_oracle_sql(perm_params(PROD_PERMS), PROD_BANDS)
+        .strip()
+        .rstrip(";")
+    )
+    return f"""
+WITH pairs AS (
+  {pair_sql}
+),
+counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+),
+lab AS (
+  SELECT LEAST(a.source, b.source) AS source_a,
+         GREATEST(a.source, b.source) AS source_b
+  FROM pairs p
+  JOIN documents a ON p.doc_id_a = a.doc_id
+  JOIN documents b ON p.doc_id_b = b.doc_id
+),
+agg AS (
+  SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+  FROM lab GROUP BY source_a, source_b
+)
+SELECT agg.source_a, agg.source_b, agg.n_dup_pairs,
+       ca.n AS n_docs_a, cb.n AS n_docs_b,
+       CAST(agg.n_dup_pairs * 1000000 // (ca.n * cb.n) AS BIGINT) AS rate_ppm
+FROM agg
+JOIN counts ca ON ca.source = agg.source_a
+JOIN counts cb ON cb.source = agg.source_b
+ORDER BY source_a, source_b
+"""
+
+
+@register("q207_dup_source_matrix", _gen_dup_source_matrix_sql())
+def q207_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication provenance (round 10): the verified
+    production-width near-dup pairs (q36b's exact pipeline) rolled into
+    a symmetric source×source matrix — pair counts, per-source corpus
+    sizes, and an integer cross-normalized rate
+    (``n_pairs·10⁶ DIV (nₐ·n_b)`` ppm, same formula on the diagonal for
+    determinism). This is the curation readout dedup counts alone hide:
+    WHICH sources copy from which — a hot off-diagonal cell means one
+    feed syndicates another (drop one), a hot diagonal means a feed
+    re-crawls itself (dedup within, keep the feed).
+
+    Scale: pair labeling joins the (already candidate-bounded) verified
+    pair relation against the slim (doc_id, source) projection; the
+    per-source count relation is sources-cardinality and broadcasts
+    (the q108 pattern); output is at most |sources|² rows."""
+    pairs = _minhash_neardup_pipeline(
+        spark, sf_dir, params=PROD_PERM_PARAMS, n_bands=PROD_BANDS
+    ).select("doc_id_a", "doc_id_b")
+    d = load_table(spark, sf_dir, "documents")
+    srcs = d.select("doc_id", "source")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    lab = (
+        pairs.join(
+            srcs.withColumnRenamed("doc_id", "doc_id_a").withColumnRenamed(
+                "source", "sa"
+            ),
+            "doc_id_a",
+        )
+        .join(
+            srcs.withColumnRenamed("doc_id", "doc_id_b").withColumnRenamed(
+                "source", "sb"
+            ),
+            "doc_id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    agg = lab.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs")
+    )
+    ca = counts.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_docs_a")
+    )
+    cb = counts.select(
+        F.col("source").alias("source_b"), F.col("n").alias("n_docs_b")
+    )
+    return (
+        agg.join(F.broadcast(ca), "source_a")
+        .join(F.broadcast(cb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_dup_pairs",
+            "n_docs_a",
+            "n_docs_b",
+            F.expr(
+                "CAST(n_dup_pairs * 1000000 DIV (n_docs_a * n_docs_b) AS BIGINT)"
+            ).alias("rate_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 # --- q116: bloom-prefiltered decontamination --------------------------------
 
 BLOOM_M = 1 << 20  # filter size in bits (128 KiB packed)

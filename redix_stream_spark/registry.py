@@ -81,6 +81,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q107b_containment_budgeted",
     "q205_avro_roundtrip",
     "q206_pii_scrub",
+    "q207_dup_source_matrix",
     # -- changed in round 10 (fresh rows re-prove the new plans) --
     "q203_expectations",
     "q201_cluster_audit",
@@ -130,7 +131,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q153_equidepth_bins",
     "q154_scd2_asof_join",
     "q155_audio_windows",
-    "q156_kcore_decomposition",
 )
 
 

@@ -886,3 +886,13 @@ def test_q206_pii_scrub_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan, plan
     # formatted mode tags codegen'd nodes with "[codegen id : N]"
     assert "codegen id" in plan
+
+
+def test_q207_source_counts_broadcast_pairs_stay_keyed(spark, sf_dir):
+    """The per-source count relation is sources-cardinality and must
+    broadcast (the q108 pattern); every other join stays keyed — no
+    cartesian, no nested loop."""
+    plan = plan_of(QUERIES["q207_dup_source_matrix"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -15,6 +15,7 @@ MUST_BE_IN_WINDOW = {
     "q107b_containment_budgeted",
     "q205_avro_roundtrip",
     "q206_pii_scrub",
+    "q207_dup_source_matrix",
     # Changed in round 10: q203 restructured (one wide aggregate +
     # stack unpivot, CASE-sum violation counters); q201's pair intersect
     # hoisted in both the Spark plan and the generated oracle.
