@@ -140,13 +140,17 @@ def _extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
-def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
-    """Baseline JPEG → (H, W, C) uint8 (C=1 gray, C=3 RGB), else None."""
+def _parse_jpeg(payload: bytes):
+    """Marker walk shared by the full and DC-only decoders: returns
+    ``(frame, scan, qt, huff_raw, restart_interval, scan_start)`` — with
+    ``huff_raw[(class, id)] = (BITS, HUFFVAL)`` kept raw so each decoder
+    builds its own lookup structure — or None on anything the baseline
+    decoder does not support."""
     n = len(payload)
     if n < 4 or payload[:2] != b"\xff\xd8":
         return None
     qt: dict[int, list[int]] = {}  # table id → 64 values in zigzag order
-    huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode table
+    huff_raw: dict[tuple[int, int], tuple[bytes, bytes]] = {}
     frame = None
     restart_interval = 0
     i = 2
@@ -193,7 +197,7 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
                 vals = body[j : j + nv]
                 if len(vals) < nv:
                     return None  # truncated table definition
-                huff[(tc, th)] = _build_huffman(bits, vals)
+                huff_raw[(tc, th)] = (bytes(bits), bytes(vals))
                 j += nv
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
@@ -232,11 +236,19 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
                 cs = body[1 + 2 * k]
                 tdta = body[2 + 2 * k]
                 scan.append((cs, tdta >> 4, tdta & 15))
-            return _decode_scan(
-                payload, i + 2 + seg_len, frame, scan, qt, huff, restart_interval
-            )
+            return frame, scan, qt, huff_raw, restart_interval, i + 2 + seg_len
         i += 2 + seg_len
     return None
+
+
+def decode_jpeg_pixels(payload: bytes) -> np.ndarray | None:
+    """Baseline JPEG → (H, W, C) uint8 (C=1 gray, C=3 RGB), else None."""
+    parsed = _parse_jpeg(payload)
+    if parsed is None:
+        return None
+    frame, scan, qt, huff_raw, restart_interval, start = parsed
+    huff = {k: _build_huffman(b, v) for k, (b, v) in huff_raw.items()}
+    return _decode_scan(payload, start, frame, scan, qt, huff, restart_interval)
 
 
 def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
@@ -324,6 +336,201 @@ def _decode_scan(payload, start, frame, scan, qt, huff, restart_interval):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# --- DC-only fast path (1/8-scale thumbnail decode) --------------------------
+# dHash-class perceptual hashing needs only a tiny grayscale thumbnail, and
+# a baseline JPEG already stores one: each 8x8 block's DC coefficient IS the
+# block mean (the published libjpeg "scale 1/8" idea). decode_jpeg_dc walks
+# the entropy stream decoding DC deltas and LENGTH-SKIPPING every AC
+# coefficient — no coefficient array, no dequant, no IDCT, no plane
+# assembly — over a destuffed buffer with a 16-bit-prefix Huffman lookup
+# table (one list index per symbol instead of per-bit tree walks). The
+# exact-pixel decoder above is untouched; q162 keeps using it.
+
+#: (BITS, HUFFVAL) → (symbol_list, length_list) indexed by the next 16 bits
+#: of the stream; length 0 marks an invalid prefix. Bounded cache: tables
+#: repeat across a corpus (encoders ship fixed tables), workers keep ≤64.
+_LUT_CACHE: dict[tuple[bytes, bytes], tuple[list[int], list[int]]] = {}
+
+
+def _fast_lut(bits: bytes, vals: bytes) -> tuple[list[int], list[int]]:
+    key = (bits, vals)
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = np.zeros(65536, np.int64)
+    ln = np.zeros(65536, np.int64)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            sym[lo : lo + (1 << (16 - length))] = vals[k]
+            ln[lo : lo + (1 << (16 - length))] = length
+            code += 1
+            k += 1
+        code <<= 1
+    out = (sym.tolist(), ln.tolist())  # plain lists: fastest scalar indexing
+    if len(_LUT_CACHE) >= 64:
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = out
+    return out
+
+
+def _entropy_segments(payload: bytes, start: int) -> list[bytes]:
+    """Entropy-coded data from ``start``, split at RSTn markers, with
+    0xFF00 byte stuffing removed — so segment decoding is plain bit math
+    with no marker checks in the hot loop."""
+    segs: list[bytes] = []
+    n = len(payload)
+    i = seg_start = start
+    while True:
+        j = payload.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            segs.append(payload[seg_start : n if j < 0 else j])
+            break
+        m = payload[j + 1]
+        if m == 0x00:
+            i = j + 2
+            continue
+        segs.append(payload[seg_start:j])
+        if 0xD0 <= m <= 0xD7:  # RSTn: next segment starts after the marker
+            i = seg_start = j + 2
+            continue
+        break  # EOI or any other marker ends the scan
+    return [s.replace(b"\xff\x00", b"\xff") for s in segs]
+
+
+def decode_jpeg_dc(payload: bytes) -> np.ndarray | None:
+    """Baseline JPEG → (ceil(H/8), ceil(W/8)) uint8 grayscale of per-block
+    means, from DC coefficients only. Color frames combine the Y/Cb/Cr DC
+    planes with the same BT.601 inverse the full decoder uses, averaged to
+    the gray mean(R,G,B) the dHash kernel computes (no per-pixel clip, so
+    saturated colors may differ by a few levels from the full path — the
+    fixture margins dwarf that). Returns None on anything
+    ``decode_jpeg_pixels`` would reject."""
+    parsed = _parse_jpeg(payload)
+    if parsed is None:
+        return None
+    frame, scan, qt, huff_raw, restart_interval, start = parsed
+    w, h, comps = frame
+    if len(scan) != len(comps):
+        return None
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not (hmax and vmax):
+        return None
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    order = []
+    for cs, td, ta in scan:
+        c = next((c for c in comps if c["id"] == cs), None)
+        if c is None or c["h"] == 0 or c["v"] == 0:
+            return None
+        if vmax % c["v"] or hmax % c["h"]:
+            return None
+        q = qt.get(c["tq"])
+        draw = huff_raw.get((0, td))
+        araw = huff_raw.get((1, ta))
+        if q is None or draw is None or araw is None:
+            return None
+        dsym, dlen = _fast_lut(*draw)
+        asym, alen = _fast_lut(*araw)
+        grid = np.zeros((mcuy * c["v"], mcux * c["h"]), np.int64)
+        order.append((c["v"], c["h"], q[0], dsym, dlen, asym, alen, grid))
+    segs = _entropy_segments(payload, start)
+    data = segs[0] + b"\xff\xff"  # pad: 3-byte peeks never run short mid-block
+    nbits = (len(data) - 2) * 8
+    seg_i = pos = mcu_count = 0
+    pred = [0] * len(order)
+    from_bytes = int.from_bytes  # hot-loop local bindings
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    return None
+                data = segs[seg_i] + b"\xff\xff"
+                nbits = (len(data) - 2) * 8
+                pos = 0
+                pred = [0] * len(order)
+            mcu_count += 1
+            for ci, (cv, ch, q0, dsym, dlen, asym, alen, grid) in enumerate(order):
+                for by in range(cv):
+                    for bx in range(ch):
+                        byte = pos >> 3
+                        v16 = (
+                            (from_bytes(data[byte : byte + 3], "big") << (pos & 7))
+                            >> 8
+                        ) & 0xFFFF
+                        ln = dlen[v16]
+                        if not ln:
+                            return None
+                        t = dsym[v16]
+                        pos += ln
+                        if t:
+                            if t > 15:
+                                return None
+                            byte = pos >> 3
+                            mag = (
+                                (
+                                    (
+                                        from_bytes(data[byte : byte + 3], "big")
+                                        << (pos & 7)
+                                    )
+                                    >> 8
+                                )
+                                & 0xFFFF
+                            ) >> (16 - t)
+                            pos += t
+                            pred[ci] += (
+                                mag - (1 << t) + 1 if mag < (1 << (t - 1)) else mag
+                            )
+                        grid[my * cv + by, mx * ch + bx] = pred[ci]
+                        k = 1  # AC scan: decode symbol lengths, skip payloads
+                        while k < 64:
+                            byte = pos >> 3
+                            v16 = (
+                                (
+                                    from_bytes(data[byte : byte + 3], "big")
+                                    << (pos & 7)
+                                )
+                                >> 8
+                            ) & 0xFFFF
+                            ln = alen[v16]
+                            if not ln:
+                                return None
+                            rs = asym[v16]
+                            pos += ln
+                            s = rs & 15
+                            if s == 0:
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += (rs >> 4) + 1
+                            pos += s
+                        if pos > nbits:
+                            return None  # ran past the segment: corrupt
+    out = []
+    bh, bw = -(-h // 8), -(-w // 8)
+    for cv, ch, q0, _ds, _dl, _as, _al, grid in order:
+        g = grid.astype(np.float64) * (q0 / 8.0) + 128.0
+        ry, rx = vmax // cv, hmax // ch
+        if ry > 1 or rx > 1:
+            g = np.repeat(np.repeat(g, ry, axis=0), rx, axis=1)
+        out.append(g[:bh, :bw])
+    if len(out) == 1:
+        return np.clip(np.rint(out[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out
+    # mean(R,G,B) of the BT.601 inverse, in DC space:
+    gray = (
+        y
+        + ((1.772 - 0.344136) * (cb - 128.0) + (1.402 - 0.714136) * (cr - 128.0))
+        / 3.0
+    )
+    return np.clip(np.rint(gray), 0, 255).astype(np.uint8)
 
 
 # --- minimal baseline encoder (grayscale) -----------------------------------
@@ -444,6 +651,12 @@ def jpeg_encode_gray(img: "np.ndarray") -> bytes:
                 ln, code = ac_enc[0x00]
                 bw.write(code, ln)
     bw.flush()
+    return _jpeg_container_gray(h, w, bytes(bw.out))
+
+
+def _jpeg_container_gray(h: int, w: int, entropy: bytes) -> bytes:
+    """Assemble the fixed single-component container (SOI, all-ones DQT,
+    SOF0, the module's DHT pair, SOS) around already-stuffed entropy data."""
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
@@ -462,7 +675,42 @@ def jpeg_encode_gray(img: "np.ndarray") -> bytes:
             seg(0xC4, bytes([0x00]) + _ENC_DC_BITS + _ENC_DC_VALS),
             seg(0xC4, bytes([0x10]) + _ENC_AC_BITS + _ENC_AC_VALS),
             seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0])),
-            bytes(bw.out),
+            entropy,
             b"\xff\xd9",
         ]
     )
+
+
+def jpeg_encode_cells(cells: np.ndarray) -> bytes:
+    """(R, C) uint8 cell grid → baseline JPEG of (8R, 8C) pixels where each
+    cell is one CONSTANT 8x8 block. A constant block's DCT is DC-only
+    (DC = 8·(v-128) under the orthonormal basis, every AC exactly zero),
+    so the entropy stream is emitted closed-form — DC category code (the
+    fixed table maps category t to 4-bit code t), magnitude bits, 8-bit
+    EOB — with bits accumulated in one Python int and byte stuffing done
+    by bytes.replace. Synthesizing a 64x72 fixture image costs O(blocks)
+    integer ops instead of per-coefficient DCT loops; decode round-trips
+    EXACTLY (all-ones quant, integral DC). Feeds q162b's large-image
+    fixtures, where the generic per-block encoder would dominate the
+    measured decode path it exists to exercise."""
+    cells = np.asarray(cells, dtype=np.int64)
+    r, c = cells.shape
+    acc = 0
+    nacc = 0
+    pred = 0
+    for v in cells.reshape(-1).tolist():
+        dc = 8 * (v - 128)
+        diff = dc - pred
+        pred = dc
+        t = abs(diff).bit_length()  # ≤ 11: |diff| ≤ 2040 < 2^11
+        acc = (acc << 4) | t
+        if t:
+            acc = (acc << t) | (diff if diff >= 0 else diff + (1 << t) - 1)
+            nacc += t
+        acc <<= 8  # EOB: canonical code 0 at length 8
+        nacc += 12
+    pad = (-nacc) % 8  # T.81 F.1.2.3: pad with 1-bits to the byte boundary
+    acc = (acc << pad) | ((1 << pad) - 1)
+    nacc += pad
+    entropy = acc.to_bytes(nacc // 8, "big").replace(b"\xff", b"\xff\x00")
+    return _jpeg_container_gray(r * 8, c * 8, entropy)

@@ -376,6 +376,37 @@ def decode_pixels(payload: bytes) -> np.ndarray | None:
     return _png_decode_pixels(payload)
 
 
+def block_mean_thumb(px: np.ndarray) -> np.ndarray:
+    """(H, W[, C]) pixels → (ceil(H/8), ceil(W/8)) uint8 grayscale of
+    8x8-block means — the same thumbnail a JPEG's DC plane stores, so the
+    two ``decode_image_thumb`` branches are comparable. Edges pad by
+    replication (matching the JPEG encoder's padding convention)."""
+    g = px.mean(axis=2) if px.ndim == 3 else px.astype(np.float64)
+    h, w = g.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    if h % 8 or w % 8:
+        p = np.empty((bh * 8, bw * 8))
+        p[:h, :w] = g
+        p[h:, :w] = g[h - 1 : h, :]
+        p[:, w:] = p[:, w - 1 : w]
+        g = p
+    m = g.reshape(bh, 8, bw, 8).mean(axis=(1, 3))
+    return np.clip(np.rint(m), 0, 255).astype(np.uint8)
+
+
+def decode_image_thumb(payload: bytes) -> np.ndarray | None:
+    """1/8-scale grayscale thumbnail — the cheapest decode that still
+    feeds a perceptual hash. JPEG payloads skip the IDCT entirely
+    (``decode_jpeg_dc``); PNG/BMP/GIF decode once (zlib/LZW are C-speed)
+    and block-mean in vectorized numpy."""
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_dc
+
+        return decode_jpeg_dc(payload)
+    px = decode_pixels(payload)
+    return None if px is None else block_mean_thumb(px)
+
+
 def png_encode(img: np.ndarray) -> bytes:
     """(H, W[, C]) uint8 → PNG bytes (filter 0, stdlib zlib). Round-trips
     through ``_png_decode_pixels`` bit-exactly."""
@@ -1256,6 +1287,22 @@ def dhash60(img: np.ndarray) -> int:
     return v & ((1 << DHASH_BITS) - 1)
 
 
+def _cell_levels(base_id: int) -> np.ndarray:
+    """The dup group's 8x9 level grid (values 0..3, horizontally-adjacent
+    cells distinct) — the RandomState call sequence is exactly what
+    ``_synth_image`` inlined before round 11, so every q162 fixture stays
+    byte-identical."""
+    # RandomState seeds cap at 2^32-1; replica corpora offset doc_ids by
+    # 10^9 per copy (measured crash at the sf10 100x factor, round 10).
+    rs = np.random.RandomState(base_id % (1 << 32))
+    levels = np.empty((DHASH_ROWS, DHASH_COLS), dtype=np.int64)
+    levels[:, 0] = rs.randint(0, 4, DHASH_ROWS)
+    for x in range(1, DHASH_COLS):
+        # adjacent-distinct: step 1..3 mod 4 from the left neighbor
+        levels[:, x] = (levels[:, x - 1] + 1 + rs.randint(0, 3, DHASH_ROWS)) % 4
+    return levels
+
+
 def _synth_image(doc_id: int) -> bytes:
     """Deterministic 16x16 grayscale image for a doc — PNG for even
     doc_ids, REAL baseline JPEG (llm/jpeg.py's encoder) for odd ones, so
@@ -1276,17 +1323,7 @@ def _synth_image(doc_id: int) -> bytes:
     touching the perturbed cell — intra-group pairs stay <=4 bits in
     ANY format combination."""
     base_id = doc_id // DHASH_GROUP
-    # RandomState seeds cap at 2^32-1; replica corpora offset doc_ids by
-    # 10^9 per copy (measured crash at the sf10 100x factor, round 10).
-    # Reducing mod 2^32 leaves every small-id fixture byte-identical and
-    # keeps group-mates sharing a base (same base_id before and after).
-    rs = np.random.RandomState(base_id % (1 << 32))
-    levels = np.empty((DHASH_ROWS, DHASH_COLS), dtype=np.int64)
-    levels[:, 0] = rs.randint(0, 4, DHASH_ROWS)
-    for x in range(1, DHASH_COLS):
-        # adjacent-distinct: step 1..3 mod 4 from the left neighbor
-        levels[:, x] = (levels[:, x - 1] + 1 + rs.randint(0, 3, DHASH_ROWS)) % 4
-    gray = (16 + 64 * levels).astype(np.uint8)
+    gray = (16 + 64 * _cell_levels(base_id)).astype(np.uint8)
     # paint each pixel with its nearest SAMPLED cell's level: pixel x
     # belongs to the last grid column whose sample index <= x, so the
     # dHash sampling grid reads the intended level exactly.
@@ -1307,6 +1344,56 @@ def _synth_image(doc_id: int) -> bytes:
     return png_encode(px)
 
 
+def _synth_image_big(doc_id: int) -> bytes:
+    """q162b's fixture: the SAME dup-group texture as ``_synth_image``,
+    rendered at 64x72 so every dHash grid cell is exactly one 8x8 block —
+    the smallest size at which a 1/8-scale (DC) thumbnail carries the full
+    8x9 comparison grid, i.e. the regime every real-world image is in
+    (q162's 16x16 payloads are the pathological tiny case and keep the
+    exact-pixel face). Odd doc_ids are REAL baseline JPEG via the
+    closed-form constant-cell encoder, even are PNG. The per-doc edit
+    flips a whole CELL xor-128 (stays inside the level set, so margins
+    hold): the variant's thumbnail differs from its base in at most the 2
+    comparisons touching the cell — intra-group pairs stay <=4 bits in
+    any format combination, and the full-pixel and thumbnail paths hash
+    the same values (constant cells: sampled pixel == block mean)."""
+    base_id = doc_id // DHASH_GROUP
+    cells = (16 + 64 * _cell_levels(base_id)).astype(np.uint8)
+    seed = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+    if seed % 2:
+        cell = (seed >> 4) % (DHASH_ROWS * DHASH_COLS)
+        cells[cell // DHASH_COLS, cell % DHASH_COLS] ^= 128
+    if doc_id % 2:
+        from .jpeg import jpeg_encode_cells
+
+        return jpeg_encode_cells(cells)
+    return png_encode(np.repeat(np.repeat(cells, 8, axis=0), 8, axis=1))
+
+
+_DHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("dhash", LongType())]
+)
+
+
+def _hash_blobs(blobs: DataFrame, decode) -> DataFrame:
+    """(doc_id, payload) → (doc_id, dhash) via ``decode`` (full pixels or
+    DC thumbnail — dhash60 accepts both), Arrow-batched and map-only;
+    non-decodable payloads drop out worker-side."""
+    from ..session import ship_package
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode(bytes(payload))
+                if img is not None:
+                    rows.append((int(doc_id), dhash60(img)))
+            yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
+
+    ship_package(blobs.sparkSession)
+    return blobs.mapInPandas(hash_batches, _DHASH_SCHEMA)
+
+
 def image_near_dup_pairs(
     blobs: DataFrame, hamming_max: int = DHASH_HAMMING_MAX
 ) -> DataFrame:
@@ -1321,8 +1408,29 @@ def image_near_dup_pairs(
     2^(60/(hamming_max+1)) — subquadratic at any realistic corpus, no
     all-pairs anywhere; non-decodable payloads drop out map-side.
     """
-    from ..session import ship_package
+    return _dhash_banded_pairs(_hash_blobs(blobs, decode_pixels), hamming_max)
 
+
+def image_near_dup_pairs_fast(
+    blobs: DataFrame, hamming_max: int = DHASH_HAMMING_MAX
+) -> DataFrame:
+    """The production decode path (q162b): identical banding + verify, but
+    the dHash input is the 1/8-scale thumbnail — JPEG payloads never run
+    the IDCT (``decode_jpeg_dc``: DC walk + AC length-skip, ~10x measured
+    on 64x72 fixtures), other formats decode once and block-mean in
+    numpy. For images whose 8x8-block grid is at least the 8x9 dHash
+    grid (H≥64, W≥72 — any real-world corpus), the thumbnail carries the
+    same comparisons the full-pixel path samples; pair-set parity with
+    ``image_near_dup_pairs`` is pytest-pinned on the planted mixed-format
+    groups (tests/test_image_dedup.py)."""
+    return _dhash_banded_pairs(
+        _hash_blobs(blobs, decode_image_thumb), hamming_max
+    )
+
+
+def _dhash_banded_pairs(hashes: DataFrame, hamming_max: int) -> DataFrame:
+    """Pigeonhole chunk banding + exact Hamming verify over a
+    (doc_id, dhash) relation — shared by the exact and thumbnail paths."""
     n_chunks = hamming_max + 1
     chunk_width = DHASH_BITS // n_chunks
     if chunk_width < 8:
@@ -1331,21 +1439,6 @@ def image_near_dup_pairs(
             "per-chunk cardinality below 2^8 makes the candidate join "
             "effectively O(n^2) (see simhash_near_dup_pairs)."
         )
-    hash_schema = StructType(
-        [StructField("doc_id", LongType()), StructField("dhash", LongType())]
-    )
-
-    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                img = decode_pixels(bytes(payload))
-                if img is not None:
-                    rows.append((int(doc_id), dhash60(img)))
-            yield pd.DataFrame(rows, columns=["doc_id", "dhash"])
-
-    ship_package(blobs.sparkSession)
-    hashes = blobs.mapInPandas(hash_batches, hash_schema)
     bounds = [DHASH_BITS * i // n_chunks for i in range(n_chunks + 1)]
     chunk_structs = [
         F.struct(
@@ -1381,6 +1474,30 @@ def image_near_dup_pairs(
     ).filter(F.col("hamming") <= hamming_max)
 
 
+def _synth_blobs(spark: SparkSession, sf_dir: str, synth_fn) -> DataFrame:
+    """documents doc_ids → (doc_id, payload) blobs via a deterministic
+    per-doc image synthesizer (map-only, Arrow-batched)."""
+    from ..session import ship_package
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    synth_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(doc_id), synth_fn(int(doc_id))) for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    ship_package(spark)
+    return d.mapInPandas(synth, synth_schema)
+
+
 def _register_q162() -> None:
     @register("q162_image_neardup")  # rows-only: pixel decode is not SQL
     def q162_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1390,27 +1507,23 @@ def _register_q162() -> None:
         join. Rows-only (decode is Python-side); recall/precision vs the
         known group structure is pytest-pinned — every intra-group pair
         is <=4 bits by construction and MUST be found."""
-        from ..session import ship_package
-
-        d = load_table(spark, sf_dir, "documents").select("doc_id")
-        synth_schema = StructType(
-            [
-                StructField("doc_id", LongType()),
-                StructField("payload", BinaryType()),
-            ]
-        )
-
-        def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                rows = [
-                    (int(doc_id), _synth_image(int(doc_id)))
-                    for doc_id in pdf["doc_id"]
-                ]
-                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
-
-        ship_package(spark)
-        blobs = d.mapInPandas(synth, synth_schema)
+        blobs = _synth_blobs(spark, sf_dir, _synth_image)
         return image_near_dup_pairs(blobs).orderBy("doc_id_a", "doc_id_b")
+
+    @register("q162b_image_neardup_fast")  # rows-only: pixel decode is not SQL
+    def q162b_image_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """q162's production face (round 11, VERDICT r10 item 1 — the
+        q41/q41b pairing applied to the image modality): the same dup
+        groups rendered at real-image scale (64x72, `_synth_image_big`)
+        and hashed from the 1/8-SCALE THUMBNAIL — JPEG payloads decode DC
+        coefficients only (AC length-skipped, no IDCT:
+        jpeg.py::decode_jpeg_dc), PNG payloads block-mean in numpy — then
+        the identical banded Hamming join. Pair-set parity with the
+        full-pixel path over the same blobs is pytest-pinned; q162 stays
+        the exact-pixel reference face. Rows-only (decode is
+        Python-side)."""
+        blobs = _synth_blobs(spark, sf_dir, _synth_image_big)
+        return image_near_dup_pairs_fast(blobs).orderBy("doc_id_a", "doc_id_b")
 
 
 _register_q162()

@@ -98,6 +98,10 @@ class _Reader:
             self.pos += 1
             n |= (b & 0x7F) << shift
             if not b & 0x80:
+                if n >> 64:
+                    # a 10th byte may only carry the single remaining bit 63;
+                    # payload above that is corruption, not a bigger int
+                    raise ValueError("varint exceeds 64 bits")
                 return _unzz(n)
             shift += 7
             if shift > 63:

@@ -93,6 +93,10 @@ class GatedEpochWriter:
         final = self._final(epoch_id)
         if os.path.exists(final):
             return True  # crash-after-promote replay: already published
+        if os.path.exists(self._quarantine(epoch_id)):
+            # crash-after-quarantine replay: already journaled — re-staging
+            # would append a duplicate _quarantine.jsonl line (ADVICE r10).
+            return False
         observed, obs = self.observed_df(batch)
         staging = self._staging(epoch_id)
         observed.write.mode("overwrite").parquet(staging)  # THE one pass

@@ -222,9 +222,11 @@ def main(only: list[str] | None = None) -> None:
     with open(out, "w") as fh:
         json.dump(payload, fh, indent=1)
     print("wrote scripts/sf10_spot.json", flush=True)
+    # Stop the JVM BEFORE any failure exit — a SystemExit that leaves the
+    # driver JVM running violates the no-concurrent-Spark-JVM rule (ADVICE r10).
+    spark.stop()
     if failures:
         raise SystemExit(f"faces failed (measured rows still written): {failures}")
-    spark.stop()
 
 
 if __name__ == "__main__":
