@@ -50,10 +50,26 @@ def _pipeline_digest() -> str:
     changing PERM_PARAMS / N_BANDS / SHINGLE_K / JACCARD_THRESHOLD
     serves stale labels from a warm /tmp artifact — loud in
     oracle-checked paths, silently wrong in bench timings (ADVICE r6)."""
-    from .dedup import JACCARD_THRESHOLD, N_BANDS, PERM_PARAMS, SHINGLE_K
+    from .dedup import (
+        JACCARD_THRESHOLD,
+        N_BANDS,
+        PERM_PARAMS,
+        PROD_BANDS,
+        PROD_PERM_PARAMS,
+        SHINGLE_K,
+    )
 
     return hashlib.md5(
-        repr((PERM_PARAMS, N_BANDS, SHINGLE_K, JACCARD_THRESHOLD)).encode()
+        repr(
+            (
+                PERM_PARAMS,
+                N_BANDS,
+                SHINGLE_K,
+                JACCARD_THRESHOLD,
+                PROD_PERM_PARAMS,
+                PROD_BANDS,
+            )
+        ).encode()
     ).hexdigest()
 
 
@@ -176,6 +192,35 @@ def corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     built by the same artifact miss as the labels."""
     _, bands_t = _tables(spark, sf_dir)
     return bands_t.read(spark)
+
+
+def production_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified production-width near-dup PAIRS (doc_id_a, doc_id_b,
+    jaccard) — q36b's exact 64-perm/16-band pipeline output, materialized
+    once per corpus fingerprint (round 11, VERDICT r10 item 2: q207
+    rebuilt this relation inline, the recompute class this module was
+    built to kill — the labels artifact persists demo-width *labels*, so
+    provenance faces that need production-width *pairs* had nothing to
+    read).
+
+    Consumers (q207's source matrix; any future provenance/lineage face)
+    see exactly the inline pipeline's values — parquet round-trips the
+    jaccard double bit-for-bit, pinned value-for-value in
+    tests/test_artifacts.py — so oracles stay untouched (hash-invisible,
+    q166's contract). The fingerprint covers PROD_PERM_PARAMS/PROD_BANDS
+    via ``_pipeline_digest``; a width change rebuilds rather than serving
+    stale pairs. Keyed on doc_id_a: doc-keyed probes zone-prune."""
+    from ..sources.manifest_table import ManifestTable
+    from .dedup import PROD_BANDS, PROD_PERM_PARAMS, _minhash_neardup_pipeline
+
+    root = _artifact_root(corpus_fingerprint(sf_dir))
+    pairs_t = ManifestTable(os.path.join(root, "prod_pairs"), key="doc_id_a")
+    if not pairs_t.generations():
+        pairs = _minhash_neardup_pipeline(
+            spark, sf_dir, params=PROD_PERM_PARAMS, n_bands=PROD_BANDS
+        )
+        pairs_t.write(pairs, target_files=4)
+    return pairs_t.read(spark)
 
 
 def incremental_cluster_labels(

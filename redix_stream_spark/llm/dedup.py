@@ -1472,10 +1472,15 @@ def q207_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pair labeling joins the (already candidate-bounded) verified
     pair relation against the slim (doc_id, source) projection; the
     per-source count relation is sources-cardinality and broadcasts
-    (the q108 pattern); output is at most |sources|² rows."""
-    pairs = _minhash_neardup_pipeline(
-        spark, sf_dir, params=PROD_PERM_PARAMS, n_bands=PROD_BANDS
-    ).select("doc_id_a", "doc_id_b")
+    (the q108 pattern); output is at most |sources|² rows. The pair
+    relation is served from the shared E103 production-pairs artifact
+    (round 11, VERDICT r10 item 2) — the signature/banding/verify
+    recompute this face used to pay inline happens once per corpus;
+    the oracle still replays the full pipeline, so the artifact stays
+    hash-invisible."""
+    from .artifacts import production_pairs
+
+    pairs = production_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
     d = load_table(spark, sf_dir, "documents")
     srcs = d.select("doc_id", "source")
     counts = d.groupBy("source").agg(

@@ -228,3 +228,52 @@ def test_build_commits_gate_table_last(spark, sf_dir, monkeypatch):
     assert labels_t.generations() and bands_t.generations()
     assert labels_t.read(spark).count() > 0
     assert bands_t.read(spark).count() > 0
+
+
+def test_production_pairs_match_inline_pipeline(spark, sf_dir):
+    """The materialized production-width pair relation is value-identical
+    to the inline q36b pipeline — jaccard doubles included (parquet
+    round-trips IEEE754 bit-for-bit), so q207's oracle is untouched."""
+    from redix_stream_spark.llm.artifacts import production_pairs
+    from redix_stream_spark.llm.dedup import (
+        PROD_BANDS,
+        PROD_PERM_PARAMS,
+        _minhash_neardup_pipeline,
+    )
+
+    _clear_artifacts()
+    direct = {
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+        for r in _minhash_neardup_pipeline(
+            spark, sf_dir, params=PROD_PERM_PARAMS, n_bands=PROD_BANDS
+        ).collect()
+    }
+    via_artifact = {
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+        for r in production_pairs(spark, sf_dir).collect()
+    }
+    assert via_artifact == direct
+    assert len(direct) > 0
+
+
+def test_production_pairs_built_once_then_reused(spark, sf_dir, monkeypatch):
+    """A warm pairs artifact serves q207 without re-entering the MinHash
+    pipeline (signature computation is its entry stage)."""
+    from redix_stream_spark.llm import dedup
+    from redix_stream_spark.llm.artifacts import production_pairs
+    from redix_stream_spark.llm.dedup import minhash_signatures
+    from redix_stream_spark.registry import all_queries
+
+    _clear_artifacts()
+    calls = []
+    real = minhash_signatures
+
+    def counting(d, params=None):
+        calls.append(1)
+        return real(d, params=params)
+
+    monkeypatch.setattr(dedup, "minhash_signatures", counting)
+    production_pairs(spark, sf_dir).count()
+    assert len(calls) == 1
+    all_queries()["q207_dup_source_matrix"](spark, sf_dir).count()
+    assert len(calls) == 1  # q207 consumed the artifact, not the pipeline
