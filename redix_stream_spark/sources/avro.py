@@ -11,10 +11,14 @@ spec compliance BOTH WAYS against an independent implementation: the Java
 Avro library (``avro-1.12.1.jar``) already on Spark's classpath reads our
 files and writes files we read, pinned in tests/test_avro.py via py4j.
 
-Scope: flat record schemas over the engine's scalar types (boolean, int,
+Scope: record schemas over the engine's scalar types (boolean, int,
 long, float, double, string, bytes, date, timestamp-micros /
-local-timestamp-micros, nullable unions) — the shape every landing table
-in TESTDATA.md has. Nested records/arrays/maps raise loudly.
+local-timestamp-micros, nullable unions) plus block-encoded ARRAYS,
+string-keyed MAPS and NESTED RECORDS to any depth (round 11, VERDICT r10
+item 3 — the embeddings table's array<float> now round-trips). The one
+remaining gate: date/timestamp logical types INSIDE a nested type raise
+loudly (top-level logical columns convert via Arrow casts; nesting them
+would need a parallel datetime-object codec path no table here has).
 
 Scale shape: one container file per input partition on write (executors
 encode their own partition, driver sees only bounded (path, rows)
@@ -132,17 +136,53 @@ class _Reader:
 # --- schema mapping ----------------------------------------------------------
 
 
+def _spark_type_to_avro(dt, name: str, nested: bool):
+    """One Spark DataType → Avro type. ``name`` seeds unique record names
+    (Avro requires them); ``nested`` gates logical types (see module
+    docstring)."""
+    tn = dt.typeName()
+    if tn == "array":
+        inner = _spark_type_to_avro(dt.elementType, f"{name}_item", True)
+        if dt.containsNull:
+            inner = ["null", inner]
+        return {"type": "array", "items": inner}
+    if tn == "map":
+        if dt.keyType.typeName() != "string":
+            raise ValueError(
+                f"Avro maps are string-keyed; got {dt.keyType.typeName()} "
+                f"keys (field {name!r})"
+            )
+        inner = _spark_type_to_avro(dt.valueType, f"{name}_value", True)
+        if dt.valueContainsNull:
+            inner = ["null", inner]
+        return {"type": "map", "values": inner}
+    if tn == "struct":
+        fields = []
+        for f in dt.fields:
+            t = _spark_type_to_avro(f.dataType, f"{name}_{f.name}", True)
+            fields.append(
+                {"name": f.name, "type": ["null", t] if f.nullable else t}
+            )
+        return {"type": "record", "name": name, "fields": fields}
+    if tn not in _SPARK_TO_AVRO:
+        raise ValueError(
+            f"unsupported Spark type for Avro: {tn} (field {name!r})"
+        )
+    t = _SPARK_TO_AVRO[tn]
+    if nested and isinstance(t, dict):
+        raise ValueError(
+            f"date/timestamp inside a nested type is unsupported "
+            f"(field {name!r}) — top-level logical columns only"
+        )
+    return t
+
+
 def spark_schema_to_avro(schema, name: str = "row") -> dict:
-    """Spark StructType → Avro record schema (nullable → ["null", T])."""
+    """Spark StructType → Avro record schema (nullable → ["null", T]);
+    arrays / string-keyed maps / nested records recurse."""
     fields = []
     for f in schema.fields:
-        tn = f.dataType.typeName()
-        if tn not in _SPARK_TO_AVRO:
-            raise ValueError(
-                f"unsupported Spark type for Avro: {tn} (field {f.name!r}) — "
-                "flat scalar records only"
-            )
-        t = _SPARK_TO_AVRO[tn]
+        t = _spark_type_to_avro(f.dataType, f.name, False)
         fields.append(
             {"name": f.name, "type": ["null", t] if f.nullable else t}
         )
@@ -163,7 +203,29 @@ def _avro_to_arrow_type(t) -> pa.DataType:
             return pa.timestamp("us", tz="UTC")
         if lt == "local-timestamp-micros":
             return pa.timestamp("us")
-        t = t["type"]
+        ct = t["type"]
+        if ct == "array":
+            return pa.list_(
+                pa.field(
+                    "item",
+                    _avro_to_arrow_type(t["items"]),
+                    nullable=isinstance(t["items"], list),
+                )
+            )
+        if ct == "map":
+            return pa.map_(pa.string(), _avro_to_arrow_type(t["values"]))
+        if ct == "record":
+            return pa.struct(
+                [
+                    pa.field(
+                        f["name"],
+                        _avro_to_arrow_type(f["type"]),
+                        nullable=isinstance(f["type"], list),
+                    )
+                    for f in t["fields"]
+                ]
+            )
+        t = ct
     prim = {
         "boolean": pa.bool_(),
         "int": pa.int32(),
@@ -174,7 +236,7 @@ def _avro_to_arrow_type(t) -> pa.DataType:
         "bytes": pa.binary(),
     }
     if t not in prim:
-        raise ValueError(f"unsupported Avro type {t!r} — flat records only")
+        raise ValueError(f"unsupported Avro type {t!r}")
     return prim[t]
 
 
@@ -220,6 +282,29 @@ def _encode_value(buf: bytearray, t, v) -> None:
         _w_str(buf, v)
     elif bt == "bytes":
         _w_bytes(buf, bytes(v))
+    elif bt == "array":
+        # one block of count + items, then the 0 terminator (spec:
+        # "Arrays are encoded as a series of blocks")
+        if len(v):
+            _w_long(buf, len(v))
+            it = t["items"]
+            for item in v:
+                _encode_value(buf, it, item)
+        _w_long(buf, 0)
+    elif bt == "map":
+        # Arrow MapArray.to_pylist yields [(k, v), ...]; dicts also accepted
+        pairs = list(v.items()) if isinstance(v, dict) else list(v)
+        if pairs:
+            _w_long(buf, len(pairs))
+            vt = t["values"]
+            for k, mv in pairs:
+                _w_str(buf, k)
+                _encode_value(buf, vt, mv)
+        _w_long(buf, 0)
+    elif bt == "record":
+        # Arrow StructArray.to_pylist yields dicts; tuples also accepted
+        for i, f in enumerate(t["fields"]):
+            _encode_value(buf, f["type"], v[f["name"]] if isinstance(v, dict) else v[i])
     else:
         raise ValueError(f"unsupported type {t!r}")
 
@@ -244,6 +329,34 @@ def _decode_value(r: _Reader, t):
         return r.str_()
     if bt == "bytes":
         return r.bytes_()
+    if bt == "array":
+        out = []
+        it = t["items"]
+        while True:
+            n = r.long()
+            if n == 0:
+                return out
+            if n < 0:  # negative count: block byte size follows (spec)
+                n = -n
+                r.long()
+            for _ in range(n):
+                out.append(_decode_value(r, it))
+    if bt == "map":
+        pairs = []
+        vt = t["values"]
+        while True:
+            n = r.long()
+            if n == 0:
+                return pairs
+            if n < 0:
+                n = -n
+                r.long()
+            for _ in range(n):
+                # key then value, bound in STREAM order (the r10 lesson)
+                k = r.str_()
+                pairs.append((k, _decode_value(r, vt)))
+    if bt == "record":
+        return {f["name"]: _decode_value(r, f["type"]) for f in t["fields"]}
     raise ValueError(f"unsupported type {t!r}")
 
 
@@ -474,7 +587,18 @@ def _avro_to_spark_ddl(t) -> str:
             return "timestamp"
         if lt == "local-timestamp-micros":
             return "timestamp_ntz"
-        t = t["type"]
+        ct = t["type"]
+        if ct == "array":
+            return f"array<{_avro_to_spark_ddl(t['items'])}>"
+        if ct == "map":
+            return f"map<string,{_avro_to_spark_ddl(t['values'])}>"
+        if ct == "record":
+            inner = ",".join(
+                f"{f['name']}:{_avro_to_spark_ddl(f['type'])}"
+                for f in t["fields"]
+            )
+            return f"struct<{inner}>"
+        t = ct
     return {
         "boolean": "boolean",
         "int": "int",

@@ -85,6 +85,25 @@ FROM events
 GROUP BY CAST(date_trunc('hour', ts) AS TIMESTAMP), event_type
 """
 
+#: q205b oracle: the Avro leg is an identity transform, so the union equals
+#: the original table — per-label counts plus a left-fold self-dot checksum
+#: (the q40 bit-parity fold; list_reduce's first-element seed equals
+#: F.aggregate's 0.0+x1), decimal-summed for order-independence.
+_Q205B_DOT = (
+    "list_reduce(list_transform(list_zip(embedding, embedding), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)"
+)
+Q205B_SQL = f"""
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
+       CAST(SUM(LEN(embedding)) AS BIGINT) AS sum_dims,
+       CAST(SUM(CAST({_Q205B_DOT} AS DECIMAL(28,10))) AS DOUBLE) AS sum_self_dot
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
 
 def _scratch(prefix: str) -> str:
     """Deterministic scratch dir for round-trip faces: one fixed path per
@@ -296,6 +315,49 @@ GROUP BY 1
             F.sum(F.col("value").cast("decimal(18,6)"))
             .cast("double")
             .alias("sum_value"),
+        )
+
+    @register("q205b_avro_embeddings_roundtrip", Q205B_SQL)
+    def q205b_avro_embeddings_roundtrip(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Avro NESTED-TYPE round trip (round 11, VERDICT r10 item 3):
+        half the embeddings table — an ``array<float>`` column, the type
+        the r10 codec refused — lands as deflate Avro through the
+        engine's own block-encoded array codec, half stays parquet; the
+        re-ingested union must aggregate identically to the original.
+        The per-label checksum folds each vector's self-dot LEFT-FOLD in
+        double (the q40 bit-parity idiom — exact float32→double
+        products), casts the per-row double to an exact decimal (the
+        ``one_minus`` determinism argument), and decimal-sums, so any
+        corrupted element or dropped row changes the hash. Java-library
+        cross-reads for the array case are pinned both ways in
+        tests/test_avro.py."""
+        from ..llm.similarity import dot
+        from .avro import read_avro, write_avro
+
+        e = load_table(spark, sf_dir, "embeddings")
+        avro_half = e.filter(F.col("vec_id") % 2 == 0)
+        pq_half = e.filter(F.col("vec_id") % 2 == 1)
+        tmp = _scratch("q205b_avro_")
+        for name in os.listdir(tmp):
+            os.remove(os.path.join(tmp, name))
+        write_avro(avro_half.repartition(4), tmp, codec="deflate")
+        back = read_avro(spark, tmp).unionByName(pq_half)
+        self_dot = dot(F.col("embedding"), F.col("embedding"))
+        return (
+            back.groupBy("label")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("vec_id").cast("long").alias("sum_vec_id"),
+                F.sum(F.size("embedding").cast("long"))
+                .cast("long")
+                .alias("sum_dims"),
+                F.sum(self_dot.cast("decimal(28,10)"))
+                .cast("double")
+                .alias("sum_self_dot"),
+            )
+            .orderBy("label")
         )
 
 

@@ -184,14 +184,22 @@ def test_read_any_dispatches_avro(spark, tmp_path):
         read_any(spark, path, "feather")
 
 
-def test_spark_schema_mapping_rejects_nested():
+def test_spark_schema_mapping_rejects_nested_logical_types():
+    """Arrays/maps/records are supported (round 11); the remaining honest
+    gate is date/timestamp INSIDE a nested type — must raise loudly, not
+    silently mis-encode datetimes as longs."""
     import pyspark.sql.types as T
 
-    nested = T.StructType(
-        [T.StructField("a", T.ArrayType(T.LongType()), True)]
+    nested_ts = T.StructType(
+        [T.StructField("a", T.ArrayType(T.TimestampType()), True)]
     )
-    with pytest.raises(ValueError, match="flat scalar records only"):
-        spark_schema_to_avro(nested)
+    with pytest.raises(ValueError, match="nested type is unsupported"):
+        spark_schema_to_avro(nested_ts)
+    non_str_map = T.StructType(
+        [T.StructField("m", T.MapType(T.LongType(), T.LongType()), True)]
+    )
+    with pytest.raises(ValueError, match="string-keyed"):
+        spark_schema_to_avro(non_str_map)
 
 
 def test_date_type_roundtrip(spark, tmp_path):
@@ -207,3 +215,137 @@ def test_date_type_roundtrip(spark, tmp_path):
         key=lambda d: (d is None, d),
     )
     assert got == [datetime.date(1970, 1, 1), datetime.date(2024, 2, 29), None]
+
+
+# --- round 11: nested types (arrays, maps, nested records) -------------------
+
+NESTED_SCHEMA = {
+    "type": "record",
+    "name": "nrow",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "emb", "type": ["null", {"type": "array", "items": "float"}]},
+        {"name": "tags", "type": {"type": "map", "values": ["null", "long"]}},
+        {
+            "name": "meta",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "nrow_meta",
+                    "fields": [
+                        {"name": "a", "type": ["null", "long"]},
+                        {"name": "b", "type": "string"},
+                    ],
+                },
+            ],
+        },
+    ],
+}
+NESTED_ROWS = [
+    (1, [1.5, -2.25, 0.5], [("x", 3), ("y", None)], {"a": None, "b": "hi"}),
+    (2, [], [], {"a": 7, "b": "z"}),
+    (3, None, [("k", 1)], None),
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_python_roundtrip_nested(codec):
+    buf = io.BytesIO()
+    write_avro_file(buf, NESTED_SCHEMA, NESTED_ROWS, codec=codec)
+    got_schema, got = read_avro_file(buf.getvalue())
+    assert got_schema == NESTED_SCHEMA
+    assert got == NESTED_ROWS
+
+
+def test_java_library_reads_our_nested_types(spark, tmp_path):
+    """Spec compliance for the round-11 complex types, direction 1: the
+    Java Avro library must decode our block-encoded arrays, string-keyed
+    maps and nested records value-for-value."""
+    path = str(tmp_path / "nested_ours.avro")
+    with open(path, "wb") as fh:
+        write_avro_file(fh, NESTED_SCHEMA, NESTED_ROWS, codec="deflate")
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    got = []
+    while reader.hasNext():
+        rec = reader.next()
+        emb = rec.get("emb")
+        emb_py = (
+            None if emb is None else [float(emb.get(i)) for i in range(emb.size())]
+        )
+        tags = rec.get("tags")
+        tags_py = sorted(
+            (k.toString(), tags.get(k)) for k in tags.keySet()
+        )
+        meta = rec.get("meta")
+        meta_py = (
+            None
+            if meta is None
+            else {"a": meta.get("a"), "b": meta.get("b").toString()}
+        )
+        got.append((rec.get("id"), emb_py, tags_py, meta_py))
+    reader.close()
+    want = [(r[0], r[1], sorted(r[2]), r[3]) for r in NESTED_ROWS]
+    assert got == want
+
+
+def test_we_read_java_written_array_file(spark, tmp_path):
+    """Spec compliance, direction 2: the Java library's block-encoded
+    float arrays decode bit-exactly with the stdlib reader."""
+    import json
+
+    jvm = spark._jvm
+    schema = {
+        "type": "record",
+        "name": "jarr",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "v", "type": {"type": "array", "items": "float"}},
+        ],
+    }
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    path = str(tmp_path / "theirs_arr.avro")
+    writer.create(jschema, jvm.java.io.File(path))
+    rows = [(1, [0.5, -1.25, 3.0]), (2, []), (3, [2.0**-20])]
+    for k, vs in rows:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        rec.put("k", jvm.java.lang.Long.valueOf(k))
+        arr = jvm.java.util.ArrayList()
+        for v in vs:
+            arr.add(jvm.java.lang.Float.valueOf(v))
+        rec.put("v", arr)
+        writer.append(rec)
+    writer.close()
+    with open(path, "rb") as fh:
+        _, got = read_avro_file(fh.read())
+    assert got == rows
+
+
+def test_embeddings_table_roundtrips_distributed(spark, sf_dir):
+    """VERDICT r10 item 3's acceptance: the embeddings table (array<float>
+    column) round-trips through fmt='avro' with identical schema and
+    values."""
+    from redix_stream_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "avro_emb_roundtrip_test"
+    )
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    write_avro(e.repartition(3), path, codec="deflate")
+    back = read_avro(spark, path)
+    assert back.schema == e.schema
+    a = e.orderBy("vec_id").collect()
+    b = back.orderBy("vec_id").collect()
+    assert a == b
+    shutil.rmtree(path, ignore_errors=True)
