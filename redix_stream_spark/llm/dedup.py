@@ -1331,10 +1331,13 @@ def q107b_containment_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
       uniform-random partners of ultra-promiscuous probe docs — the
       boilerplate-collision class the df cap already documents.
 
-    Measured (SCALING.md round 10): 11.6 s at 10× / 63.8 s at 100× —
-    exp(10×→100×) = 0.74 vs q107's 0.98, and 1.8× faster absolute at
-    100×. q107 remains the oracle-exact reference face; this is the one
-    a 100 TB corpus runs (the q41/q41b pairing, applied to containment)."""
+    Measured: the canonical numbers are the scripts/sf10_spot.json row —
+    the artifact regression tooling reads — 21.5 s at 10× / 88.9 s at
+    100×, exp(10×→100×) = 0.62 vs q107's 0.98 (isolated sessions read
+    faster absolute and up to 0.82 on the exponent; SCALING.md round 10
+    documents the spread). q107 remains the oracle-exact reference face;
+    this is the one a 100 TB corpus runs (the q41/q41b pairing, applied
+    to containment)."""
     d = load_table(spark, sf_dir, "documents")
     hs = F.array_distinct(F.transform(shingles(F.col("text")), _h60))
     posts = (

@@ -97,7 +97,7 @@ class StreamingCorpusCleaner:
             # Promoted: continue from the published staging data (the
             # batch was already materialized by the gate's one pass —
             # reading it back beats recomputing an arbitrary upstream).
-            batch = spark.read.parquet(self.gate._final(epoch_id)).select(
+            batch = spark.read.parquet(self.gate._epoch_dir(epoch_id)).select(
                 "doc_id", "text"
             )
         scored = batch.select("doc_id", "text", *quality_columns()).cache()

@@ -43,6 +43,31 @@ import os
 import shutil
 
 
+def commit_pointer(path: str, payload: dict) -> None:
+    """Atomically replace the pointer object at ``path`` with ``payload``.
+
+    Local filesystems: write-temp + ``os.replace`` (atomic). Object
+    stores: this maps to a single small PUT of the pointer key — the one
+    operation S3/GCS make atomic for readers. The primitive behind every
+    durable-state commit in the engine (GenerationState, and the
+    GatedEpochWriter's published-epoch set)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
+def read_pointer(path: str) -> dict | None:
+    """The committed pointer document, or None before first commit."""
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
 class GenerationState:
     """Generation-directory layout with an atomically-committed pointer."""
 
@@ -59,11 +84,7 @@ class GenerationState:
 
     def pointer(self) -> dict | None:
         """The committed pointer document, or None before first commit."""
-        try:
-            with open(self._pointer_path()) as fh:
-                return json.load(fh)
-        except FileNotFoundError:
-            return None
+        return read_pointer(self._pointer_path())
 
     def meta(self) -> dict:
         """Operator metadata committed with the current generation."""
@@ -109,12 +130,7 @@ class GenerationState:
         stores: this maps to a single small PUT of the pointer key —
         the one operation S3/GCS make atomic for readers.
         """
-        tmp = self._pointer_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"gen": gen, **meta}, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, self._pointer_path())
+        commit_pointer(self._pointer_path(), {"gen": gen, **meta})
 
     def cleanup(self, keep: set[int] | None = None) -> int:
         """Remove generation dirs that are neither current nor in

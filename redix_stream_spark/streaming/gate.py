@@ -3,24 +3,36 @@
 q203 declares the expectation-suite shape (per-row predicates folded into
 map-side violation counters); ``observe()`` (streaming/metrics.py) proves
 counters can ride a query's own job via CollectMetrics. This module makes
-the counters GATE something: an epoch's output is written once — to a
-staging directory, with the expectation sums attached to that very write
-job through ``pyspark.sql.Observation`` (zero extra source pass,
-plan-asserted in tests) — and is PROMOTED to the published path only if
-every violation count is within its declared threshold. A failing epoch
-is quarantined with its counter values instead of landing half-bad data
-a downstream training job would silently absorb (Deequ's
-"check-then-publish", on Spark's native observed-metrics mechanism).
+the counters GATE something: an epoch's output is written once — into its
+own epoch directory, with the expectation sums attached to that very
+write job through ``pyspark.sql.Observation`` (zero extra source pass,
+plan-asserted in tests) — and is PUBLISHED only if every violation count
+is within its declared threshold. A failing epoch is quarantined with its
+counter values instead of landing half-bad data a downstream training job
+would silently absorb (Deequ's "check-then-publish", on Spark's native
+observed-metrics mechanism).
 
-Crash semantics follow the matview/commit.py discipline: the staging
-write is overwrite-per-epoch (replay-idempotent), promotion is one
-atomic directory rename, and a replay of an already-promoted epoch is a
-no-op — so at-least-once foreachBatch delivery never double-publishes
-and never re-quarantines a published epoch.
+Publication is a POINTER COMMIT, not a directory rename (round 11,
+VERDICT r10 item 4): the epoch's data files are reader-invisible until
+the tiny ``PUBLISHED`` pointer object — the set of promoted epoch ids —
+is atomically replaced (``commit.commit_pointer``: os.replace locally,
+one small PUT on an object store). This is the same discipline every
+other durable state site uses (GenerationState, E52b); the previous
+``os.rename`` promote was atomic only on POSIX, which contradicted the
+repo's own storage rule. Crash windows (pinned in tests/test_gate.py):
 
-Scale: the gate adds ZERO passes (the counters ride the staging write),
+- after the data write, before the pointer commit → the epoch dir is
+  orphaned but invisible; foreachBatch replay overwrites it and commits;
+- after the pointer commit → replay sees the epoch published, no-op;
+- after quarantine, before/after the journal line → replay short-circuits
+  on the quarantine dir (no re-stage), and the journal dedupes by epoch
+  on read, so an epoch is never double-reported (ADVICE r10).
+
+Scale: the gate adds ZERO passes (the counters ride the epoch write),
 one driver-side dict read per epoch (Observation.get — the bounded
-consumer-watermark class), and one rename.
+consumer-watermark class), and one pointer PUT. The quarantine move is a
+local rename — diagnostic state, never read by ``published``, so object
+stores may implement it as copy+delete without a correctness window.
 """
 
 from __future__ import annotations
@@ -33,6 +45,8 @@ import time
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.observation import Observation
+
+from .commit import commit_pointer, read_pointer
 
 
 class GatedEpochWriter:
@@ -47,29 +61,35 @@ class GatedEpochWriter:
         })
         ok = gate.apply_batch(batch_df, epoch_id)
 
-    Layout: ``<root>/epoch=N/`` (promoted), ``<root>/_staging/epoch=N/``
-    (in flight), ``<root>/_quarantine/epoch=N/`` + ``_quarantine.jsonl``
-    (withheld epochs and their counter values).
+    Layout: ``<root>/epoch=N/`` (epoch data — visible ONLY via the
+    pointer), ``<root>/PUBLISHED`` (the committed epoch-id set),
+    ``<root>/_quarantine/epoch=N/`` + ``_quarantine.jsonl`` (withheld
+    epochs and their counter values).
     """
+
+    POINTER = "PUBLISHED"
 
     def __init__(self, root: str, expectations: dict[str, tuple[Column, int]]):
         if not expectations:
             raise ValueError("expectations must declare at least one rule")
         self.root = root
         self.expectations = dict(expectations)
-        os.makedirs(os.path.join(root, "_staging"), exist_ok=True)
         os.makedirs(os.path.join(root, "_quarantine"), exist_ok=True)
 
     # -- paths -------------------------------------------------------------
 
-    def _final(self, epoch_id: int) -> str:
-        return os.path.join(self.root, f"epoch={epoch_id}")
+    def _pointer_path(self) -> str:
+        return os.path.join(self.root, self.POINTER)
 
-    def _staging(self, epoch_id: int) -> str:
-        return os.path.join(self.root, "_staging", f"epoch={epoch_id}")
+    def _epoch_dir(self, epoch_id: int) -> str:
+        return os.path.join(self.root, f"epoch={epoch_id}")
 
     def _quarantine(self, epoch_id: int) -> str:
         return os.path.join(self.root, "_quarantine", f"epoch={epoch_id}")
+
+    def published_epochs(self) -> list[int]:
+        doc = read_pointer(self._pointer_path())
+        return sorted(doc["epochs"]) if doc else []
 
     # -- the gate ----------------------------------------------------------
 
@@ -87,19 +107,19 @@ class GatedEpochWriter:
         return df.observe(obs, *aggs), obs
 
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> bool:
-        """Stage-write ``batch`` with inline counters, then promote or
-        quarantine. Returns True iff the epoch was promoted (or already
-        was). Safe under foreachBatch replay."""
-        final = self._final(epoch_id)
-        if os.path.exists(final):
-            return True  # crash-after-promote replay: already published
+        """Write ``batch`` with inline counters, then publish (pointer
+        commit) or quarantine. Returns True iff the epoch is published
+        (or already was). Safe under foreachBatch replay."""
+        published = set(self.published_epochs())
+        if epoch_id in published:
+            return True  # crash-after-commit replay: already published
         if os.path.exists(self._quarantine(epoch_id)):
             # crash-after-quarantine replay: already journaled — re-staging
             # would append a duplicate _quarantine.jsonl line (ADVICE r10).
             return False
         observed, obs = self.observed_df(batch)
-        staging = self._staging(epoch_id)
-        observed.write.mode("overwrite").parquet(staging)  # THE one pass
+        epoch_dir = self._epoch_dir(epoch_id)
+        observed.write.mode("overwrite").parquet(epoch_dir)  # THE one pass
         got = obs.get
         violations = {
             name: int(got[name] or 0)
@@ -107,12 +127,15 @@ class GatedEpochWriter:
             if int(got[name] or 0) > limit
         }
         if not violations:
-            os.rename(staging, final)  # atomic publish
+            commit_pointer(
+                self._pointer_path(),
+                {"epochs": sorted(published | {epoch_id}), "ts": time.time()},
+            )
             return True
         qdir = self._quarantine(epoch_id)
         if os.path.exists(qdir):
             shutil.rmtree(qdir)
-        os.rename(staging, qdir)
+        os.rename(epoch_dir, qdir)  # diagnostic move — not reader-visible
         with open(os.path.join(self.root, "_quarantine.jsonl"), "a") as f:
             f.write(
                 json.dumps(
@@ -133,23 +156,28 @@ class GatedEpochWriter:
     # -- read side ---------------------------------------------------------
 
     def published(self, spark) -> DataFrame:
-        """All promoted epochs (quarantined data never surfaces here)."""
-        dirs = [
-            os.path.join(self.root, d)
-            for d in os.listdir(self.root)
-            if d.startswith("epoch=")
-        ]
-        if not dirs:
-            first = self.expectations  # no epochs yet: empty frame
+        """All published epochs — resolved through the pointer, so a
+        crashed (orphaned, uncommitted) epoch dir never surfaces here."""
+        epochs = self.published_epochs()
+        if not epochs:
             raise FileNotFoundError(
-                f"no promoted epochs under {self.root} "
-                f"(rules: {sorted(first)})"
+                f"no published epochs under {self.root} "
+                f"(rules: {sorted(self.expectations)})"
             )
+        dirs = [self._epoch_dir(e) for e in epochs]
         return spark.read.option("basePath", self.root).parquet(*dirs)
 
     def quarantined_epochs(self) -> list[dict]:
+        """The quarantine journal, deduped by epoch (last line wins — a
+        crash between the quarantine move and the journal append can
+        produce a replayed duplicate; reporting must not double-count)."""
         path = os.path.join(self.root, "_quarantine.jsonl")
         if not os.path.exists(path):
             return []
+        by_epoch: dict[int, dict] = {}
         with open(path) as f:
-            return [json.loads(line) for line in f if line.strip()]
+            for line in f:
+                if line.strip():
+                    rec = json.loads(line)
+                    by_epoch[int(rec["epoch"])] = rec
+        return [by_epoch[e] for e in sorted(by_epoch)]

@@ -26,7 +26,7 @@ def test_gate_promotes_clean_quarantines_bad(spark, tmp_path):
     g = GatedEpochWriter(str(tmp_path / "out"), RULES())
     clean = [(1, "alpha beta gamma"), (2, "delta epsilon zeta")]
     assert g.apply_batch(_batch(spark, clean), 0) is True
-    assert os.path.isdir(g._final(0))
+    assert g.published_epochs() == [0]
     # one short text is within the tolerance of 1 → still promotes
     assert g.apply_batch(
         _batch(spark, [(3, "ok words here"), (4, "short")]), 1
@@ -34,7 +34,7 @@ def test_gate_promotes_clean_quarantines_bad(spark, tmp_path):
     # two violations of min_words + a null doc_id → quarantined
     bad = [(None, "x"), (6, "y"), (7, "long enough text here")]
     assert g.apply_batch(_batch(spark, bad), 2) is False
-    assert not os.path.exists(g._final(2))
+    assert 2 not in g.published_epochs()
     assert os.path.isdir(g._quarantine(2))
     q = g.quarantined_epochs()
     assert len(q) == 1 and q[0]["epoch"] == 2
@@ -70,8 +70,48 @@ def test_gate_replay_is_idempotent(spark, tmp_path):
     bad = [(None, "x"), (None, "y"), (9, "long enough text here")]
     assert g.apply_batch(_batch(spark, bad), 1) is False
     assert g.apply_batch(_batch(spark, bad), 1) is False  # replay
-    assert not os.path.exists(g._final(1))
+    assert 1 not in g.published_epochs()
     assert g.published(spark).count() == n0
+    # the double replay of the bad epoch must not double-journal it
+    assert [q["epoch"] for q in g.quarantined_epochs()] == [1]
+
+
+def test_gate_crash_windows_pointer_commit(spark, tmp_path):
+    """The promote step is a pointer commit (VERDICT r10 item 4): an
+    epoch directory that exists WITHOUT a pointer entry (crash between
+    the data write and the commit) is invisible to readers, and the
+    foreachBatch replay overwrites + publishes it exactly once."""
+    g = GatedEpochWriter(str(tmp_path / "out"), RULES())
+    assert g.apply_batch(_batch(spark, [(1, "alpha beta gamma")]), 0) is True
+    # simulate crash-before-commit: epoch=1's data landed, pointer didn't
+    _batch(spark, [(9, "stale partial data")]).write.mode(
+        "overwrite"
+    ).parquet(g._epoch_dir(1))
+    assert g.published_epochs() == [0]
+    assert {r["doc_id"] for r in g.published(spark).collect()} == {1}
+    # replay of epoch 1 overwrites the orphan and commits atomically
+    assert g.apply_batch(_batch(spark, [(2, "delta epsilon zeta")]), 1) is True
+    assert g.published_epochs() == [0, 1]
+    assert {r["doc_id"] for r in g.published(spark).collect()} == {1, 2}
+
+
+def test_gate_journal_dedupes_by_epoch(spark, tmp_path):
+    """A crash between the quarantine move and the journal append can
+    replay into a duplicate journal line; reads must report each epoch
+    once (last line wins)."""
+    import json
+
+    g = GatedEpochWriter(str(tmp_path / "out"), RULES())
+    bad = [(None, "x"), (None, "y"), (9, "long enough text here")]
+    assert g.apply_batch(_batch(spark, bad), 3) is False
+    path = os.path.join(g.root, "_quarantine.jsonl")
+    with open(path) as fh:
+        line = fh.readline()
+    with open(path, "a") as fh:
+        fh.write(line)  # simulated replayed duplicate
+    q = g.quarantined_epochs()
+    assert [r["epoch"] for r in q] == [3]
+    assert q[0]["violations"]["doc_id.not_null"] == 2
 
 
 def test_gate_requires_rules(tmp_path):
