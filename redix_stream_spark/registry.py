@@ -50,7 +50,7 @@ def _load() -> None:
     from .functions import udfs  # noqa: F401
     from .plans import advisor, skew, zorder  # noqa: F401
     from .sources import ingest, manifest_table  # noqa: F401
-    from .streaming import manifest_log, matview, quantile  # noqa: F401
+    from .streaming import gate, manifest_log, matview, quantile  # noqa: F401
 
     _loaded = True
 

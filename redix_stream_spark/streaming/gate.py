@@ -181,3 +181,121 @@ class GatedEpochWriter:
                     rec = json.loads(line)
                     by_epoch[int(rec["epoch"])] = rec
         return [by_epoch[e] for e in sorted(by_epoch)]
+
+
+# --- q208: quarantine triage (round 11, VERDICT r10 item 8) -------------------
+# The operational readout a data-quality gate exists to feed: which epochs
+# were withheld, on which rules, by how much. Everything below is bounded
+# metadata — the journal is one line per quarantined epoch.
+
+#: Deterministic triage fixture: 4 epochs (doc_id % 4) gated by three
+#: rules whose violation density is epoch-dependent BY CONSTRUCTION —
+#: doc_id % 16 < 2 hits only epochs 0 and 1 (residues 0,1 mod 4);
+#: doc_id % 32 == 18 hits only epoch 2 — so at EVERY scale factor the
+#: matrix shows epochs 0/1/2 quarantined on different rules and epoch 3
+#: published, with a clean (never-exceeded) rule riding along.
+Q208_EPOCHS = 4
+
+Q208_SQL = """
+WITH rows_ AS (
+  SELECT CAST(doc_id % 4 AS BIGINT) AS epoch,
+         CASE WHEN doc_id % 16 < 2 THEN 1 ELSE 0 END AS v_mod16,
+         CASE WHEN doc_id % 32 = 18 THEN 1 ELSE 0 END AS v_mod32,
+         CASE WHEN LEN(string_split(text, ' ')) < 5 THEN 1 ELSE 0 END AS v_minw
+  FROM documents
+),
+agg AS (
+  SELECT epoch, CAST(COUNT(*) AS BIGINT) AS n_checked,
+         CAST(SUM(v_mod16) AS BIGINT) AS viol_mod16,
+         CAST(SUM(v_mod32) AS BIGINT) AS viol_mod32,
+         CAST(SUM(v_minw) AS BIGINT) AS viol_minw
+  FROM rows_ GROUP BY epoch
+),
+quarantined AS (
+  SELECT * FROM agg
+  WHERE viol_mod16 > 0 OR viol_mod32 > 0 OR viol_minw > 50
+),
+matrix AS (
+  SELECT epoch, 'planted.mod16' AS rule, n_checked,
+         viol_mod16 AS n_violations, CAST(0 AS BIGINT) AS violation_limit
+  FROM quarantined WHERE viol_mod16 > 0
+  UNION ALL
+  SELECT epoch, 'planted.mod32_18', n_checked, viol_mod32, CAST(0 AS BIGINT)
+  FROM quarantined WHERE viol_mod32 > 0
+  UNION ALL
+  SELECT epoch, 'text.min_words', n_checked, viol_minw, CAST(50 AS BIGINT)
+  FROM quarantined WHERE viol_minw > 50
+)
+SELECT epoch, rule, n_checked, n_violations, violation_limit,
+       n_violations - violation_limit AS over_by
+FROM matrix
+ORDER BY epoch, rule
+"""
+
+
+def _register_q208() -> None:
+    from ..registry import register
+
+    @register("q208_quarantine_triage", Q208_SQL)
+    def q208_quarantine_triage(spark, sf_dir: str) -> DataFrame:
+        """End-to-end quarantine triage (round 11): run the observe-gated
+        writer over a deterministic 4-epoch split of the documents
+        corpus, then read ``_quarantine.jsonl`` back into the
+        violated-rule × epoch matrix — rule, violations vs limit, and
+        how far over — the readout an on-call data-quality owner pages
+        on. Violation densities are epoch-dependent by construction
+        (see Q208_EPOCHS note), so epochs 0/1/2 quarantine on DIFFERENT
+        rules and epoch 3 publishes, at every scale factor.
+
+        The oracle replays the gate arithmetic in SQL (the journal is a
+        pure function of the corpus), so the driver hash-verifies the
+        whole loop: CollectMetrics counters → threshold gate →
+        quarantine journal → triage matrix.
+
+        Scale: the gated writes are the corpus pass the pipeline pays
+        anyway (counters ride them — zero extra passes); the triage
+        itself reads ONE jsonl line per quarantined epoch (bounded
+        metadata, the consumer-watermark class) and never touches the
+        quarantined parquet payloads."""
+        import shutil
+        import tempfile
+
+        from ..catalog import load_table
+
+        root = os.path.join(tempfile.gettempdir(), "redix_q208_gate")
+        shutil.rmtree(root, ignore_errors=True)
+        rules = {
+            "planted.mod16": (F.col("doc_id") % 16 < 2, 0),
+            "planted.mod32_18": (F.col("doc_id") % 32 == 18, 0),
+            "text.min_words": (F.size(F.split("text", " ")) < 5, 50),
+        }
+        gate = GatedEpochWriter(root, rules)
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        for epoch in range(Q208_EPOCHS):
+            gate.apply_batch(d.filter(F.col("doc_id") % Q208_EPOCHS == epoch), epoch)
+        # The journal is one line per quarantined epoch — driver-side read
+        # of bounded metadata (Spark's own scan would skip it anyway:
+        # Hadoop path filters hide _-prefixed files).
+        rows = [
+            (
+                int(rec["epoch"]),
+                rule,
+                int(rec["n_checked"]),
+                int(n),
+                int(rec["limits"][rule]),
+            )
+            for rec in gate.quarantined_epochs()
+            for rule, n in sorted(rec["violations"].items())
+        ]
+        journal = spark.createDataFrame(
+            rows,
+            "epoch long, rule string, n_checked long, "
+            "n_violations long, violation_limit long",
+        )
+        return journal.withColumn(
+            "over_by",
+            (F.col("n_violations") - F.col("violation_limit")).cast("long"),
+        ).orderBy("epoch", "rule")
+
+
+_register_q208()

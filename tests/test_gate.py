@@ -157,3 +157,21 @@ def test_cleaner_withholds_poisoned_epoch_and_claims_no_bands(spark, tmp_path):
     rep = c.report(spark).collect()[0]
     assert rep["n_in"] == 3  # epochs 0 and 2 only; withheld epoch counts 0
     assert rep["n_accepted"] == 2 and rep["n_dup_dropped"] == 1
+
+
+def test_q208_triage_matrix_shape(spark, sf_dir):
+    """The planted rule densities quarantine epochs 0/1/2 on DIFFERENT
+    rules and publish epoch 3, at any scale factor — and the matrix
+    reports exactly the exceeded rules."""
+    from redix_stream_spark.registry import all_queries
+
+    rows = all_queries()["q208_quarantine_triage"](spark, sf_dir).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], set()).add(r["rule"])
+        assert r["over_by"] == r["n_violations"] - r["violation_limit"] > 0
+    assert by_epoch == {
+        0: {"planted.mod16"},
+        1: {"planted.mod16"},
+        2: {"planted.mod32_18"},
+    }
