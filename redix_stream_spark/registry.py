@@ -65,72 +65,72 @@ def _load() -> None:
 # Window policy: a query needs ONE green driver row, ever — but stale
 # evidence rots as shared helpers evolve, so the window ROTATES: after
 # new/changed faces take their slots, remaining slots go to the names
-# whose latest driver row is OLDEST. The ROUND-10 window leads with the
-# two new faces (q107b — containment's checkpointed hashed+budgeted
-# production face — and q205, the Avro round trip through the engine's
-# own OCF codec), then the two faces whose plan/oracle changed this
-# round (q203 restructured to one wide aggregate + stack unpivot with
-# CASE-sum violation counters; q201's intersect hoisted in both Spark
-# and oracle). Rotation fills the remaining 46 slots with the names
-# whose latest driver row is oldest — all thirty r4-latest names, then
-# sixteen r5-latest names ordered by name (deterministic; computed from
-# test_registry_order's R1–R9 evidence sets). Rotated out: the r9
-# window (now the R9_CHECKED permanent-evidence set).
+# whose latest driver row is OLDEST. The ROUND-11 window leads with the
+# three new faces (q162b — the DC-decode image near-dup production
+# face; q205b — the Avro nested-array embeddings round trip; q208 —
+# the quarantine triage matrix) plus q207, whose plan changed this
+# round (it now consumes the shared production-pairs artifact — the
+# fresh row re-proves hash-invisibility). Rotation fills the remaining
+# 46 slots with the names whose latest driver row is oldest: all
+# twenty-nine r5-latest names, then the first seventeen r6-latest
+# names ordered by name (deterministic; computed from
+# test_registry_order's R1-R10 evidence sets). Rotated out: the r10
+# window (now the R10_CHECKED permanent-evidence set).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- new in round 10 --
-    "q107b_containment_budgeted",
-    "q205_avro_roundtrip",
-    "q206_pii_scrub",
+    # -- new in round 11 --
+    "q162b_image_neardup_fast",
+    "q205b_avro_embeddings_roundtrip",
+    "q208_quarantine_triage",
+    # -- changed in round 11 (fresh row re-proves the new plan) --
     "q207_dup_source_matrix",
-    # -- changed in round 10 (fresh rows re-prove the new plans) --
-    "q203_expectations",
-    "q201_cluster_audit",
-    # -- rotation: latest driver row is r4 --
-    "q122_scd2_history",
-    "q124_exact_group_median",
-    "q127_interval_overlap",
-    "q127b_interval_overlap_agg",
-    "q12_grouping_sets",
-    "q131_token_bigrams",
-    "q132_csv_orc_roundtrip",
-    "q134_semantic_decontaminate",
-    "q135_udtf_passages",
-    "q137_schema_evolution",
-    "q138_sq8_ann_topk",
-    "q13_window_topk_per_group",
-    "q141_kmeans_clusters",
-    "q142_bpe_merges",
-    "q143_weighted_median",
-    "q14_window_analytic",
-    "q15_top_global",
-    "q16_set_ops",
-    "q17_scalar_string_math",
-    "q44_window_frames",
-    "q45_string_null_fns",
-    "q46_array_ops",
-    "q47_correlation",
-    "q48_string_agg",
-    "q49_bitwise_misc",
-    "q60_funnel",
-    "q61_retention",
-    "q65_unpivot",
-    "q66_multiset_ops",
-    "q80b_neardup_clusters_star",
     # -- rotation: latest driver row is r5 --
-    "q09_distinct_users",
-    "q109_sliding_distinct",
-    "q10_rollup_orders",
-    "q120_heavy_hitters",
-    "q136_streaming_quantiles",
-    "q139_manifest_log",
-    "q140_bm25_search",
-    "q144_pagerank",
-    "q148_triangle_count",
-    "q151_pareto_frontier",
-    "q152_mad_outliers",
-    "q153_equidepth_bins",
-    "q154_scd2_asof_join",
-    "q155_audio_windows",
+    "q156_kcore_decomposition",
+    "q157_bfs_levels",
+    "q158_salted_join_revenue",
+    "q159_ref_integrity_audit",
+    "q160_funnel",
+    "q161_attribution",
+    "q164_trend_ols",
+    "q165_sessionize",
+    "q18_scalar_datetime",
+    "q19_json_props",
+    "q20_tumbling_window",
+    "q21_sliding_window",
+    "q22_session_window",
+    "q23_stream_replay",
+    "q24_dedup_first",
+    "q25_pending_antijoin",
+    "q26_percentiles",
+    "q30_text_stats",
+    "q31_top_tokens",
+    "q36_minhash_lsh_neardup",
+    "q36b_minhash_production",
+    "q40_cosine_topk",
+    "q41_embedding_neardup",
+    "q42_ann_lsh_topk",
+    "q43_image_features",
+    "q54_pandas_udf_tokens",
+    "q55_rowwise_udf_tokens",
+    "q85_hash_split",
+    "q88_quota_sample",
+    # -- rotation: latest driver row is r6 (first 17 by name) --
+    "q107_containment_dup",
+    "q118_leakage_safe_split",
+    "q147_binary_ann_topk",
+    "q162_image_neardup",
+    "q163_bpe_encode",
+    "q167_sssp_bounded",
+    "q169_knn_graph",
+    "q170_column_profile",
+    "q171_cluster_histogram",
+    "q173_incremental_clusters",
+    "q174_density_clusters",
+    "q23b_replay_scaled",
+    "q27_moment_stats",
+    "q28_pivot_events",
+    "q29_map_ops",
+    "q32_doc_quality",
+    "q33_lang_id",
 )
 
 

@@ -11,16 +11,14 @@ from __future__ import annotations
 from redix_stream_spark import registry
 
 MUST_BE_IN_WINDOW = {
-    # New round-10 faces.
-    "q107b_containment_budgeted",
-    "q205_avro_roundtrip",
-    "q206_pii_scrub",
+    # New round-11 faces.
+    "q162b_image_neardup_fast",
+    "q205b_avro_embeddings_roundtrip",
+    "q208_quarantine_triage",
+    # Changed in round 11: q207 now consumes the shared production-pairs
+    # artifact (llm/artifacts.py::production_pairs) — the fresh row
+    # re-proves the artifact is hash-invisible.
     "q207_dup_source_matrix",
-    # Changed in round 10: q203 restructured (one wide aggregate +
-    # stack unpivot, CASE-sum violation counters); q201's pair intersect
-    # hoisted in both the Spark plan and the generated oracle.
-    "q203_expectations",
-    "q201_cluster_audit",
 }
 
 # The 50 queries the r2 driver window checked (CORRECTNESS_r02 rows —
@@ -237,6 +235,30 @@ R9_CHECKED = {
 }
 
 
+# The 50 queries the r10 driver window checked (CORRECTNESS_r10 rows —
+# 47 hash-green + 3 declared rows-only faces, each pytest-pinned).
+R10_CHECKED = {
+    "q09_distinct_users", "q107b_containment_budgeted",
+    "q109_sliding_distinct", "q10_rollup_orders", "q120_heavy_hitters",
+    "q122_scd2_history", "q124_exact_group_median", "q127_interval_overlap",
+    "q127b_interval_overlap_agg", "q12_grouping_sets", "q131_token_bigrams",
+    "q132_csv_orc_roundtrip", "q134_semantic_decontaminate",
+    "q135_udtf_passages", "q136_streaming_quantiles",
+    "q137_schema_evolution", "q138_sq8_ann_topk", "q139_manifest_log",
+    "q13_window_topk_per_group", "q140_bm25_search", "q141_kmeans_clusters",
+    "q142_bpe_merges", "q143_weighted_median", "q144_pagerank",
+    "q148_triangle_count", "q14_window_analytic", "q151_pareto_frontier",
+    "q152_mad_outliers", "q153_equidepth_bins", "q154_scd2_asof_join",
+    "q155_audio_windows", "q15_top_global", "q16_set_ops",
+    "q17_scalar_string_math", "q201_cluster_audit", "q203_expectations",
+    "q205_avro_roundtrip", "q206_pii_scrub", "q207_dup_source_matrix",
+    "q44_window_frames", "q45_string_null_fns", "q46_array_ops",
+    "q47_correlation", "q48_string_agg", "q49_bitwise_misc",
+    "q60_funnel", "q61_retention", "q65_unpivot",
+    "q66_multiset_ops", "q80b_neardup_clusters_star",
+}
+
+
 def test_every_query_has_a_driver_row_across_rounds():
     """The current window + the r1–r8 rows must cover every registered
     query, so that after this round no query has ever gone
@@ -254,6 +276,7 @@ def test_every_query_has_a_driver_row_across_rounds():
         - R7_CHECKED
         - R8_CHECKED
         - R9_CHECKED
+        - R10_CHECKED
     )
     assert not uncovered, f"queries with no driver row in any round: {uncovered}"
 
