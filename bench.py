@@ -344,6 +344,15 @@ HEADLINE = [
     "q205_avro_roundtrip",
     "q206_pii_scrub",
     "q207_dup_source_matrix",
+    # round-11 adds: the DC-decode image near-dup production face (q162
+    # stays timed as the exact-pixel face), the Avro nested-array
+    # embeddings round trip, and the quarantine-triage matrix over the
+    # observe-gated epoch loop. q207 is unchanged here but now consumes
+    # the production-pairs artifact (built untimed in ensure_artifacts,
+    # like the labels its siblings consume).
+    "q162b_image_neardup_fast",
+    "q205b_avro_embeddings_roundtrip",
+    "q208_quarantine_triage",
 ]
 
 
@@ -355,9 +364,12 @@ def ensure_artifacts(spark, sf_dir: str) -> None:
     timed separately — still charges the full clustering pipeline every
     run. Without this, whichever consumer happens to run first would
     absorb the one-off build into its reading."""
-    from redix_stream_spark.llm.artifacts import cluster_labels
+    from redix_stream_spark.llm.artifacts import cluster_labels, production_pairs
 
     cluster_labels(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # q207's pair relation (round 11): same policy — q36b, timed, still
+    # charges the full production-width pipeline every run.
+    production_pairs(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
 
 #: Approximate-ANN quality trend (VERDICT r7 item 6): recall is recorded

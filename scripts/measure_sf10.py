@@ -66,6 +66,13 @@ FACES = [
     "q176b_link_prediction_capped",
     "q190b_layout_advisor_sampled",
     "q196_mor_delete",
+    # round-10 extensions (merged via --only into sf10_spot.json)
+    "q107b_containment_budgeted",
+    "q195b_audience_overlap_prefiltered",
+    "q204_personalized_pagerank",
+    "q162_image_neardup",
+    # round-11: the DC-decode production face next to its exact twin
+    "q162b_image_neardup_fast",
 ]
 
 
