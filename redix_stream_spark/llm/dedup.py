@@ -501,7 +501,16 @@ def simhash_near_dup_pairs(
         "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")
     ).select("doc_id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
+    # Verify inside the join projection, filter, THEN dedupe (round 11,
+    # the q162b lesson): the raw candidate relation is
+    # O(n_chunks · n² / 2^chunk_width) rows and a .distinct() there is
+    # the dominant shuffle at corpus scale; hamming is a pure function
+    # of the pair, so filter-then-distinct is value-identical and the
+    # dedupe only ever sees true near-dup pairs.
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
         a.join(
             b,
             (F.col("a.ci") == F.col("b.ci"))
@@ -511,15 +520,11 @@ def simhash_near_dup_pairs(
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            hamming.alias("hamming"),
         )
+        .filter(F.col("hamming") <= hamming_max)
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select(
-        "doc_id_a", "doc_id_b", hamming.cast("long").alias("hamming")
-    ).filter(F.col("hamming") <= hamming_max)
 
 
 def _gen_cluster_oracle_sql(source: str = "documents") -> str:

@@ -1356,9 +1356,24 @@ def _synth_image_big(doc_id: int) -> bytes:
     hold): the variant's thumbnail differs from its base in at most the 2
     comparisons touching the cell — intra-group pairs stay <=4 bits in
     any format combination, and the full-pixel and thumbnail paths hash
-    the same values (constant cells: sampled pixel == block mean)."""
+    the same values (constant cells: sampled pixel == block mean).
+
+    16 gray levels (vs q162's 4): constant cells survive BOTH codecs
+    exactly, so the margin only needs to clear rounding (≤1), and the
+    finer palette raises dHash entropy — with 4 levels the banded join's
+    key buckets skewed ~6x over uniform on the 100x replica (correlated
+    comparison bits), a real image-corpus effect (flat regions, shared
+    borders) the production face should carry at realistic density, not
+    pathologically amplified. Levels are 8 + 16k, so xor-128 (±128) maps
+    the set onto itself and margins between distinct levels stay ≥16."""
     base_id = doc_id // DHASH_GROUP
-    cells = (16 + 64 * _cell_levels(base_id)).astype(np.uint8)
+    # RandomState sequence mirrors _cell_levels but over 16 levels.
+    rs = np.random.RandomState(base_id % (1 << 32))
+    levels = np.empty((DHASH_ROWS, DHASH_COLS), dtype=np.int64)
+    levels[:, 0] = rs.randint(0, 16, DHASH_ROWS)
+    for x in range(1, DHASH_COLS):
+        levels[:, x] = (levels[:, x - 1] + 1 + rs.randint(0, 15, DHASH_ROWS)) % 16
+    cells = (8 + 16 * levels).astype(np.uint8)
     seed = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
     if seed % 2:
         cell = (seed >> 4) % (DHASH_ROWS * DHASH_COLS)
@@ -1437,9 +1452,21 @@ def _dhash_banded_pairs(hashes: DataFrame, hamming_max: int) -> DataFrame:
     never reuses self-join subtrees, the r10 q107b lesson), so the
     narrow (doc_id, dhash) relation (16 B/row) is localCheckpointed
     ONCE and both branches derive from it: measured at sf0.1 — q162
-    16.6 s → 8.3 s, q162b 8.9 s → 5.2 s."""
+    16.6 s → 8.3 s, q162b 8.9 s → 5.2 s.
+
+    Candidate keys are 2-CHUNK COMBINATIONS (Manku/Jain/Sarma WWW'07,
+    the "multi-chunk combination keys" fix the SimHash docstring cites):
+    split the hash into ``hamming_max + 2`` chunks — ≤hamming_max errors
+    hit ≤hamming_max chunks, leaving ≥2 clean, so SOME pair of chunks
+    agrees and keying on every C(c,2) pair is still a complete candidate
+    generator (recall 1.0 by pigeonhole) — but the key is now two chunks
+    wide (~20 bits vs 12), collapsing candidate volume by the extra
+    chunk's cardinality: single-chunk keys measured 1.78 BILLION raw
+    candidates on the 500k-image 100x replica (the dominant cost, 47 s
+    to enumerate); combination keys make the same verified pair set with
+    the join no longer the bottleneck."""
     hashes = hashes.localCheckpoint()
-    n_chunks = hamming_max + 1
+    n_chunks = hamming_max + 2
     chunk_width = DHASH_BITS // n_chunks
     if chunk_width < 8:
         raise ValueError(
@@ -1448,20 +1475,38 @@ def _dhash_banded_pairs(hashes: DataFrame, hamming_max: int) -> DataFrame:
             "effectively O(n^2) (see simhash_near_dup_pairs)."
         )
     bounds = [DHASH_BITS * i // n_chunks for i in range(n_chunks + 1)]
+    widths = [bounds[i + 1] - bounds[i] for i in range(n_chunks)]
+
+    def _cv(i):
+        return F.shiftright("dhash", bounds[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
     chunk_structs = [
         F.struct(
-            F.lit(i).alias("ci"),
-            F.shiftright("dhash", bounds[i])
-            .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
-            .alias("cv"),
+            F.lit(k).alias("ci"),
+            (_cv(i) * F.lit(1 << widths[j]) + _cv(j)).alias("cv"),
         )
-        for i in range(n_chunks)
+        for k, (i, j) in enumerate(
+            (i, j)
+            for i in range(n_chunks)
+            for j in range(i + 1, n_chunks)
+        )
     ]
     chunks = hashes.select(
         "doc_id", "dhash", F.explode(F.array(*chunk_structs)).alias("c")
     ).select("doc_id", "dhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
+    # Hamming-verify INSIDE the join projection and filter BEFORE the
+    # dedupe: the raw candidate relation is O(n²/2^chunk_width) rows at
+    # corpus scale, and a .distinct() there was the dominant 100x shuffle
+    # (measured round 11: q162b 82.9 s → the verify is one codegen'd
+    # bit_count, so the distinct now sees only true near-dup pairs —
+    # bounded by the planted group density, shuffle-trivial).
+    hamming = F.bit_count(
+        F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+    ).cast("long")
+    return (
         a.join(
             b,
             (F.col("a.ci") == F.col("b.ci"))
@@ -1471,15 +1516,11 @@ def _dhash_banded_pairs(hashes: DataFrame, hamming_max: int) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.dhash").alias("h_a"),
-            F.col("b.dhash").alias("h_b"),
+            hamming.alias("hamming"),
         )
+        .filter(F.col("hamming") <= hamming_max)
         .distinct()
     )
-    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return cand.select(
-        "doc_id_a", "doc_id_b", hamming.cast("long").alias("hamming")
-    ).filter(F.col("hamming") <= hamming_max)
 
 
 def _synth_blobs(spark: SparkSession, sf_dir: str, synth_fn) -> DataFrame:
