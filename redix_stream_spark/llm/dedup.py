@@ -456,46 +456,56 @@ def simhash_near_dup_pairs(
     allow_narrow_chunks: bool = False,
     weighted: bool = False,
 ) -> DataFrame:
-    """Verified SimHash near-dup pairs: chunk-banded candidate join +
-    exact Hamming filter (the Manku/Jain/Sarma WWW'07 pattern).
+    """Verified SimHash near-dup pairs: combination-key banded candidate
+    join + exact Hamming filter (Manku/Jain/Sarma WWW'07).
 
-    Pigeonhole: split the 60-bit hash into ``hamming_max + 1`` chunks —
-    two hashes within ``hamming_max`` bits of each other must agree on at
-    least one whole chunk, so equality on (chunk_id, chunk_value) is a
-    complete candidate generator (recall 1.0 by construction). The exact
-    Hamming distance (xor + bit_count) then filters false candidates.
+    Pigeonhole with TWO-CHUNK COMBINATION KEYS (round 11, the q162b
+    lesson applied corpus-wide): split the 60-bit hash into
+    ``hamming_max + 2`` chunks — ≤hamming_max differing bits hit at most
+    hamming_max chunks, leaving ≥2 clean, so SOME pair of chunks matches
+    and equality on every C(c,2) two-chunk key is a complete candidate
+    generator (recall 1.0 by construction). The exact Hamming distance
+    (xor + bit_count) then filters false candidates.
 
-    Scale shape — the join keys on (chunk_id, chunk_value) like MinHash
-    banding, but unlike MinHash the key cardinality is FIXED at
-    2^chunk_width, not corpus-dependent: candidate volume is
-    ~n_chunks · n² / 2^chunk_width. The default (hamming_max=3 → four
-    15-bit chunks) keys on 32k values per chunk and stays subquadratic at
-    any realistic corpus; hamming_max=12 (thirteen 4-5 bit chunks, keys
-    of 16-32 values) makes ~45% of ALL doc pairs candidates by chance —
-    effectively O(n²) — so narrow chunks are refused unless explicitly
-    allowed (the Manku fix for large hamming budgets is multi-chunk
-    combination keys, not narrower single chunks).
+    Scale shape — single-chunk keys cap the key width at
+    60/(hamming_max+1) bits, and the candidate relation is
+    ~n_chunks · n² / 2^width: measured on the image twin of this path,
+    that enumerated 1.78 BILLION rows at a 500k corpus (SCALING.md round
+    11). Two-chunk keys double the effective width (~24 bits at the
+    default hamming_max=3: five 12-bit chunks, C(5,2)=10 keys), cutting
+    volume by the second chunk's cardinality while keeping the
+    guarantee. Very large hamming budgets still degrade (hamming_max=12
+    → 4-bit chunks, 8-bit keys), so narrow chunks are refused unless
+    explicitly allowed.
     """
-    n_chunks = hamming_max + 1
+    n_chunks = hamming_max + 2
     chunk_width = SIMHASH_BITS // n_chunks
-    if chunk_width < 8 and not allow_narrow_chunks:
+    if chunk_width < 7 and not allow_narrow_chunks:
+        # the O(n²) criterion is the TWO-chunk key width now
         raise ValueError(
             f"hamming_max={hamming_max} splits the {SIMHASH_BITS}-bit hash "
-            f"into {n_chunks} chunks of {chunk_width} bits; per-chunk key "
-            f"cardinality 2^{chunk_width} makes the candidate join "
+            f"into {n_chunks} chunks of {chunk_width} bits; two-chunk key "
+            f"cardinality 2^{2 * chunk_width} makes the candidate join "
             f"effectively O(n²). Use hamming_max<=6, or pass "
             f"allow_narrow_chunks=True for small corpora."
         )
     bounds = [SIMHASH_BITS * i // n_chunks for i in range(n_chunks + 1)]
+    widths = [bounds[i + 1] - bounds[i] for i in range(n_chunks)]
     sh = simhash_frame(d, weighted=weighted)
+
+    def _cv(i):
+        return F.shiftright("simhash", bounds[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
     chunk_structs = [
         F.struct(
-            F.lit(i).alias("ci"),
-            F.shiftright("simhash", bounds[i])
-            .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
-            .alias("cv"),
+            F.lit(k).alias("ci"),
+            (_cv(i) * F.lit(1 << widths[j]) + _cv(j)).alias("cv"),
         )
-        for i in range(n_chunks)
+        for k, (i, j) in enumerate(
+            (i, j) for i in range(n_chunks) for j in range(i + 1, n_chunks)
+        )
     ]
     chunks = sh.select(
         "doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("c")

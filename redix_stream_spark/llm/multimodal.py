@@ -1493,9 +1493,17 @@ def _dhash_banded_pairs(hashes: DataFrame, hamming_max: int) -> DataFrame:
             for j in range(i + 1, n_chunks)
         )
     ]
-    chunks = hashes.select(
-        "doc_id", "dhash", F.explode(F.array(*chunk_structs)).alias("c")
-    ).select("doc_id", "dhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    chunks = (
+        hashes.select(
+            "doc_id", "dhash", F.explode(F.array(*chunk_structs)).alias("c")
+        )
+        .select(
+            "doc_id", "dhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+        )
+        # corpus-sized at production (n x C(c,2) rows): pin the shuffle
+        # join so the plan doesn't flip from a test-SF broadcast accident
+        .hint("shuffle_hash")
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
     # Hamming-verify INSIDE the join projection and filter BEFORE the
     # dedupe: the raw candidate relation is O(n²/2^chunk_width) rows at

@@ -896,3 +896,22 @@ def test_q207_source_counts_broadcast_pairs_stay_keyed(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q162b_hash_stage_materializes_once_join_keyed(spark, sf_dir):
+    """The dHash banding self-join must derive BOTH branches from the
+    checkpointed (doc_id, dhash) relation — zero documents scans and
+    zero Python-eval nodes in the returned plan (synth + decode ran
+    exactly once, at checkpoint time) — and the combination-key join
+    must stay keyed: no cartesian, no nested loop, no broadcast of the
+    corpus-sized chunk relation."""
+    plan = plan_of(QUERIES["q162b_image_neardup_fast"](spark, sf_dir))
+    doc_scans = [
+        l for l in plan.splitlines() if "Location" in l and "documents" in l
+    ]
+    assert doc_scans == [], doc_scans
+    assert "InPandas" not in plan, "Python decode re-runs inside the join"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" not in plan, "corpus-sized relation broadcast"
+    assert "ShuffledHashJoin" in plan  # pinned: no test-SF broadcast accident
