@@ -353,6 +353,7 @@ HEADLINE = [
     "q162b_image_neardup_fast",
     "q205b_avro_embeddings_roundtrip",
     "q208_quarantine_triage",
+    "q209_hybrid_retrieval_rrf",
 ]
 
 

@@ -74,9 +74,7 @@ BM25_TOP_K = 20
 _DEC = "decimal(19,0)"
 
 
-@register(
-    "q140_bm25_search",
-    f"""
+Q140_SQL = f"""
 WITH corpus AS (
   SELECT CAST(COUNT(*) AS HUGEINT) AS n_docs,
          CAST(SUM(len(string_split(text, ' '))) AS HUGEINT) AS total_toks
@@ -119,8 +117,10 @@ SELECT doc_id, n_terms, score,
 FROM scored
 ORDER BY rank
 LIMIT {BM25_TOP_K}
-""",
-)
+"""
+
+
+@register("q140_bm25_search", Q140_SQL)
 def q140_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25-ranked retrieval (rational-idf variant, k1=1.2, b=0.75) for a
     fixed two-term query; top-20 documents with scores and ranks.
@@ -191,3 +191,130 @@ def q140_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "doc_id", "n_terms", "score", "rank"
     )
+
+
+# --- q209: hybrid lexical+vector retrieval with RRF fusion -------------------
+
+#: Reciprocal-rank-fusion constant (Cormack, Clarke & Buettcher, SIGIR
+#: 2009): score(d) = Σ_lists 1/(K + rank_list(d)). K=60 is the published
+#: default; it damps the head so one list's #1 can't drown the other.
+RRF_K = 60
+RRF_LIST_K = 20  # depth of each input ranking
+RRF_TOP_K = 10
+
+
+def _q209_sql() -> str:
+    from .similarity import QUERY_VEC_ID, _sql_cosine
+
+    lex_sql = Q140_SQL.strip().rstrip(";")
+    cos = _sql_cosine("e.embedding", "q.qv")
+    return f"""
+WITH lex AS (
+  {lex_sql}
+),
+vec_scored AS (
+  SELECT e.vec_id AS vec_id, {cos} AS sim
+  FROM embeddings e, (SELECT embedding AS qv FROM embeddings
+                      WHERE vec_id = {QUERY_VEC_ID}) q
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+),
+vec AS (
+  SELECT vec_id, rank FROM (
+    SELECT vec_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT)
+             AS rank
+    FROM vec_scored
+  ) WHERE rank <= {RRF_LIST_K}
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.vec_id) AS item_id,
+         l.rank AS lex_rank,
+         v.rank AS vec_rank,
+         COALESCE(CAST(1 AS DOUBLE) / CAST({RRF_K} + l.rank AS DOUBLE),
+                  CAST(0 AS DOUBLE))
+         + COALESCE(CAST(1 AS DOUBLE) / CAST({RRF_K} + v.rank AS DOUBLE),
+                    CAST(0 AS DOUBLE)) AS rrf_score
+  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.vec_id
+)
+SELECT item_id, lex_rank, vec_rank, rrf_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, item_id) AS BIGINT)
+         AS fused_rank
+FROM fused
+ORDER BY fused_rank
+LIMIT {RRF_TOP_K}
+"""
+
+
+def _register_q209() -> None:
+    @register("q209_hybrid_retrieval_rrf", _q209_sql())
+    def q209_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hybrid retrieval (round 11): q140's BM25 lexical top-20 fused
+        with the exact cosine top-20 against the fixed probe vector via
+        reciprocal rank fusion — the standard production shape for
+        "keyword AND semantic" search (RAG retrievers, site search),
+        and the missing member of the engine's similarity family (exact
+        / LSH / IVF / PQ / SQ8 / binary / kNN-graph all rank ONE
+        modality). Items are doc_id ≡ vec_id; documents without an
+        embedding (or vice versa) simply lack that list's term — RRF is
+        defined on partially-overlapping pools.
+
+        Cross-engine float discipline: each RRF term is ONE correctly-
+        rounded double division of exact integers (1/(60+rank)); the
+        two-term sum is a single IEEE add with a fixed operand order
+        (lexical + vector), and both input rankings are deterministic
+        (BM25's integer-exact scores; q40's bit-identical fold cosine)
+        with id tie-breaks — hash-green by construction.
+
+        Scale: both inputs are TakeOrdered top-k pipelines (q140's
+        prefiltered postings; q40's broadcast-probe scan); the fusion
+        join and final rank touch ≤ 2k rows — driver-trivial at any
+        corpus size."""
+        from ..catalog import load_table as _lt
+        from .similarity import QUERY_VEC_ID, cosine
+
+        lex = q140_bm25_search(spark, sf_dir).select(
+            F.col("doc_id").alias("item_id"),
+            F.col("rank").alias("lex_rank"),
+        )
+        e = _lt(spark, sf_dir, "embeddings")
+        probe = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("qv")
+        )
+        sim = cosine(F.col("embedding"), F.col("qv"))
+        vec_top = (
+            e.filter(F.col("vec_id") != QUERY_VEC_ID)
+            .crossJoin(F.broadcast(probe))
+            .select("vec_id", sim.alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col("vec_id"))
+            .limit(RRF_LIST_K)
+        )
+        wv = Window.orderBy(F.col("sim").desc(), F.col("vec_id"))
+        vec = vec_top.withColumn(
+            "vec_rank", F.row_number().over(wv).cast("long")
+        ).select(F.col("vec_id").alias("item_id"), "vec_rank")
+        one, zero = F.lit(1.0), F.lit(0.0)
+        fused = lex.join(vec, "item_id", "full_outer").select(
+            "item_id",
+            "lex_rank",
+            "vec_rank",
+            (
+                F.coalesce(
+                    one / (F.lit(RRF_K) + F.col("lex_rank")).cast("double"),
+                    zero,
+                )
+                + F.coalesce(
+                    one / (F.lit(RRF_K) + F.col("vec_rank")).cast("double"),
+                    zero,
+                )
+            ).alias("rrf_score"),
+        )
+        top = fused.orderBy(
+            F.col("rrf_score").desc(), F.col("item_id")
+        ).limit(RRF_TOP_K)
+        wf = Window.orderBy(F.col("rrf_score").desc(), F.col("item_id"))
+        return top.withColumn(
+            "fused_rank", F.row_number().over(wf).cast("long")
+        )
+
+
+_register_q209()

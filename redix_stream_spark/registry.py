@@ -71,8 +71,8 @@ def _load() -> None:
 # the quarantine triage matrix) plus q207, whose plan changed this
 # round (it now consumes the shared production-pairs artifact — the
 # fresh row re-proves hash-invisibility). Rotation fills the remaining
-# 46 slots with the names whose latest driver row is oldest: all
-# twenty-nine r5-latest names, then the first seventeen r6-latest
+# 45 slots with the names whose latest driver row is oldest: all
+# twenty-nine r5-latest names, then the first sixteen r6-latest
 # names ordered by name (deterministic; computed from
 # test_registry_order's R1-R10 evidence sets). Rotated out: the r10
 # window (now the R10_CHECKED permanent-evidence set).
@@ -81,6 +81,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q162b_image_neardup_fast",
     "q205b_avro_embeddings_roundtrip",
     "q208_quarantine_triage",
+    "q209_hybrid_retrieval_rrf",
     # -- changed in round 11 (fresh row re-proves the new plan) --
     "q207_dup_source_matrix",
     # -- rotation: latest driver row is r5 --
@@ -113,7 +114,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q55_rowwise_udf_tokens",
     "q85_hash_split",
     "q88_quota_sample",
-    # -- rotation: latest driver row is r6 (first 17 by name) --
+    # -- rotation: latest driver row is r6 (first 16 by name) --
     "q107_containment_dup",
     "q118_leakage_safe_split",
     "q147_binary_ann_topk",
@@ -130,7 +131,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q28_pivot_events",
     "q29_map_ops",
     "q32_doc_quality",
-    "q33_lang_id",
 )
 
 

@@ -15,6 +15,7 @@ MUST_BE_IN_WINDOW = {
     "q162b_image_neardup_fast",
     "q205b_avro_embeddings_roundtrip",
     "q208_quarantine_triage",
+    "q209_hybrid_retrieval_rrf",
     # Changed in round 11: q207 now consumes the shared production-pairs
     # artifact (llm/artifacts.py::production_pairs) — the fresh row
     # re-proves the artifact is hash-invisible.
