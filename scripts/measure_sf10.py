@@ -71,8 +71,10 @@ FACES = [
     "q195b_audience_overlap_prefiltered",
     "q204_personalized_pagerank",
     "q162_image_neardup",
-    # round-11: the DC-decode production face next to its exact twin
+    # round-11: the DC-decode production face next to its exact twin,
+    # and the text SimHash face after its combination-key re-plan
     "q162b_image_neardup_fast",
+    "q38b_simhash_weighted",
 ]
 
 
