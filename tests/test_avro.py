@@ -349,3 +349,25 @@ def test_embeddings_table_roundtrips_distributed(spark, sf_dir):
     b = back.orderBy("vec_id").collect()
     assert a == b
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_map_struct_nested_roundtrip_distributed(spark, tmp_path):
+    """Maps (incl. NULL values), nested records, and arrays-inside-
+    records round-trip through the distributed path with identical
+    Spark schema — the complex-type matrix beyond q205b's array face."""
+    df = spark.createDataFrame(
+        [
+            (1, {"x": 3, "y": None}, (7, "hi", [1.5, None])),
+            (2, {}, (None, "z", [])),
+            (3, None, None),
+        ],
+        "id long, tags map<string,long>, "
+        "meta struct<a:long,b:string,arr:array<double>>",
+    )
+    path = str(tmp_path / "nested_dist")
+    write_avro(df.repartition(2), path, codec="deflate")
+    back = read_avro(spark, path)
+    assert back.schema == df.schema
+    a = sorted(df.collect(), key=lambda r: r.id)
+    b = sorted(back.collect(), key=lambda r: r.id)
+    assert a == b
