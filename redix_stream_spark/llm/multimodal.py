@@ -1465,7 +1465,11 @@ def _dhash_banded_pairs(hashes: DataFrame, hamming_max: int) -> DataFrame:
     candidates on the 500k-image 100x replica (the dominant cost, 47 s
     to enumerate); combination keys make the same verified pair set with
     the join no longer the bottleneck."""
-    hashes = hashes.localCheckpoint()
+    # eager=False (ADVICE r11): the checkpoint still materializes exactly
+    # once at the FIRST action and is shared by both self-join branches,
+    # but plan-only consumers (gen_plans.py explain capture) no longer pay
+    # the full corpus decode just to build the DataFrame.
+    hashes = hashes.localCheckpoint(eager=False)
     n_chunks = hamming_max + 2
     chunk_width = DHASH_BITS // n_chunks
     if chunk_width < 8:

@@ -24,9 +24,14 @@ repo's own storage rule. Crash windows (pinned in tests/test_gate.py):
 - after the data write, before the pointer commit → the epoch dir is
   orphaned but invisible; foreachBatch replay overwrites it and commits;
 - after the pointer commit → replay sees the epoch published, no-op;
-- after quarantine, before/after the journal line → replay short-circuits
-  on the quarantine dir (no re-stage), and the journal dedupes by epoch
-  on read, so an epoch is never double-reported (ADVICE r10).
+- after the journal line, before the quarantine move → replay re-stages,
+  re-journals (duplicate line — the read side dedupes by epoch, last
+  line wins) and completes the move;
+- after the quarantine move → replay short-circuits on the quarantine
+  dir, which now PROVES the journal line exists: the journal is written
+  strictly before the move (ADVICE r11 — the old move-first order could
+  strand a quarantined epoch with no journal record forever, because the
+  dir short-circuit suppressed the repair).
 
 Scale: the gate adds ZERO passes (the counters ride the epoch write),
 one driver-side dict read per epoch (Observation.get — the bounded
@@ -133,9 +138,15 @@ class GatedEpochWriter:
             )
             return True
         qdir = self._quarantine(epoch_id)
-        if os.path.exists(qdir):
-            shutil.rmtree(qdir)
-        os.rename(epoch_dir, qdir)  # diagnostic move — not reader-visible
+        # Journal BEFORE the quarantine move (ADVICE r11): the replay
+        # short-circuit above keys off the quarantine DIR, so the old
+        # move-then-journal order had an unrepairable crash window — dir
+        # renamed, journal line lost, replay short-circuits forever and
+        # q208/quarantined_epochs() silently miss the epoch. With the
+        # journal first, the symmetric window (line written, move lost)
+        # replays into a re-stage + duplicate line, which the read side
+        # dedupes by epoch; a quarantine dir can now never exist without
+        # its journal record.
         with open(os.path.join(self.root, "_quarantine.jsonl"), "a") as f:
             f.write(
                 json.dumps(
@@ -151,6 +162,9 @@ class GatedEpochWriter:
                 )
                 + "\n"
             )
+        if os.path.exists(qdir):
+            shutil.rmtree(qdir)
+        os.rename(epoch_dir, qdir)  # diagnostic move — not reader-visible
         return False
 
     # -- read side ---------------------------------------------------------
@@ -196,8 +210,21 @@ class GatedEpochWriter:
 #: published, with a clean (never-exceeded) rule riding along.
 Q208_EPOCHS = 4
 
-Q208_SQL = """
-WITH rows_ AS (
+#: text.min_words tolerance: a FRACTION of the corpus (1/20 of the full
+#: table = 1/5 of an epoch's rows), floored at 50 — the violation count
+#: it bounds is corpus-proportional, so a fixed absolute limit would trip
+#: at some scale factor even though the fixture's planted densities never
+#: change (ADVICE r11). Integer arithmetic both engines.
+Q208_MINW_FLOOR = 50
+Q208_MINW_DIV = 20
+
+Q208_SQL = f"""
+WITH lim AS (
+  SELECT GREATEST({Q208_MINW_FLOOR},
+                  CAST(COUNT(*) // {Q208_MINW_DIV} AS BIGINT)) AS minw_limit
+  FROM documents
+),
+rows_ AS (
   SELECT CAST(doc_id % 4 AS BIGINT) AS epoch,
          CASE WHEN doc_id % 16 < 2 THEN 1 ELSE 0 END AS v_mod16,
          CASE WHEN doc_id % 32 = 18 THEN 1 ELSE 0 END AS v_mod32,
@@ -212,8 +239,8 @@ agg AS (
   FROM rows_ GROUP BY epoch
 ),
 quarantined AS (
-  SELECT * FROM agg
-  WHERE viol_mod16 > 0 OR viol_mod32 > 0 OR viol_minw > 50
+  SELECT agg.*, lim.minw_limit FROM agg CROSS JOIN lim
+  WHERE viol_mod16 > 0 OR viol_mod32 > 0 OR viol_minw > lim.minw_limit
 ),
 matrix AS (
   SELECT epoch, 'planted.mod16' AS rule, n_checked,
@@ -223,8 +250,8 @@ matrix AS (
   SELECT epoch, 'planted.mod32_18', n_checked, viol_mod32, CAST(0 AS BIGINT)
   FROM quarantined WHERE viol_mod32 > 0
   UNION ALL
-  SELECT epoch, 'text.min_words', n_checked, viol_minw, CAST(50 AS BIGINT)
-  FROM quarantined WHERE viol_minw > 50
+  SELECT epoch, 'text.min_words', n_checked, viol_minw, minw_limit
+  FROM quarantined WHERE viol_minw > minw_limit
 )
 SELECT epoch, rule, n_checked, n_violations, violation_limit,
        n_violations - violation_limit AS over_by
@@ -264,10 +291,16 @@ def _register_q208() -> None:
 
         root = os.path.join(tempfile.gettempdir(), "redix_q208_gate")
         shutil.rmtree(root, ignore_errors=True)
+        # min_words tolerance scales with the corpus (bounded 1-row count;
+        # see Q208_MINW_FLOOR note): the violation count it bounds is
+        # corpus-proportional, so the fixture's "epoch 3 publishes" claim
+        # holds at EVERY scale factor, not just the measured ones.
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        minw_limit = max(Q208_MINW_FLOOR, n_docs // Q208_MINW_DIV)
         rules = {
             "planted.mod16": (F.col("doc_id") % 16 < 2, 0),
             "planted.mod32_18": (F.col("doc_id") % 32 == 18, 0),
-            "text.min_words": (F.size(F.split("text", " ")) < 5, 50),
+            "text.min_words": (F.size(F.split("text", " ")) < 5, minw_limit),
         }
         gate = GatedEpochWriter(root, rules)
         d = load_table(spark, sf_dir, "documents").select("doc_id", "text")

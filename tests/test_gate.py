@@ -114,6 +114,36 @@ def test_gate_journal_dedupes_by_epoch(spark, tmp_path):
     assert q[0]["violations"]["doc_id.not_null"] == 2
 
 
+def test_gate_journal_precedes_quarantine_move(spark, tmp_path, monkeypatch):
+    """ADVICE r11: the journal line is appended BEFORE the quarantine
+    move. A crash between them leaves a journaled epoch whose quarantine
+    dir is missing — replay (no dir → no short-circuit) re-stages,
+    re-journals (duplicate line, deduped on read) and completes the move.
+    The old move-first order stranded the epoch with NO journal record:
+    the dir short-circuit suppressed the repair forever."""
+    import redix_stream_spark.streaming.gate as gate_mod
+
+    g = GatedEpochWriter(str(tmp_path / "out"), RULES())
+    bad = [(None, "x"), (None, "y")]
+
+    def boom(src, dst):
+        raise OSError("simulated crash before the quarantine move")
+
+    monkeypatch.setattr(gate_mod.os, "rename", boom)
+    with pytest.raises(OSError, match="simulated crash"):
+        g.apply_batch(_batch(spark, bad), 5)
+    # the crash window: journal line exists, quarantine dir does not —
+    # the epoch is already visible to triage (the repaired direction)
+    assert [q["epoch"] for q in g.quarantined_epochs()] == [5]
+    assert not os.path.isdir(g._quarantine(5))
+    monkeypatch.undo()
+    assert g.apply_batch(_batch(spark, bad), 5) is False  # replay repairs
+    assert os.path.isdir(g._quarantine(5))
+    q = g.quarantined_epochs()
+    assert [r["epoch"] for r in q] == [5]  # replayed duplicate deduped
+    assert q[0]["violations"]["doc_id.not_null"] == 2
+
+
 def test_gate_requires_rules(tmp_path):
     with pytest.raises(ValueError, match="at least one rule"):
         GatedEpochWriter(str(tmp_path / "out"), {})
@@ -161,8 +191,11 @@ def test_cleaner_withholds_poisoned_epoch_and_claims_no_bands(spark, tmp_path):
 
 def test_q208_triage_matrix_shape(spark, sf_dir):
     """The planted rule densities quarantine epochs 0/1/2 on DIFFERENT
-    rules and publish epoch 3, at any scale factor — and the matrix
-    reports exactly the exceeded rules."""
+    rules and publish epoch 3, at any scale factor — the min_words
+    tolerance is corpus-PROPORTIONAL (ADVICE r11: a fixed absolute limit
+    against a corpus-proportional violation count would eventually trip
+    epoch 3 at some SF) — and the matrix reports exactly the exceeded
+    rules."""
     from redix_stream_spark.registry import all_queries
 
     rows = all_queries()["q208_quarantine_triage"](spark, sf_dir).collect()
