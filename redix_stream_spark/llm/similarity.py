@@ -200,18 +200,36 @@ LSH_TABLES = 6
 LSH_BITS = 5
 
 
-def _hyperplanes(dim: int = 64, seed: int = 42) -> list[list[float]]:
+def _hyperplanes(
+    dim: int = 64, seed: int = 42, n_planes: int | None = None
+) -> list[list[float]]:
     import random
 
     rnd = random.Random(seed)
+    if n_planes is None:
+        n_planes = LSH_TABLES * LSH_BITS
     return [
-        [rnd.gauss(0.0, 1.0) for _ in range(dim)]
-        for _ in range(LSH_TABLES * LSH_BITS)
+        [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
     ]
 
 
-def lsh_table_buckets(col: Column, planes: list[list[float]]) -> list[Column]:
-    """One bucket id per table: sign bits of the k projections, packed."""
+def lsh_table_buckets(
+    col: Column,
+    planes: list[list[float]],
+    tables: int = LSH_TABLES,
+    bits: int = LSH_BITS,
+    stride: int | None = None,
+) -> list[Column]:
+    """One bucket id per table: sign bits of the k projections, packed.
+
+    ``stride`` is the plane-index stride — plane(t, i) = planes[t*stride+i].
+    The demo faces use stride == bits (a dense plane list); the production
+    faces use a FIXED stride so the plane assigned to (table, bit) never
+    depends on the corpus-chosen width (the oracle inlines plane literals
+    per (t, i), so the mapping must be width-independent)."""
+    if stride is None:
+        stride = bits
+
     def proj(plane: list[float]) -> Column:
         return F.aggregate(
             F.zip_with(
@@ -224,13 +242,14 @@ def lsh_table_buckets(col: Column, planes: list[list[float]]) -> list[Column]:
         )
 
     buckets = []
-    for t in range(LSH_TABLES):
-        bits = [
-            F.when(proj(planes[t * LSH_BITS + i]) > 0, 1 << i).otherwise(0)
-            for i in range(LSH_BITS)
+    for t in range(tables):
+        bit_cols = [
+            F.when(proj(planes[t * stride + i]) > 0, F.lit(1 << i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for i in range(bits)
         ]
-        out = bits[0]
-        for b in bits[1:]:
+        out = bit_cols[0]
+        for b in bit_cols[1:]:
             out = out + b
         buckets.append(out.alias(f"bucket{t}"))
     return buckets
@@ -400,6 +419,166 @@ def q43b_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_K = 3
 
+# --- production-width LSH (q169b / q174b) -----------------------------------
+#
+# The demo faces run LSH_TABLES×LSH_BITS = 6×5 — an oracle-cheap fixed
+# instantiation whose candidate volume is ~n²·L/2^bits and therefore
+# QUADRATIC in corpus size (measured: 190 s / 24× per decade for q169 at
+# the 10× replica, SCALING.md). The production rule is the standard LSH
+# tuning law: bits must track the corpus, bits ≈ log2(n / target_bucket),
+# so the expected bucket size — and with it per-table candidate pairs
+# ≈ n·bucket/2 — stays CONSTANT per vector and total work stays linear.
+# Narrower buckets cost per-table recall ((1-θ/π)^bits), bought back with
+# more tables (1-(1-p)^L); PROD_LSH_TABLES=12 doubles the demo's L.
+#
+# Cross-engine determinism (the whole point of the oracle): both engines
+# derive the width from the SAME integer rule — the smallest b ≥ MIN_BITS
+# with n ≤ BUCKET·2^b — Spark from a driver-side count (bounded scalar),
+# DuckDB from a COUNT(*) CASE ladder, so the chosen width is part of what
+# the hash check verifies. Plane indexing uses a FIXED stride
+# (plane(t, i) = planes[t·STRIDE + i]) so the plane behind (table, bit)
+# never depends on the chosen width and the oracle's inlined literals
+# match at every corpus size. The oracle enumerates bit expressions up to
+# PROD_LSH_SQL_BITS (n ≤ BUCKET·2^12 = 131 072 vectors — every
+# oracle-checked SF is ≤ 2 000); the Spark side keeps widening to
+# STRIDE=32 bits (n ≤ 1.4e11 at bucket 32) with no structural change.
+
+PROD_LSH_TABLES = 12
+PROD_LSH_BUCKET = 32  # target expected bucket size
+PROD_LSH_MIN_BITS = 4
+PROD_LSH_SQL_BITS = 12  # oracle-enumerated width cap (see note above)
+PROD_LSH_STRIDE = 32  # fixed plane-index stride = max Spark-side bits
+PROD_LSH_SEED = 77  # independent plane family from the demo faces
+#: Hot-bucket budget (the q107b md5-min pattern): sign-LSH guarantees the
+#: EXPECTED bucket ≤ PROD_LSH_BUCKET, but a duplicate-heavy region (near-
+#: identical embeddings collide in EVERY table) still packs one bucket
+#: with c members = c² candidate pairs. Buckets keep only the CAP members
+#: with the smallest md5(vec_id) — deterministic, corpus-order-free, and
+#: mirrored in the oracle — so per-bucket work is bounded at CAP²
+#: regardless of the data (truncation, not dropping: hot-region vectors
+#: still contribute bounded candidates in all 12 tables). The measured
+#: replicas never trip it (max bucket 330 at 200k vectors); the guard is
+#: pinned by a constructed hot-bucket pytest instead.
+PROD_LSH_BUCKET_CAP = 16 * PROD_LSH_BUCKET
+
+_PROD_PLANES: list[list[float]] | None = None
+
+
+def _prod_planes() -> list[list[float]]:
+    global _PROD_PLANES
+    if _PROD_PLANES is None:
+        _PROD_PLANES = _hyperplanes(
+            seed=PROD_LSH_SEED, n_planes=PROD_LSH_TABLES * PROD_LSH_STRIDE
+        )
+    return _PROD_PLANES
+
+
+def prod_lsh_bits(n: int) -> int:
+    """Smallest b in [MIN_BITS, STRIDE] with n <= BUCKET << b — integer
+    arithmetic only, mirrored exactly by the oracle's CASE ladder."""
+    b = PROD_LSH_MIN_BITS
+    while b < PROD_LSH_STRIDE and n > (PROD_LSH_BUCKET << b):
+        b += 1
+    return b
+
+
+def _prod_lsh_entries(e: DataFrame) -> DataFrame:
+    """(vec_id, table, bucket) at the corpus-chosen production width.
+
+    The count is a bounded driver-side scalar (one long), the bucket
+    projection is map-only, and the exploded slim relation is
+    localCheckpointed (lazily) because BOTH sides of the candidate
+    self-join read it — Spark never reuses self-join subtrees (the q107
+    lesson), so without the checkpoint the 12·bits fold projections would
+    run twice."""
+    bits = prod_lsh_bits(e.count())
+    planes = _prod_planes()
+    tagged = e.select(
+        "vec_id",
+        *lsh_table_buckets(
+            F.col("embedding"),
+            planes,
+            tables=PROD_LSH_TABLES,
+            bits=bits,
+            stride=PROD_LSH_STRIDE,
+        ),
+    )
+    exploded = tagged.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"bucket{t}") for t in range(PROD_LSH_TABLES)])
+        ).alias("table", "bucket"),
+    )
+    w = Window.partitionBy("table", "bucket").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        exploded.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= PROD_LSH_BUCKET_CAP)
+        .drop("_rk")
+        .localCheckpoint(eager=False)
+    )
+
+
+def _prod_lsh_sql_ctes(table: str = "embeddings") -> str:
+    """The lim/tagged/entries CTE prefix shared by the q169b and q174b
+    oracles: the same integer width ladder, the same stride-indexed plane
+    literals (exact IEEE reprs), the same left-fold projections as the
+    Spark expressions — bucket decisions are bit-identical cross-engine,
+    width choice included."""
+    planes = _prod_planes()
+
+    def proj_sql(vec: str, plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        return (
+            f"list_reduce(list_transform(list_zip({vec}, {arr}::DOUBLE[]), "
+            f"p -> CAST(p[1] AS DOUBLE) * p[2]), (acc, x) -> acc + x)"
+        )
+
+    def bucket_sql(vec: str, t: int) -> str:
+        terms = [
+            f"(CASE WHEN {i} < lim.bits AND "
+            f"{proj_sql(vec, planes[t * PROD_LSH_STRIDE + i])} > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(PROD_LSH_SQL_BITS)
+        ]
+        return " + ".join(terms)
+
+    ladder = " ".join(
+        f"WHEN n <= {PROD_LSH_BUCKET << b} THEN {b}"
+        for b in range(PROD_LSH_MIN_BITS, PROD_LSH_SQL_BITS)
+    )
+    tagged_buckets = ",\n         ".join(
+        f"{bucket_sql('embedding', t)} AS bucket{t}"
+        for t in range(PROD_LSH_TABLES)
+    )
+    entry_selects = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, bucket{t} AS bucket FROM tagged"
+        for t in range(PROD_LSH_TABLES)
+    )
+    return f"""lim AS (
+  SELECT CASE {ladder} ELSE {PROD_LSH_SQL_BITS} END AS bits
+  FROM (SELECT COUNT(*) AS n FROM {table})
+),
+tagged AS (
+  SELECT vec_id, embedding,
+         {tagged_buckets}
+  FROM {table} CROSS JOIN lim
+),
+entries_raw AS (
+  {entry_selects}
+),
+entries AS (
+  SELECT vec_id, tbl, bucket FROM (
+    SELECT vec_id, tbl, bucket,
+           ROW_NUMBER() OVER (
+             PARTITION BY tbl, bucket
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           ) AS rk
+    FROM entries_raw
+  ) WHERE rk <= {PROD_LSH_BUCKET_CAP}
+)"""
+
 
 def _gen_knn_graph_sql() -> str:
     """Generated oracle for q169: q42's bucket expressions feed an
@@ -503,6 +682,15 @@ def q169_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.col(f"bucket{t}") for t in range(LSH_TABLES)])
         ).alias("table", "bucket"),
     ).localCheckpoint(eager=False)
+    return _knn_graph_from_entries(e, entries)
+
+
+def _knn_graph_from_entries(e: DataFrame, entries: DataFrame) -> DataFrame:
+    """Candidate self-join on the slim (vec_id, table, bucket) relation,
+    exact-cosine scoring via key-only join-backs (shuffle_hash pinned on
+    the fat array side), per-source rank window — shared verbatim by the
+    demo (q169) and production-width (q169b) faces; only the bucket
+    relation differs."""
     a = entries.select(
         F.col("vec_id").alias("src"), "table", "bucket"
     )
@@ -515,15 +703,21 @@ def q169_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
+    # Norms are computed ONCE per vector (n-sized, map-only) instead of
+    # once per candidate pair: sim = dot/(n_src·n_dst) is bit-identical to
+    # cosine() — same fold, same operands, same order — but drops two of
+    # the three per-pair interpreted folds (pairs ≫ vectors at any width).
     ea = e.select(
         F.col("vec_id").alias("src"),
         F.col("label").alias("src_label"),
         F.col("embedding").alias("e_src"),
+        norm(F.col("embedding")).alias("n_src"),
     )
     eb = e.select(
         F.col("vec_id").alias("dst"),
         F.col("label").alias("nbr_label"),
         F.col("embedding").alias("e_dst"),
+        norm(F.col("embedding")).alias("n_dst"),
     )
     scored = (
         cand.join(ea.hint("shuffle_hash"), "src")
@@ -533,7 +727,10 @@ def q169_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst",
             "src_label",
             "nbr_label",
-            cosine(F.col("e_src"), F.col("e_dst")).alias("sim"),
+            (
+                dot(F.col("e_src"), F.col("e_dst"))
+                / (F.col("n_src") * F.col("n_dst"))
+            ).alias("sim"),
         )
     )
     win = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
@@ -549,6 +746,53 @@ def q169_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+def _gen_knn_graph_sql_prod() -> str:
+    """Generated oracle for q169b: the production-width CTE prefix
+    (integer width ladder + stride-indexed plane literals) feeding the
+    SAME candidate/score/rank tail as the q169 oracle."""
+    return f"""
+WITH {_prod_lsh_sql_ctes()},
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM entries a JOIN entries b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT c.src, c.dst, ea.label AS src_label, eb.label AS nbr_label,
+         {_sql_cosine('ea.embedding', 'eb.embedding')} AS sim
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.src
+  JOIN embeddings eb ON eb.vec_id = c.dst
+)
+SELECT src AS vec_id, dst AS nbr_id, src_label, nbr_label, sim, rank FROM (
+  SELECT src, dst, src_label, nbr_label, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY sim DESC, dst)
+              AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {KNN_K}
+"""
+
+
+@register("q169b_knn_graph_production", _gen_knn_graph_sql_prod())
+def q169b_knn_graph_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN graph at PRODUCTION LSH width: bits ≈ log2(n / target_bucket)
+    chosen from the corpus size by the shared integer ladder (see the
+    production-width block above), recall bought back with twice the
+    demo's tables (12 vs 6).
+
+    This is the scale face the q169 docstring's prose promised (VERDICT
+    r11 item 1 — the E141 rule: a scale mitigation must be a FACE, not
+    prose): expected bucket size is pinned at PROD_LSH_BUCKET, so
+    per-table candidate pairs ≈ n·bucket/2 grow LINEARLY in corpus size
+    where the fixed demo width grew them quadratically (measured 190 s /
+    24× per decade at the 10× replica; the sf10 block carries this
+    face's exponents). Width choice, bucket decisions, candidate set,
+    and ranking are all hash-verified by the generated oracle — the
+    production configuration is exactly as checkable as the demo."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return _knn_graph_from_entries(e, _prod_lsh_entries(e))
 
 
 # --- q174: density clustering over the LSH candidate graph ------------------
@@ -657,10 +901,8 @@ def q174_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of diameter. Degrees are LSH-candidate degrees (the
     approximation is in candidate generation only, mirrored exactly by
     the oracle)."""
-    from .dedup import connected_components_star
-
-    planes = _hyperplanes()
     e = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
     tagged = e.select(
         "vec_id", "embedding", *lsh_table_buckets(F.col("embedding"), planes)
     )
@@ -670,6 +912,16 @@ def q174_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.col(f"bucket{t}") for t in range(LSH_TABLES)])
         ).alias("table", "bucket"),
     ).localCheckpoint(eager=False)
+    return _density_from_entries(e, entries)
+
+
+def _density_from_entries(e: DataFrame, entries: DataFrame) -> DataFrame:
+    """eps-edge generation + DBSCAN core/border/CC, shared verbatim by the
+    demo (q174) and production-width (q174b) faces; only the bucket
+    relation differs. Star contraction keeps the CC half O(log² n) at any
+    width — candidate generation was the quadratic part."""
+    from .dedup import connected_components_star
+
     a = entries.select(F.col("vec_id").alias("src"), "table", "bucket")
     b = entries.select(F.col("vec_id").alias("dst"), "table", "bucket")
     cand = (
@@ -678,12 +930,26 @@ def q174_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("e_src"))
-    eb = e.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("e_dst"))
+    # Per-vector norms, per-pair dot only — bit-identical to cosine()
+    # (see _knn_graph_from_entries).
+    ea = e.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("e_src"),
+        norm(F.col("embedding")).alias("n_src"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("e_dst"),
+        norm(F.col("embedding")).alias("n_dst"),
+    )
     edges = (
         cand.join(ea.hint("shuffle_hash"), "src")
         .join(eb.hint("shuffle_hash"), "dst")
-        .filter(cosine(F.col("e_src"), F.col("e_dst")) >= DBS_EPS)
+        .filter(
+            dot(F.col("e_src"), F.col("e_dst"))
+            / (F.col("n_src") * F.col("n_dst"))
+            >= DBS_EPS
+        )
         .select("src", "dst")
     )
     sym = edges.unionByName(
@@ -726,6 +992,69 @@ def q174_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "cluster_id", F.lit(0).cast("long").alias("is_core")
         )
     )
+
+
+def _gen_density_sql_prod() -> str:
+    """Generated oracle for q174b: the production-width CTE prefix feeding
+    the SAME eps-edge / core / recursive-CC / border tail as the q174
+    oracle."""
+    return f"""
+WITH RECURSIVE {_prod_lsh_sql_ctes()},
+cand AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM entries a JOIN entries b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+edges AS (
+  SELECT c.src, c.dst
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.src
+  JOIN embeddings eb ON eb.vec_id = c.dst
+  WHERE {_sql_cosine('ea.embedding', 'eb.embedding')} >= {DBS_EPS}
+),
+sym AS (
+  SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+),
+deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src),
+core AS (SELECT node FROM deg WHERE d >= {DBS_MINPTS}),
+core_edges AS (
+  SELECT s.src, s.dst FROM sym s
+  JOIN core c1 ON c1.node = s.src JOIN core c2 ON c2.node = s.dst
+),
+conn(src, dst) AS (
+  SELECT node, node FROM core
+  UNION
+  SELECT conn.src, e.dst FROM conn JOIN core_edges e ON conn.dst = e.src
+),
+core_labels AS (SELECT src AS vec_id, MIN(dst) AS cluster_id FROM conn GROUP BY src),
+border AS (
+  SELECT s.src AS vec_id, MIN(cl.cluster_id) AS cluster_id
+  FROM sym s
+  JOIN core_labels cl ON cl.vec_id = s.dst
+  WHERE s.src NOT IN (SELECT node FROM core)
+  GROUP BY s.src
+)
+SELECT vec_id, cluster_id, CAST(1 AS BIGINT) AS is_core FROM core_labels
+UNION ALL
+SELECT vec_id, cluster_id, CAST(0 AS BIGINT) AS is_core FROM border
+"""
+
+
+@register("q174b_density_clusters_production", _gen_density_sql_prod())
+def q174b_density_clusters_production(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Density clustering at PRODUCTION LSH width — q174's eps-graph with
+    the corpus-adaptive bucket relation (see the production-width block
+    above and q169b): candidate volume linear in corpus size at constant
+    expected bucket size, where the fixed demo width measured 117 s /
+    10×+ per decade at the 10× replica (VERDICT r11 item 1). The DBSCAN
+    half (core degrees, star-contraction CC, MIN-rule borders) is shared
+    verbatim with q174 and was never the quadratic part. Width choice,
+    buckets, eps-edges, and cluster labels are all hash-verified by the
+    generated oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return _density_from_entries(e, _prod_lsh_entries(e))
 
 
 # --- q43c: oracle-backed IVF — the repo quantizer instead of MLlib ----------

@@ -1511,6 +1511,98 @@ def test_q169_knn_graph_recall_vs_exact(spark, sf_dir):
     assert hit / len(ids) >= 0.4  # calibrated floor, see docstring
 
 
+def test_prod_lsh_bits_ladder():
+    """The production width rule: smallest b in [MIN_BITS, STRIDE] with
+    n <= BUCKET << b — the Spark side computes it in Python, the oracle
+    as a COUNT(*) CASE ladder; this pins the Python half on the exact
+    boundary values (the SQL half is hash-verified by q169b/q174b)."""
+    from redix_stream_spark.llm.similarity import (
+        PROD_LSH_BUCKET,
+        PROD_LSH_MIN_BITS,
+        prod_lsh_bits,
+    )
+
+    assert prod_lsh_bits(1) == PROD_LSH_MIN_BITS
+    edge = PROD_LSH_BUCKET << PROD_LSH_MIN_BITS
+    assert prod_lsh_bits(edge) == PROD_LSH_MIN_BITS
+    assert prod_lsh_bits(edge + 1) == PROD_LSH_MIN_BITS + 1
+    # the measured corpus sizes: 500 (sf0.001/sf0.01), 2000 (sf0.1),
+    # 20k/200k (the 10x/100x replicas), and a 10^9-vector production run
+    assert [prod_lsh_bits(n) for n in (500, 2000, 20_000, 200_000)] == [
+        4, 6, 10, 13,
+    ]
+    assert prod_lsh_bits(10**9) == 25  # expected bucket 29.8 — still ~32
+
+
+def test_q169b_production_recall_vs_exact(spark, sf_dir):
+    """The production width must not cost recall at the oracle-checked
+    corpus: at n=500 the ladder picks 4 bits (WIDER per-table recall than
+    the demo's fixed 5) and 12 tables double the demo's L — measured
+    top-1 recall 0.88 vs the demo's 0.52 on the same near-uniform corpus
+    (sf0.1: 0.544 vs 0.487, recorded by bench.py's recall block). Floor
+    pinned at 0.8; coverage and rank contiguity pinned like the demo."""
+    import numpy as np
+
+    from redix_stream_spark.llm.similarity import q169b_knn_graph_production
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in e}
+    ids = sorted(vecs)
+    mat = np.stack([vecs[i] for i in ids])
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    np.fill_diagonal(sims, -2.0)
+    true_top1 = {ids[i]: ids[int(np.argmax(sims[i]))] for i in range(len(ids))}
+    got = {}
+    ranks: dict[int, list[int]] = {}
+    for r in q169b_knn_graph_production(spark, sf_dir).collect():
+        ranks.setdefault(r["vec_id"], []).append(r["rank"])
+        if r["rank"] == 1:
+            got[r["vec_id"]] = r["nbr_id"]
+    assert len(got) == len(ids)
+    for v, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
+    hit = sum(1 for i in ids if got.get(i) == true_top1[i])
+    assert hit / len(ids) >= 0.8  # measured 0.88 at sf0.001
+
+
+def test_prod_lsh_hot_bucket_capped(spark, sf_dir):
+    """A duplicate-heavy region packs one bucket in EVERY table (identical
+    embeddings project identically) — without the md5-min budget that is
+    c² candidate pairs per bucket. The cap TRUNCATES hot buckets to
+    PROD_LSH_BUCKET_CAP deterministic members (it must not drop the
+    bucket: hot-region vectors still contribute bounded candidates)."""
+    from pyspark.sql import functions as F
+
+    from redix_stream_spark.llm.similarity import (
+        PROD_LSH_BUCKET_CAP,
+        PROD_LSH_TABLES,
+        _prod_lsh_entries,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    hot = spark.range(PROD_LSH_BUCKET_CAP + 188).select(
+        (F.col("id") + 10_000).alias("vec_id"),
+        F.array(*[F.lit(float(i % 7) + 1.0) for i in range(64)]).alias(
+            "embedding"
+        ),
+        F.lit("hot").alias("label"),
+    )
+    entries = _prod_lsh_entries(base.unionByName(hot))
+    per_bucket = entries.groupBy("table", "bucket").count()
+    assert per_bucket.agg(F.max("count")).collect()[0][0] == PROD_LSH_BUCKET_CAP
+    hot_entries = entries.filter(F.col("vec_id") >= 10_000)
+    # truncated to exactly CAP in each of the 12 tables' hot buckets
+    # (minus any hot members that md5-win a mixed bucket elsewhere)
+    assert hot_entries.count() <= PROD_LSH_BUCKET_CAP * PROD_LSH_TABLES
+    assert hot_entries.count() >= (PROD_LSH_BUCKET_CAP - 188) * PROD_LSH_TABLES
+    # every hot vector that survived still appears in >= 1 table
+    survivors = hot_entries.select("vec_id").distinct().count()
+    assert survivors > 0
+
+
 def test_mp3_id3v24_footer_is_skipped():
     """ID3v2.4 footer flag (header byte 5 & 0x10) adds a 10-byte '3DI'
     footer after the tag body; the first-frame probe must skip it or a

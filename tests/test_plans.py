@@ -665,6 +665,19 @@ def test_q169_knn_graph_fat_joins_are_shuffle_hash(spark, sf_dir):
             raise AssertionError(f"embedding relation broadcast: {line}")
 
 
+def test_q169b_production_fat_joins_are_shuffle_hash(spark, sf_dir):
+    """q169b shares q169's join discipline (nothing carrying 'embedding'
+    may broadcast — estimator undercounts arrays) at the corpus-chosen
+    production width; the hot-bucket budget window must ride the same
+    (table, bucket) partitioning the self-join needs."""
+    plan = plan_of(QUERIES["q169b_knn_graph_production"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line and "embedding" in line:
+            raise AssertionError(f"embedding relation broadcast: {line}")
+
+
 def test_q172_top_paths_caps_state_before_collect(spark, sf_dir):
     """q172's sessionize + in-session numbering + path collect all ride
     ONE user-keyed exchange (the in-session row number is a running max
