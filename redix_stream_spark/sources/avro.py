@@ -15,10 +15,12 @@ Scope: record schemas over the engine's scalar types (boolean, int,
 long, float, double, string, bytes, date, timestamp-micros /
 local-timestamp-micros, nullable unions) plus block-encoded ARRAYS,
 string-keyed MAPS and NESTED RECORDS to any depth (round 11, VERDICT r10
-item 3 — the embeddings table's array<float> now round-trips). The one
-remaining gate: date/timestamp logical types INSIDE a nested type raise
-loudly (top-level logical columns convert via Arrow casts; nesting them
-would need a parallel datetime-object codec path no table here has).
+item 3 — the embeddings table's array<float> round-trips), with logical
+types supported at ANY nesting depth (round 12, VERDICT r11 item 4:
+nested datetime/date objects encode via the schema-driven value path in
+_encode_value and decode via _lift_logical — the former "top-level
+logical columns only" gate is gone, cross-checked against the Java
+library both ways).
 
 Scale shape: one container file per input partition on write (executors
 encode their own partition, driver sees only bounded (path, rows)
@@ -30,6 +32,7 @@ granularity Spark's own avro source defaults to on un-splittable codecs).
 
 from __future__ import annotations
 
+import datetime as _dt
 import io
 import json
 import os
@@ -42,6 +45,10 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 
 MAGIC = b"Obj\x01"
+_EPOCH_NAIVE = _dt.datetime(1970, 1, 1)
+_EPOCH_AWARE = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_ONE_US = _dt.timedelta(microseconds=1)
 _SPARK_TO_AVRO = {
     "boolean": "boolean",
     "integer": "int",
@@ -136,13 +143,14 @@ class _Reader:
 # --- schema mapping ----------------------------------------------------------
 
 
-def _spark_type_to_avro(dt, name: str, nested: bool):
+def _spark_type_to_avro(dt, name: str):
     """One Spark DataType → Avro type. ``name`` seeds unique record names
-    (Avro requires them); ``nested`` gates logical types (see module
-    docstring)."""
+    (Avro requires them). Logical types (date / timestamp-micros /
+    local-timestamp-micros) are supported at any nesting depth (round
+    12, VERDICT r11 item 4 — the last format gate removed)."""
     tn = dt.typeName()
     if tn == "array":
-        inner = _spark_type_to_avro(dt.elementType, f"{name}_item", True)
+        inner = _spark_type_to_avro(dt.elementType, f"{name}_item")
         if dt.containsNull:
             inner = ["null", inner]
         return {"type": "array", "items": inner}
@@ -152,14 +160,14 @@ def _spark_type_to_avro(dt, name: str, nested: bool):
                 f"Avro maps are string-keyed; got {dt.keyType.typeName()} "
                 f"keys (field {name!r})"
             )
-        inner = _spark_type_to_avro(dt.valueType, f"{name}_value", True)
+        inner = _spark_type_to_avro(dt.valueType, f"{name}_value")
         if dt.valueContainsNull:
             inner = ["null", inner]
         return {"type": "map", "values": inner}
     if tn == "struct":
         fields = []
         for f in dt.fields:
-            t = _spark_type_to_avro(f.dataType, f"{name}_{f.name}", True)
+            t = _spark_type_to_avro(f.dataType, f"{name}_{f.name}")
             fields.append(
                 {"name": f.name, "type": ["null", t] if f.nullable else t}
             )
@@ -168,13 +176,7 @@ def _spark_type_to_avro(dt, name: str, nested: bool):
         raise ValueError(
             f"unsupported Spark type for Avro: {tn} (field {name!r})"
         )
-    t = _SPARK_TO_AVRO[tn]
-    if nested and isinstance(t, dict):
-        raise ValueError(
-            f"date/timestamp inside a nested type is unsupported "
-            f"(field {name!r}) — top-level logical columns only"
-        )
-    return t
+    return _SPARK_TO_AVRO[tn]
 
 
 def spark_schema_to_avro(schema, name: str = "row") -> dict:
@@ -182,7 +184,7 @@ def spark_schema_to_avro(schema, name: str = "row") -> dict:
     arrays / string-keyed maps / nested records recurse."""
     fields = []
     for f in schema.fields:
-        t = _spark_type_to_avro(f.dataType, f.name, False)
+        t = _spark_type_to_avro(f.dataType, f.name)
         fields.append(
             {"name": f.name, "type": ["null", t] if f.nullable else t}
         )
@@ -273,6 +275,16 @@ def _encode_value(buf: bytearray, t, v) -> None:
     if bt == "boolean":
         buf.append(1 if v else 0)
     elif bt in ("int", "long"):
+        # Logical values inside nested types arrive from Arrow's
+        # to_pylist as datetime/date OBJECTS (top-level logical columns
+        # are pre-cast to ints in _batch_to_rows — the fast path). The
+        # schema maps them only to *-micros / date, so the object's own
+        # class determines the encoding unit.
+        if isinstance(v, _dt.datetime):
+            epoch = _EPOCH_AWARE if v.tzinfo is not None else _EPOCH_NAIVE
+            v = (v - epoch) // _ONE_US
+        elif isinstance(v, _dt.date):
+            v = (v - _EPOCH_DATE).days
         _w_long(buf, int(v))
     elif bt == "float":
         buf += struct.pack("<f", v)
@@ -358,6 +370,56 @@ def _decode_value(r: _Reader, t):
     if bt == "record":
         return {f["name"]: _decode_value(r, f["type"]) for f in t["fields"]}
     raise ValueError(f"unsupported type {t!r}")
+
+
+def _has_nested_logical(t, nested: bool = False) -> bool:
+    """True if a logical type occurs INSIDE an array/map/record of ``t``
+    (top-level logical columns take the Arrow int-cast fast path)."""
+    if isinstance(t, list):
+        return any(_has_nested_logical(x, nested) for x in t if x != "null")
+    if isinstance(t, dict):
+        if t.get("logicalType"):
+            return nested
+        ct = t["type"]
+        if ct == "array":
+            return _has_nested_logical(t["items"], True)
+        if ct == "map":
+            return _has_nested_logical(t["values"], True)
+        if ct == "record":
+            return any(
+                _has_nested_logical(f["type"], True) for f in t["fields"]
+            )
+    return False
+
+
+def _lift_logical(t, v):
+    """Decoded Avro ints → datetime/date objects, recursively per schema
+    (the read-side twin of the datetime handling in _encode_value) —
+    Arrow then builds the nested array from objects directly, no nested
+    casts required."""
+    if v is None:
+        return None
+    if isinstance(t, list):
+        t = [x for x in t if x != "null"][0]
+    if isinstance(t, dict):
+        lt = t.get("logicalType")
+        if lt == "date":
+            return _EPOCH_DATE + _dt.timedelta(days=v)
+        if lt == "timestamp-micros":
+            return _EPOCH_AWARE + _dt.timedelta(microseconds=v)
+        if lt == "local-timestamp-micros":
+            return _EPOCH_NAIVE + _dt.timedelta(microseconds=v)
+        ct = t["type"]
+        if ct == "array":
+            return [_lift_logical(t["items"], x) for x in v]
+        if ct == "map":
+            return [(k, _lift_logical(t["values"], mv)) for k, mv in v]
+        if ct == "record":
+            return {
+                f["name"]: _lift_logical(f["type"], v[f["name"]])
+                for f in t["fields"]
+            }
+    return v
 
 
 # --- container file (Avro spec "Object Container Files") ---------------------
@@ -543,6 +605,9 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         for f in schema["fields"]
     )
 
+    ftypes = [f["type"] for f in schema["fields"]]
+    lift = [_has_nested_logical(t) for t in ftypes]
+
     def decode(batches):
         for b in batches:
             for p in b.column(0).to_pylist():
@@ -556,7 +621,12 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
                 arrays = []
                 for i, field in enumerate(arrow_schema):
                     vals = list(cols[i]) if rows else []
-                    if pa.types.is_timestamp(field.type):
+                    if lift[i]:
+                        # nested logical types: decoded ints → objects,
+                        # Arrow builds the nested array from objects
+                        vals = [_lift_logical(ftypes[i], v) for v in vals]
+                        arrays.append(pa.array(vals, field.type))
+                    elif pa.types.is_timestamp(field.type):
                         arrays.append(
                             pa.array(vals, pa.int64()).cast(field.type)
                         )

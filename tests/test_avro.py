@@ -184,17 +184,18 @@ def test_read_any_dispatches_avro(spark, tmp_path):
         read_any(spark, path, "feather")
 
 
-def test_spark_schema_mapping_rejects_nested_logical_types():
-    """Arrays/maps/records are supported (round 11); the remaining honest
-    gate is date/timestamp INSIDE a nested type — must raise loudly, not
-    silently mis-encode datetimes as longs."""
+def test_spark_schema_mapping_nested_logical_and_map_keys():
+    """Logical types map at any nesting depth (round 12 — the former
+    top-level-only gate is gone); non-string map keys still raise (an
+    Avro spec constraint, not an engine gate)."""
     import pyspark.sql.types as T
 
     nested_ts = T.StructType(
         [T.StructField("a", T.ArrayType(T.TimestampType()), True)]
     )
-    with pytest.raises(ValueError, match="nested type is unsupported"):
-        spark_schema_to_avro(nested_ts)
+    got = spark_schema_to_avro(nested_ts)
+    items = got["fields"][0]["type"][1]["items"]  # containsNull → union
+    assert items == ["null", {"type": "long", "logicalType": "timestamp-micros"}]
     non_str_map = T.StructType(
         [T.StructField("m", T.MapType(T.LongType(), T.LongType()), True)]
     )
@@ -371,3 +372,143 @@ def test_map_struct_nested_roundtrip_distributed(spark, tmp_path):
     a = sorted(df.collect(), key=lambda r: r.id)
     b = sorted(back.collect(), key=lambda r: r.id)
     assert a == b
+
+
+# --- round 12: logical types inside nested types (VERDICT r11 item 4) --------
+
+
+def test_nested_logical_distributed_roundtrip(spark, tmp_path):
+    """struct-of-timestamps, array<date>, and map<string,timestamp_ntz>
+    round-trip through the distributed path with identical Spark schema
+    and values — the former top-level-only logical gate is gone."""
+    ts = datetime.datetime(2024, 2, 29, 12, 30, 45, 123456)
+    d1, d2 = datetime.date(2024, 2, 29), datetime.date(1970, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, (ts, ts, d1), [d1, d2, None], {"a": ts, "b": None}),
+            (2, (None, None, d2), [], {}),
+            (3, None, None, None),
+        ],
+        "id long, meta struct<t:timestamp_ntz,t2:timestamp,d:date>, "
+        "ds array<date>, m map<string,timestamp_ntz>",
+    )
+    path = str(tmp_path / "nested_logical")
+    for codec in ("null", "deflate"):
+        write_avro(df.repartition(2), path + codec, codec=codec)
+        back = read_avro(spark, path + codec)
+        assert back.schema == df.schema
+        a = sorted(df.collect(), key=lambda r: r.id)
+        b = sorted(back.collect(), key=lambda r: r.id)
+        assert a == b, codec
+
+
+def test_java_library_reads_our_nested_logical(spark, tmp_path):
+    """Direction 1 for nested logicals: the Java library must read our
+    struct-of-timestamp file and see the raw micros under the
+    timestamp-micros logical items (GenericDatumReader reports the
+    underlying longs)."""
+    import json
+
+    schema = {
+        "type": "record",
+        "name": "nl",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {
+                "name": "ts_arr",
+                "type": {
+                    "type": "array",
+                    "items": {"type": "long", "logicalType": "timestamp-micros"},
+                },
+            },
+        ],
+    }
+    rows = [(1, [0, 1_700_000_000_000_000]), (2, [-86_400_000_000])]
+    path = str(tmp_path / "ours_nested_logical.avro")
+    with open(path, "wb") as fh:
+        write_avro_file(fh, schema, rows)
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    got_schema = json.loads(reader.getSchema().toString())
+    assert got_schema["fields"][1]["type"]["items"]["logicalType"] == (
+        "timestamp-micros"
+    )
+    got = []
+    while reader.hasNext():
+        rec = reader.next()
+        arr = rec.get("ts_arr")
+        got.append((rec.get("k"), [arr.get(i) for i in range(arr.size())]))
+    reader.close()
+    assert got == rows
+
+
+def test_we_read_java_written_nested_logical(spark, tmp_path):
+    """Direction 2: a Java-written record-of-timestamp file decodes to
+    the same micros, and the distributed reader lifts them to Spark
+    TIMESTAMP values."""
+    import json
+
+    schema = {
+        "type": "record",
+        "name": "jnl",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {
+                "name": "meta",
+                "type": {
+                    "type": "record",
+                    "name": "jnl_meta",
+                    "fields": [
+                        {
+                            "name": "t",
+                            "type": {
+                                "type": "long",
+                                "logicalType": "local-timestamp-micros",
+                            },
+                        },
+                        {
+                            "name": "d",
+                            "type": {"type": "int", "logicalType": "date"},
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+    jvm = spark._jvm
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema))
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    )
+    path = str(tmp_path / "theirs_nested_logical.avro")
+    writer.create(jschema, jvm.java.io.File(path))
+    msch = jschema.getField("meta").schema()
+    rows = [(1, 1_700_000_000_000_000, 19_782), (2, -1, 0)]
+    for k, micros, days in rows:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        rec.put("k", jvm.java.lang.Long.valueOf(k))
+        meta = jvm.org.apache.avro.generic.GenericData.Record(msch)
+        meta.put("t", jvm.java.lang.Long.valueOf(micros))
+        meta.put("d", jvm.java.lang.Integer.valueOf(days))
+        rec.put("meta", meta)
+        writer.append(rec)
+    writer.close()
+    with open(path, "rb") as fh:
+        _, got = read_avro_file(fh.read())
+    assert got == [(k, {"t": t, "d": d}) for k, t, d in rows]
+    # the distributed reader lifts to Spark datetime values
+    back = {
+        r["k"]: r["meta"]
+        for r in read_avro(spark, str(tmp_path)).collect()
+    }
+    assert back[1]["t"] == datetime.datetime(1970, 1, 1) + datetime.timedelta(
+        microseconds=1_700_000_000_000_000
+    )
+    assert back[1]["d"] == datetime.date(1970, 1, 1) + datetime.timedelta(
+        days=19_782
+    )
+    assert back[2]["t"] == datetime.datetime(1969, 12, 31, 23, 59, 59, 999999)
+    assert back[2]["d"] == datetime.date(1970, 1, 1)
