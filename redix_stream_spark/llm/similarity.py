@@ -1096,6 +1096,119 @@ SELECT vec_id, label, sim, rank FROM (
 """
 
 
+# --- q210: filtered vector search (metadata predicate INSIDE the probe) -----
+
+#: The metadata predicate: label = FANN_LABEL (~10% of the corpus). In
+#: production this is the caller's filter (tenant, language, license).
+FANN_LABEL = 3
+#: Probe expansion under filtering: with ~10% selectivity the top
+#: IVF_NPROBE cells may hold too few MATCHING vectors to fill k, so the
+#: filtered probe widens the cell list — the standard vector-database
+#: response to filtered queries (expand nprobe, keep pre-filter
+#: semantics) rather than post-filtering a fixed shortlist.
+FANN_NPROBE = 2 * IVF_NPROBE
+
+
+def _gen_filtered_ann_sql() -> str:
+    """Generated oracle for q210: q43c's quantizer/probe chain with the
+    label predicate applied to the candidates BEFORE the ranking (and
+    the widened cell list) — pre-filter semantics, mirrored exactly."""
+    from .kmeans import _gen_kmeans_oracle_sql
+
+    km = _gen_kmeans_oracle_sql().strip()
+    km_body = km[: km.rindex("SELECT")].rstrip().rstrip(",")
+    cos_cent = _sql_cosine("c.cvec", "q.qv")
+    cos_vec = _sql_cosine("e.embedding", "q.qv")
+    return f"""{km_body},
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+cells AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           ROW_NUMBER() OVER (ORDER BY {cos_cent} DESC, c.cid) AS rk
+    FROM c1 c CROSS JOIN qv q
+  ) WHERE rk <= {FANN_NPROBE}
+),
+cand AS (
+  SELECT a.vec_id FROM a2 a JOIN cells ON cells.cid = a.cluster
+  WHERE a.vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, label, sim, rank FROM (
+  SELECT e.vec_id, e.label, {cos_vec} AS sim,
+         CAST(ROW_NUMBER() OVER (ORDER BY {cos_vec} DESC, e.vec_id) AS BIGINT)
+           AS rank
+  FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id CROSS JOIN qv q
+  WHERE e.label = {FANN_LABEL}
+) WHERE rank <= 10
+"""
+
+
+@register("q210_filtered_ann_search", _gen_filtered_ann_sql())
+def q210_filtered_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: top-k by cosine among vectors matching a
+    metadata predicate, with the predicate pushed INTO the ANN probe —
+    the feature every production retriever needs (tenant/language/
+    license filters) and the one where semantics silently diverge:
+
+    - PRE-FILTER (this face): rank only matching vectors → always k
+      results, recall governed by how many matching vectors the probed
+      cells hold. The filter is applied to the candidate scan BEFORE
+      scoring (PushedFilters on the parquet scan — plan-asserted), and
+      the probe widens to FANN_NPROBE cells to compensate for the
+      predicate's ~10% selectivity.
+    - POST-FILTER (the naive composition q43c∘filter): rank everything,
+      filter the top-k shortlist → returns ~selectivity·k rows (measured
+      ≤2 of 10 here; pinned in tests/test_llm.py) and loses the rest.
+
+    Scale shape inherits q43c: cells are the partition key (a probe
+    reads nprobe/k of the corpus, partition-pruned), the label predicate
+    prunes FURTHER at the scan (at rest: cell/label composite layout or
+    a label zone map — the plan shows the filter reaching the scan), the
+    codebook broadcasts, and the shortlist is TakeOrdered. Every stage —
+    quantizer, widened probe, filtered candidates, ranking — is
+    hash-verified by the generated oracle (q43c's pattern)."""
+    from .kmeans import KM_ITERS, KM_K, kmeans_fit
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assign, cents = kmeans_fit(
+        e.select("vec_id", "embedding"), KM_K, KM_ITERS
+    )
+    probe = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    cells = (
+        cents.crossJoin(F.broadcast(probe))
+        .select("cid", cosine(F.col("cvec"), F.col("qv")).alias("csim"))
+        .orderBy(F.col("csim").desc(), F.col("cid"))
+        .limit(FANN_NPROBE)
+        .select(F.col("cid").alias("cluster"))
+    )
+    cand = (
+        assign.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(cells), "cluster")
+        .select("vec_id")
+    )
+    # pre-filter: the predicate rides the embeddings SCAN (pushed down),
+    # so only matching candidates are ever scored
+    matching = e.filter(F.col("label") == FANN_LABEL).select(
+        "vec_id", "label", "embedding"
+    )
+    scored = (
+        cand.join(matching.hint("shuffle_hash"), "vec_id")
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            cosine(F.col("embedding"), F.col("qv")).alias("sim"),
+        )
+    )
+    rank_w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+    )
+
+
 @register("q43c_ann_ivf_exact", _gen_ivf_exact_sql())
 def q43c_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with the REPO's deterministic k-means as the coarse

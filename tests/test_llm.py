@@ -1603,6 +1603,49 @@ def test_prod_lsh_hot_bucket_capped(spark, sf_dir):
     assert survivors > 0
 
 
+def test_q210_filtered_ann_prefilter_vs_postfilter(spark, sf_dir):
+    """Pre-filter semantics (q210) vs the naive post-filter composition:
+    the filtered probe must return a FULL k of matching vectors with
+    recall against the exact filtered top-k, while post-filtering q43c's
+    unfiltered shortlist keeps only ~selectivity·k rows (measured: 1 of
+    10 at sf0.001) — the gap that makes filtered search a first-class
+    operator instead of a WHERE clause on the result."""
+    import numpy as np
+
+    from redix_stream_spark.llm.similarity import (
+        FANN_LABEL,
+        q43c_ann_ivf_exact,
+        q210_filtered_ann_search,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {
+        r["vec_id"]: (np.array(r["embedding"], dtype=np.float64), r["label"])
+        for r in rows
+    }
+    q = vecs[0][0] / np.linalg.norm(vecs[0][0])
+    sims = sorted(
+        (
+            (float(np.dot(v / np.linalg.norm(v), q)), vid)
+            for vid, (v, lab) in vecs.items()
+            if vid != 0 and lab == FANN_LABEL
+        ),
+        reverse=True,
+    )
+    exact = {vid for _, vid in sims[:10]}
+    got_rows = q210_filtered_ann_search(spark, sf_dir).collect()
+    assert len(got_rows) == 10  # pre-filter always fills k
+    assert all(r["label"] == FANN_LABEL for r in got_rows)
+    got = {r["vec_id"] for r in got_rows}
+    assert len(got & exact) / 10 >= 0.7  # measured 0.8 at sf0.001
+    post = [
+        r
+        for r in q43c_ann_ivf_exact(spark, sf_dir).collect()
+        if r["label"] == FANN_LABEL
+    ]
+    assert len(post) < 10  # the post-filter hole (measured: 1 row)
+
+
 def test_mp3_id3v24_footer_is_skipped():
     """ID3v2.4 footer flag (header byte 5 & 0x10) adds a 10-byte '3DI'
     footer after the tag body; the first-frame probe must skip it or a

@@ -898,6 +898,23 @@ def test_q204_edges_materialize_once(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q210_filtered_ann_predicate_reaches_scan(spark, sf_dir):
+    """The metadata predicate must ride the embeddings SCAN (pre-filter
+    semantics, pushed down) — not a post-shortlist Filter — and the fat
+    embedding join stays shuffle_hash with the bounded cells/probe
+    relations broadcast."""
+    plan = plan_of(QUERIES["q210_filtered_ann_search"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    import re
+
+    pushed = [
+        l for l in plan.splitlines() if "PushedFilters" in l and "label" in l
+    ]
+    assert any(re.search(r"EqualTo\(label,3\)", l) for l in pushed), pushed
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q203_exactly_two_scans_per_table(spark, sf_dir):
     """q203's 8 rule rows come from a stack-unpivoted single wide
     aggregate row (VERDICT r9 item 6): each base table's rule aggregate
