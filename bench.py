@@ -154,11 +154,13 @@ BIG_HEADLINE = [
     "q156_kcore_decomposition",
     "q157_bfs_levels",
     "q166_corpus_pipeline",
-    # round-6: incremental refresh is the sublinear-by-design face (the
-    # fixed-width kNN/density faces are deliberately NOT gated at sf1 —
-    # their measured 10x blowup and the bits-scaling law live in
-    # SCALING.md "round-6 faces").
+    # round-6: incremental refresh is the sublinear-by-design face. The
+    # fixed-width kNN/density DEMO faces stay ungated at sf1 (measured
+    # 10x blowup, SCALING.md "round-6 faces") — round 12 ships their
+    # corpus-adaptive production twins, gated here like q41b/q107b/q190b.
     "q173_incremental_clusters",
+    "q169b_knn_graph_production",
+    "q174b_density_clusters_production",
     # round-7: the corpus-sized new faces — wedge-explode link prediction
     # and LPA rounds (graph), the full maintenance lifecycle (storage),
     # epoch shuffle + bucketed prefix-sum PPS (whole-corpus ordering).
@@ -354,6 +356,13 @@ HEADLINE = [
     "q205b_avro_embeddings_roundtrip",
     "q208_quarantine_triage",
     "q209_hybrid_retrieval_rrf",
+    # round-12 adds: the corpus-adaptive production LSH faces (the two
+    # r11 `weak` marks converted to faces — bits track the corpus, hot
+    # buckets md5-budgeted) and filtered vector search (metadata
+    # predicate pushed into the IVF probe, pre-filter semantics).
+    "q169b_knn_graph_production",
+    "q174b_density_clusters_production",
+    "q210_filtered_ann_search",
 ]
 
 
@@ -412,13 +421,14 @@ def measure_recall(spark, queries, sf_dir: str) -> dict[str, float]:
     sims = normed @ normed.T
     np.fill_diagonal(sims, -2.0)
     true_top1 = {ids[i]: ids[int(np.argmax(sims[i]))] for i in range(len(ids))}
-    got_top1 = {
-        r["vec_id"]: r["nbr_id"]
-        for r in queries["q169_knn_graph"](spark, sf_dir).collect()
-        if r["rank"] == 1
-    }
-    hit = sum(1 for i in ids if got_top1.get(i) == true_top1[i])
-    out["q169_knn_graph"] = round(hit / len(ids), 3)
+    for name in ("q169_knn_graph", "q169b_knn_graph_production"):
+        got_top1 = {
+            r["vec_id"]: r["nbr_id"]
+            for r in queries[name](spark, sf_dir).collect()
+            if r["rank"] == 1
+        }
+        hit = sum(1 for i in ids if got_top1.get(i) == true_top1[i])
+        out[name] = round(hit / len(ids), 3)
     return out
 
 

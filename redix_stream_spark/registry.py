@@ -65,72 +65,75 @@ def _load() -> None:
 # Window policy: a query needs ONE green driver row, ever — but stale
 # evidence rots as shared helpers evolve, so the window ROTATES: after
 # new/changed faces take their slots, remaining slots go to the names
-# whose latest driver row is OLDEST. The ROUND-11 window leads with the
-# three new faces (q162b — the DC-decode image near-dup production
-# face; q205b — the Avro nested-array embeddings round trip; q208 —
-# the quarantine triage matrix) plus q207, whose plan changed this
-# round (it now consumes the shared production-pairs artifact — the
-# fresh row re-proves hash-invisibility). Rotation fills the remaining
-# 45 slots with the names whose latest driver row is oldest: all
-# twenty-nine r5-latest names, then the first sixteen r6-latest
-# names ordered by name (deterministic; computed from
-# test_registry_order's R1-R10 evidence sets). Rotated out: the r10
-# window (now the R10_CHECKED permanent-evidence set).
+# whose latest driver row is OLDEST. The ROUND-12 window leads with the
+# three new faces (q169b/q174b — the corpus-adaptive production LSH
+# twins of the two r11 `weak` marks; q210 — filtered vector search)
+# plus the nine changed-plan faces needing fresh rows: q208 (its oracle
+# now computes the corpus-proportional min_words limit), the graph
+# family q144/q204/q180 (edge checkpoint + long-key iteration), the LSH
+# family q169/q174 (shared pipelines + per-vector norm precompute) and
+# q42 (bucket bits cast long), and the Avro round trips q205/q205b (the
+# decode path grew the nested-logical lift). Rotation fills the
+# remaining 38 slots with the oldest-evidence names: the thirty
+# remaining r6-latest names, then the first eight r7-latest names by
+# name (computed from CORRECTNESS_r01–r11 as in test_registry_order).
+# Rotated out: the r11 window (now the R11_CHECKED permanent-evidence
+# set).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- new in round 11 --
-    "q162b_image_neardup_fast",
-    "q205b_avro_embeddings_roundtrip",
+    # -- new in round 12 --
+    "q169b_knn_graph_production",
+    "q174b_density_clusters_production",
+    "q210_filtered_ann_search",
+    # -- changed in round 12 (fresh row re-proves the new plan) --
     "q208_quarantine_triage",
-    "q209_hybrid_retrieval_rrf",
-    # -- changed in round 11 (fresh row re-proves the new plan) --
-    "q207_dup_source_matrix",
-    # -- rotation: latest driver row is r5 --
-    "q156_kcore_decomposition",
-    "q157_bfs_levels",
-    "q158_salted_join_revenue",
-    "q159_ref_integrity_audit",
-    "q160_funnel",
-    "q161_attribution",
-    "q164_trend_ols",
-    "q165_sessionize",
-    "q18_scalar_datetime",
-    "q19_json_props",
-    "q20_tumbling_window",
-    "q21_sliding_window",
-    "q22_session_window",
-    "q23_stream_replay",
-    "q24_dedup_first",
-    "q25_pending_antijoin",
-    "q26_percentiles",
-    "q30_text_stats",
-    "q31_top_tokens",
-    "q36_minhash_lsh_neardup",
-    "q36b_minhash_production",
-    "q40_cosine_topk",
-    "q41_embedding_neardup",
-    "q42_ann_lsh_topk",
-    "q43_image_features",
-    "q54_pandas_udf_tokens",
-    "q55_rowwise_udf_tokens",
-    "q85_hash_split",
-    "q88_quota_sample",
-    # -- rotation: latest driver row is r6 (first 16 by name) --
-    "q107_containment_dup",
-    "q118_leakage_safe_split",
-    "q147_binary_ann_topk",
-    "q162_image_neardup",
-    "q163_bpe_encode",
-    "q167_sssp_bounded",
+    "q144_pagerank",
+    "q204_personalized_pagerank",
+    "q180_lpa_communities",
     "q169_knn_graph",
-    "q170_column_profile",
-    "q171_cluster_histogram",
-    "q173_incremental_clusters",
     "q174_density_clusters",
-    "q23b_replay_scaled",
-    "q27_moment_stats",
-    "q28_pivot_events",
-    "q29_map_ops",
-    "q32_doc_quality",
+    "q42_ann_lsh_topk",
+    "q205_avro_roundtrip",
+    "q205b_avro_embeddings_roundtrip",
+    # -- rotation: latest driver row is r6 --
+    "q33_lang_id",
+    "q34_fingerprint",
+    "q43c_ann_ivf_exact",
+    "q50_full_outer_join",
+    "q58_pii_scrub",
+    "q59_token_counting",
+    "q62_forecast_revenue",
+    "q63_promo_ratio",
+    "q64_returned_items",
+    "q67_left_outer_join",
+    "q68_right_outer_join",
+    "q70_shipping_priority",
+    "q71_local_supplier_volume",
+    "q72_volume_shipping",
+    "q73_market_share",
+    "q74_order_distribution",
+    "q75_small_qty_revenue",
+    "q76_large_orders",
+    "q77_bracket_revenue",
+    "q78_dormant_customers",
+    "q79_top_supplier",
+    "q80_neardup_clusters",
+    "q81_clean_corpus",
+    "q82_token_rarity",
+    "q83_repetition_quality",
+    "q84_decontamination",
+    "q86_tfidf_keywords",
+    "q87_sequence_packing",
+    "q89_priority_late_orders",
+    "q90_late_lines_by_status",
+    # -- rotation: latest driver row is r7 (first 8 by name) --
+    "q116_bloom_decontaminate",
+    "q117_boilerplate_passages",
+    "q119_zorder_key",
+    "q119b_hilbert_key",
+    "q123_phrase_search",
+    "q126_histogram",
+    "q128_cooccurrence_lift",
+    "q129_cohort_matrix",
 )
 
 

@@ -75,6 +75,11 @@ FACES = [
     # and the text SimHash face after its combination-key re-plan
     "q162b_image_neardup_fast",
     "q38b_simhash_weighted",
+    # round-12: the corpus-adaptive production LSH faces (bits ladder —
+    # the r11 weak marks; demo twins measured 190 s/24x and 117 s/10x+
+    # per decade, excluded from this block by quadratic cost)
+    "q169b_knn_graph_production",
+    "q174b_density_clusters_production",
 ]
 
 

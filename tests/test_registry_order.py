@@ -11,15 +11,25 @@ from __future__ import annotations
 from redix_stream_spark import registry
 
 MUST_BE_IN_WINDOW = {
-    # New round-11 faces.
-    "q162b_image_neardup_fast",
-    "q205b_avro_embeddings_roundtrip",
+    # New round-12 faces.
+    "q169b_knn_graph_production",
+    "q174b_density_clusters_production",
+    "q210_filtered_ann_search",
+    # Changed in round 12 — fresh rows re-prove the new plans: q208's
+    # oracle now computes the corpus-proportional min_words limit; the
+    # graph family materializes edges once and iterates on long node
+    # ids; the LSH family shares extracted pipelines with per-vector
+    # norm precompute (q42's bucket bits cast long); the Avro decode
+    # path grew the nested-logical lift.
     "q208_quarantine_triage",
-    "q209_hybrid_retrieval_rrf",
-    # Changed in round 11: q207 now consumes the shared production-pairs
-    # artifact (llm/artifacts.py::production_pairs) — the fresh row
-    # re-proves the artifact is hash-invisible.
-    "q207_dup_source_matrix",
+    "q144_pagerank",
+    "q204_personalized_pagerank",
+    "q180_lpa_communities",
+    "q169_knn_graph",
+    "q174_density_clusters",
+    "q42_ann_lsh_topk",
+    "q205_avro_roundtrip",
+    "q205b_avro_embeddings_roundtrip",
 }
 
 # The 50 queries the r2 driver window checked (CORRECTNESS_r02 rows —
@@ -260,6 +270,33 @@ R10_CHECKED = {
 }
 
 
+# The 50 queries the r11 driver window checked (CORRECTNESS_r11 rows —
+# permanent evidence; 48 oracle-green + 2 rows-only image faces, both
+# pytest-pinned). Note q169/q174/q42/q205b's r11 rows predate their
+# round-12 plan changes — they are ALSO in MUST_BE_IN_WINDOW for fresh
+# rows.
+R11_CHECKED = {
+    "q107_containment_dup", "q118_leakage_safe_split",
+    "q147_binary_ann_topk", "q156_kcore_decomposition", "q157_bfs_levels",
+    "q158_salted_join_revenue", "q159_ref_integrity_audit", "q160_funnel",
+    "q161_attribution", "q162_image_neardup", "q162b_image_neardup_fast",
+    "q163_bpe_encode", "q164_trend_ols", "q165_sessionize",
+    "q167_sssp_bounded", "q169_knn_graph", "q170_column_profile",
+    "q171_cluster_histogram", "q173_incremental_clusters",
+    "q174_density_clusters", "q18_scalar_datetime", "q19_json_props",
+    "q205b_avro_embeddings_roundtrip", "q207_dup_source_matrix",
+    "q208_quarantine_triage", "q209_hybrid_retrieval_rrf",
+    "q20_tumbling_window", "q21_sliding_window", "q22_session_window",
+    "q23_stream_replay", "q23b_replay_scaled", "q24_dedup_first",
+    "q25_pending_antijoin", "q26_percentiles", "q27_moment_stats",
+    "q28_pivot_events", "q29_map_ops", "q30_text_stats", "q31_top_tokens",
+    "q32_doc_quality", "q36_minhash_lsh_neardup", "q36b_minhash_production",
+    "q40_cosine_topk", "q41_embedding_neardup", "q42_ann_lsh_topk",
+    "q43_image_features", "q54_pandas_udf_tokens", "q55_rowwise_udf_tokens",
+    "q85_hash_split", "q88_quota_sample",
+}
+
+
 def test_every_query_has_a_driver_row_across_rounds():
     """The current window + the r1–r8 rows must cover every registered
     query, so that after this round no query has ever gone
@@ -278,6 +315,7 @@ def test_every_query_has_a_driver_row_across_rounds():
         - R8_CHECKED
         - R9_CHECKED
         - R10_CHECKED
+        - R11_CHECKED
     )
     assert not uncovered, f"queries with no driver row in any round: {uncovered}"
 
