@@ -915,13 +915,12 @@ def q174_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _density_from_entries(e, entries)
 
 
-def _density_from_entries(e: DataFrame, entries: DataFrame) -> DataFrame:
-    """eps-edge generation + DBSCAN core/border/CC, shared verbatim by the
-    demo (q174) and production-width (q174b) faces; only the bucket
-    relation differs. Star contraction keeps the CC half O(log² n) at any
-    width — candidate generation was the quadratic part."""
-    from .dedup import connected_components_star
-
+def _eps_edges(e: DataFrame, entries: DataFrame) -> DataFrame:
+    """The eps-neighbor edge stage shared by q174/q174b: bucket-candidate
+    self-join on the slim entries relation, then exact-cosine filtering
+    via key-only join-backs (shuffle_hash pinned on the fat array side —
+    plan-asserted separately for both faces, since the eager checkpoint
+    in _density_from_entries hides this stage from the final plan)."""
     a = entries.select(F.col("vec_id").alias("src"), "table", "bucket")
     b = entries.select(F.col("vec_id").alias("dst"), "table", "bucket")
     cand = (
@@ -942,7 +941,7 @@ def _density_from_entries(e: DataFrame, entries: DataFrame) -> DataFrame:
         F.col("embedding").alias("e_dst"),
         norm(F.col("embedding")).alias("n_dst"),
     )
-    edges = (
+    return (
         cand.join(ea.hint("shuffle_hash"), "src")
         .join(eb.hint("shuffle_hash"), "dst")
         .filter(
@@ -952,6 +951,16 @@ def _density_from_entries(e: DataFrame, entries: DataFrame) -> DataFrame:
         )
         .select("src", "dst")
     )
+
+
+def _density_from_entries(e: DataFrame, entries: DataFrame) -> DataFrame:
+    """eps-edge generation + DBSCAN core/border/CC, shared verbatim by the
+    demo (q174) and production-width (q174b) faces; only the bucket
+    relation differs. Star contraction keeps the CC half O(log² n) at any
+    width — candidate generation was the quadratic part."""
+    from .dedup import connected_components_star
+
+    edges = _eps_edges(e, entries)
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
@@ -1057,48 +1066,11 @@ def q174b_density_clusters_production(
     return _density_from_entries(e, _prod_lsh_entries(e))
 
 
-# --- q43c: oracle-backed IVF — the repo quantizer instead of MLlib ----------
+# --- q43c / q210: oracle-backed IVF — the repo quantizer instead of MLlib ---
 
 IVF_NPROBE = 3
 
-
-def _gen_ivf_exact_sql() -> str:
-    """Generated oracle for q43c: q141's unrolled k-means CTE chain is
-    the quantizer; the probe ranks cells by centroid cosine, unions the
-    top-IVF_NPROBE cells' members, and exact-cosine re-ranks — every
-    stage the same deterministic fold arithmetic as the Spark plan."""
-    from .kmeans import _gen_kmeans_oracle_sql
-
-    km = _gen_kmeans_oracle_sql().strip()
-    # reuse the full kmeans WITH-chain, swap the final SELECT for probes
-    km_body = km[: km.rindex("SELECT")].rstrip().rstrip(",")
-    cos_cent = _sql_cosine("c.cvec", "q.qv")
-    cos_vec = _sql_cosine("e.embedding", "q.qv")
-    return f"""{km_body},
-qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
-cells AS (
-  SELECT cid FROM (
-    SELECT c.cid,
-           ROW_NUMBER() OVER (ORDER BY {cos_cent} DESC, c.cid) AS rk
-    FROM c1 c CROSS JOIN qv q
-  ) WHERE rk <= {IVF_NPROBE}
-),
-cand AS (
-  SELECT a.vec_id FROM a2 a JOIN cells ON cells.cid = a.cluster
-  WHERE a.vec_id <> {QUERY_VEC_ID}
-)
-SELECT vec_id, label, sim, rank FROM (
-  SELECT e.vec_id, e.label, {cos_vec} AS sim,
-         CAST(ROW_NUMBER() OVER (ORDER BY {cos_vec} DESC, e.vec_id) AS BIGINT)
-           AS rank
-  FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id CROSS JOIN qv q
-) WHERE rank <= 10
-"""
-
-
-# --- q210: filtered vector search (metadata predicate INSIDE the probe) -----
-
-#: The metadata predicate: label = FANN_LABEL (~10% of the corpus). In
+#: q210's metadata predicate: label = FANN_LABEL (~10% of the corpus). In
 #: production this is the caller's filter (tenant, language, license).
 FANN_LABEL = 3
 #: Probe expansion under filtering: with ~10% selectivity the top
@@ -1109,16 +1081,22 @@ FANN_LABEL = 3
 FANN_NPROBE = 2 * IVF_NPROBE
 
 
-def _gen_filtered_ann_sql() -> str:
-    """Generated oracle for q210: q43c's quantizer/probe chain with the
-    label predicate applied to the candidates BEFORE the ranking (and
-    the widened cell list) — pre-filter semantics, mirrored exactly."""
+def _gen_ivf_probe_sql(nprobe: int, label: int | None = None) -> str:
+    """Shared generated-oracle builder for the IVF probe chain (q43c and
+    q210): q141's unrolled k-means CTE chain is the quantizer; the probe
+    ranks cells by centroid cosine, unions the top-``nprobe`` cells'
+    members, optionally applies the ``label`` predicate to the
+    candidates BEFORE the ranking (q210's pre-filter semantics), and
+    exact-cosine re-ranks — every stage the same deterministic fold
+    arithmetic as the Spark plan."""
     from .kmeans import _gen_kmeans_oracle_sql
 
     km = _gen_kmeans_oracle_sql().strip()
+    # reuse the full kmeans WITH-chain, swap the final SELECT for probes
     km_body = km[: km.rindex("SELECT")].rstrip().rstrip(",")
     cos_cent = _sql_cosine("c.cvec", "q.qv")
     cos_vec = _sql_cosine("e.embedding", "q.qv")
+    where = f"\n  WHERE e.label = {label}" if label is not None else ""
     return f"""{km_body},
 qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 cells AS (
@@ -1126,7 +1104,7 @@ cells AS (
     SELECT c.cid,
            ROW_NUMBER() OVER (ORDER BY {cos_cent} DESC, c.cid) AS rk
     FROM c1 c CROSS JOIN qv q
-  ) WHERE rk <= {FANN_NPROBE}
+  ) WHERE rk <= {nprobe}
 ),
 cand AS (
   SELECT a.vec_id FROM a2 a JOIN cells ON cells.cid = a.cluster
@@ -1136,36 +1114,19 @@ SELECT vec_id, label, sim, rank FROM (
   SELECT e.vec_id, e.label, {cos_vec} AS sim,
          CAST(ROW_NUMBER() OVER (ORDER BY {cos_vec} DESC, e.vec_id) AS BIGINT)
            AS rank
-  FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id CROSS JOIN qv q
-  WHERE e.label = {FANN_LABEL}
+  FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id CROSS JOIN qv q{where}
 ) WHERE rank <= 10
 """
 
 
-@register("q210_filtered_ann_search", _gen_filtered_ann_sql())
-def q210_filtered_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FILTERED vector search: top-k by cosine among vectors matching a
-    metadata predicate, with the predicate pushed INTO the ANN probe —
-    the feature every production retriever needs (tenant/language/
-    license filters) and the one where semantics silently diverge:
-
-    - PRE-FILTER (this face): rank only matching vectors → always k
-      results, recall governed by how many matching vectors the probed
-      cells hold. The filter is applied to the candidate scan BEFORE
-      scoring (PushedFilters on the parquet scan — plan-asserted), and
-      the probe widens to FANN_NPROBE cells to compensate for the
-      predicate's ~10% selectivity.
-    - POST-FILTER (the naive composition q43c∘filter): rank everything,
-      filter the top-k shortlist → returns ~selectivity·k rows (measured
-      ≤2 of 10 here; pinned in tests/test_llm.py) and loses the rest.
-
-    Scale shape inherits q43c: cells are the partition key (a probe
-    reads nprobe/k of the corpus, partition-pruned), the label predicate
-    prunes FURTHER at the scan (at rest: cell/label composite layout or
-    a label zone map — the plan shows the filter reaching the scan), the
-    codebook broadcasts, and the shortlist is TakeOrdered. Every stage —
-    quantizer, widened probe, filtered candidates, ranking — is
-    hash-verified by the generated oracle (q43c's pattern)."""
+def _ivf_probe_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int, label: int | None = None
+) -> DataFrame:
+    """Shared Spark body for the IVF probe chain (q43c and q210): fit
+    the deterministic quantizer, rank cells by centroid cosine, union
+    the top-``nprobe`` cells' members, optionally pre-filter candidates
+    by ``label`` (the predicate rides the embeddings SCAN — pushed
+    down), exact-cosine re-rank the shortlist."""
     from .kmeans import KM_ITERS, KM_K, kmeans_fit
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1179,7 +1140,7 @@ def q210_filtered_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents.crossJoin(F.broadcast(probe))
         .select("cid", cosine(F.col("cvec"), F.col("qv")).alias("csim"))
         .orderBy(F.col("csim").desc(), F.col("cid"))
-        .limit(FANN_NPROBE)
+        .limit(nprobe)
         .select(F.col("cid").alias("cluster"))
     )
     cand = (
@@ -1187,11 +1148,9 @@ def q210_filtered_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cells), "cluster")
         .select("vec_id")
     )
-    # pre-filter: the predicate rides the embeddings SCAN (pushed down),
-    # so only matching candidates are ever scored
-    matching = e.filter(F.col("label") == FANN_LABEL).select(
-        "vec_id", "label", "embedding"
-    )
+    matching = e.select("vec_id", "label", "embedding")
+    if label is not None:
+        matching = matching.filter(F.col("label") == label)
     scored = (
         cand.join(matching.hint("shuffle_hash"), "vec_id")
         .crossJoin(F.broadcast(probe))
@@ -1209,7 +1168,7 @@ def q210_filtered_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q43c_ann_ivf_exact", _gen_ivf_exact_sql())
+@register("q43c_ann_ivf_exact", _gen_ivf_probe_sql(IVF_NPROBE))
 def q43c_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with the REPO's deterministic k-means as the coarse
     quantizer — the oracle-backed sibling of q43b (which deliberately
@@ -1225,38 +1184,35 @@ def q43c_ann_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook broadcasts, and the fit runs on a bounded sample
     (seed_centroids + two Lloyd rounds here keep the fit itself
     corpus-exact for the oracle)."""
-    from .kmeans import KM_ITERS, KM_K, kmeans_fit
+    return _ivf_probe_topk(spark, sf_dir, IVF_NPROBE)
 
-    e = load_table(spark, sf_dir, "embeddings")
-    assign, cents = kmeans_fit(
-        e.select("vec_id", "embedding"), KM_K, KM_ITERS
-    )
-    probe = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv")
-    )
-    cells = (
-        cents.crossJoin(F.broadcast(probe))
-        .select("cid", cosine(F.col("cvec"), F.col("qv")).alias("csim"))
-        .orderBy(F.col("csim").desc(), F.col("cid"))
-        .limit(IVF_NPROBE)
-        .select(F.col("cid").alias("cluster"))
-    )
-    cand = (
-        assign.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(cells), "cluster")
-        .select("vec_id")
-    )
-    scored = (
-        cand.join(
-            e.select("vec_id", "label", "embedding").hint("shuffle_hash"),
-            "vec_id",
-        )
-        .crossJoin(F.broadcast(probe))
-        .select("vec_id", "label", cosine(F.col("embedding"), F.col("qv")).alias("sim"))
-    )
-    rank_w = Window.orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.orderBy(F.desc("sim"), F.asc("vec_id"))
-        .limit(10)
-        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
-    )
+
+@register(
+    "q210_filtered_ann_search", _gen_ivf_probe_sql(FANN_NPROBE, FANN_LABEL)
+)
+def q210_filtered_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: top-k by cosine among vectors matching a
+    metadata predicate, with the predicate pushed INTO the ANN probe —
+    the feature every production retriever needs (tenant/language/
+    license filters) and the one where semantics silently diverge:
+
+    - PRE-FILTER (this face): rank only matching vectors → always k
+      results, recall governed by how many matching vectors the probed
+      cells hold. The filter is applied to the candidate scan BEFORE
+      scoring (PushedFilters on the parquet scan — plan-asserted), and
+      the probe widens to FANN_NPROBE cells to compensate for the
+      predicate's ~10% selectivity.
+    - POST-FILTER (the naive composition q43c∘filter): rank everything,
+      filter the top-k shortlist → returns ~selectivity·k rows (measured
+      ≤2 of 10 here; pinned in tests/test_llm.py) and loses the rest.
+
+    Scale shape inherits q43c (the probe chain is _ivf_probe_topk,
+    shared verbatim — only nprobe and the predicate differ): cells are
+    the partition key (a probe reads nprobe/k of the corpus,
+    partition-pruned), the label predicate prunes FURTHER at the scan
+    (at rest: cell/label composite layout or a label zone map — the
+    plan shows the filter reaching the scan), the codebook broadcasts,
+    and the shortlist is TakeOrdered. Every stage — quantizer, widened
+    probe, filtered candidates, ranking — is hash-verified by the
+    shared generated oracle (_gen_ivf_probe_sql)."""
+    return _ivf_probe_topk(spark, sf_dir, FANN_NPROBE, FANN_LABEL)

@@ -64,22 +64,36 @@ PR_SCALE = 10**15
 _TELEPORT_NUM, _DAMP_NUM, _PCT = 15, 85, 100
 
 
-def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct customer↔supplier pairs as a symmetric directed edge list
-    over namespaced node ids ('c:<key>', 's:<key>')."""
+def _trade_graph(
+    spark: SparkSession, sf_dir: str, c: "F.Column", s: "F.Column"
+) -> DataFrame:
+    """The one definition of the customer↔supplier bipartite graph:
+    distinct (customer, supplier) pairs from orders⋈lineitem, both
+    directions. ``c``/``s`` map the raw keys (columns o_custkey /
+    l_suppkey) to node ids — the string and arithmetic encodings below
+    are thin wrappers so the derivation can never diverge between
+    them."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
-        )
+        .select(c.alias("c"), s.alias("s"))
         .distinct()
     )
     fwd = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
     rev = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     return fwd.union(rev)
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer↔supplier pairs as a symmetric directed edge list
+    over namespaced node ids ('c:<key>', 's:<key>')."""
+    return _trade_graph(
+        spark,
+        sf_dir,
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")),
+    )
 
 
 def _edges_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,19 +106,12 @@ def _edges_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregation at the default driver memory). No dictionary pass:
     the encoding is a pure per-row expression, decoded back to the
     identical strings only on the node-sized output (_node_str)."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            (F.col("o_custkey").cast("long") * 2).alias("c"),
-            (F.col("l_suppkey").cast("long") * 2 + 1).alias("s"),
-        )
-        .distinct()
+    return _trade_graph(
+        spark,
+        sf_dir,
+        F.col("o_custkey").cast("long") * 2,
+        F.col("l_suppkey").cast("long") * 2 + 1,
     )
-    fwd = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    rev = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    return fwd.union(rev)
 
 
 def _node_str(col: str = "node") -> "F.Column":

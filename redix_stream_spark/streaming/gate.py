@@ -148,8 +148,14 @@ class GatedEpochWriter:
         # dedupes by epoch; a quarantine dir can now never exist without
         # its journal record.
         with open(os.path.join(self.root, "_quarantine.jsonl"), "a") as f:
+            # Leading newline: if a previous append was torn (crash
+            # mid-write leaves a fragment with no terminator), this
+            # record starts on its own line instead of concatenating
+            # onto the fragment — the reader skips the fragment and the
+            # repair record survives. Blank lines are skipped on read.
             f.write(
-                json.dumps(
+                "\n"
+                + json.dumps(
                     {
                         "epoch": epoch_id,
                         "n_checked": int(got["n_checked"] or 0),
@@ -183,17 +189,27 @@ class GatedEpochWriter:
 
     def quarantined_epochs(self) -> list[dict]:
         """The quarantine journal, deduped by epoch (last line wins — a
-        crash between the quarantine move and the journal append can
-        produce a replayed duplicate; reporting must not double-count)."""
+        crash between the journal append and the quarantine move makes
+        replay re-stage and re-journal the epoch; reporting must not
+        double-count). Unparsable lines are SKIPPED, not raised: the
+        journal append is the crash-safety keystone since the r12
+        reorder, and a torn write (power loss mid-append leaves a
+        fragment the repair line then concatenates onto) must degrade to
+        one lost-then-repaired record, never poison the whole journal —
+        every complete record for an epoch supersedes any fragment."""
         path = os.path.join(self.root, "_quarantine.jsonl")
         if not os.path.exists(path):
             return []
         by_epoch: dict[int, dict] = {}
         with open(path) as f:
             for line in f:
-                if line.strip():
+                if not line.strip():
+                    continue
+                try:
                     rec = json.loads(line)
-                    by_epoch[int(rec["epoch"])] = rec
+                except json.JSONDecodeError:
+                    continue  # torn fragment — superseded by the replay line
+                by_epoch[int(rec["epoch"])] = rec
         return [by_epoch[e] for e in sorted(by_epoch)]
 
 

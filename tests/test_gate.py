@@ -144,6 +144,28 @@ def test_gate_journal_precedes_quarantine_move(spark, tmp_path, monkeypatch):
     assert q[0]["violations"]["doc_id.not_null"] == 2
 
 
+def test_gate_journal_survives_torn_write(spark, tmp_path):
+    """A torn append (crash mid-write leaves an unterminated fragment)
+    must degrade to one lost-then-repaired record, never poison the
+    journal: the next append starts on its own line (leading newline),
+    the reader skips the fragment and blank lines, and the complete
+    replay record wins."""
+    g = GatedEpochWriter(str(tmp_path / "out"), RULES())
+    bad = [(None, "x"), (None, "y")]
+    assert g.apply_batch(_batch(spark, bad), 3) is False
+    path = str(tmp_path / "out" / "_quarantine.jsonl")
+    with open(path, "a") as f:
+        f.write('{"epoch": 7, "n_checked": 99, "violatio')  # torn fragment
+    # fragment for an UNSEEN epoch: skipped entirely, journal still reads
+    assert [q["epoch"] for q in g.quarantined_epochs()] == [3]
+    # the repair path: replay of epoch 7 appends a complete record that
+    # starts on its own line despite the unterminated fragment
+    assert g.apply_batch(_batch(spark, bad), 7) is False
+    q = g.quarantined_epochs()
+    assert [r["epoch"] for r in q] == [3, 7]
+    assert q[1]["violations"]["doc_id.not_null"] == 2
+
+
 def test_gate_requires_rules(tmp_path):
     with pytest.raises(ValueError, match="at least one rule"):
         GatedEpochWriter(str(tmp_path / "out"), {})

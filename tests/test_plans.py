@@ -678,6 +678,43 @@ def test_q169b_production_fat_joins_are_shuffle_hash(spark, sf_dir):
             raise AssertionError(f"embedding relation broadcast: {line}")
 
 
+def test_q174b_production_fat_joins_are_shuffle_hash(spark, sf_dir):
+    """q174b's eps-edge join-backs carry the fat embedding arrays — same
+    pin as q169b (CLAUDE.md scale bar: fat-array relations never rely on
+    auto-broadcast). The eager checkpoint in _density_from_entries hides
+    this stage from the FINAL plan, so the pin targets the edge stage
+    itself — for both the production and demo bucket relations."""
+    from pyspark.sql import functions as F
+
+    from redix_stream_spark.catalog import load_table
+    from redix_stream_spark.llm.similarity import (
+        LSH_TABLES,
+        _eps_edges,
+        _hyperplanes,
+        _prod_lsh_entries,
+        lsh_table_buckets,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    demo_entries = e.select(
+        "vec_id",
+        "embedding",
+        *lsh_table_buckets(F.col("embedding"), _hyperplanes()),
+    ).select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"bucket{t}") for t in range(LSH_TABLES)])
+        ).alias("table", "bucket"),
+    )
+    for entries in (_prod_lsh_entries(e), demo_entries):
+        plan = plan_of(_eps_edges(e, entries))
+        assert "ShuffledHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        for line in plan.splitlines():
+            if "BroadcastHashJoin" in line and "embedding" in line:
+                raise AssertionError(f"embedding relation broadcast: {line}")
+
+
 def test_q172_top_paths_caps_state_before_collect(spark, sf_dir):
     """q172's sessionize + in-session numbering + path collect all ride
     ONE user-keyed exchange (the in-session row number is a running max
