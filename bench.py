@@ -363,6 +363,11 @@ HEADLINE = [
     "q169b_knn_graph_production",
     "q174b_density_clusters_production",
     "q210_filtered_ann_search",
+    # round-12 extension: exact-substring dedup (Lee et al. ExactSubstr)
+    # and its winnowing-sampled production twin — both timed; the pair
+    # is the q41/q41b pattern (exact face + guaranteed-recall sampler).
+    "q211_exact_substring_dedup",
+    "q211b_exact_substring_winnowed",
 ]
 
 

@@ -2443,3 +2443,290 @@ def q201_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# E168 — exact-substring dedup (q211) + winnowed production twin (q211b)
+# ---------------------------------------------------------------------------
+
+EXSUB_W = 8  # duplicated-window width in tokens (the ExactSubstr threshold)
+WINNOW_S = 4  # winnowing selection window, in consecutive window positions
+
+
+def _exsub_windows(d: DataFrame) -> DataFrame:
+    """Every EXSUB_W-token window of every document: (doc_id, start, h).
+
+    ``start`` is the 1-based token index of the window's first token and
+    ``h`` the md5 of the space-joined window text — full 128-bit md5, not
+    a truncated integer, because exact-substring dedup is the one dedup
+    face where a hash collision CHANGES the answer (a colliding pair
+    marks a non-duplicated span for cutting). md5 is identical in Spark
+    and DuckDB, so window identity is the same computation cross-engine.
+    Docs shorter than EXSUB_W emit no windows (F.sequence would generate
+    a DESCENDING range for n < W — the guard is load-bearing).
+    """
+    toks = tokens()
+    n = F.size(toks)
+    wins = F.when(
+        n >= EXSUB_W,
+        F.transform(
+            F.sequence(F.lit(1), n - (EXSUB_W - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, EXSUB_W))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", F.posexplode(wins).alias("pos", "h")).select(
+        "doc_id", (F.col("pos") + 1).cast("long").alias("start"), "h"
+    )
+
+
+def _dup_span_stats(pos: DataFrame) -> DataFrame:
+    """Merge duplicated window positions into maximal per-doc spans.
+
+    Classic gaps-and-islands over the sorted positions: a window at
+    ``start`` covers tokens [start, start+W-1]; a new span begins when
+    the running max of previous covered ends leaves a gap (adjacent
+    coverage merges — span count reports maximal contiguous duplicated
+    regions, the unit ExactSubstr would cut). Window functions partition
+    by doc_id, so the merge is per-doc work — bounded by tokens per doc
+    regardless of corpus size.
+
+    Returns (doc_id, n_dup_spans, dup_tokens) for docs with ≥1
+    duplicated position.
+    """
+    w_doc = Window.partitionBy("doc_id").orderBy("start")
+    prev_end = F.max(F.col("start") + (EXSUB_W - 1)).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = pos.withColumn(
+        "newspan",
+        F.when(F.col("start") > F.coalesce(prev_end, F.lit(-1)) + 1, 1).otherwise(0),
+    )
+    spans = (
+        flagged.withColumn(
+            "span_id",
+            F.sum("newspan").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("start").alias("s"),
+            (F.max("start") + (EXSUB_W - 1)).alias("e"),
+        )
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+    )
+
+
+def _exsub_assemble(d: DataFrame, per_doc: DataFrame, extra: DataFrame | None = None) -> DataFrame:
+    """Left-join span stats (and optionally a per-doc extra column) onto
+    the full doc list with zero-fill and the single exact-integer divide."""
+    n_tok = d.select("doc_id", F.size(tokens()).cast("long").alias("n_tokens"))
+    out = n_tok
+    if extra is not None:
+        out = out.join(extra, "doc_id", "left_outer")
+    dup_tokens = F.coalesce(F.col("dup_tokens"), F.lit(0).cast("long"))
+    cols = ["doc_id", "n_tokens"] + (
+        [F.coalesce(F.col(extra.columns[1]), F.lit(0).cast("long")).alias(extra.columns[1])]
+        if extra is not None
+        else []
+    )
+    return (
+        out.join(per_doc, "doc_id", "left_outer")
+        .select(
+            *cols,
+            dup_tokens.alias("dup_tokens"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0).cast("long")).alias("n_dup_spans"),
+            (dup_tokens.cast("double") / F.col("n_tokens")).alias("dup_fraction"),
+        )
+    )
+
+
+def _exsub_win_cte(table: str = "documents") -> str:
+    """Shared oracle CTE computing the window relation (toks + wins)."""
+    return f"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {table}),
+wins AS (
+  SELECT doc_id, i AS start, md5(array_to_string(t[i:i+{EXSUB_W - 1}], ' ')) AS h
+  FROM (SELECT doc_id, t,
+               UNNEST(range(1, GREATEST(LEN(t) - {EXSUB_W - 1}, 0) + 1)) AS i
+        FROM toks)
+)"""
+
+
+def _exsub_span_sql(pos_cte: str) -> str:
+    """Shared oracle tail: gaps-and-islands span merge + per-doc stats
+    over a CTE named ``pos`` with columns (doc_id, start)."""
+    w = EXSUB_W - 1
+    return f"""{pos_cte},
+flag AS (
+  SELECT doc_id, start,
+         CASE WHEN start > COALESCE(MAX(start + {w}) OVER (
+                PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS newspan
+  FROM pos
+),
+spans AS (
+  SELECT doc_id, span_id, MIN(start) AS s, MAX(start) + {w} AS e
+  FROM (SELECT doc_id, start,
+               SUM(newspan) OVER (PARTITION BY doc_id ORDER BY start) AS span_id
+        FROM flag)
+  GROUP BY doc_id, span_id
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)"""
+
+
+Q211_SQL = f"""
+WITH {_exsub_win_cte()},
+{_exsub_span_sql('''pos AS (
+  SELECT doc_id, start FROM (
+    SELECT doc_id, start, COUNT(*) OVER (PARTITION BY h) AS occ FROM wins)
+  WHERE occ >= 2
+)''')}
+SELECT t.doc_id,
+       CAST(LEN(t.t) AS BIGINT) AS n_tokens,
+       COALESCE(p.dup_tokens, 0) AS dup_tokens,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / LEN(t.t) AS dup_fraction
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register("q211_exact_substring_dedup", Q211_SQL)
+def q211_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup report (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL 2022): for every document,
+    the maximal token spans covered by some EXSUB_W-token window whose
+    exact text occurs ≥2 times anywhere in the corpus (cross-doc or
+    within-doc), merged gaps-and-islands style — the cut list the
+    ExactSubstr pipeline step feeds to training-data preparation. Output
+    per doc: token count, duplicated-token count, merged span count, and
+    the duplicated fraction (one correctly-rounded divide of exact
+    BIGINTs, numeric.py discipline).
+
+    Distinct from q100 (share of DISTINCT shingles seen elsewhere — no
+    positions, no merging) and q99 (fixed non-overlapping passages):
+    this face works at every token offset and reports positional spans.
+
+    Scale shape (100 TB): windows are one row per token (linear, never
+    doc×doc); duplication is a single count-over-partition(h) — one
+    shuffle of the slim (doc_id, start, h) relation keyed on the md5,
+    no join-back, no second pass; span merging is per-doc window work.
+    The full-corpus per-token shuffle is the price of EXACT semantics —
+    q211b is the winnowing-sampled production twin that cuts shuffle
+    volume to ~2/(S+1) with a recall guarantee. Two documents scans by
+    design: the n_tokens branch re-reads text once more (split+size
+    only) — a localCheckpoint of the exploded window relation would
+    write ~9× the corpus text to materialize what a cheap projection
+    recomputes (the q162b narrow-checkpoint rule, inverted: here the
+    base IS narrow and the derived relation is the fat one).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wins = _exsub_windows(d)
+    pos = (
+        wins.withColumn("occ", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("occ") >= 2)
+        .select("doc_id", "start")
+    )
+    return _exsub_assemble(d, _dup_span_stats(pos))
+
+
+Q211B_SQL = f"""
+WITH {_exsub_win_cte()},
+sel AS (
+  SELECT DISTINCT doc_id,
+         MIN(h || '-' || lpad(CAST(start AS VARCHAR), 12, '0')) OVER (
+           PARTITION BY doc_id ORDER BY start
+           ROWS BETWEEN CURRENT ROW AND {WINNOW_S - 1} FOLLOWING) AS k
+  FROM wins
+),
+fps AS (
+  SELECT doc_id, substr(k, 1, 32) AS h,
+         CAST(substr(k, 34, 12) AS BIGINT) AS start
+  FROM sel
+),
+nfp AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints FROM fps GROUP BY doc_id
+),
+{_exsub_span_sql('''pos AS (
+  SELECT doc_id, start FROM (
+    SELECT doc_id, start, COUNT(*) OVER (PARTITION BY h) AS occ FROM fps)
+  WHERE occ >= 2
+)''')}
+SELECT t.doc_id,
+       CAST(LEN(t.t) AS BIGINT) AS n_tokens,
+       COALESCE(f.n_fingerprints, 0) AS n_fingerprints,
+       COALESCE(p.dup_tokens, 0) AS dup_tokens,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE) / LEN(t.t) AS dup_fraction
+FROM toks t
+LEFT JOIN nfp f USING (doc_id)
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register("q211b_exact_substring_winnowed", Q211B_SQL)
+def q211b_exact_substring_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q211's production twin via winnowing fingerprint selection
+    (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS algorithm): in
+    every window of WINNOW_S consecutive window positions keep the
+    minimum-hash window (ties by smallest start, made deterministic by
+    taking the string MIN of ``md5 || '-' || zero-padded start`` — the
+    same total order in both engines), then run the q211 pipeline over
+    the selected fingerprints only.
+
+    The winnowing guarantee makes this a true production face, not a
+    lossy demo: any exact duplicated span of ≥ W+S-1 tokens contains at
+    least one SELECTED fingerprint in BOTH copies, and a matched
+    fingerprint is a real duplicated window (full-md5 identity), so
+    every reported span is exact — dup_tokens is a guaranteed lower
+    bound of q211's (pytest-pinned), with recall loss confined to spans
+    shorter than W+S-1. Expected selection density is 2/(S+1) (measured
+    0.413 at S=4 on the sf0.01 corpus), which is exactly the factor cut
+    from the count-over-h shuffle — at 100 TB you raise S to trade
+    boundary resolution for shuffle volume, not correctness of what IS
+    reported.
+
+    The tail-of-doc frames shorter than S select their minimum too
+    (extra fingerprints near doc ends — recall can only improve);
+    identical both engines since both window from the same row frame.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wins = _exsub_windows(d)
+    key = F.concat(
+        F.col("h"), F.lit("-"), F.lpad(F.col("start").cast("string"), 12, "0")
+    )
+    w_sel = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.currentRow, WINNOW_S - 1)
+    )
+    fps = (
+        wins.select("doc_id", F.min(key).over(w_sel).alias("k"))
+        .distinct()
+        .select(
+            "doc_id",
+            F.substring("k", 1, 32).alias("h"),
+            F.substring("k", 34, 12).cast("long").alias("start"),
+        )
+        # Two consumers branch off fps (n_fingerprints and the matched
+        # positions) and Spark never reuses self-join subtrees — without
+        # this the scan+explode+winnow-sort pipeline runs twice. The
+        # selected relation is the narrow one (~2/(S+1) of a row per
+        # token); lazy so plan-only consumers stay free (the r12
+        # eager=False rule from _dhash_banded_pairs).
+        .localCheckpoint(eager=False)
+    )
+    nfp = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fingerprints")
+    )
+    pos = (
+        fps.withColumn("occ", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("occ") >= 2)
+        .select("doc_id", "start")
+    )
+    return _exsub_assemble(d, _dup_span_stats(pos), extra=nfp)

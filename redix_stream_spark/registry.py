@@ -73,10 +73,12 @@ def _load() -> None:
 # family q144/q204/q180 (edge checkpoint + long-key iteration), the LSH
 # family q169/q174 (shared pipelines + per-vector norm precompute) and
 # q42 (bucket bits cast long), and the Avro round trips q205/q205b (the
-# decode path grew the nested-logical lift). Rotation fills the
-# remaining 38 slots with the oldest-evidence names: the thirty
-# remaining r6-latest names, then the first eight r7-latest names by
-# name (computed from CORRECTNESS_r01–r11 as in test_registry_order).
+# decode path grew the nested-logical lift). The round-12 extension
+# session adds q211/q211b (exact-substring dedup + winnowed twin) at the
+# head. Rotation fills the remaining 36 slots with the oldest-evidence
+# names: the thirty remaining r6-latest names, then the first six
+# r7-latest names by name (computed from CORRECTNESS_r01–r11 as in
+# test_registry_order).
 # Rotated out: the r11 window (now the R11_CHECKED permanent-evidence
 # set).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
@@ -84,6 +86,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q169b_knn_graph_production",
     "q174b_density_clusters_production",
     "q210_filtered_ann_search",
+    "q211_exact_substring_dedup",
+    "q211b_exact_substring_winnowed",
     # -- changed in round 12 (fresh row re-proves the new plan) --
     "q208_quarantine_triage",
     "q144_pagerank",
@@ -132,8 +136,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q119b_hilbert_key",
     "q123_phrase_search",
     "q126_histogram",
-    "q128_cooccurrence_lift",
-    "q129_cohort_matrix",
 )
 
 

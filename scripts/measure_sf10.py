@@ -80,6 +80,10 @@ FACES = [
     # per decade, excluded from this block by quadratic cost)
     "q169b_knn_graph_production",
     "q174b_density_clusters_production",
+    # round-12 extension: exact-substring dedup (linear per-token
+    # shuffle) and its winnowed 2/(S+1)-sampled production twin
+    "q211_exact_substring_dedup",
+    "q211b_exact_substring_winnowed",
 ]
 
 

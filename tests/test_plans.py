@@ -1001,3 +1001,38 @@ def test_q162b_hash_stage_materializes_once_join_keyed(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" not in plan, "corpus-sized relation broadcast"
     assert "ShuffledHashJoin" in plan  # pinned: no test-SF broadcast accident
+
+
+def test_q211_exact_substring_is_two_scan_jvm_only(spark, sf_dir):
+    """The designed shape: the fat branch (windows → count-over-md5 →
+    span merge) reads documents ONCE; the n_tokens branch re-reads text
+    once more (split+size only — checkpointing the exploded window
+    relation would write ~9× the corpus, docstring). Everything stays
+    JVM-side built-ins: a Python node in this per-token pipeline would
+    be the 100 TB bug."""
+    plan = plan_of(QUERIES["q211_exact_substring_dedup"](spark, sf_dir))
+    doc_scans = [
+        l for l in plan.splitlines() if "Location" in l and "documents" in l
+    ]
+    assert len(doc_scans) == 2, doc_scans
+    assert "Window" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q211b_winnow_pipeline_materializes_once(spark, sf_dir):
+    """Both consumers of the winnowed fingerprint relation
+    (n_fingerprints and the matched positions) must read the lazy
+    checkpoint, not re-run the scan+explode+winnow-sort pipeline —
+    exactly one documents scan (the n_tokens branch) may remain in the
+    returned plan."""
+    plan = plan_of(QUERIES["q211b_exact_substring_winnowed"](spark, sf_dir))
+    doc_scans = [
+        l for l in plan.splitlines() if "Location" in l and "documents" in l
+    ]
+    assert len(doc_scans) == 1, doc_scans
+    assert "ExistingRDD" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

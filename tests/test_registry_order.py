@@ -15,6 +15,8 @@ MUST_BE_IN_WINDOW = {
     "q169b_knn_graph_production",
     "q174b_density_clusters_production",
     "q210_filtered_ann_search",
+    "q211_exact_substring_dedup",
+    "q211b_exact_substring_winnowed",
     # Changed in round 12 — fresh rows re-prove the new plans: q208's
     # oracle now computes the corpus-proportional min_words limit; the
     # graph family materializes edges once and iterates on long node
