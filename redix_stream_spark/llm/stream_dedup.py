@@ -330,3 +330,201 @@ def _has_parquet(path: str) -> bool:
     return os.path.isdir(path) and any(
         f.endswith(".parquet") for f in os.listdir(path)
     )
+
+
+class StreamingExactSubstrScrubber:
+    """Incremental exact-substring dedup (E168's q211/q211b made
+    streaming, E169): each arriving batch of (doc_id, text) gets its
+    ExactSubstr cut-list report — duplicated spans vs everything seen in
+    EARLIER batches plus within the batch itself — and then claims its
+    window hashes into a durable index. First-occurrence semantics: the
+    first copy of a passage ever seen reports clean; later copies report
+    the span (the keep-first cut policy of Lee et al. ACL 2022, which a
+    batch run can only approximate after the fact).
+
+    ``winnowed=True`` runs the q211b configuration end to end: windows
+    are winnowing-selected per doc (a per-doc operation, so batch-local
+    selection is identical to a corpus run), the index holds selected
+    fingerprints only (~2/(S+1) of the exact index), and reports carry
+    the n_fingerprints column — a drained one-batch stream equals the
+    q211b batch face exactly (pytest), as the exact mode equals q211.
+
+    Report-only: nothing is dropped — the report IS the scrub
+    instruction for a downstream cutter, and claims cover ALL batch
+    windows (seen text is seen, duplicated or not).
+
+    At-least-once replay discipline (the crash-window analysis that
+    shaped the write order): the per-doc duplicated-ness DECISION must
+    be durable BEFORE the index mutates, or a replay after the claims
+    append would see the batch's own windows in the index and mark every
+    doc a duplicate of itself. Per epoch:
+
+    1. completed-epoch marker present → no-op (full replay protection);
+    2. stage the report (overwrite-per-epoch; skipped when the staging
+       write already completed — ``_SUCCESS`` is the completeness mark),
+       computed against the PRE-CLAIM index;
+    3. append claims as ``batch windows ANTI-JOIN index`` — a replayed
+       append finds its own rows and appends nothing (idempotent), and
+       the anti-join halves index growth on duplicate-heavy streams;
+    4. append the STAGED FILES into the durable report (lineage-free
+       read-back, the StreamingNearDupFilter rule — recomputing from
+       lineage here would re-read the just-mutated index); a replayed
+       append duplicates byte-identical rows, which ``report()``'s
+       doc_id dedup absorbs;
+    5. write the epoch marker (one tiny PUT).
+
+    Scale: the per-batch history probe is an equi-join of the batch's
+    window relation against the h-keyed index — never corpus×corpus;
+    everything else is the batch faces' per-doc window work. The index
+    grows ≤1 row per NEW token seen (winnowed: ~2/(S+1) of that) and
+    ``compact_index`` folds replay duplicates via the generation pointer
+    (object-store-safe, streaming.commit).
+    """
+
+    def __init__(self, index_path: str, report_path: str, winnowed: bool = False):
+        from ..streaming.commit import GenerationState
+
+        self.index_path = index_path
+        self.report_path = report_path
+        self.winnowed = winnowed
+        self._index_state = GenerationState(index_path)
+        self._epochs_dir = report_path.rstrip("/") + "_epochs"
+        self._staging_dir = report_path.rstrip("/") + "_staging"
+
+    # -- index plumbing (path mode, as StreamingNearDupFilter) ----------
+
+    def _index_dir(self) -> str:
+        if self._index_state.current_gen() is None:
+            gen, _ = self._index_state.stage()
+            self._index_state.commit(gen)
+        return self._index_state.current_dir()
+
+    def _claimed(self, spark: SparkSession) -> DataFrame:
+        if not _has_parquet(self._index_dir()):
+            return spark.createDataFrame([], "h string")
+        return spark.read.schema("h string").parquet(self._index_dir())
+
+    # -- batch geometry --------------------------------------------------
+
+    def _batch_windows(self, docs: DataFrame) -> DataFrame:
+        """(doc_id, start, h) under the face's configuration: every
+        window (exact) or the winnow-selected fingerprints (winnowed —
+        per-doc selection, identical to the batch face's)."""
+        from .dedup import EXSUB_W, WINNOW_S, _exsub_windows
+
+        wins = _exsub_windows(docs)
+        if not self.winnowed:
+            return wins
+        from pyspark.sql.window import Window as W
+
+        key = F.concat(
+            F.col("h"), F.lit("-"), F.lpad(F.col("start").cast("string"), 12, "0")
+        )
+        w_sel = (
+            W.partitionBy("doc_id")
+            .orderBy("start")
+            .rowsBetween(W.currentRow, WINNOW_S - 1)
+        )
+        return (
+            wins.select("doc_id", F.min(key).over(w_sel).alias("k"))
+            .distinct()
+            .select(
+                "doc_id",
+                F.substring("k", 34, 12).cast("long").alias("start"),
+                F.substring("k", 1, 32).alias("h"),
+            )
+        )
+
+    def _report_df(self, docs: DataFrame, wins: DataFrame) -> DataFrame:
+        """The batch faces' report over history-matched ∪ within-batch
+        duplicated positions (computed against the PRE-claim index)."""
+        from pyspark.sql.window import Window as W
+
+        from .dedup import _dup_span_stats, _exsub_assemble
+
+        spark = docs.sparkSession
+        hist = wins.join(self._claimed(spark), "h", "left_semi").select(
+            "doc_id", "start"
+        )
+        local = (
+            wins.withColumn("occ", F.count(F.lit(1)).over(W.partitionBy("h")))
+            .filter(F.col("occ") >= 2)
+            .select("doc_id", "start")
+        )
+        pos = hist.union(local).distinct()
+        extra = None
+        if self.winnowed:
+            extra = wins.groupBy("doc_id").agg(
+                F.count(F.lit(1)).cast("long").alias("n_fingerprints")
+            )
+        return _exsub_assemble(docs, _dup_span_stats(pos), extra=extra)
+
+    # -- the per-batch step ----------------------------------------------
+
+    def apply_batch(self, batch: DataFrame, epoch_id: int = 0) -> None:
+        spark = batch.sparkSession
+        marker = os.path.join(self._epochs_dir, f"epoch_{epoch_id}.done")
+        if os.path.exists(marker):
+            return
+        docs = batch.select("doc_id", "text")
+        wins = self._batch_windows(docs)
+
+        staging = os.path.join(self._staging_dir, f"epoch_{epoch_id}")
+        if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+            self._report_df(docs, wins).write.mode("overwrite").parquet(staging)
+
+        claims = (
+            wins.select("h")
+            .distinct()
+            .join(self._claimed(spark), "h", "left_anti")
+        )
+        claims.write.mode("append").parquet(self._index_dir())
+
+        spark.catalog.refreshByPath(staging)
+        spark.read.parquet(staging).write.mode("append").parquet(self.report_path)
+
+        os.makedirs(self._epochs_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("done\n")
+        # The decision is durable in the report now and the marker
+        # short-circuits any replay — the staged copy is dead weight.
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+
+    # -- streaming face --------------------------------------------------
+
+    def run(self, doc_stream: DataFrame, checkpoint_dir: str, **trigger):
+        """Attach to a streaming (doc_id, text) DataFrame."""
+        trigger = trigger or {"availableNow": True}
+        return (
+            doc_stream.writeStream.foreachBatch(self.apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(**trigger)
+            .start()
+        )
+
+    def report(self, spark: SparkSession) -> DataFrame:
+        """Cut-list rows so far, one per doc (replay re-appends are
+        byte-identical by the staging discipline — any-wins dedup)."""
+        if not _has_parquet(self.report_path):
+            cols = "doc_id long, n_tokens long, dup_tokens long, n_dup_spans long, dup_fraction double"
+            if self.winnowed:
+                cols = cols.replace(
+                    "n_tokens long,", "n_tokens long, n_fingerprints long,"
+                )
+            return spark.createDataFrame([], cols)
+        return spark.read.parquet(self.report_path).dropDuplicates(["doc_id"])
+
+    def compact_index(self, spark: SparkSession, n_files: int = 8) -> int:
+        """Fold the window index to one row per hash via the generation
+        pointer (replay appends and pre-anti-join history can leave
+        duplicates). Run between drains. Returns the row count."""
+        idx = self._claimed(spark).distinct()
+        gen, gen_dir = self._index_state.stage()
+        idx.repartition(n_files).write.mode("overwrite").parquet(gen_dir)
+        n = spark.read.schema("h string").parquet(gen_dir).count()
+        self._index_state.commit(gen)
+        self._index_state.cleanup()
+        spark.catalog.refreshByPath(self.index_path)
+        return n
