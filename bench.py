@@ -180,6 +180,10 @@ BIG_HEADLINE = [
     # round 10: containment's production face gated at sf1 next to the
     # exact face (the q41/q41b and q190/q190b pairing).
     "q107b_containment_budgeted",
+    # round-12 extension: the exact-substring pair, gated together like
+    # q41/q41b (exact face + guaranteed-recall winnowed sampler).
+    "q211_exact_substring_dedup",
+    "q211b_exact_substring_winnowed",
 ]
 
 #: Representative spread: scan-agg, star join, range/as-of join, windows,
