@@ -2518,6 +2518,34 @@ def _dup_span_stats(pos: DataFrame) -> DataFrame:
     )
 
 
+def _winnow_fps(wins: DataFrame) -> DataFrame:
+    """Winnowing fingerprint selection over a (doc_id, start, h) window
+    relation: in every frame of WINNOW_S consecutive window positions
+    keep the minimum-hash window, ties by smallest start — made
+    deterministic across engines by taking the string MIN of
+    ``md5 || '-' || zero-padded start``. One definition shared by the
+    q211b batch face and the streaming scrubber: the drained-stream ≡
+    batch-face contract depends on the two sides selecting bit-identical
+    fingerprints. Returns (doc_id, start, h), distinct."""
+    key = F.concat(
+        F.col("h"), F.lit("-"), F.lpad(F.col("start").cast("string"), 12, "0")
+    )
+    w_sel = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.currentRow, WINNOW_S - 1)
+    )
+    return (
+        wins.select("doc_id", F.min(key).over(w_sel).alias("k"))
+        .distinct()
+        .select(
+            "doc_id",
+            F.substring("k", 34, 12).cast("long").alias("start"),
+            F.substring("k", 1, 32).alias("h"),
+        )
+    )
+
+
 def _exsub_assemble(d: DataFrame, per_doc: DataFrame, extra: DataFrame | None = None) -> DataFrame:
     """Left-join span stats (and optionally a per-doc extra column) onto
     the full doc list with zero-fill and the single exact-integer divide."""
@@ -2696,23 +2724,8 @@ def q211b_exact_substring_winnowed(spark: SparkSession, sf_dir: str) -> DataFram
     identical both engines since both window from the same row frame.
     """
     d = load_table(spark, sf_dir, "documents")
-    wins = _exsub_windows(d)
-    key = F.concat(
-        F.col("h"), F.lit("-"), F.lpad(F.col("start").cast("string"), 12, "0")
-    )
-    w_sel = (
-        Window.partitionBy("doc_id")
-        .orderBy("start")
-        .rowsBetween(Window.currentRow, WINNOW_S - 1)
-    )
     fps = (
-        wins.select("doc_id", F.min(key).over(w_sel).alias("k"))
-        .distinct()
-        .select(
-            "doc_id",
-            F.substring("k", 1, 32).alias("h"),
-            F.substring("k", 34, 12).cast("long").alias("start"),
-        )
+        _winnow_fps(_exsub_windows(d))
         # Two consumers branch off fps (n_fingerprints and the matched
         # positions) and Spark never reuses self-join subtrees — without
         # this the scan+explode+winnow-sort pipeline runs twice. The

@@ -359,7 +359,11 @@ class StreamingExactSubstrScrubber:
     append would see the batch's own windows in the index and mark every
     doc a duplicate of itself. Per epoch:
 
-    1. completed-epoch marker present → no-op (full replay protection);
+    1. completed-batch marker present → no-op (full replay protection;
+       markers are keyed by epoch_id + a content digest of the batch's
+       doc_ids, so an epoch counter restarting at 0 — manual calls with
+       the default, a re-attached stream on a fresh checkpoint — can
+       never silently swallow NEW data);
     2. stage the report (overwrite-per-epoch; skipped when the staging
        write already completed — ``_SUCCESS`` is the completeness mark),
        computed against the PRE-CLAIM index;
@@ -409,31 +413,13 @@ class StreamingExactSubstrScrubber:
     def _batch_windows(self, docs: DataFrame) -> DataFrame:
         """(doc_id, start, h) under the face's configuration: every
         window (exact) or the winnow-selected fingerprints (winnowed —
-        per-doc selection, identical to the batch face's)."""
-        from .dedup import EXSUB_W, WINNOW_S, _exsub_windows
+        per-doc selection, so batch-local selection is identical to the
+        batch face's; ``_winnow_fps`` is the SHARED definition — the
+        drained-stream ≡ batch-face contract depends on it)."""
+        from .dedup import _exsub_windows, _winnow_fps
 
         wins = _exsub_windows(docs)
-        if not self.winnowed:
-            return wins
-        from pyspark.sql.window import Window as W
-
-        key = F.concat(
-            F.col("h"), F.lit("-"), F.lpad(F.col("start").cast("string"), 12, "0")
-        )
-        w_sel = (
-            W.partitionBy("doc_id")
-            .orderBy("start")
-            .rowsBetween(W.currentRow, WINNOW_S - 1)
-        )
-        return (
-            wins.select("doc_id", F.min(key).over(w_sel).alias("k"))
-            .distinct()
-            .select(
-                "doc_id",
-                F.substring("k", 34, 12).cast("long").alias("start"),
-                F.substring("k", 1, 32).alias("h"),
-            )
-        )
+        return _winnow_fps(wins) if self.winnowed else wins
 
     def _report_df(self, docs: DataFrame, wins: DataFrame) -> DataFrame:
         """The batch faces' report over history-matched ∪ within-batch
@@ -461,17 +447,51 @@ class StreamingExactSubstrScrubber:
 
     # -- the per-batch step ----------------------------------------------
 
+    def _batch_key(self, docs: DataFrame, epoch_id: int) -> str:
+        """Content-derived processing-unit key: epoch_id alone would
+        silently no-op NEW data whenever batch ids restart at 0 (manual
+        apply_batch calls with the default, or a re-attached stream on a
+        fresh checkpoint dir) — the marker must recognize the BATCH, not
+        the counter. One bounded 1-row agg: row count + an
+        order-insensitive md5-derived doc_id digest (each term < 2^31,
+        so the BIGINT sum can't overflow under ANSI)."""
+        row = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % 2147483647
+            ).alias("s"),
+        ).collect()[0]
+        return f"{epoch_id}_{row['n']}_{(row['s'] or 0):x}"
+
     def apply_batch(self, batch: DataFrame, epoch_id: int = 0) -> None:
         spark = batch.sparkSession
-        marker = os.path.join(self._epochs_dir, f"epoch_{epoch_id}.done")
+        docs = batch.select("doc_id", "text")
+        batch_key = self._batch_key(docs, epoch_id)
+        marker = os.path.join(self._epochs_dir, f"epoch_{batch_key}.done")
         if os.path.exists(marker):
             return
-        docs = batch.select("doc_id", "text")
-        wins = self._batch_windows(docs)
+        # Four consumers branch off the window relation (history probe,
+        # within-batch counts, n_fingerprints, claims) and Spark never
+        # reuses self-join subtrees — materialize it once. Unlike the
+        # batch face (whole-corpus input, where checkpointing the
+        # exploded relation would write ~9× the text), a micro-batch is
+        # ingestion-sized; lazy, so the marker short-circuit above stays
+        # free.
+        wins = self._batch_windows(docs).localCheckpoint(eager=False)
 
-        staging = os.path.join(self._staging_dir, f"epoch_{epoch_id}")
+        staging = os.path.join(self._staging_dir, f"epoch_{batch_key}")
         if not os.path.exists(os.path.join(staging, "_SUCCESS")):
-            self._report_df(docs, wins).write.mode("overwrite").parquet(staging)
+            (
+                self._report_df(docs, wins)
+                .withColumn("epoch_key", F.lit(batch_key))
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
 
         claims = (
             wins.select("h")
@@ -505,16 +525,23 @@ class StreamingExactSubstrScrubber:
         )
 
     def report(self, spark: SparkSession) -> DataFrame:
-        """Cut-list rows so far, one per doc (replay re-appends are
-        byte-identical by the staging discipline — any-wins dedup)."""
+        """Cut-list rows so far: one row per (doc_id, batch) — a
+        re-crawled doc_id legitimately gets a NEW row (its cut list vs
+        history as of that batch; the earlier row is never rewritten,
+        so first-occurrence history is preserved, not averaged away).
+        Replay re-appends are byte-identical by the staging discipline,
+        so the full-row distinct removes exactly them and nothing else."""
         if not _has_parquet(self.report_path):
-            cols = "doc_id long, n_tokens long, dup_tokens long, n_dup_spans long, dup_fraction double"
+            cols = (
+                "doc_id long, n_tokens long, dup_tokens long, "
+                "n_dup_spans long, dup_fraction double, epoch_key string"
+            )
             if self.winnowed:
                 cols = cols.replace(
                     "n_tokens long,", "n_tokens long, n_fingerprints long,"
                 )
             return spark.createDataFrame([], cols)
-        return spark.read.parquet(self.report_path).dropDuplicates(["doc_id"])
+        return spark.read.parquet(self.report_path).dropDuplicates()
 
     def compact_index(self, spark: SparkSession, n_files: int = 8) -> int:
         """Fold the window index to one row per hash via the generation

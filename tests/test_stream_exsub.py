@@ -67,7 +67,10 @@ def test_drained_stream_equals_batch_face(spark, tmp_path, winnowed):
         str(tmp_path / "idx"), str(tmp_path / "rep"), winnowed=winnowed
     )
     s.apply_batch(_docs_df(spark, CORPUS), 0)
-    got = {r["doc_id"]: r.asDict() for r in s.report(spark).collect()}
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in s.report(spark).drop("epoch_key").collect()
+    }
     assert got == expected
 
 
@@ -126,8 +129,11 @@ def test_crash_after_claims_replays_preclaim_decision(spark, tmp_path):
     s = StreamingExactSubstrScrubber(str(tmp_path / "idx"), str(tmp_path / "rep"))
     docs = _docs_df(spark, CORPUS)
     wins = s._batch_windows(docs)
-    staging = os.path.join(s._staging_dir, "epoch_0")
-    s._report_df(docs, wins).write.mode("overwrite").parquet(staging)
+    bk = s._batch_key(docs, 0)
+    staging = os.path.join(s._staging_dir, f"epoch_{bk}")
+    s._report_df(docs, wins).withColumn(
+        "epoch_key", F.lit(bk)
+    ).write.mode("overwrite").parquet(staging)
     wins.select("h").distinct().join(
         s._claimed(spark), "h", "left_anti"
     ).write.mode("append").parquet(s._index_dir())
@@ -186,9 +192,38 @@ def test_streaming_run_drains_file_source(spark, tmp_path):
         .parquet(str(src))
     )
     q = s.run(stream, str(tmp_path / "ck"))
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "drain did not finish in time"
     r = {x["doc_id"]: x.asDict() for x in s.report(spark).collect()}
     assert len(r) == 2
     # exactly one of the two is the first occurrence (file order decides)
     dups = sorted(v["dup_tokens"] for v in r.values())
     assert dups[0] == 0 and dups[1] == EXSUB_W + 2
+
+
+def test_epoch_counter_restart_does_not_swallow_new_data(spark, tmp_path):
+    """Markers are content-keyed: a second batch arriving with the SAME
+    epoch_id (manual calls with the default, or a re-attached stream on
+    a fresh checkpoint dir) must be processed, not no-opped."""
+    s = StreamingExactSubstrScrubber(str(tmp_path / "idx"), str(tmp_path / "rep"))
+    s.apply_batch(_docs_df(spark, [(1, _filler(20, 1))]), 0)
+    s.apply_batch(_docs_df(spark, [(2, _filler(20, 2))]), 0)  # same id, new docs
+    r = {x["doc_id"] for x in s.report(spark).collect()}
+    assert r == {1, 2}
+
+
+def test_recrawled_doc_keeps_both_report_rows(spark, tmp_path):
+    """A doc_id re-sent in a later batch self-matches the index and gets
+    a NEW (doc_id, epoch_key) row; the first-occurrence row survives
+    untouched — history is preserved, never arbitrarily overwritten."""
+    s = StreamingExactSubstrScrubber(str(tmp_path / "idx"), str(tmp_path / "rep"))
+    text = " ".join([_filler(10, 1), _span("rc", EXSUB_W + 2)])
+    s.apply_batch(_docs_df(spark, [(7, text)]), 0)
+    s.apply_batch(_docs_df(spark, [(7, text)]), 1)  # re-crawl, new epoch
+    rows = sorted(
+        (r["epoch_key"], r["dup_tokens"])
+        for r in s.report(spark).filter(F.col("doc_id") == 7).collect()
+    )
+    assert len(rows) == 2
+    assert rows[0][1] == 0  # first occurrence: clean
+    # the re-crawl matches every window of its own earlier copy
+    assert rows[1][1] == 10 + EXSUB_W + 2
