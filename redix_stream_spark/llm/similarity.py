@@ -697,9 +697,16 @@ def _knn_graph_from_entries(e: DataFrame, entries: DataFrame) -> DataFrame:
     b = entries.select(
         F.col("vec_id").alias("dst"), "table", "bucket"
     )
+    # UNORDERED candidate pairs: the graph needs both directions, but
+    # sim is bitwise-symmetric (IEEE multiply commutes, the left-fold
+    # adds the same addends in the same order, n_src·n_dst commutes), so
+    # scoring (s,d) and (d,s) separately pays the dominant per-pair fold
+    # twice for identical bits — src<dst halves the dedupe shuffle, both
+    # join-backs, and the fold count; the mirror below restores the
+    # directed relation hash-invisibly.
     cand = (
         a.join(b, ["table", "bucket"])
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
     )
@@ -719,7 +726,7 @@ def _knn_graph_from_entries(e: DataFrame, entries: DataFrame) -> DataFrame:
         F.col("embedding").alias("e_dst"),
         norm(F.col("embedding")).alias("n_dst"),
     )
-    scored = (
+    scored_u = (
         cand.join(ea.hint("shuffle_hash"), "src")
         .join(eb.hint("shuffle_hash"), "dst")
         .select(
@@ -733,6 +740,23 @@ def _knn_graph_from_entries(e: DataFrame, entries: DataFrame) -> DataFrame:
             ).alias("sim"),
         )
     )
+    # Mirror via ONE explode — a union of two projections would make the
+    # scored subtree a self-join Spark recomputes per branch (the r10
+    # rule), paying both join-backs and every fold twice again.
+    scored = scored_u.select(
+        F.explode(
+            F.array(
+                F.struct("src", "dst", "src_label", "nbr_label"),
+                F.struct(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    F.col("nbr_label").alias("src_label"),
+                    F.col("src_label").alias("nbr_label"),
+                ),
+            )
+        ).alias("p"),
+        "sim",
+    ).select("p.*", "sim")
     win = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
     return (
         scored.withColumn("rank", F.row_number().over(win).cast("long"))
