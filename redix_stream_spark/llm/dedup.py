@@ -756,19 +756,38 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 50) -> DataFra
     # localCheckpoint materializes the round and restarts the plan; on a
     # multi-node cluster use a reliable checkpoint dir for executor-loss
     # tolerance (same loop shape).
+    def fingerprint(e: DataFrame) -> tuple[int, int]:
+        # (count, bit_xor of xxhash64(u, v)) — one map-side-combined
+        # agg job over the checkpointed round. bit_xor, not sum: Spark
+        # 4's default ANSI mode makes sum(bigint) throw on overflow and
+        # uniform 64-bit hashes overflow almost immediately; xor never
+        # does. Convergence detection only: a differing fingerprint is
+        # PROOF of change (skip the exceptAll most rounds pay), an equal
+        # one is confirmed exactly below, so a hash collision can never
+        # fake convergence.
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
     edges = canon(
         pairs.select(F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v"))
     ).localCheckpoint(eager=True)
+    fp = fingerprint(edges)
     for _ in range(max_rounds):
         new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
-        changed = (
-            new_edges.exceptAll(edges)
-            .unionByName(edges.exceptAll(new_edges))
-            .limit(1)
-            .count()
-        )
+        nfp = fingerprint(new_edges)
+        converged = False
+        if nfp == fp:
+            # equal counts + distinct sets: new ⊆ old ⟺ sets equal, so
+            # ONE one-sided exceptAll confirms (the old check paid two,
+            # every round — the fingerprint fast-path pays the exact
+            # check exactly once, at convergence).
+            converged = new_edges.exceptAll(edges).limit(1).count() == 0
         edges = new_edges
-        if changed == 0:
+        fp = nfp
+        if converged:
             break
     else:
         raise RuntimeError("star contraction did not converge")

@@ -158,6 +158,15 @@ def _layout_matrix(
             % 1_000_000
             < sample_ppm
         )
+    # The narrow (4 BIGINTs/row) base feeds FOUR layout branches (bucket
+    # agg + rank join each), the domain min/max, and the total count —
+    # and Spark never reuses self-join subtrees (the q107 lesson), so
+    # without materialization the orders scan + projection (+ md5 sample
+    # filter for q190b) re-ran 16× per query. One lazy localCheckpoint
+    # runs it once; every branch reads the checkpoint (measured: q190
+    # 6.3 → 4.4 s, q190b 5.0 → 4.1 s isolated at sf0.1; parquet scans
+    # 16 → 0 in the plan — OPTIMIZATION_r12.md change 1).
+    base = base.localCheckpoint(eager=False)
     n_total = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
     zone_parts = []
     for lname in names:
@@ -210,12 +219,22 @@ def _layout_matrix(
             f"stack({len(names)}, {stack}) AS (probe, zmin, zmax)"
         ),
     )
-    doms = None
-    for p in names:
-        d = base.agg(
-            F.min(p).alias("dmin"), F.max(p).alias("dmax")
-        ).select(F.lit(p).alias("probe"), "dmin", "dmax")
-        doms = d if doms is None else doms.unionByName(d)
+    # All four probe domains in ONE aggregate pass (was one agg — and one
+    # base scan — per column), unpivoted with stack; same values, order
+    # irrelevant (probes join by key).
+    dom_stack = ", ".join(f"'{p}', dmin_{p}, dmax_{p}" for p in names)
+    doms = base.agg(
+        *[
+            m
+            for p in names
+            for m in (
+                F.min(p).alias(f"dmin_{p}"),
+                F.max(p).alias(f"dmax_{p}"),
+            )
+        ]
+    ).select(
+        F.expr(f"stack({len(names)}, {dom_stack}) AS (probe, dmin, dmax)")
+    )
     probes = doms.select(
         "probe",
         F.explode(F.sequence(F.lit(0), F.lit(ADV_PROBES - 1))).alias("k"),
