@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -756,28 +756,35 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 50) -> DataFra
     # localCheckpoint materializes the round and restarts the plan; on a
     # multi-node cluster use a reliable checkpoint dir for executor-loss
     # tolerance (same loop shape).
-    def fingerprint(e: DataFrame) -> tuple[int, int]:
-        # (count, bit_xor of xxhash64(u, v)) — one map-side-combined
-        # agg job over the checkpointed round. bit_xor, not sum: Spark
-        # 4's default ANSI mode makes sum(bigint) throw on overflow and
-        # uniform 64-bit hashes overflow almost immediately; xor never
-        # does. Convergence detection only: a differing fingerprint is
-        # PROOF of change (skip the exceptAll most rounds pay), an equal
-        # one is confirmed exactly below, so a hash collision can never
-        # fake convergence.
-        r = e.agg(
+    def ckpt_with_fingerprint(e: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+        # (count, bit_xor of xxhash64(u, v)) — the fingerprint RIDES the
+        # checkpoint materialization job via observe() (measured: metrics
+        # fire on localCheckpoint(eager=True)), so each round is exactly
+        # ONE job. bit_xor, not sum: Spark 4's default ANSI mode makes
+        # sum(bigint) throw on overflow and uniform 64-bit hashes
+        # overflow almost immediately; xor never does. Convergence
+        # detection only: a differing fingerprint is PROOF of change
+        # (skip the exceptAll most rounds pay), an equal one is
+        # confirmed exactly below, so a hash collision can never fake
+        # convergence.
+        obs = Observation()
+        ck = e.observe(
+            obs,
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        ).collect()[0]
-        return (r["n"], r["h"])
+        ).localCheckpoint(eager=True)
+        got = obs.get
+        return ck, (got["n"], got["h"])
 
-    edges = canon(
-        pairs.select(F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v"))
-    ).localCheckpoint(eager=True)
-    fp = fingerprint(edges)
+    edges, fp = ckpt_with_fingerprint(
+        canon(
+            pairs.select(
+                F.col("doc_id_a").alias("u"), F.col("doc_id_b").alias("v")
+            )
+        )
+    )
     for _ in range(max_rounds):
-        new_edges = small_star(large_star(edges)).localCheckpoint(eager=True)
-        nfp = fingerprint(new_edges)
+        new_edges, nfp = ckpt_with_fingerprint(small_star(large_star(edges)))
         converged = False
         if nfp == fp:
             # equal counts + distinct sets: new ⊆ old ⟺ sets equal, so
