@@ -93,7 +93,7 @@ def _apply_merge(symbols: Column, left: str, right: str) -> Column:
     """Greedy leftmost non-overlapping replacement of (left, right)."""
     merged = left + right
     empty = F.expr("CAST(array() AS ARRAY<STRING>)")
-    return F.aggregate(
+    fold = F.aggregate(
         symbols,
         empty,
         lambda acc, x: F.when(
@@ -105,6 +105,16 @@ def _apply_merge(symbols: Column, left: str, right: str) -> Column:
             ),
         ).otherwise(F.concat(acc, F.array(x))),
     )
+    # Guard the interpreted fold behind two cheap membership probes:
+    # a word lacking either symbol cannot contain the adjacent pair, and
+    # the fold is then the identity — CaseWhen evaluates branches
+    # lazily, so the vocabulary majority that never mentions the pair
+    # skips the per-symbol lambda walk entirely (value-identical either
+    # way; r12 optimization, guide §4.1 "prefer built-ins").
+    return F.when(
+        F.array_contains(symbols, left) & F.array_contains(symbols, right),
+        fold,
+    ).otherwise(symbols)
 
 
 def fit_bpe(
@@ -114,7 +124,11 @@ def fit_bpe(
 
     Stops early when no adjacent pair remains (every word fully merged).
     """
-    vocab = _initial_vocab(docs).localCheckpoint()
+    # Lazy checkpoints: each round's vocab materializes INSIDE the next
+    # round's argmax job (or the encode tail) instead of as a separate
+    # eager pass — lineage is still truncated at every round, but the
+    # loop pays ONE job per merge instead of two (r12 optimization).
+    vocab = _initial_vocab(docs).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         best = (
@@ -133,7 +147,7 @@ def fit_bpe(
             "word",
             "freq",
             _apply_merge(F.col("symbols"), left, right).alias("symbols"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges, vocab
 
 
