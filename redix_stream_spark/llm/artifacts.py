@@ -274,6 +274,10 @@ def incremental_cluster_labels(
             F.greatest("a.doc_id", "b.doc_id").alias("doc_id_b"),
         )
         .distinct()
+        # feeds the participant set AND the verify join — materialize
+        # once (lazy; narrow 2-string rows) instead of re-probing the
+        # band index per consumer (the r10 rule).
+        .localCheckpoint(eager=False)
     )
     combined = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text"
@@ -284,11 +288,9 @@ def incremental_cluster_labels(
     # batch-neighborhood-sized, the point of being incremental. (At
     # even larger scale the shingle sets become a persisted artifact
     # themselves, exact_jaccard's own docstring note.)
-    participants = (
-        cand.select(F.col("doc_id_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_id_b").alias("doc_id")))
-        .distinct()
-    )
+    participants = cand.select(
+        F.explode(F.array("doc_id_a", "doc_id_b")).alias("doc_id")
+    ).distinct()
     new_pairs = (
         exact_jaccard(combined.join(participants, "doc_id", "left_semi"), cand)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)

@@ -600,14 +600,28 @@ def neardup_clusters(d: DataFrame) -> DataFrame:
 
 
 def _sym_edges(pairs: DataFrame) -> DataFrame:
-    """Symmetric (src, dst) edge list from (doc_id_a, doc_id_b) pairs."""
+    """Symmetric (src, dst) edge list from (doc_id_a, doc_id_b) pairs.
+
+    ONE explode, not a union of two projections: Spark re-derives a
+    union branch's whole subtree per branch (the r10 no-subtree-reuse
+    rule), and ``pairs`` is usually the full LSH+verify pipeline — the
+    union form paid it twice in the consumer's first checkpoint job
+    (measured round 12: documents scan count halves in the q80 edge
+    build)."""
     return pairs.select(
-        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
-    ).unionByName(
-        pairs.select(
-            F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_id_a").alias("src"),
+                    F.col("doc_id_b").alias("dst"),
+                ),
+                F.struct(
+                    F.col("doc_id_b").alias("src"),
+                    F.col("doc_id_a").alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
 
 
 def propagate_min_labels(edges: DataFrame) -> DataFrame:
@@ -743,9 +757,17 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 50) -> DataFra
             .select("u", F.least("mn", F.col("u")).alias("m"))
         )
         joined = o.join(m, "u")
+        # ONE explode, not a two-branch union: each union branch
+        # re-derived the o⋈m join (and everything under it) per round.
         return canon(
-            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(joined.select("u", F.col("m").alias("v")))
+            joined.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                    )
+                ).alias("p")
+            ).select("p.*")
         )
 
     # Per-round lineage truncation is load-bearing, not an optimization:
@@ -784,7 +806,13 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 50) -> DataFra
         )
     )
     for _ in range(max_rounds):
-        new_edges, nfp = ckpt_with_fingerprint(small_star(large_star(edges)))
+        # Lazy-checkpoint the large-star output before small_star reads
+        # it: small_star's plan references its input ~4× (sym + the o⋈m
+        # join's two sides), and without the RDD boundary each reference
+        # re-executed large_star's join+distinct (the r10 rule). Lazy:
+        # it materializes inside the round's one eager-checkpoint job.
+        ls = large_star(edges).localCheckpoint(eager=False)
+        new_edges, nfp = ckpt_with_fingerprint(small_star(ls))
         converged = False
         if nfp == fp:
             # equal counts + distinct sets: new ⊆ old ⟺ sets equal, so
@@ -1418,16 +1446,21 @@ def q107b_containment_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "idb",
     )
+    # The budgeted pair relation feeds the participant-id set (twice)
+    # AND the final pair join, and the id set additionally rides inside
+    # BOTH vsets branches — without an RDD boundary the candidate
+    # pipeline (posting window + prefix join + distinct + budget window)
+    # re-executed up to 5× in the one plan (the r10 rule; measured round
+    # 12). Narrow 2-string rows: exactly the cheap-checkpoint shape.
     budgeted = (
         cand.withColumn("brk", F.row_number().over(wb))
         .filter(F.col("brk") <= CONTAINMENT_BUDGET)
         .select("ida", "idb")
+        .localCheckpoint(eager=False)
     )
-    ids = (
-        budgeted.select(F.col("ida").alias("doc_id"))
-        .union(budgeted.select("idb"))
-        .distinct()
-    )
+    ids = budgeted.select(
+        F.explode(F.array("ida", "idb")).alias("doc_id")
+    ).distinct()
     vsets = (
         posts.join(ids.hint("shuffle_hash"), "doc_id", "left_semi")
         .groupBy("doc_id", "sz")

@@ -985,9 +985,29 @@ def _density_from_entries(e: DataFrame, entries: DataFrame) -> DataFrame:
     from .dedup import connected_components_star
 
     edges = _eps_edges(e, entries)
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    # ONE explode, not a two-branch union: each union branch re-derived
+    # the whole eps-edge pipeline (candidate join + per-pair cosine
+    # fold) inside the checkpoint job — the r10 no-subtree-reuse rule;
+    # the kNN faces' mirror-with-explode lesson applied to the edge
+    # build. Eager, deliberately: the DBSCAN consumers plan joins
+    # against this relation, and a lazy LogicalRDD's unknown stats
+    # forfeit their broadcast decisions (measured round 12: q174b +56%
+    # with the lazy form; construction already runs the star loop
+    # eagerly, so plan-only capture pays nothing extra).
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct("src", "dst"),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .localCheckpoint()
+    )
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )

@@ -80,9 +80,19 @@ def _trade_graph(
         .select(c.alias("c"), s.alias("s"))
         .distinct()
     )
-    fwd = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-    rev = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    return fwd.union(rev)
+    # Symmetrize with ONE explode, not fwd.union(rev): Spark re-derives
+    # a union branch's whole subtree per branch (the r10 no-subtree-reuse
+    # rule), so the union form paid the join+distinct twice per
+    # materialization (measured round 12: scan count in the edge-build
+    # plan halves).
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.*")
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -287,9 +297,13 @@ def triangles(edges: DataFrame) -> DataFrame:
     distributed-triangle bound. All joins are integer-keyed shuffle
     joins; nothing collects to the driver.
     """
+    # The edge build feeds deg AND the orientation join — materialize it
+    # once (lazy: rides the first action); the endpoint multiset for deg
+    # comes from ONE explode instead of a two-branch union (each union
+    # branch re-derived the whole co-occurrence build — the r10 rule).
+    edges = edges.localCheckpoint()
     deg = (
-        edges.select(F.col("pa").alias("node"))
-        .union(edges.select(F.col("pb").alias("node")))
+        edges.select(F.explode(F.array("pa", "pb")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
         .select("node", (F.col("d") * TRI_RK + F.col("node")).alias("rk"))
@@ -451,8 +465,15 @@ def kcore_peel(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -
     the bounded default).
     """
     sym = (
-        edges.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
-        .union(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("pa").alias("u"), F.col("pb").alias("v")),
+                    F.struct(F.col("pb").alias("u"), F.col("pa").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
         .localCheckpoint()
     )
     alive = sym.select(F.col("u").alias("node")).distinct()
@@ -654,9 +675,20 @@ def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w"),
         )
     )
-    fwd = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"), "w")
-    rev = pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
-    return fwd.union(rev)
+    # ONE explode, not fwd.union(rev) — the union form re-derived the
+    # join+countDistinct aggregate per branch (_trade_graph's rule).
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("c").alias("src"), F.col("s").alias("dst"), F.col("w")
+                ),
+                F.struct(
+                    F.col("s").alias("src"), F.col("c").alias("dst"), F.col("w")
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
 
 
 def sssp_bounded(
@@ -851,9 +883,14 @@ def _lp_adjacency(
     set, the md5-min ``deg_cap`` neighbors (deterministic uniform
     sample keyed on (src, dst) — the q141 seeding discipline, exactly
     mirrorable in SQL as a ROW_NUMBER over md5 order)."""
-    sym = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
-        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-    )
+    sym = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+                F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
+            )
+        ).alias("p")
+    ).select("p.*")
     if deg_cap is None:
         return sym.groupBy("src").agg(
             F.size(F.collect_set("dst")).alias("d"),
@@ -906,6 +943,13 @@ def link_prediction_topk(
             "one high-degree hub OOMs the exploding task; pass deg_cap "
             "or allow_unbounded=True for degree-bounded graphs"
         )
+    # The edge list feeds the adjacency aggregate AND the non-edge
+    # anti-join — materialize it once (narrow 2-long rows) instead of
+    # re-deriving the co-occurrence build per consumer (the r10 rule).
+    # Eager: consumers plan joins against REAL stats — a lazy LogicalRDD
+    # has unknown size and forfeits broadcast decisions (measured round
+    # 12: q176b +18% with the lazy form).
+    e = e.localCheckpoint()
     adj = _lp_adjacency(e, deg_cap)
     wedges = adj.select(
         "d",
@@ -1090,8 +1134,13 @@ def lpa_communities(
     tests/test_graph_guards.py pins vote volume == 2·|E| on a planted
     hub."""
     sym = edges.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst")
-    ).union(edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+                F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")),
+            )
+        ).alias("p")
+    ).select("p.*")
     if deg_cap is not None:
         keyed = sym.select(
             "src",
@@ -1110,9 +1159,20 @@ def lpa_communities(
             .filter(F.col("rn") <= deg_cap)
             .select("src", "dst")
         )
-        sym = kept.union(
-            kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
+        sym = (
+            kept.select(
+                F.explode(
+                    F.array(
+                        F.struct("src", "dst"),
+                        F.struct(
+                            F.col("dst").alias("src"), F.col("src").alias("dst")
+                        ),
+                    )
+                ).alias("p")
+            )
+            .select("p.*")
+            .distinct()
+        )
     # One materialization of the (possibly capped) symmetric relation,
     # src-partitioned: the vote join reads it every round, and the
     # co-occurrence derivation behind it is the expensive part (the

@@ -58,7 +58,8 @@ def main() -> None:
             t0 = time.perf_counter()
             df_fn(spark, args.sf).write.format("noop").mode("overwrite").save()
             times.append(round(time.perf_counter() - t0, 3))
-        print(f"{name}: {times} (min {min(times)})")
+        if times:
+            print(f"{name}: {times} (min {min(times)})")
     spark.stop()
 
 

@@ -572,6 +572,35 @@ def test_q148_triangle_joins_are_keyed(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q148_cooccur_build_materializes_once(spark, sf_dir):
+    """The co-occurrence edge build feeds deg AND the orientation join —
+    before round 12 the returned plan re-derived it from the fact table
+    THREE times (15 parquet scans; the r10 no-subtree-reuse rule: the
+    deg union's two branches plus the orientation read). It must now be
+    one checkpoint: zero lineitem scans in the returned plan, deg's
+    endpoint multiset from ONE explode over the materialized relation."""
+    plan = plan_of(QUERIES["q148_triangle_count"](spark, sf_dir))
+    scans = [
+        l for l in plan.splitlines() if "Location" in l and "lineitem" in l
+    ]
+    assert scans == [], scans
+    assert "ExistingRDD" in plan
+
+
+def test_q176_cooccur_build_materializes_once(spark, sf_dir):
+    """q176's edge list feeds the adjacency aggregate AND the non-edge
+    anti-join, and its symmetrization is ONE explode (a union of two
+    projections re-derived the whole co-occurrence build per branch —
+    the r10 rule; 3 lineitem scans before round 12). Zero fact scans in
+    the returned plan: every consumer reads the one checkpoint."""
+    plan = plan_of(QUERIES["q176_link_prediction"](spark, sf_dir))
+    scans = [
+        l for l in plan.splitlines() if "Location" in l and "lineitem" in l
+    ]
+    assert scans == [], scans
+    assert "ExistingRDD" in plan
+
+
 def test_q149_zorder_box_prunes_files_on_both_dims(spark, sf_dir):
     """The Morton layout must give BOTH box dimensions file-level
     locality: a ~1/16-area box over 16 files has to skip most of them,
