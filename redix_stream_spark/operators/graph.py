@@ -124,6 +124,13 @@ def _edges_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _node_enc(node: str) -> int:
+    """Encode the canonical string key to the arithmetic node id
+    (inverse of _node_str): 'c:<k>' ≡ 2k, 's:<k>' ≡ 2k+1."""
+    ns, k = node.split(":")
+    return int(k) * 2 + (0 if ns == "c" else 1)
+
+
 def _node_str(col: str = "node") -> "F.Column":
     """Decode the arithmetic node id back to the canonical string key."""
     return F.when(
@@ -565,8 +572,11 @@ def bfs_levels(edges: DataFrame, source: str, hops: int = BFS_HOPS) -> DataFrame
     """
     edges = edges.localCheckpoint()
     spark = edges.sparkSession
+    seed = F.lit(source)
+    if isinstance(source, int):
+        seed = seed.cast("long")  # match the encoded BIGINT node ids
     levels = spark.range(1).select(
-        F.lit(source).alias("node"), F.lit(0).cast("long").alias("hop")
+        seed.alias("node"), F.lit(0).cast("long").alias("hop")
     )
     frontier = levels.select("node")
     for h in range(1, hops + 1):
@@ -640,8 +650,14 @@ def q157_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     BFS_SOURCE on the symmetric customer↔supplier trade graph — bounded
     breadth-first search by synchronized frontier expansion. Integer
     levels over fixed data: hash-verifiable; the oracle unrolls the
-    frontier rounds as CTEs mirroring the Spark loop exactly."""
-    return bfs_levels(_edges(spark, sf_dir), BFS_SOURCE, BFS_HOPS)
+    frontier rounds as CTEs mirroring the Spark loop exactly. Iterates
+    on arithmetic long node ids (_edges_encoded — the q144/q204 lever)
+    and decodes to the canonical strings on the node-sized output:
+    bijective encoding, so frontier sets, dedup, and hop levels are
+    identical to the string form."""
+    return bfs_levels(
+        _edges_encoded(spark, sf_dir), _node_enc(BFS_SOURCE), BFS_HOPS
+    ).select(_node_str().alias("node"), "hop")
 
 
 # --- q167: bounded weighted shortest paths (Bellman-Ford) --------------------
@@ -657,14 +673,22 @@ def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trade graph with integer costs: edge weight 11 - min(cnt, 10)
     where cnt = distinct orders linking the customer and supplier —
     strong trade relationships are cheap to traverse, so min-cost routes
-    prefer high-volume partners. BIGINT weights in [1, 10]."""
+    prefer high-volume partners. BIGINT weights in [1, 10].
+
+    Node ids are the ARITHMETIC encoding ('c:<k>' ≡ 2k, 's:<k>' ≡ 2k+1
+    — the q144/q204 lever, round 12): the big aggregate groups on two
+    BIGINTs instead of two 12-char concat strings, and every per-round
+    relaxation join compares longs. The encoding is bijective, so the
+    grouping (and therefore cnt and the weights) is identical to the
+    string form; the face decodes back to the canonical strings on the
+    node-sized output (_node_str)."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("s"),
+            (F.col("o_custkey").cast("long") * 2).alias("c"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("s"),
         )
         .agg(F.countDistinct("o_orderkey").alias("cnt"))
         .select(
@@ -711,8 +735,11 @@ def sssp_bounded(
     bounded round count)."""
     edges = edges.localCheckpoint()
     spark = edges.sparkSession
+    seed = F.lit(source)
+    if isinstance(source, int):
+        seed = seed.cast("long")  # match the encoded BIGINT node ids
     dist = spark.range(1).select(
-        F.lit(source).alias("node"), F.lit(0).cast("long").alias("dist")
+        seed.alias("node"), F.lit(0).cast("long").alias("dist")
     )
     frontier = dist
     for _ in range(rounds):
@@ -799,10 +826,14 @@ def q167_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted companion to q157's BFS: integer distances over fixed data
     are hash-exact, and the oracle unrolls the relaxation rounds as CTEs
     mirroring the Spark loop exactly (same full-outer min-merge, same
-    frontier definition)."""
+    frontier definition). Iterates on arithmetic long node ids
+    (_weighted_edges' encoding — the q144/q204 lever) and decodes to
+    the canonical strings on the node-sized output: the encoding is
+    bijective, so the weight aggregate, relaxation minima, and frontier
+    sets are identical to the string form."""
     return sssp_bounded(
-        _weighted_edges(spark, sf_dir), SSSP_SOURCE, SSSP_ROUNDS
-    )
+        _weighted_edges(spark, sf_dir), _node_enc(SSSP_SOURCE), SSSP_ROUNDS
+    ).select(_node_str().alias("node"), "dist")
 
 
 # ---------------------------------------------------------------------------
