@@ -62,6 +62,56 @@ def _normalize(v: np.ndarray) -> np.ndarray:
     return v / np.where(n == 0, 1.0, n)
 
 
+_BLAS_CTL: tuple | None | bool = None  # probed lazily; False = unavailable
+
+
+def _blas_threads(n: int) -> int:
+    """Set the numpy-bundled OpenBLAS pool width, returning the previous
+    width (0 when no control symbol exists — then a no-op).
+
+    Why this is safe: every GEMM this module issues has a tiny reduction
+    dimension (dsub ≤ 48), which OpenBLAS keeps inside a single k-block —
+    threads partition the OUTPUT tile space only, so the float64 add
+    order per output element is fixed and the thread count cannot change
+    a single bit (verified: 1-thread vs 32-thread products array_equal).
+
+    Why it matters: the driver's Lloyd loop issues 192 ~2 MFLOP GEMMs;
+    with the default pool, 32 busy-waiting BLAS threads contend with the
+    32 JVM executor threads and the measured per-call wall degrades
+    1.4 ms → 8–75 ms (fit_pq anywhere between 0.4 s and 14.5 s on
+    identical inputs, session-dependent). Capped to one thread the call
+    is flat 1.4 ms regardless of JVM load. Arrow workers encode with the
+    same tiny GEMMs under up-to-32-way task parallelism — same cap, with
+    the previous width restored so reused workers keep full-width BLAS
+    for the big-matmul faces (q41b)."""
+    global _BLAS_CTL
+    if _BLAS_CTL is None:
+        import ctypes
+        import glob as _glob
+        import os as _os
+
+        try:
+            libdir = _os.path.join(
+                _os.path.dirname(_os.path.dirname(np.__file__)), "numpy.libs"
+            )
+            path = sorted(_glob.glob(_os.path.join(libdir, "*openblas*")))[0]
+            lib = ctypes.CDLL(path)
+            _BLAS_CTL = (
+                getattr(lib, "openblas_set_num_threads64_", None)
+                or lib.openblas_set_num_threads,
+                getattr(lib, "openblas_get_num_threads64_", None)
+                or lib.openblas_get_num_threads,
+            )
+        except (OSError, IndexError, AttributeError):
+            _BLAS_CTL = False
+    if not _BLAS_CTL:
+        return 0
+    setf, getf = _BLAS_CTL
+    prev = getf()
+    setf(int(n))
+    return int(prev)
+
+
 def _assign_codes(sub: np.ndarray, cent: np.ndarray) -> np.ndarray:
     """argmin_c ||sub − cent_c||² via the expanded form — an (n, k)
     matmul instead of an (n, k, dsub) broadcast cube, which at the
@@ -114,20 +164,25 @@ def fit_pq(
     # smaller than k clamps the codebook (codes stay dense in [0, k))
     k = min(k, x.shape[0])
     books = np.empty((m, k, dsub))
-    for j in range(m):
-        sub = x[:, j * dsub : (j + 1) * dsub]
-        cent = sub[:k].copy()
-        for _ in range(iters):
-            assign = _assign_codes(sub, cent)
-            # vectorized Lloyd update: scatter-add instead of a k-loop of
-            # masked means (k=256 × 12 iters × 16 subspaces would be 49k
-            # mask scans at production width)
-            sums = np.zeros_like(cent)
-            np.add.at(sums, assign, sub)
-            counts = np.bincount(assign, minlength=k).astype(np.float64)
-            occupied = counts > 0
-            cent[occupied] = sums[occupied] / counts[occupied, None]
-        books[j] = cent
+    prev = _blas_threads(1)  # contention cap, bit-identical (see helper)
+    try:
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            cent = sub[:k].copy()
+            for _ in range(iters):
+                assign = _assign_codes(sub, cent)
+                # vectorized Lloyd update: scatter-add instead of a k-loop of
+                # masked means (k=256 × 12 iters × 16 subspaces would be 49k
+                # mask scans at production width)
+                sums = np.zeros_like(cent)
+                np.add.at(sums, assign, sub)
+                counts = np.bincount(assign, minlength=k).astype(np.float64)
+                occupied = counts > 0
+                cent[occupied] = sums[occupied] / counts[occupied, None]
+            books[j] = cent
+    finally:
+        if prev:
+            _blas_threads(prev)
     return books
 
 
@@ -143,13 +198,20 @@ def encode_pq(
     m, _k, dsub = books.shape
 
     def run(batches):
-        for pdf in batches:
-            v = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
-            codes = np.empty((len(pdf), m), dtype=np.int64)
-            for j in range(m):
-                sub = v[:, j * dsub : (j + 1) * dsub]
-                codes[:, j] = _assign_codes(sub, books[j])
-            yield pd.DataFrame({id_col: pdf[id_col].values, "codes": list(codes)})
+        prev = _blas_threads(1)  # contention cap, bit-identical (see helper)
+        try:
+            for pdf in batches:
+                v = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+                codes = np.empty((len(pdf), m), dtype=np.int64)
+                for j in range(m):
+                    sub = v[:, j * dsub : (j + 1) * dsub]
+                    codes[:, j] = _assign_codes(sub, books[j])
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col].values, "codes": list(codes)}
+                )
+        finally:
+            if prev:
+                _blas_threads(prev)
 
     ship_package(df.sparkSession)
     return df.select(id_col, vec_col).mapInPandas(
@@ -165,12 +227,15 @@ def pq_topk(
     shortlist: int = 50,
     exclude_id: int | None = None,
 ) -> DataFrame:
-    """ADC top-k: score codes against the query LUT, shortlist, then
+    """ADC top-k: encode + LUT-score in one Arrow pass, shortlist, then
     exact-rerank the shortlist against full vectors.
 
-    The scan reads CODES only (m small ints per row); full vectors are
-    touched for ``shortlist`` rows. Both stages are TakeOrdered — never a
-    global sort.
+    Encoding and scoring are FUSED into a single ``mapInPandas`` (one
+    JVM↔Python crossing instead of the chained encode→score pair); the
+    per-probe cost still scales with code bytes — at rest the codes
+    relation is what a production index stores (see ``IvfPqIndex``,
+    whose probe scan is codes-only and plan-asserted). Both ranking
+    stages are TakeOrdered — never a global sort.
     """
     from .similarity import cosine
     from ..session import ship_package
@@ -181,20 +246,37 @@ def pq_topk(
         [books[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)]
     )  # (m, k) partial inner products
 
-    codes = encode_pq(emb, books)
+    src = emb.select("vec_id", "embedding")
     if exclude_id is not None:
-        codes = codes.filter(F.col("vec_id") != exclude_id)
+        # filter BEFORE encoding: pushes to the scan and skips one row's
+        # codes; the row is dropped either way, so values are identical
+        src = src.filter(F.col("vec_id") != exclude_id)
 
     def score(batches):
-        for pdf in batches:
-            c = np.stack(pdf["codes"].to_numpy())
-            s = np.zeros(len(pdf))
-            for j in range(m):
-                s += lut[j][c[:, j]]
-            yield pd.DataFrame({"vec_id": pdf["vec_id"].values, "approx_sim": s})
+        # encode + LUT-score fused in ONE Arrow crossing (guide §4): the
+        # chained encode→score mapInPandas pair paid two JVM↔Python
+        # round-trips and an intermediate codes relation for per-row
+        # work; the numpy ops per row are unchanged, so approx_sim is
+        # bit-identical to encode_pq-then-score
+        prev = _blas_threads(1)  # contention cap, bit-identical
+        try:
+            for pdf in batches:
+                v = _normalize(
+                    np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                )
+                s = np.zeros(len(pdf))
+                for j in range(m):
+                    sub = v[:, j * dsub : (j + 1) * dsub]
+                    s += lut[j][_assign_codes(sub, books[j])]
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"].values, "approx_sim": s}
+                )
+        finally:
+            if prev:
+                _blas_threads(prev)
 
     ship_package(emb.sparkSession)
-    scored = codes.mapInPandas(score, "vec_id long, approx_sim double")
+    scored = src.mapInPandas(score, "vec_id long, approx_sim double")
     short = scored.orderBy(F.desc("approx_sim"), "vec_id").limit(shortlist)
     qlit = F.array(*[F.lit(float(x)) for x in q])
     reranked = (

@@ -236,20 +236,23 @@ def semantic_decontaminate(
     sim = dot(F.col("t.embedding"), F.col("e.embedding")) / (
         F.col("t.nrm") * F.col("e.nrm")
     )
-    hits = (
-        t.join(e, F.col("t.bucket") == F.col("e.bucket"))
-        .groupBy(F.col("t.vec_id").alias("vec_id"))
+    # LEFT outer on the broadcast side, then one aggregate: an unmatched
+    # train row contributes a single all-NULL eval row, so max(sim) /
+    # min(when(...)) are NULL exactly as the old inner-join + re-scan +
+    # left-join shape produced — but tag(train) (scan + the bucket fold)
+    # now runs ONCE instead of twice (Spark never reuses self-join
+    # subtrees), and the vec_id shuffle join is gone: one exchange total.
+    return (
+        t.join(e, F.col("t.bucket") == F.col("e.bucket"), "left")
+        .groupBy(
+            F.col("t.vec_id").alias("vec_id"), F.col("t.bucket").alias("bucket")
+        )
         .agg(
             F.max(sim).alias("eval_sim"),
             F.min(F.when(sim >= F.lit(tau), F.col("e.vec_id"))).alias(
                 "contaminated_by"
             ),
         )
-    )
-    return (
-        tag(train)
-        .select("vec_id", "bucket")
-        .join(hits, "vec_id", "left")
         .select(
             "vec_id",
             "bucket",
