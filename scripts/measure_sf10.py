@@ -84,6 +84,18 @@ FACES = [
     # shuffle) and its winnowed 2/(S+1)-sampled production twin
     "q211_exact_substring_dedup",
     "q211b_exact_substring_winnowed",
+    # round-12 optimization: first rows for the two iterative graph
+    # faces rebuilt on long node ids + explode-mirrored edges (§5/§6 of
+    # OPTIMIZATION_r12.md). NOT yet measured: the r12-opt session's host
+    # read 100x jobs 2-4x slower than the block's reference host with
+    # ±2x run-to-run variance (controls: q211 unchanged code 61-69 s vs
+    # its 17.35 s row; pre-§5 q204 360 s vs its own 45.6 s row —
+    # SCALING.md "Round-12 optimization: the 100x host-drift autopsy"),
+    # so --only rows taken there would be incomparable garbage. Measure
+    # these at the next maintenance window on a host whose controls
+    # land near their rows.
+    "q156_kcore_decomposition",
+    "q157_bfs_levels",
 ]
 
 
