@@ -3558,7 +3558,16 @@ def q200_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("day"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    daily = o.groupBy("prio", "day").agg(F.sum("cents").alias("cents"))
+    # The (prio, day) rollup is calendar-fixed (~12k rows at any corpus
+    # scale) but was re-derived 10× — anchor, both pair-join sides, the
+    # n_days agg, each under TWO consumers (agg + median; the r10
+    # no-subtree-reuse rule) re-scanned orders every time. One eager
+    # checkpoint makes the fact scan run once (plan: 10 Locations → 1).
+    daily = (
+        o.groupBy("prio", "day")
+        .agg(F.sum("cents").alias("cents"))
+        .localCheckpoint()
+    )
     anchor = daily.agg(F.max("day").alias("mx"))
     recent = daily.join(F.broadcast(anchor)).filter(
         F.col("day") > F.col("mx") - TS_WINDOW_DAYS

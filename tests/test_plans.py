@@ -981,6 +981,21 @@ def test_q210_filtered_ann_predicate_reaches_scan(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_q200_daily_rollup_materializes_once(spark, sf_dir):
+    """q200's (prio, day) rollup is calendar-fixed (~12k rows) but fed
+    TEN plan references (anchor, both pair-join sides, n_days, each
+    under the agg + median consumers) — before round 12 the orders fact
+    scan ran per reference. The rollup is now eagerly checkpointed, so
+    the returned plan must contain ZERO parquet scans (the single
+    orders derivation lives in the checkpoint job) and only
+    checkpoint reads."""
+    plan = plan_of(QUERIES["q200_robust_trend"](spark, sf_dir))
+    locs = [l for l in plan.splitlines() if "Location" in l]
+    assert locs == [], locs
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q203_exactly_two_scans_per_table(spark, sf_dir):
     """q203's 8 rule rows come from a stack-unpivoted single wide
     aggregate row (VERDICT r9 item 6): each base table's rule aggregate
