@@ -403,20 +403,30 @@ def _cooccur_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
+    # The C(basket,2) explode + count is the dominant shuffle of every
+    # co-occurrence consumer: pack (pa, pb) into ONE BIGINT (part keys
+    # < 10^9 at every SF — the TRI_RK contract; parts are dims, never
+    # replica-strided) so the explode emits a PRIMITIVE long array
+    # instead of an array of structs and the count hashes one long key
+    # instead of two columns (guide §2.3, narrower shuffle keys).
+    # Bijective, so groups — and the surviving edge set — are identical.
     pairs = sets.select(
         F.explode(
             F.expr(
                 "flatten(transform(ps, (x, i) -> "
                 "transform(slice(ps, i + 2, size(ps)), "
-                "y -> struct(x AS pa, y AS pb))))"
+                "y -> shiftleft(cast(x as bigint), 32) + y)))"
             )
-        ).alias("p")
-    ).select("p.pa", "p.pb")
+        ).alias("pp")
+    )
     return (
-        pairs.groupBy("pa", "pb")
+        pairs.groupBy("pp")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= TRI_MIN_COOCCUR)
-        .select("pa", "pb")
+        .select(
+            F.shiftright(F.col("pp"), 32).alias("pa"),
+            F.expr("pp & 4294967295").alias("pb"),
+        )
     )
 
 
@@ -982,34 +992,50 @@ def link_prediction_topk(
     # 12: q176b +18% with the lazy form).
     e = e.localCheckpoint()
     adj = _lp_adjacency(e, deg_cap)
+    # The wedge relation is the scale cost (Σ C(deg,2) rows — the
+    # quadratic-in-density regime), so make each wedge as CHEAP as
+    # possible (guide §2.3, shuffle fewer bytes / narrower keys):
+    # - (u, v) packs into ONE BIGINT — part keys are < 10^9 at every SF
+    #   (the TRI_RK contract; parts are dims, never replica-strided), so
+    #   shiftleft(u, 32) + v is bijective. The explode then emits a
+    #   PRIMITIVE long array instead of an array of structs, the
+    #   aggregate hashes/compares one long key instead of two columns,
+    #   and the shuffle row shrinks by a third.
+    # - the center's RA contribution (RA_SCALE DIV d) is constant per
+    #   node — computed once before the explode, not once per wedge.
     wedges = adj.select(
-        "d",
+        F.expr(f"{RA_SCALE} DIV d").alias("ra"),
         F.explode(
             F.expr(
                 "flatten(transform(ns, (x, i) -> "
                 "transform(slice(ns, i + 2, size(ns)), "
-                "y -> struct(x AS u, y AS v))))"
+                "y -> shiftleft(cast(x as bigint), 32) + y)))"
             )
-        ).alias("p"),
-    ).select("p.u", "p.v", "d")
-    # Aggregate BEFORE the existing-edge anti-join: the wedge relation
-    # is Σ C(deg,2) rows (the quadratic-in-density regime — 10× corpus
-    # density multiplied wedges ~20× on the replica, SCALING.md), while
-    # its (u, v) aggregate is bounded by distinct candidate pairs; the
+        ).alias("uv"),
+    )
+    # Aggregate BEFORE the existing-edge anti-join: the wedge relation's
+    # (u, v) aggregate is bounded by distinct candidate pairs, while the
     # anti-join is a (u, v)-level filter, so it commutes with the
-    # aggregation and should see the small side.
+    # aggregation and should see the small side. The anti-join keys on
+    # the same packed long (bijective, so the surviving set is
+    # identical); u and v unpack after it.
+    e_packed = e.select(
+        (
+            F.shiftleft(F.col("pa").cast("bigint"), 32) + F.col("pb")
+        ).alias("uv")
+    )
     cand = (
-        wedges.groupBy("u", "v")
+        wedges.groupBy("uv")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("cn"),
-            F.sum(F.expr(f"{RA_SCALE} DIV d")).cast("bigint").alias(
-                "ra_scaled"
-            ),
+            F.sum("ra").cast("bigint").alias("ra_scaled"),
         )
-        .join(
-            e,
-            (F.col("u") == e["pa"]) & (F.col("v") == e["pb"]),
-            "left_anti",
+        .join(e_packed, "uv", "left_anti")
+        .select(
+            F.shiftright(F.col("uv"), 32).alias("u"),
+            F.expr("uv & 4294967295").alias("v"),
+            "cn",
+            "ra_scaled",
         )
     )
     topk = cand.orderBy(
