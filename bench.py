@@ -78,6 +78,33 @@ def retime_flagged(spark, queries, timings, baseline, sf_dir) -> list[str]:
     return flagged
 
 
+#: Faces whose plans changed in the CURRENT round: the budget trim keeps
+#: them in the printed line until everything else is gone, so the
+#: driver's PERF comparison always sees the faces this round touched
+#: (VERDICT r12 item 8: fastest-first trimming hid 9 of the r12 wins —
+#: improved faces got fast, fast faces got trimmed). Mirrors the
+#: correctness window's changed-faces-first policy.
+CHANGED_THIS_ROUND = frozenset({
+    # round 13: Arrow fold scorer (kNN + density), packed co-occurrence
+    # and wedge keys (graph family), shingle-set parquet materialization
+    # (MinHash/cluster family).
+    "q169_knn_graph",
+    "q169b_knn_graph_production",
+    "q174_density_clusters",
+    "q174b_density_clusters_production",
+    "q148_triangle_count",
+    "q156_kcore_decomposition",
+    "q176_link_prediction",
+    "q176b_link_prediction_capped",
+    "q180_lpa_communities",
+    "q36_minhash_lsh_neardup",
+    "q36b_minhash_production",
+    "q80_neardup_clusters",
+    "q80b_neardup_clusters_star",
+    "q173_incremental_clusters",
+})
+
+
 def budget_line(result: dict, limit: int = LINE_LIMIT) -> str:
     """Serialize ``result`` to one JSON line under the driver's window.
 
@@ -86,7 +113,9 @@ def budget_line(result: dict, limit: int = LINE_LIMIT) -> str:
     queries are the evidence that matters; the earlier sf1-block-first
     policy emptied the entire sf1 map — the scale evidence — before
     touching a single 0.3 s sf0.1 entry), recording per-block ``omitted``
-    counts so a trimmed map is visibly partial.
+    counts so a trimmed map is visibly partial. Faces changed THIS round
+    trim last (CHANGED_THIS_ROUND), so the driver's PERF per_query view
+    always covers what the round touched.
     """
 
     def dumps(r: dict) -> str:
@@ -115,8 +144,8 @@ def budget_line(result: dict, limit: int = LINE_LIMIT) -> str:
             blk["retimed"] = len(blk["retimed"])
     order = sorted(
         ((blk["queries"][k], k, blk) for blk in blocks for k in blk["queries"]),
-        key=lambda t: (t[0], t[1]),
-    )  # fastest first, across both blocks
+        key=lambda t: (t[1] in CHANGED_THIS_ROUND, t[0], t[1]),
+    )  # fastest first, across both blocks; changed-this-round faces last
     i = 0
     while i < len(order) and len(dumps(trimmed)) > limit:
         _sec, key, blk = order[i]

@@ -3562,7 +3562,9 @@ def q200_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale) but was re-derived 10× — anchor, both pair-join sides, the
     # n_days agg, each under TWO consumers (agg + median; the r10
     # no-subtree-reuse rule) re-scanned orders every time. One eager
-    # checkpoint makes the fact scan run once (plan: 10 Locations → 1).
+    # checkpoint drops the returned plan to ZERO parquet Locations (the
+    # one orders scan runs once, in the checkpoint job — the plan test
+    # pins 0 in the returned plan).
     daily = (
         o.groupBy("prio", "day")
         .agg(F.sum("cents").alias("cents"))

@@ -65,77 +65,73 @@ def _load() -> None:
 # Window policy: a query needs ONE green driver row, ever — but stale
 # evidence rots as shared helpers evolve, so the window ROTATES: after
 # new/changed faces take their slots, remaining slots go to the names
-# whose latest driver row is OLDEST. The ROUND-12 window leads with the
-# three new faces (q169b/q174b — the corpus-adaptive production LSH
-# twins of the two r11 `weak` marks; q210 — filtered vector search)
-# plus the nine changed-plan faces needing fresh rows: q208 (its oracle
-# now computes the corpus-proportional min_words limit), the graph
-# family q144/q204/q180 (edge checkpoint + long-key iteration), the LSH
-# family q169/q174 (shared pipelines + per-vector norm precompute) and
-# q42 (bucket bits cast long), and the Avro round trips q205/q205b (the
-# decode path grew the nested-logical lift). The round-12 extension
-# session adds q211/q211b (exact-substring dedup + winnowed twin) at the
-# head. Rotation fills the remaining 36 slots with the oldest-evidence
-# names: the thirty remaining r6-latest names, then the first six
-# r7-latest names by name (computed from CORRECTNESS_r01–r11 as in
-# test_registry_order).
-# Rotated out: the r11 window (now the R11_CHECKED permanent-evidence
-# set).
+# whose latest driver row is OLDEST. The ROUND-13 window leads with the
+# union of (a) the 14 faces whose plans the round-12 OPTIMIZATION
+# session changed after the r12 window was already set (VERDICT r12
+# item 1b — they are oracle-green locally but have no driver row for
+# the new plans) and (b) every face whose plan round 13 changes: the
+# Arrow fold scorer (q169/q169b/q174/q174b), the packed co-occurrence
+# and wedge keys (q148/q156/q176/q176b/q180), and the shingle-set
+# parquet materialization (q36/q36b/q80/q80b/q173). Rotation fills the
+# remaining 28 slots with the oldest-evidence names: the two remaining
+# r7-latest names, then r8-latest names by name (computed from
+# CORRECTNESS_r01–r12 as in test_registry_order).
+# Rotated out: the r12 window (now the R12_CHECKED permanent-evidence
+# set — all 50 rows hash-green).
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- new in round 12 --
+    # -- changed in round 12 (opt session) and/or round 13 --
     "q169b_knn_graph_production",
     "q174b_density_clusters_production",
-    "q210_filtered_ann_search",
-    "q211_exact_substring_dedup",
-    "q211b_exact_substring_winnowed",
-    # -- changed in round 12 (fresh row re-proves the new plan) --
-    "q208_quarantine_triage",
-    "q144_pagerank",
-    "q204_personalized_pagerank",
-    "q180_lpa_communities",
     "q169_knn_graph",
     "q174_density_clusters",
-    "q42_ann_lsh_topk",
-    "q205_avro_roundtrip",
-    "q205b_avro_embeddings_roundtrip",
-    # -- rotation: latest driver row is r6 --
-    "q33_lang_id",
-    "q34_fingerprint",
-    "q43c_ann_ivf_exact",
-    "q50_full_outer_join",
-    "q58_pii_scrub",
-    "q59_token_counting",
-    "q62_forecast_revenue",
-    "q63_promo_ratio",
-    "q64_returned_items",
-    "q67_left_outer_join",
-    "q68_right_outer_join",
-    "q70_shipping_priority",
-    "q71_local_supplier_volume",
-    "q72_volume_shipping",
-    "q73_market_share",
-    "q74_order_distribution",
-    "q75_small_qty_revenue",
-    "q76_large_orders",
-    "q77_bracket_revenue",
-    "q78_dormant_customers",
-    "q79_top_supplier",
+    "q176_link_prediction",
+    "q176b_link_prediction_capped",
+    "q148_triangle_count",
+    "q156_kcore_decomposition",
+    "q180_lpa_communities",
+    "q36_minhash_lsh_neardup",
+    "q36b_minhash_production",
     "q80_neardup_clusters",
-    "q81_clean_corpus",
-    "q82_token_rarity",
-    "q83_repetition_quality",
-    "q84_decontamination",
-    "q86_tfidf_keywords",
-    "q87_sequence_packing",
-    "q89_priority_late_orders",
-    "q90_late_lines_by_status",
-    # -- rotation: latest driver row is r7 (first 8 by name) --
-    "q116_bloom_decontaminate",
-    "q117_boilerplate_passages",
-    "q119_zorder_key",
-    "q119b_hilbert_key",
-    "q123_phrase_search",
-    "q126_histogram",
+    "q80b_neardup_clusters_star",
+    "q173_incremental_clusters",
+    "q157_bfs_levels",
+    "q167_sssp_bounded",
+    "q190_layout_advisor",
+    "q200_robust_trend",
+    "q134_semantic_decontaminate",
+    "q121b_pq_ann_production",
+    "q107b_containment_budgeted",
+    "q163_bpe_encode",
+    # -- rotation: latest driver row is r7 --
+    "q128_cooccurrence_lift",
+    "q129_cohort_matrix",
+    # -- rotation: latest driver row is r8 (by name) --
+    "q100_dup_ngram_fraction",
+    "q101_mixture_sample",
+    "q102_semantic_dedup",
+    "q103_gapfill",
+    "q104_decayed_avg",
+    "q105_matview_rollup",
+    "q106_latest_state",
+    "q108_source_drift",
+    "q110_rate_anomaly",
+    "q112_quality_report",
+    "q113_fuzzy_join",
+    "q114_ohlc_bars",
+    "q115_event_transitions",
+    "q166_corpus_pipeline",
+    "q172_top_paths",
+    "q175_epoch_shuffle",
+    "q177_rolling_corr",
+    "q181_winsorized_stats",
+    "q183_pps_sample",
+    "q184_pmi_collocations",
+    "q185_cusum_changepoint",
+    "q186_hll_distinct",
+    "q187_key_skew_report",
+    "q188_curriculum_manifest",
+    "q189_bigram_surprisal",
+    "q190b_layout_advisor_sampled",
 )
 
 

@@ -216,3 +216,30 @@ def test_retime_flagged_early_stops_once_under_ratio(monkeypatch):
     assert flagged == ["qa"]
     assert timings["qa"] == 0.5
     assert calls == ["/dir"]  # second attempt skipped
+
+
+def test_budget_line_keeps_changed_faces_when_trimming():
+    """VERDICT r12 item 8: fastest-first trimming hid most of that
+    round's wins from PERF (improved faces got fast, fast faces got
+    trimmed). Changed-this-round faces must survive any trim that
+    leaves other entries to drop — even when they are the fastest."""
+    changed = sorted(bench.CHANGED_THIS_ROUND)[0]
+    queries = {f"q{i:03d}_filler": 100.0 for i in range(300)}
+    queries[changed] = 0.1  # fastest entry by far
+    result = {
+        "metric": "headline_queries_wall_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+    }
+    parsed = json.loads(bench.budget_line(result))
+    assert parsed.get("omitted", 0) > 0  # the trim actually fired
+    assert changed in parsed["queries"]
+
+
+def test_changed_faces_are_registered_headline_names():
+    names = set(bench.HEADLINE) | set(bench.BIG_HEADLINE)
+    assert bench.CHANGED_THIS_ROUND <= names, (
+        bench.CHANGED_THIS_ROUND - names
+    )

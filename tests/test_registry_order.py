@@ -11,27 +11,33 @@ from __future__ import annotations
 from redix_stream_spark import registry
 
 MUST_BE_IN_WINDOW = {
-    # New round-12 faces.
-    "q169b_knn_graph_production",
-    "q174b_density_clusters_production",
-    "q210_filtered_ann_search",
-    "q211_exact_substring_dedup",
-    "q211b_exact_substring_winnowed",
-    # Changed in round 12 — fresh rows re-prove the new plans: q208's
-    # oracle now computes the corpus-proportional min_words limit; the
-    # graph family materializes edges once and iterates on long node
-    # ids; the LSH family shares extracted pipelines with per-vector
-    # norm precompute (q42's bucket bits cast long); the Avro decode
-    # path grew the nested-logical lift.
-    "q208_quarantine_triage",
-    "q144_pagerank",
-    "q204_personalized_pagerank",
-    "q180_lpa_communities",
+    # Changed by the round-12 OPTIMIZATION session after the r12 window
+    # was set (VERDICT r12 item 1b: no driver row yet for the new plans).
+    "q157_bfs_levels",
+    "q167_sssp_bounded",
+    "q190_layout_advisor",
+    "q200_robust_trend",
+    "q134_semantic_decontaminate",
+    "q121b_pq_ann_production",
+    "q107b_containment_budgeted",
+    "q163_bpe_encode",
+    # Changed in round 13: Arrow fold scorer (kNN + density), packed
+    # co-occurrence/wedge keys (graph family), shingle-set parquet
+    # materialization (MinHash/cluster family).
     "q169_knn_graph",
+    "q169b_knn_graph_production",
     "q174_density_clusters",
-    "q42_ann_lsh_topk",
-    "q205_avro_roundtrip",
-    "q205b_avro_embeddings_roundtrip",
+    "q174b_density_clusters_production",
+    "q148_triangle_count",
+    "q156_kcore_decomposition",
+    "q176_link_prediction",
+    "q176b_link_prediction_capped",
+    "q180_lpa_communities",
+    "q36_minhash_lsh_neardup",
+    "q36b_minhash_production",
+    "q80_neardup_clusters",
+    "q80b_neardup_clusters_star",
+    "q173_incremental_clusters",
 }
 
 # The 50 queries the r2 driver window checked (CORRECTNESS_r02 rows —
@@ -299,6 +305,32 @@ R11_CHECKED = {
 }
 
 
+# The 50 queries the r12 driver window checked (CORRECTNESS_r12 rows —
+# permanent evidence; all 50 hash-green).
+R12_CHECKED = {
+    "q116_bloom_decontaminate", "q117_boilerplate_passages",
+    "q119_zorder_key", "q119b_hilbert_key", "q123_phrase_search",
+    "q126_histogram", "q144_pagerank", "q169_knn_graph",
+    "q169b_knn_graph_production", "q174_density_clusters",
+    "q174b_density_clusters_production", "q180_lpa_communities",
+    "q204_personalized_pagerank", "q205_avro_roundtrip",
+    "q205b_avro_embeddings_roundtrip", "q208_quarantine_triage",
+    "q210_filtered_ann_search", "q211_exact_substring_dedup",
+    "q211b_exact_substring_winnowed", "q33_lang_id", "q34_fingerprint",
+    "q42_ann_lsh_topk", "q43c_ann_ivf_exact", "q50_full_outer_join",
+    "q58_pii_scrub", "q59_token_counting", "q62_forecast_revenue",
+    "q63_promo_ratio", "q64_returned_items", "q67_left_outer_join",
+    "q68_right_outer_join", "q70_shipping_priority",
+    "q71_local_supplier_volume", "q72_volume_shipping", "q73_market_share",
+    "q74_order_distribution", "q75_small_qty_revenue", "q76_large_orders",
+    "q77_bracket_revenue", "q78_dormant_customers", "q79_top_supplier",
+    "q80_neardup_clusters", "q81_clean_corpus", "q82_token_rarity",
+    "q83_repetition_quality", "q84_decontamination", "q86_tfidf_keywords",
+    "q87_sequence_packing", "q89_priority_late_orders",
+    "q90_late_lines_by_status",
+}
+
+
 def test_every_query_has_a_driver_row_across_rounds():
     """The current window + the r1–r8 rows must cover every registered
     query, so that after this round no query has ever gone
@@ -318,6 +350,7 @@ def test_every_query_has_a_driver_row_across_rounds():
         - R9_CHECKED
         - R10_CHECKED
         - R11_CHECKED
+        - R12_CHECKED
     )
     assert not uncovered, f"queries with no driver row in any round: {uncovered}"
 
